@@ -1,0 +1,72 @@
+"""Scalar/time helper functions (reference §2.2 P5–P8).
+
+Reimplements the reference's partition macros ``$time`` / ``$time$expand``
+(reference ``ingest_example/delta_io.py:48-67``) as DataFrame column
+derivations. Unlike the reference — which string-splits the partition key
+and mixes calendar-year with ISO-week (the year/ISO-week boundary bug noted
+in SURVEY.md §7.2) — these derive every grain from a real date value, and
+the ISO week is paired with the ISO year.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Grain sets per partition definition, mirroring reference delta_io.py:22-29.
+TIME_GRAINS = {
+    "monthly": ["year", "month"],
+    "daily": ["year", "month", "day"],
+    "hourly": ["year", "month", "day", "hour"],
+    "weekly": ["year", "week"],
+}
+
+
+def iso_dow(date_col: Column) -> Column:
+    """ISO day-of-week 1=Monday..7=Sunday (Spark dayofweek is 1=Sunday)."""
+    return ((F.dayofweek(date_col) + 5) % 7) + 1
+
+
+def iso_year(date_col: Column) -> Column:
+    """ISO-8601 week-numbering year: the calendar year of the Thursday of
+    the date's ISO week. Fixes the reference's year/ISO-week mismatch
+    (delta_io.py:63-67 vs delta_io.py:38-43)."""
+    return F.year(F.date_add(date_col, 4 - iso_dow(date_col)))
+
+
+def time_part_columns(date_col: Column, grains: list[str]) -> dict[str, Column]:
+    """Zero-padded string partition-value columns for the given grains,
+    matching the reference's string-typed hive partition values
+    (delta_io.py:63-67: zero-padded month/day; delta_io.py:38-43 week)."""
+    out: dict[str, Column] = {}
+    for g in grains:
+        if g == "year":
+            out["year"] = F.date_format(date_col, "yyyy")
+        elif g == "month":
+            out["month"] = F.date_format(date_col, "MM")
+        elif g == "day":
+            out["day"] = F.date_format(date_col, "dd")
+        elif g == "hour":
+            out["hour"] = F.date_format(date_col, "HH")
+        elif g == "week":
+            out["week"] = F.lpad(F.weekofyear(date_col).cast("string"), 2, "0")
+        else:
+            raise ValueError(f"unknown time grain: {g}")
+    return out
+
+
+def expand_time(df: DataFrame, date_col: str, schedule: str = "daily") -> DataFrame:
+    """``$time$expand`` macro: one string column per grain (delta_io.py:56-67)."""
+    for name, col in time_part_columns(F.col(date_col), TIME_GRAINS[schedule]).items():
+        df = df.withColumn(name, col)
+    return df
+
+
+def single_time(df: DataFrame, date_col: str, schedule: str = "daily") -> DataFrame:
+    """``$time`` macro: a single partition column named after the finest
+    grain, valued with the raw key (delta_io.py:50-54)."""
+    finest = TIME_GRAINS[schedule][-1]
+    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH", "week": "yyyy-ww"}[
+        finest
+    ]
+    return df.withColumn(finest, F.date_format(F.col(date_col), fmt))

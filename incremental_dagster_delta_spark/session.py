@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for correctness parity with the DuckDB oracle (UTC
+session timezone, ANSI off) and for 100 TB-scale hygiene (AQE on with
+partition coalescing and skew-join handling, dynamic partition overwrite for
+partition-scoped refresh — the Parquet equivalent of Delta ``replaceWhere``,
+see reference ``ingest_example/delta_io.py:91-107``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "incremental-dagster-delta-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit; in
+    this repo's tests and bench we run ``local[N]``. All other settings are
+    cluster-appropriate:
+
+    - AQE enabled with partition coalescing + skew-join handling, so shuffle
+      partition counts self-tune at any scale factor.
+    - ``partitionOverwriteMode=dynamic`` so ``mode("overwrite")`` replaces
+      only the partitions present in the written DataFrame (partition-scoped
+      refresh, reference delta_io.py:92-107).
+    - UTC session timezone so date/time functions agree with the DuckDB
+      oracle and are stable across machines.
+    - Arrow transfers on, so any Pandas-UDF path is vectorized.
+    """
+    n = cpus or _default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # keep hive partition values as strings, matching the reference's
+        # string-typed partition columns (delta_io.py:108-110)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

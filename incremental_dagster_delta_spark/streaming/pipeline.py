@@ -1,0 +1,127 @@
+"""Incremental multi-hop ingest pipeline (reference §2.3 I1–I12).
+
+Reimplements the reference DAG ``listing → processed → backwards``
+(reference ``ingest_example/__init__.py:7-15``) as a Structured Streaming
+medallion chain over the wholetext file source:
+
+- **listing** (reference ``listing.py``): subsumed by the file source's
+  checkpointed seen-files log; also materialized as a queryable
+  single-column table per SURVEY.md §1.1(2).
+- **processed** (reference ``processed.py``): (filename, word, word_length)
+  + ``$time$expand`` year/month/day string columns, appended to a
+  hive-partitioned table. The count-offset watermark (processed.py:44-49)
+  disappears — exactly-once-per-file is the source contract.
+- **backwards** (reference ``backwards.py:14-15``): word reversed, derived
+  from processed rows inside the same micro-batch (``foreachBatch``), so
+  the multi-hop stays a single checkpointed stream.
+
+Modes, sharing one transform (the reference readme's wish at
+``readme.md:15-19`` that incremental/refresh be expressible over the same
+op):
+
+- ``run_incremental()``  — Trigger.AvailableNow stream: first call is the
+  backfill (I9), later calls pick up only new files (I1–I7).
+- ``refresh(day)``       — batch re-read of one day's files + partition
+  overwrite (I8/I11), per-table rather than the reference's global flag
+  (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.functions import expand_time
+from incremental_dagster_delta_spark.sources.ingest import read_text_files, stream_text_files
+from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+PROCESSED_PARTITIONS = ["year", "month", "day", "word_length"]  # processed.py:34
+BACKWARDS_PARTITIONS = ["year", "month", "day"]  # backwards.py:11
+
+
+def to_processed(files: DataFrame) -> DataFrame:
+    """(filename, word, word_length, day=YYYY-MM-DD) → processed schema.
+
+    Mode-oblivious transform shared by streaming, backfill and refresh —
+    the abstraction the reference asks for at readme.md:18-19.
+    """
+    out = expand_time(files.withColumn("_d", F.to_date("day")), "_d", "daily")
+    return out.select("filename", "word", "word_length", "year", "month", "day")
+
+
+def to_backwards(processed: DataFrame) -> DataFrame:
+    """word → reverse(word), keeping the name (backwards.py:14-15)."""
+    return processed.select(
+        "filename",
+        F.reverse(F.col("word")).alias("word"),
+        "word_length",
+        "year",
+        "month",
+        "day",
+    )
+
+
+class IngestPipeline:
+    def __init__(self, spark: SparkSession, ingest_root: str, tables_root: str) -> None:
+        self.spark = spark
+        self.ingest_root = ingest_root
+        self.tables_root = tables_root
+        self.checkpoint = os.path.join(tables_root, "_checkpoints", "ingest")
+        self.listing = PartitionedTable(spark, os.path.join(tables_root, "listing", "v1"), ["day"])
+        self.processed = PartitionedTable(
+            spark, os.path.join(tables_root, "processed", "v1"), PROCESSED_PARTITIONS
+        )
+        self.backwards = PartitionedTable(
+            spark, os.path.join(tables_root, "backwards", "v1"), BACKWARDS_PARTITIONS
+        )
+
+    # -- incremental (streaming) -------------------------------------------
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch = one incremental unit (reference I11). The
+        DataFrame is the *new files only* slice — the source checkpoint did
+        the set difference (sensors.py:53) for us."""
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            proc = to_processed(batch_df)
+            self.processed.append(proc)
+            self.backwards.append(to_backwards(proc))
+            self.listing.append(
+                batch_df.select("filename", F.col("day").alias("day_key")).select(
+                    "filename", F.col("day_key").alias("day")
+                )
+            )
+        finally:
+            batch_df.unpersist()
+
+    def run_incremental(self, timeout_sec: int = 300) -> None:
+        """Process all files not yet seen by the checkpoint, then stop.
+
+        First invocation = backfill over everything present (reference I9);
+        subsequent invocations = incremental ticks (reference I1–I7). The
+        checkpoint survives restarts — cursor persistence/recovery for free.
+        """
+        stream = stream_text_files(self.spark, self.ingest_root)
+        q = (
+            stream.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+
+    # -- refresh (batch partition overwrite) --------------------------------
+
+    def refresh(self, day: str) -> None:
+        """Recompute one day partition from source files and overwrite just
+        that partition (reference I8: delta_io.py:92-107), scoped per-table
+        rather than via the reference's global refresh flag."""
+        files = read_text_files(self.spark, self.ingest_root).where(F.col("day") == day)
+        proc = to_processed(files)
+        self.processed.overwrite_partitions(proc)
+        self.backwards.overwrite_partitions(to_backwards(proc))
+        self.listing.overwrite_partitions(files.select("filename", "day"))
