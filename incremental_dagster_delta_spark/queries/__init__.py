@@ -1,0 +1,13 @@
+"""Query registry package.
+
+Importing this package imports every query module, which registers each
+query into ``registry.QUERIES`` via the ``@query`` decorator. The driver
+contract (``__spark_entry__.py``) exposes exactly this registry.
+"""
+
+from incremental_dagster_delta_spark.queries.registry import QUERIES, QuerySpec, query, t
+
+# Import for registration side effects — order defines registry order.
+from incremental_dagster_delta_spark.queries import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "query", "t"]

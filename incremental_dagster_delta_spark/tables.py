@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -26,6 +27,18 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table.
+
+    ``events.parquet`` stores nanosecond timestamps (``timestamp[ns]``),
+    which Spark 4's parquet reader rejects by default. We read the nanos as
+    LONG (legacy conf, runtime-settable) and convert to a real TimestampType
+    with integer division — DuckDB's µs TIMESTAMP truncates the same way, so
+    the oracle comparison agrees to the microsecond.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
