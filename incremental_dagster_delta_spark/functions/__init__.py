@@ -39,9 +39,17 @@ def time_part_columns(date_col: Column, grains: list[str]) -> dict[str, Column]:
     matching the reference's string-typed hive partition values
     (delta_io.py:63-67: zero-padded month/day; delta_io.py:38-43 week)."""
     out: dict[str, Column] = {}
+    # A weekly schedule pairs the week with the ISO week-numbering year —
+    # calendar year here would reintroduce the reference's boundary bug
+    # (2024-12-30 → year=2024, week=01).
+    week_based = "week" in grains
     for g in grains:
         if g == "year":
-            out["year"] = F.date_format(date_col, "yyyy")
+            out["year"] = (
+                F.lpad(iso_year(date_col).cast("string"), 4, "0")
+                if week_based
+                else F.date_format(date_col, "yyyy")
+            )
         elif g == "month":
             out["month"] = F.date_format(date_col, "MM")
         elif g == "day":
@@ -64,9 +72,20 @@ def expand_time(df: DataFrame, date_col: str, schedule: str = "daily") -> DataFr
 
 def single_time(df: DataFrame, date_col: str, schedule: str = "daily") -> DataFrame:
     """``$time`` macro: a single partition column named after the finest
-    grain, valued with the raw key (delta_io.py:50-54)."""
+    grain, valued with the raw key (delta_io.py:50-54).
+
+    Week-based ``date_format`` patterns ('w') were removed in Spark 3+, so
+    the weekly key is built from ISO year + ISO week explicitly.
+    """
     finest = TIME_GRAINS[schedule][-1]
-    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH", "week": "yyyy-ww"}[
-        finest
-    ]
-    return df.withColumn(finest, F.date_format(F.col(date_col), fmt))
+    col = F.col(date_col)
+    if finest == "week":
+        key = F.concat_ws(
+            "-",
+            F.lpad(iso_year(col).cast("string"), 4, "0"),
+            F.lpad(F.weekofyear(col).cast("string"), 2, "0"),
+        )
+    else:
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}[finest]
+        key = F.date_format(col, fmt)
+    return df.withColumn(finest, key)

@@ -82,19 +82,25 @@ class IngestPipeline:
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch = one incremental unit (reference I11). The
         DataFrame is the *new files only* slice — the source checkpoint did
-        the set difference (sensors.py:53) for us."""
+        the set difference (sensors.py:53) for us.
+
+        Writes are idempotent per ``batch_id`` (``append_batch``), so a
+        crash-and-replay between the three table writes cannot duplicate
+        rows — parity with the reference's transactional Delta writes.
+        Each output is repartitioned to its day partitioning before the
+        write: wholetext input arrives one-row-per-file, and writing it
+        as-scheduled would emit one tiny parquet file per (task × leaf
+        partition) — the small-files failure mode SURVEY.md §7.7 flags at
+        100 TB scale.
+        """
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
         try:
-            proc = to_processed(batch_df)
-            self.processed.append(proc)
-            self.backwards.append(to_backwards(proc))
-            self.listing.append(
-                batch_df.select("filename", F.col("day").alias("day_key")).select(
-                    "filename", F.col("day_key").alias("day")
-                )
-            )
+            proc = to_processed(batch_df).repartition("year", "month", "day")
+            self.processed.append_batch(proc, batch_id)
+            self.backwards.append_batch(to_backwards(proc), batch_id)
+            self.listing.append_batch(batch_df.select("filename", "day").repartition("day"), batch_id)
         finally:
             batch_df.unpersist()
 
@@ -119,9 +125,20 @@ class IngestPipeline:
     def refresh(self, day: str) -> None:
         """Recompute one day partition from source files and overwrite just
         that partition (reference I8: delta_io.py:92-107), scoped per-table
-        rather than via the reference's global refresh flag."""
+        rather than via the reference's global refresh flag.
+
+        The whole day is dropped first: dynamic partition overwrite alone
+        only replaces leaf partitions present in the recomputed data, so a
+        ``word_length`` leaf whose value vanished from the day's files
+        would otherwise survive — the reference's ``replaceWhere`` on the
+        day predicate (delta_io.py:104-107) replaces the entire day.
+        """
+        y, m, d = day.split("-")
         files = read_text_files(self.spark, self.ingest_root).where(F.col("day") == day)
-        proc = to_processed(files)
-        self.processed.overwrite_partitions(proc)
-        self.backwards.overwrite_partitions(to_backwards(proc))
-        self.listing.overwrite_partitions(files.select("filename", "day"))
+        proc = to_processed(files).repartition("year", "month", "day")
+        self.processed.delete_partitions(year=y, month=m, day=d)
+        self.processed.append(proc)
+        self.backwards.delete_partitions(year=y, month=m, day=d)
+        self.backwards.append(to_backwards(proc))
+        self.listing.delete_partitions(day=day)
+        self.listing.append(files.select("filename", "day").repartition("day"))

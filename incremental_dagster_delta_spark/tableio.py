@@ -22,6 +22,8 @@ the API is format-agnostic.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +73,98 @@ class PartitionedTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.save(self.path)
         return True
+
+    # -- idempotent streaming append (exactly-once per micro-batch) ---------
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Exactly-once append for ``foreachBatch`` bodies.
+
+        Plain ``append`` inside ``foreachBatch`` is at-least-once: a crash
+        after the write but before the checkpoint commit replays the batch
+        and duplicates rows (Delta solves this with txnAppId/txnVersion;
+        reference Delta writes at delta_io.py:112-116 are transactional).
+        This gives parquet tables the same guarantee:
+
+        1. skip entirely if a commit marker for ``batch_id`` exists;
+        2. delete any files from a previous partial publish of this batch
+           (identifiable — published names carry a ``b{batch_id}-`` prefix);
+        3. write to a staging dir with ``mode("overwrite")`` (idempotent);
+        4. rename each staged file into the final partition dir under its
+           deterministic prefixed name (rename is atomic per file);
+        5. write the commit marker.
+
+        A replay from any crash point re-runs 2-5 and converges to exactly
+        one copy of the batch.
+        """
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(hconf)
+        marker = Path(posixpath.join(self.path, "_commits", str(batch_id)))
+        if fs.exists(marker):
+            return False
+        prefix = f"b{batch_id}-"
+        if fs.exists(root):
+            it = fs.listFiles(root, True)  # recursive
+            while it.hasNext():
+                st = it.next()
+                p = st.getPath()
+                if p.getName().startswith(prefix):
+                    fs.delete(p, False)
+        if df.isEmpty():
+            fs.mkdirs(marker.getParent())
+            fs.createNewFile(marker)
+            return False
+        staging = posixpath.join(self.path, "_staging", f"batch={batch_id}")
+        writer = df.write.format(self.fmt).mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.save(staging)
+        staging_path = Path(staging)
+        staging_uri = staging_path.toUri().getPath()
+        it = fs.listFiles(staging_path, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            rel = posixpath.relpath(p.toUri().getPath(), staging_uri)
+            target = Path(posixpath.join(self.path, posixpath.dirname(rel), prefix + name))
+            fs.mkdirs(target.getParent())
+            fs.rename(p, target)
+        fs.delete(staging_path, True)
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
+        return True
+
+    # -- partition management ----------------------------------------------
+
+    def delete_partitions(self, **partition_values: str) -> None:
+        """Drop every partition directory matching the given values — the
+        missing half of parquet "replaceWhere": dynamic partition overwrite
+        only replaces leaf partitions *present in the new data*, so a
+        refresh must first drop stale leaves (e.g. a ``word_length`` value
+        that no longer occurs in the day's files; reference replaceWhere at
+        delta_io.py:104-107 replaces the whole day)."""
+        segs = []
+        deepest = -1
+        for i, c in enumerate(self.partition_cols):
+            v = partition_values.get(c)
+            segs.append(f"{c}={v}" if v is not None else f"{c}=*")
+            if v is not None:
+                deepest = i
+        if deepest < 0:
+            raise ValueError("delete_partitions needs at least one partition value")
+        glob = posixpath.join(self.path, *segs[: deepest + 1])
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        matches = fs.globStatus(Path(glob))
+        if matches is not None:
+            for st in matches:
+                fs.delete(st.getPath(), True)
 
     # -- reads -------------------------------------------------------------
 
