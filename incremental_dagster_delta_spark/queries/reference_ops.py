@@ -1,0 +1,293 @@
+"""Reference-shaped operator qids (SURVEY.md §2.1–§2.3).
+
+Each query pins one operator the reference implements, re-expressed over
+the driver's testdata tables so it is DuckDB-oracle-checkable. The
+reference file:line for each op is cited on the query.
+
+The wholetext/file-listing ops run over a deterministic on-disk fixture
+(same layout as the reference's ``files_to_ingest``) generated once under
+/tmp — they are rows-only checks (no SQL oracle can read that layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+# --- §2.2 P2: string length (reference processed.py:56) ---------------------
+
+
+@query(
+    "q_word_length",
+    tags=("scalar", "reference:P2"),
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS word,
+           CAST(length(string_split(text, ' ')[1]) AS BIGINT) AS word_length
+    FROM documents
+    """,
+)
+def q_word_length(spark, sf_dir):
+    """word_length = len(word) (reference processed.py:56), over the first
+    token of each document."""
+    d = t(spark, sf_dir, "documents")
+    word = F.element_at(F.split(F.col("text"), " "), 1)
+    return d.select(
+        "doc_id",
+        word.alias("word"),
+        F.length(word).cast("long").alias("word_length"),
+    )
+
+
+# --- §2.2 P3/P4: string reverse keeping the column name (backwards.py:15) ---
+
+
+@query(
+    "q_reverse",
+    tags=("scalar", "reference:P3"),
+    oracle="""
+    SELECT doc_id, reverse(string_split(text, ' ')[1]) AS word FROM documents
+    """,
+)
+def q_reverse(spark, sf_dir):
+    """reverse(word) aliased back to ``word`` (reference backwards.py:15)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.reverse(F.element_at(F.split(F.col("text"), " "), 1)).alias("word"),
+    )
+
+
+# --- §2.2 P1: suffix filter (sensors.py:50, listing.py:27) ------------------
+
+
+@query(
+    "q_suffix_filter",
+    tags=("filter", "reference:P1"),
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%bolt'
+    """,
+)
+def q_suffix_filter(spark, sf_dir):
+    """endswith predicate (reference ``filename.endswith(".txt")`` at
+    sensors.py:50); pushed to the parquet scan as StringEndsWith."""
+    return (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").endswith("bolt"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+# --- §2.2 P5: literal partition-value columns (delta_io.py:108-110) ---------
+
+
+@query(
+    "q_lit_partition_cols",
+    tags=("scalar", "reference:P5"),
+    oracle="""
+    SELECT o_orderkey, '2024' AS year, '03' AS month, '26' AS day
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_lit_partition_cols(spark, sf_dir):
+    """Constant partition-value column injection (delta_io.py:108-110)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.lit("2024").alias("year"),
+            F.lit("03").alias("month"),
+            F.lit("26").alias("day"),
+        )
+    )
+
+
+# --- §2.2 P6: date decomposition into zero-padded strings (delta_io.py:63-67)
+
+
+@query(
+    "q_date_parts",
+    tags=("scalar", "reference:P6"),
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y') AS year,
+           strftime(o_orderdate, '%m') AS month,
+           strftime(o_orderdate, '%d') AS day
+    FROM orders
+    """,
+)
+def q_date_parts(spark, sf_dir):
+    """$time$expand daily: zero-padded year/month/day strings derived from
+    the date (reference string-splits the key, delta_io.py:63-67)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+        F.date_format("o_orderdate", "MM").alias("month"),
+        F.date_format("o_orderdate", "dd").alias("day"),
+    )
+
+
+# --- §2.2 P7: ISO week paired with ISO year (delta_io.py:38-43 + fix) -------
+
+
+@query(
+    "q_iso_week",
+    tags=("scalar", "reference:P7"),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0') AS week
+    FROM orders
+    """,
+)
+def q_iso_week(spark, sf_dir):
+    """Zero-padded ISO week + ISO week-numbering year (fixes the
+    reference's calendar-year/ISO-week mismatch, delta_io.py:38-43 vs
+    63-67; SURVEY.md §7.2)."""
+    from incremental_dagster_delta_spark.functions import iso_year
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        iso_year(F.col("o_orderdate")).cast("long").alias("iso_year"),
+        F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0").alias("week"),
+    )
+
+
+# --- §2.2 P8: timestamp formatting / epoch round-trip (sensors.py:37-42) ----
+
+
+@query(
+    "q_date_format",
+    tags=("scalar", "reference:P8"),
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS day_key,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+           strftime(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS roundtrip
+    FROM orders
+    """,
+)
+def q_date_format(spark, sf_dir):
+    """strftime / fromtimestamp / strptime equivalents (reference
+    sensors.py:37-42, delta_io.py:40): format, to-epoch, and parse-back.
+    Session timezone is UTC on both engines."""
+    o = t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate")).alias("epoch_sec")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_key"),
+        epoch,
+        F.date_format(F.timestamp_seconds(F.unix_timestamp("o_orderdate")), "yyyy-MM-dd HH:mm:ss").alias(
+            "roundtrip"
+        ),
+    )
+
+
+# --- §2.3 I5: count-offset watermark slice (processed.py:44-49) -------------
+
+
+@query(
+    "q_offset_slice",
+    tags=("window", "reference:I5"),
+    oracle="""
+    SELECT doc_id, rn FROM (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn > 450
+    """,
+)
+def q_offset_slice(spark, sf_dir):
+    """The reference's positional watermark ``listing[watermark:]``
+    (processed.py:44-49) as a deterministic batch query: row_number over a
+    total order, keep rows past the high-water mark. (The streaming engine
+    replaces this with file-identity exactly-once — SURVEY.md §7.1.)"""
+    w = Window.orderBy("doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") > 450)
+    )
+
+
+# --- §2.1 S8: partition-pruned read over a hive-partitioned table -----------
+
+_PARTED_EVENTS = "/tmp/spark_graft/events_by_day"
+
+
+@query(
+    "q_partition_prune",
+    tags=("scan", "reference:S8"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_partition_prune(spark, sf_dir):
+    """Partition-pruned read (reference delta_io.py:118-129): events are
+    materialized once as a hive day-partitioned table; the query filters on
+    the partition column so Catalyst prunes to a single day directory
+    (PartitionFilters in the plan — asserted in tests)."""
+    from incremental_dagster_delta_spark.tables import load_table
+
+    target = os.path.join(_PARTED_EVENTS, os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("event_day")
+            .write.mode("overwrite")
+            .partitionBy("event_day")
+            .parquet(target)
+        )
+    parted = spark.read.option("basePath", target).parquet(target)
+    return (
+        parted.where(F.col("event_day") == "2024-01-03")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --- §2.1 S1/S2: wholetext ingest + file listing over the fixture (rows-only)
+
+_FIXTURE_ROOT = "/tmp/spark_graft/ingest_fixture"
+
+
+def _fixture(spark) -> str:
+    from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
+
+    if not os.path.exists(_FIXTURE_ROOT):
+        generate_ingest_fixture(_FIXTURE_ROOT, files_per_day_per_wave=8, wave=0)
+    return _FIXTURE_ROOT
+
+
+@query("q_wholetext_ingest", oracle=None, tags=("scan", "reference:S2"))
+def q_wholetext_ingest(spark, sf_dir):
+    """Whole-file text read with filename identity + hive day partition
+    (reference processed.py:53-56, generate.py:12-14). Rows-only check: no
+    SQL oracle can read a wholetext directory layout."""
+    from incremental_dagster_delta_spark.sources.ingest import read_text_files
+
+    return read_text_files(spark, _fixture(spark)).orderBy("day", "filename")
+
+
+@query("q_file_listing", oracle=None, tags=("scan", "reference:S1"))
+def q_file_listing(spark, sf_dir):
+    """Directory listing as a queryable table (reference sensors.py:44-51,
+    listing.py:21-28): one row per (day, filename)."""
+    from incremental_dagster_delta_spark.sources.ingest import read_text_files
+
+    return read_text_files(spark, _fixture(spark)).select("day", "filename").orderBy("day", "filename")

@@ -244,15 +244,21 @@ def q_semi_join(spark, sf_dir):
     tags=("join", "reference:I1"),
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
     """,
 )
 def q_new_file_antijoin(spark, sf_dir):
     """Set-difference new-item detection (reference sensors.py:53) as a
-    left-anti join: rows in `current` with no match in `seen`."""
+    left-anti join: rows in `current` with no match in `seen`. The `seen`
+    side is filtered to 'F'-status orders so both sides return a non-empty
+    set (every customer has *some* order at sf0.01, which made the
+    unfiltered variant a vacuous 0-row check)."""
+    seen = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return (
         t(spark, sf_dir, "customer")
-        .join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(seen, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
