@@ -1,0 +1,229 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.5).
+
+All operate on the ``documents`` table (doc_id, text, lang, source,
+n_chars). Everything is built from JVM-side ``pyspark.sql.functions`` —
+token pipelines stay inside whole-stage codegen; no Python UDFs.
+
+Scale notes: every query here is a single scan + narrow per-row transforms
+followed by one hash aggregation (or none) — embarrassingly parallel, no
+skew risk (token frequencies skew, but partial aggregation absorbs hot
+keys map-side before the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+# Stopword marker set used by the quality / language heuristics. Kept tiny
+# and explicit so the SQL oracle can inline the same list.
+STOPWORDS = ("the", "a", "and", "of", "to")
+_SW_SQL = "('the', 'a', 'and', 'of', 'to')"
+
+# BPE-ish subword unit: a maximal consonant*-vowel+-consonant* run — a
+# deterministic stand-in for a learned merge table that both engines'
+# regex dialects (Java util.regex vs RE2) interpret identically.
+_SUBWORD_RE = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
+
+
+def _tokens(col):
+    """Lower-cased whitespace tokens with empties dropped."""
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+
+
+# --- q_token_counts: corpus token frequencies -------------------------------
+
+
+@query(
+    "q_token_counts",
+    tags=("text", "llm"),
+    bench=True,
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    """Corpus-wide token frequency: tokenize → explode → count. Partial
+    (map-side) aggregation absorbs the Zipfian head before the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- q_text_quality: per-document quality scoring ---------------------------
+
+
+@query(
+    "q_text_quality",
+    tags=("text", "llm"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4) AS DOUBLE) AS avg_tok_len,
+           CAST(ROUND(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE) / len(toks), 4) AS DOUBLE)
+             AS stopword_ratio,
+           CAST(len(toks) >= 20 AND len(list_distinct(toks)) >= 10 AS BOOLEAN) AS quality_ok
+    FROM (
+      SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Length / lexical-diversity / stopword-ratio quality gates — the
+    day-one heuristics of a training-data filter (C4/Gopher-style rules),
+    all as codegen'd array expressions."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens, 4)
+        .cast("double")
+        .alias("avg_tok_len"),
+        F.round(F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double") / n_tokens, 4)
+        .cast("double")
+        .alias("stopword_ratio"),
+        ((n_tokens >= 20) & (F.size(F.array_distinct(toks)) >= 10)).alias("quality_ok"),
+    )
+
+
+# --- q_lang_id: marker-token language heuristic -----------------------------
+
+# Deterministic n-gram-style heuristic: score each language by its marker
+# tokens' share of the document; highest share wins, 'und' when no marker
+# hits. Marker sets are fixed so the SQL oracle matches exactly.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+@query(
+    "q_lang_id",
+    tags=("text", "llm"),
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN en_n = 0 AND es_n = 0 AND fr_n = 0 AND de_n = 0 THEN 'und'
+             WHEN en_n >= es_n AND en_n >= fr_n AND en_n >= de_n THEN 'en'
+             WHEN es_n >= fr_n AND es_n >= de_n THEN 'es'
+             WHEN fr_n >= de_n THEN 'fr'
+             ELSE 'de'
+           END AS lang_guess
+    FROM (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','a','and'))) AS en_n,
+             len(list_filter(toks, x -> x IN ('el','la','de'))) AS es_n,
+             len(list_filter(toks, x -> x IN ('le','la','et'))) AS fr_n,
+             len(list_filter(toks, x -> x IN ('der','die','und'))) AS de_n
+      FROM (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language ID with a deterministic tie-break order
+    (en > es > fr > de), 'und' when nothing matches. A real deployment
+    swaps the marker sets for character-n-gram profiles; the operator
+    shape (per-row array scoring, no shuffle) is identical."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def marker_score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(s) for s in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    en, es, fr, de = scores["en"], scores["es"], scores["fr"], scores["de"]
+    guess = (
+        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), F.lit("und"))
+        .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es >= fr) & (es >= de), F.lit("es"))
+        .when(fr >= de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select("doc_id", guess.alias("lang_guess"))
+
+
+# --- q_doc_fingerprint: shingle-hash document fingerprint -------------------
+
+
+@query(
+    "q_doc_fingerprint",
+    tags=("text", "llm"),
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS content_md5,
+           list_aggregate(
+             list_transform(
+               range(1, greatest(len(toks) - 3, 1) + 1),
+               i -> md5(array_to_string(toks[i:i+3], ' '))
+             ), 'min') AS min_shingle_hash
+    FROM (
+      SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Two fingerprints per document: an exact content hash (md5 of the
+    normalized token stream) and a MinHash-1 rolling fingerprint (minimum
+    md5 over 4-token shingles) — the building block the near-dup operators
+    in dedup.py band into buckets."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    shingle = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(F.col("toks"), i, 4), " ").cast("binary")
+    )
+    n_shingles = F.greatest(F.size("toks") - 3, F.lit(1))
+    return with_toks.select(
+        "doc_id",
+        F.md5(F.array_join("toks", " ").cast("binary")).alias("content_md5"),
+        F.array_min(F.transform(F.sequence(F.lit(1), n_shingles), shingle)).alias("min_shingle_hash"),
+    )
+
+
+# --- q_subword_counts: BPE-ish subword segmentation counting ----------------
+
+
+@query(
+    "q_subword_counts",
+    tags=("text", "llm"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_SUBWORD_RE}')) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def q_subword_counts(spark, sf_dir):
+    """Whitespace token count + BPE-ish subword count (syllable-shaped
+    regex units) — the cheap proxy for 'how many model tokens is this
+    document' used when budgeting a training mix."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_SUBWORD_RE), F.lit(0))).cast("long").alias(
+            "n_subwords"
+        ),
+    )
