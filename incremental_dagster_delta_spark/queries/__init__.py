@@ -11,5 +11,6 @@ from incremental_dagster_delta_spark.queries.registry import QUERIES, QuerySpec,
 from incremental_dagster_delta_spark.queries import relational  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import reference_ops  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import text  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import dedup  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

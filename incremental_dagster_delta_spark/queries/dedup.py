@@ -1,0 +1,331 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2.5).
+
+Four dedup families over ``documents``, each built scale-first:
+
+- **exact** — hash-groupBy on content; survivor = min(doc_id). One shuffle
+  on the content hash; at 100 TB group on a 128-bit digest, never raw text.
+- **key-normalized exact** — same shape over a normalization key (here the
+  3-token prefix), catching near-identical boilerplate.
+- **n-gram Jaccard** — shingle inverted index + self-join on shingle, count
+  co-occurrences, filter by exact Jaccard. No cross join: candidate pairs
+  only materialize for documents that *share at least one shingle*, and the
+  Jaccard threshold is applied with a group-filter (size-ratio prefix
+  pruning would drop further candidates at scale).
+- **MinHash + LSH banding** — 48 deterministic xxhash64 min-hashes per doc,
+  banded 16×3; documents colliding in ≥1 band bucket become candidates
+  (bucket join — NEVER all-pairs), then exact Jaccard verifies. This is the
+  scale path: cost is O(docs × bands) map-side + a bucket-key shuffle.
+
+The near-dup queries share one DuckDB oracle — exact all-pairs Jaccard —
+which is only feasible *because* sf0.01 is small; the Spark side never
+does all-pairs. LSH banding (16 bands × rows of 3) keeps
+P[miss | jaccard ≥ 0.9] = (1 - 0.9³)¹⁶ ≈ 8e-10 per pair, and the
+min-hashes are deterministic (fixed seeds), so the verified candidate set
+is stable run-to-run — the oracle equality below is checked, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+JACCARD_THRESHOLD = 0.5  # planted near-dups sit at ≥0.9 with a clean gap
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# 3-token shingle list per document, distinct, as DuckDB SQL.
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+# Exact all-pairs Jaccard ≥ threshold (oracle only — O(n²) is fine at
+# sf0.01; the Spark side uses an inverted index / LSH instead).
+_PAIRS_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(ROUND(
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+           4) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+
+
+def doc_shingles(d: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct k-token shingles."""
+    toks = _tokens(F.col("text"))
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - (k - 1), F.lit(1))
+    shingle = lambda i: F.array_join(F.slice(F.col("toks"), i, k), " ")  # noqa: E731
+    return with_toks.select(
+        "doc_id",
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n), shingle)).alias("shingles"),
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    tags=("dedup", "llm"),
+    bench=True,
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash with deterministic survivor selection
+    (min doc_id). The corpus is documents plus a re-keyed copy of every
+    7th document, so the dedup decision is non-vacuous. Grouping on the
+    md5 digest (not raw text) keeps shuffle rows small at scale."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(dupes)
+    return (
+        corpus.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "q_dedup_prefix_key",
+    tags=("dedup", "llm"),
+    oracle=f"""
+    SELECT array_to_string(toks[1:3], ' ') AS prefix_key,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    GROUP BY array_to_string(toks[1:3], ' ')
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_prefix_key(spark, sf_dir):
+    """Normalized-key dedup: group on the 3-token prefix and report only
+    colliding groups — the 'same boilerplate opening' heuristic."""
+    d = t(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(_tokens(F.col("text")), 1, 3), " ")
+    return (
+        d.select(key.alias("prefix_key"), "doc_id")
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --- n-gram Jaccard near-dup (inverted index) --------------------------------
+
+
+@query("q_ngram_jaccard", tags=("dedup", "llm"), bench=True, oracle=_PAIRS_ORACLE)
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard, found via a shingle
+    inverted index: explode shingles, self-join on shingle, count shared
+    shingles per pair, compute Jaccard from the per-doc set sizes. Only
+    pairs sharing ≥1 shingle ever materialize — no cross join."""
+    sh = doc_shingles(t(spark, sf_dir, "documents")).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+
+N_HASHES = 48
+N_BANDS = 16  # rows per band r = 3: P[miss | jaccard 0.9] = (1-0.9³)¹⁶ ≈ 8e-10
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<long>): deterministic min-hash per seed.
+
+    xxhash64(seed, shingle) gives n_hashes independent-ish hash families
+    with fixed seeds — rerunning always yields the same signature.
+    """
+
+    def min_hash(seed: int):
+        seed_lit = F.lit(seed)
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(seed_lit, s)))
+
+    return sh.select("doc_id", F.array(*[min_hash(i) for i in range(n_hashes)]).alias("sig"))
+
+
+@query("q_dedup_minhash", tags=("dedup", "llm"), bench=True, oracle=_PAIRS_ORACLE)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup detection, verified with exact Jaccard.
+
+    Pipeline: shingle → 48 min-hashes → 16 bands of 3 rows → band-bucket
+    join yields candidate pairs (docs agreeing on *all* rows of ≥1 band) →
+    exact Jaccard on candidates only → threshold. The only shuffles are the
+    band-bucket groupBy and the candidate join — cost scales with bucket
+    collisions, not n². Returns the same (doc_a, doc_b, jaccard) surface
+    as q_ngram_jaccard and is checked against the same exact oracle."""
+    d = t(spark, sf_dir, "documents")
+    sh = doc_shingles(d).persist()
+    sig = minhash_signatures(sh)
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
+
+
+@query(
+    "q_dedup_near_keep",
+    tags=("dedup", "llm"),
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_ORACLE})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """,
+)
+def q_dedup_near_keep(spark, sf_dir):
+    """The dedup *decision*: keep every document that is not the
+    higher-id member of a near-dup pair (greedy drop-newest policy —
+    at scale the same anti-join runs against connected components)."""
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    return d.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    ).select("doc_id")
+
+
+# --- SimHash (rows-only: hash family not portable to the oracle) ------------
+
+
+@query("q_dedup_simhash", tags=("dedup", "llm"), oracle=None)
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document: sign-aggregate each bit of the token
+    xxhash64 over the document, then report candidate pairs at Hamming
+    distance ≤ 3 via bucket join on 4 16-bit sub-keys (any pair within
+    distance 3 must agree on ≥1 of 4 sub-keys — pigeonhole). Rows-only
+    check: the bit-level hash family has no DuckDB equivalent."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{b}"
+            )
+            for b in range(64)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    keys = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("slot"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("sub"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("kk"),
+    ).select("doc_id", "simhash", "kk.slot", "kk.sub")
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
