@@ -1,0 +1,202 @@
+"""Similarity search over embeddings (SURVEY.md §2.5).
+
+The ``embeddings`` table carries (vec_id BIGINT, embedding ARRAY<FLOAT>,
+label INT), 64-dim. Two search paths:
+
+- **brute-force cosine top-k** (the correctness baseline): broadcast the
+  query set, score every (query, candidate) with JVM-side ``zip_with`` /
+  ``aggregate`` in double precision, rank per query. Cost O(|Q|·N) — the
+  right baseline when |Q| is small; at 100 TB the candidate scan is
+  embarrassingly parallel and never shuffles the big side (ranking
+  shuffles only |Q|·N score rows, and per-query top-k could further be
+  cut map-side with a partial sort).
+- **IVF (inverted-file) ANN**: deterministic coarse quantizer (every
+  50th vector is a centroid), one map-side pass assigns each vector to
+  its nearest centroid (broadcast centroids); queries probe the
+  ``NPROBE`` nearest centroid buckets only. Scan cost drops by
+  ~(probed buckets / all buckets); recall is whatever the quantizer
+  gives — reported rows-only, with the brute-force query as the
+  ground-truth baseline next to it.
+
+Float determinism: all arithmetic in double, final scores rounded to 4
+decimals; ordering ties broken by vec_id, so Spark and DuckDB agree
+bit-for-bit.
+"""
+
+# NOTE: no `from __future__ import annotations` here — it would stringify
+# the pandas_udf type hints and PySpark's signature inference rejects them.
+from pyspark.sql import Column, DataFrame, functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+IVF_CENTROID_STRIDE = 50  # vec_id % 50 == 0 → centroid (10 at sf0.01)
+NPROBE = 3
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@query(
+    "q_cosine_topk",
+    tags=("similarity", "llm"),
+    bench=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_aggregate(list_transform(list_zip(q.qe, e.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+             (sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the exact-ANN baseline. Queries are
+    broadcast; every candidate partition scores locally (zip_with dot
+    product in double), then a per-query window ranks. Deterministic
+    tie-break on neighbor_id."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).cast("double").alias("cosine"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def ivf_assign(e: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (map-side: centroids
+    broadcast, argmin over the centroid array per row — no shuffle)."""
+    centroids = F.broadcast(
+        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    )
+    scored = e.join(centroids).select(
+        "vec_id", "embedding", "centroid_id", cosine(F.col("ce"), F.col("embedding")).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).select(
+            "vec_id", "embedding", "centroid_id"
+        )
+    )
+
+
+@query("q_cosine_ann_ivf", tags=("similarity", "llm"), oracle=None)
+def q_cosine_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: probe only the NPROBE nearest centroid
+    buckets per query instead of the full corpus. Rows-only check (its
+    ground truth is q_cosine_topk; recall is measured in tests). The
+    bucket join keys on centroid_id — candidate volume is the probed
+    buckets, not N."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e).persist()
+    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    centroids = F.broadcast(
+        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    probes = (
+        queries.join(centroids)
+        .select("query_id", "qe", "centroid_id", cosine(F.col("ce"), F.col("qe")).alias("ccos"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE)
+        .select("query_id", "qe", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").where(F.col("vec_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+        .withColumn("rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).cast("double").alias("cosine"),
+                F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q_embedding_norm",
+    tags=("similarity", "llm", "pandas_udf"),
+    oracle="""
+    SELECT vec_id,
+           CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS DOUBLE) AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def q_embedding_norm(spark, sf_dir):
+    """Vectorized pandas_udf surface (SURVEY.md §2.4): L2 norm per
+    embedding computed in one Arrow-batched numpy call per partition —
+    the fast Python path when an operator genuinely needs numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(v: pd.Series) -> pd.Series:
+        return v.map(lambda a: float(np.sqrt(np.sum(np.asarray(a, dtype=np.float64) ** 2))))
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 4).cast("double").alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
