@@ -13,5 +13,6 @@ from incremental_dagster_delta_spark.queries import reference_ops  # noqa: E402,
 from incremental_dagster_delta_spark.queries import text  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import dedup  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import similarity  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import events  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -366,3 +366,26 @@ def q_pivot_counts(spark, sf_dir):
         for et in ["click", "view", "purchase", "signup", "error"]
     ]
     return e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date")).agg(*aggs)
+
+
+# --- SQL front-end -----------------------------------------------------------
+
+_SQL_FRONTEND = """
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("q_sql_frontend", tags=("sql",), oracle=_SQL_FRONTEND)
+def q_sql_frontend(spark, sf_dir):
+    """The spark.sql path (SURVEY.md §2.4): testdata tables registered as
+    temp views, query text identical to the oracle — proving the ANSI-SQL
+    front-end surface end-to-end through Catalyst."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["supplier", "nation"])
+    return spark.sql(_SQL_FRONTEND)
