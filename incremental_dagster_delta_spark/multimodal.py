@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata
+(SURVEY.md build brief — image/audio/video as ``binary`` columns).
+
+Design for 100 TB media lakes:
+
+- media are rows of ``(media_id, kind, payload BINARY, meta STRUCT)``;
+  payloads never round-trip through Python row-at-a-time — every
+  transform is ``mapInPandas`` (Arrow record batches, whole partitions
+  streamed through pandas in chunks);
+- decode / resize / frame-sample are *per-row independent*, so the plan
+  is a single narrow stage: no shuffle, perfectly parallel, and Spark's
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds memory per
+  batch regardless of payload size;
+- real codecs (PIL / torchaudio / pyav) are not installed in this
+  container: ``decode`` falls back to a deterministic fake decoder
+  (documented below) and ``resize_images`` raises ``NotImplementedError``
+  unless PIL is importable. The Spark-side plumbing — schemas, Arrow
+  batching, UDF signatures — is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+try:  # real image codec, absent in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+FRAME_BYTES = 128
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, width long, height long"
+)
+FRAMES_SCHEMA = "media_id long, frame_idx long, frame_bytes long, frame_md5 string"
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table from ``documents``: the UTF-8 text bytes
+    stand in for an encoded payload. (doc_id, kind, payload, meta)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.col("lang").alias("container"),
+            F.col("n_chars").cast("long").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image/audio decoder.
+
+    A real deployment replaces this with PIL/libav; the formulas below
+    only exist so tests and oracles can pin the plumbing end-to-end:
+    width = 64 + n_bytes mod 256, height = 64 + (n_bytes div 256) mod 256.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "width": 64 + n % 256,
+        "height": 64 + (n // 256) % 256,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-media decoded features via Arrow-batched ``mapInPandas``."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "sha256": [f["sha256"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Fixed-stride frame sampling: split each payload into
+    ``frame_bytes`` chunks (the video-frame / audio-window shape), one
+    output row per frame. Explosion happens inside the Arrow batch — no
+    Spark-side explode of binary blobs."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), frame_bytes):
+                    chunk = data[i : i + frame_bytes]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i // frame_bytes + 1)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real-codec path: decode, resize, re-encode each image payload.
+    Requires PIL, which this container does not ship."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "resize_images needs PIL (not installed here); the container-safe "
+            "feature path is extract_features/sample_frames"
+        )
+    raise NotImplementedError("PIL resize path not implemented in this environment")
