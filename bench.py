@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline (bench=True) query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is timed over a full execution (collect) after a shared warmup
+that pays one-time JVM/codegen costs; per-query time is the median of
+``REPS`` runs so a stray GC pause doesn't skew a round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from incremental_dagster_delta_spark.queries import QUERIES
+from incremental_dagster_delta_spark.session import get_spark
+
+REPS = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
+
+    # Warmup: executes every headline query once (JVM JIT, codegen cache,
+    # parquet footer reads) so the timed runs measure steady-state.
+    for name, spec in bench_queries.items():
+        spec.fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
