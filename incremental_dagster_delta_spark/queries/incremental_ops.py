@@ -1,0 +1,265 @@
+"""Rows-only qids for the reference's incremental/storage operators
+(SURVEY.md §2.1 S3-S6, §2.3 I4/I8-I12) — the ops whose semantics live in
+table state and checkpoints rather than in a SQL-expressible result.
+
+Each query drives the real engine machinery (PartitionedTable /
+IngestPipeline / Structured Streaming) over a deterministic fixture in a
+fresh temp dir and returns the resulting table state as a DataFrame, so
+the driver's rows-only check pins row counts and schema every round.
+All content is seeded — repeated runs return identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query
+from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
+from incremental_dagster_delta_spark.sources.ingest import read_text_files
+from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline
+from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+
+def _tmp(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+
+
+def _fixture(tag: str, waves: int = 1) -> str:
+    root = _tmp(f"{tag}_ingest")
+    for w in range(waves):
+        generate_ingest_fixture(root, files_per_day_per_wave=6, wave=w)
+    return root
+
+
+# --- S3: hive partition discovery -------------------------------------------
+
+
+@query("q_partition_discovery", oracle=None, tags=("scan", "reference:S3"))
+def q_partition_discovery(spark, sf_dir):
+    """day=YYYY-MM-DD directory keys become a partition column via hive
+    discovery (reference generate.py:12-14, sensors.py:45): one row per
+    discovered partition with its file count."""
+    root = _fixture("discovery")
+    df = read_text_files(spark, root)
+    out = df.groupBy("day").agg(F.count("*").alias("n_files")).orderBy("day")
+    return out
+
+
+# --- S4/S6: append-mode partitioned sink ------------------------------------
+
+
+@query("q_delta_append", oracle=None, tags=("sink", "reference:S4"))
+def q_delta_append(spark, sf_dir):
+    """Two successive appends accumulate (reference delta_io.py:91);
+    returns the final table ordered state: 2 waves × 3 days × 6 files."""
+    root = _fixture("append", waves=2)
+    tdir = _tmp("append_table")
+    try:
+        table = PartitionedTable(spark, os.path.join(tdir, "t"), ["day"])
+        files = read_text_files(spark, root).repartition("day")
+        table.append(files.where(F.col("filename").startswith("w0")))
+        table.append(files.where(F.col("filename").startswith("w1")))
+        return table.read().orderBy("day", "filename").localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("q_partitioned_write", oracle=None, tags=("sink", "reference:S6"))
+def q_partitioned_write(spark, sf_dir):
+    """Hive partitionBy incl. the data-derived word_length column
+    (reference processed.py:34): partition columns come back as strings
+    on read, matching the reference's string-typed partition values."""
+    root = _fixture("pwrite")
+    tdir = _tmp("pwrite_table")
+    try:
+        table = PartitionedTable(spark, os.path.join(tdir, "t"), ["day", "word_length"])
+        table.append(read_text_files(spark, root).repartition("day"))
+        out = (
+            table.read()
+            .groupBy("day", "word_length")
+            .agg(F.count("*").alias("n"))
+            .orderBy("day", "word_length")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- S5 / I8: partition-scoped overwrite (refresh / replaceWhere) -----------
+
+
+@query("q_replace_where", oracle=None, tags=("sink", "reference:S5"))
+def q_replace_where(spark, sf_dir):
+    """Partition-scoped overwrite (reference delta_io.py:92-107): rewrite
+    one day with modified rows; other days untouched, stale rows gone."""
+    root = _fixture("replace")
+    tdir = _tmp("replace_table")
+    try:
+        table = PartitionedTable(spark, os.path.join(tdir, "t"), ["day"])
+        files = read_text_files(spark, root).repartition("day")
+        table.append(files)
+        # refresh 2024-03-26 with uppercased words
+        refreshed = files.where(F.col("day") == "2024-03-26").withColumn("word", F.upper("word"))
+        table.delete_partitions(day="2024-03-26")
+        table.append(refreshed)
+        out = table.read().select("day", "filename", "word").orderBy("day", "filename")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("q_refresh_overwrite", oracle=None, tags=("incremental", "reference:I8"))
+def q_refresh_overwrite(spark, sf_dir):
+    """Full refresh of one day through the pipeline API (reference's
+    refresh flag, per-table here — SURVEY.md §7.4): incremental ingest
+    then refresh('2024-03-26') must be a no-op on row counts."""
+    root = _fixture("refresh")
+    tdir = _tmp("refresh_tables")
+    try:
+        pipe = IngestPipeline(spark, root, tdir)
+        pipe.run_incremental()
+        pipe.refresh("2024-03-26")
+        out = (
+            pipe.processed.read()
+            .groupBy("year", "month", "day")
+            .agg(F.count("*").alias("n_rows"), F.countDistinct("filename").alias("n_files"))
+            .orderBy("year", "month", "day")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- I4 / I9 / I10: listing accumulation, backfill, multi-hop ---------------
+
+
+@query("q_listing_accumulate", oracle=None, tags=("incremental", "reference:I4"))
+def q_listing_accumulate(spark, sf_dir):
+    """listing accumulates across incremental ticks (reference
+    listing.py:30-41): two waves → per-day file counts double."""
+    root = _tmp("accum_ingest")
+    tdir = _tmp("accum_tables")
+    try:
+        pipe = IngestPipeline(spark, root, tdir)
+        generate_ingest_fixture(root, files_per_day_per_wave=6, wave=0)
+        pipe.run_incremental()
+        generate_ingest_fixture(root, files_per_day_per_wave=6, wave=1)
+        pipe.run_incremental()
+        out = pipe.listing.read().groupBy("day").agg(F.count("*").alias("n_files")).orderBy("day")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("q_backfill", oracle=None, tags=("incremental", "reference:I9"))
+def q_backfill(spark, sf_dir):
+    """First AvailableNow run over a pre-populated directory = backfill
+    (reference listing.py:19-28): all existing files processed once."""
+    root = _fixture("backfill", waves=2)
+    tdir = _tmp("backfill_tables")
+    try:
+        pipe = IngestPipeline(spark, root, tdir)
+        pipe.run_incremental()
+        out = (
+            pipe.processed.read()
+            .groupBy("day")
+            .agg(F.count("*").alias("n_rows"), F.countDistinct("filename").alias("n_files"))
+            .orderBy("day")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("q_multi_hop", oracle=None, tags=("incremental", "reference:I10"))
+def q_multi_hop(spark, sf_dir):
+    """listing → processed → backwards in one checkpointed stream
+    (reference __init__.py:7-15): returns the per-day parity summary —
+    rows equal across hops and every backwards.word is the reverse of
+    its processed.word (n_mismatch must be 0)."""
+    root = _fixture("multihop")
+    tdir = _tmp("multihop_tables")
+    try:
+        pipe = IngestPipeline(spark, root, tdir)
+        pipe.run_incremental()
+        proc = pipe.processed.read().select("filename", "day", "word")
+        back = pipe.backwards.read().select(
+            "filename", "day", F.col("word").alias("rev_word")
+        )
+        joined = proc.join(back, ["filename", "day"])
+        out = (
+            joined.groupBy("day")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("rev_word") != F.reverse("word"), 1).otherwise(0)).alias("n_mismatch"),
+            )
+            .orderBy("day")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- I12: late-data handling with an event-time watermark -------------------
+
+
+@query("q_late_data", oracle=None, tags=("streaming", "reference:I12"))
+def q_late_data(spark, sf_dir):
+    """Event-time watermark drops too-late rows (reference's two-day
+    lookback I3/I12, improved: bounded state instead of a blind spot —
+    SURVEY.md §7.5). A 1-hour-watermarked windowed stream over two file
+    waves; the wave-2 event 2h behind the watermark is dropped. Returns
+    the finalized (window_start, n) rows."""
+    import datetime
+
+    base = _tmp("late")
+    in_dir, out_dir, cp = (os.path.join(base, d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+    t0 = datetime.datetime(2024, 5, 1)
+    mk = lambda mins: [(i, t0 + datetime.timedelta(minutes=m)) for i, m in enumerate(mins)]  # noqa: E731
+    schema = "event_id long, ts timestamp"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame(mk([5, 20, 65, 130, 185]), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run()
+        # minute 10 is now > 1h behind the watermark (2h05) → dropped
+        spark.createDataFrame(mk([10, 305]), schema).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        run()  # flush windows finalized by the last watermark advance
+        out = (
+            spark.read.schema("window_start string, n long")
+            .parquet(out_dir)
+            .orderBy("window_start")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: binary schema, Arrow batch shapes, frame
+reassembly, and the gated real-codec path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StringType, StructType
+
+from incremental_dagster_delta_spark.multimodal import (
+    HAS_PIL,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+from incremental_dagster_delta_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synth_media(load_table(spark, sf_dir, "documents").limit(50)).persist()
+
+
+def test_media_schema_is_binary(media):
+    schema: StructType = media.schema
+    assert isinstance(schema["payload"].dataType, BinaryType)
+    assert isinstance(schema["media_id"].dataType, LongType)
+    assert isinstance(schema["kind"].dataType, StringType)
+    meta = schema["meta"].dataType
+    assert {f.name for f in meta.fields} == {"container", "declared_size"}
+
+
+def test_features_match_local_hash(media):
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    for row in media.collect():
+        payload = bytes(row["payload"])
+        f = feats[row["media_id"]]
+        assert f["n_bytes"] == len(payload)
+        assert f["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert f["width"] == 64 + len(payload) % 256
+
+
+def test_frames_reassemble_payload(media):
+    frames = sample_frames(media, frame_bytes=64).collect()
+    by_media: dict[int, list] = {}
+    for fr in frames:
+        by_media.setdefault(fr["media_id"], []).append(fr)
+    for row in media.collect():
+        payload = bytes(row["payload"])
+        chunks = sorted(by_media[row["media_id"]], key=lambda r: r["frame_idx"])
+        # frame sizes sum to the payload and indexes are dense from 1
+        assert [c["frame_idx"] for c in chunks] == list(range(1, len(chunks) + 1))
+        assert sum(c["frame_bytes"] for c in chunks) == len(payload)
+        # each frame hash matches the corresponding byte slice
+        for i, c in enumerate(chunks):
+            assert c["frame_md5"] == hashlib.md5(payload[i * 64 : (i + 1) * 64]).hexdigest()
+
+
+def test_resize_requires_codec(media):
+    if HAS_PIL:
+        pytest.skip("PIL present; stub contract not applicable")
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32)
+
+
+def test_features_distributed_plan(media):
+    """The mapInPandas stage must not shuffle: one narrow stage over the
+    scan."""
+    plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
