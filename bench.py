@@ -38,6 +38,7 @@ def main() -> None:
     # parquet footer reads) so the timed runs measure steady-state.
     for name, spec in bench_queries.items():
         spec.fn(spark, sf_dir).collect()
+        spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name, spec in bench_queries.items():
@@ -46,6 +47,9 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
+            # queries may persist() intermediates scoped to one execution;
+            # drop them so reps don't accumulate cached copies
+            spark.catalog.clearCache()
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
 

@@ -146,7 +146,9 @@ def q_ngram_jaccard(spark, sf_dir):
     inverted index: explode shingles, self-join on shingle, count shared
     shingles per pair, compute Jaccard from the per-doc set sizes. Only
     pairs sharing ≥1 shingle ever materialize — no cross join."""
-    sh = doc_shingles(t(spark, sf_dir, "documents")).persist()
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    sh = doc_shingles(fan_out(t(spark, sf_dir, "documents"), spark)).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = (
@@ -197,7 +199,9 @@ def q_dedup_minhash(spark, sf_dir):
     band-bucket groupBy and the candidate join — cost scales with bucket
     collisions, not n². Returns the same (doc_a, doc_b, jaccard) surface
     as q_ngram_jaccard and is checked against the same exact oracle."""
-    d = t(spark, sf_dir, "documents")
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents"), spark)
     sh = doc_shingles(d).persist()
     sig = minhash_signatures(sh)
     r = N_HASHES // N_BANDS

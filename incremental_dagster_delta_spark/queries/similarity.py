@@ -83,7 +83,9 @@ def q_cosine_topk(spark, sf_dir):
     tie-break on neighbor_id."""
     from pyspark.sql.window import Window
 
-    e = t(spark, sf_dir, "embeddings")
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark)
     q = F.broadcast(
         e.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

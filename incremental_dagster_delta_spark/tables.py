@@ -42,6 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
+    """Ensure at least ``factor × defaultParallelism`` partitions before a
+    map-heavy stage (shingling, hashing, vector math).
+
+    Small single-file parquet inputs arrive as ONE split, which serializes
+    the whole map side onto one core. On a real cluster the scan already
+    has thousands of splits and this is a no-op — the repartition only
+    fires when the input is under-split for the machine.
+    """
+    target = factor * spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each testdata table as a temp view for spark.sql use."""
     for name in names or TABLE_NAMES:
