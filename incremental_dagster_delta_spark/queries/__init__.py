@@ -16,5 +16,6 @@ from incremental_dagster_delta_spark.queries import similarity  # noqa: E402,F40
 from incremental_dagster_delta_spark.queries import events  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import multimodal_q  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import incremental_ops  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import advanced  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]
