@@ -139,6 +139,55 @@ class PartitionedTable:
         fs.createNewFile(marker)
         return True
 
+    # -- compaction ---------------------------------------------------------
+
+    def compact(self, target_files_per_partition: int = 1) -> int:
+        """Rewrite every leaf partition down to ``target_files_per_partition``
+        files — the OPTIMIZE/bin-packing pass for the small-files pressure
+        the one-record-per-file ingest pattern creates (SURVEY.md §7.7).
+
+        Implementation: read the whole table, repartition by the partition
+        columns (so each leaf's rows land in one task), rewrite into a
+        staging dir, then atomically swap staging into place. Returns the
+        number of data files after compaction. On a Delta deployment this
+        maps to ``OPTIMIZE`` and is transactional; here the swap window is
+        the two renames.
+        """
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return 0
+        df = self.read()
+        staging = self.path.rstrip("/") + ".compacting"
+        writer = (
+            df.repartition(*self.partition_cols)
+            if self.partition_cols
+            else df.coalesce(target_files_per_partition)
+        )
+        w = writer.write.format(self.fmt).mode("overwrite")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.save(staging)
+        old = self.path.rstrip("/") + ".precompact"
+        fs.rename(root, Path(old))
+        fs.rename(Path(staging), root)
+        # keep the streaming commit markers: without them a checkpoint
+        # replay after compaction would re-publish already-applied batches
+        old_commits = Path(posixpath.join(old, "_commits"))
+        if fs.exists(old_commits):
+            fs.rename(old_commits, Path(posixpath.join(self.path, "_commits")))
+        fs.delete(Path(old), True)
+        n = 0
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not (name.startswith("_") or name.startswith(".")):
+                n += 1
+        return n
+
     # -- partition management ----------------------------------------------
 
     def delete_partitions(self, **partition_values: str) -> None:

@@ -162,3 +162,17 @@ def test_compaction(spark, roots):
     files = glob.glob(os.path.join(pipe.processed.path, "year=*/month=*/day=*/word_length=*/*.parquet"))
     per_leaf = collections.Counter(os.path.dirname(f) for f in files)
     assert max(per_leaf.values()) <= 3  # ≤ one file per batch per leaf
+
+    # compaction rewrites every leaf down to one file, preserves rows and
+    # the streaming commit markers (replay safety)
+    before = _table_rows(pipe.processed)
+    pipe.processed.compact()
+    files = glob.glob(os.path.join(pipe.processed.path, "year=*/month=*/day=*/word_length=*/*.parquet"))
+    per_leaf = collections.Counter(os.path.dirname(f) for f in files)
+    assert max(per_leaf.values()) == 1
+    assert _table_rows(pipe.processed) == before
+    assert os.path.exists(os.path.join(pipe.processed.path, "_commits", "0"))
+    # a replayed batch after compaction is still recognized as committed
+    batch = to_processed(read_text_files(spark, ingest))
+    assert pipe.processed.append_batch(batch, 0) is False
+    assert _table_rows(pipe.processed) == before
