@@ -211,6 +211,67 @@ def q_multi_hop(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# --- custom stateful streaming: applyInPandasWithState sessionization -------
+
+
+@query("q_sessionize_stateful", oracle=None, tags=("streaming", "stateful"))
+def q_sessionize_stateful(spark, sf_dir):
+    """Custom stateful operator (north star: non-SQL-expressible
+    streaming): applyInPandasWithState sessionization with event-time
+    timeouts (streaming/stateful.py). Deterministic two-wave scenario;
+    returns the closed sessions (3: two for user 1, one for user 2)."""
+    import datetime
+
+    from incremental_dagster_delta_spark.streaming.stateful import sessionize
+
+    base = _tmp("sess")
+    in_dir, out_dir, cp = (os.path.join(base, d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+    t0 = datetime.datetime(2024, 5, 1)
+    mk = lambda spec: [(u, t0 + datetime.timedelta(minutes=m)) for u, m in spec]  # noqa: E731
+    schema = "user_id long, ts timestamp"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            sessionize(stream, gap_seconds=600, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame(
+            mk([(1, 0), (1, 5), (1, 8), (1, 30), (1, 32), (2, 0), (2, 9)]), schema
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        spark.createDataFrame(mk([(1, 600), (2, 601)]), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run()
+        run()
+        out = (
+            spark.read.schema(
+                "user_id long, session_start timestamp, session_end timestamp, n_events long"
+            )
+            .parquet(out_dir)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events",
+            )
+            .orderBy("user_id", "session_start")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --- I12: late-data handling with an event-time watermark -------------------
 
 
