@@ -173,6 +173,75 @@ def q_cosine_ann_ivf(spark, sf_dir):
     )
 
 
+NEARDUP_COS = 0.999
+
+
+@query(
+    "q_dedup_embedding",
+    tags=("similarity", "dedup", "llm"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND(
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+             (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+           , 4) AS DOUBLE) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+          >= {NEARDUP_COS}
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup detection, bucketed (never all-pairs):
+    quantize the L2-normalized vector to 2 decimals, hash it to a bucket
+    key, join within buckets only, verify with exact double-precision
+    cosine. Exact/near-exact duplicates land in the same bucket by
+    construction; at 100 TB the bucket join replaces an O(n²) cross join
+    with a shuffle on the quantized-vector hash. The corpus plants a
+    re-keyed copy of every 10th vector; the oracle is exact all-pairs
+    (feasible only at test scale)."""
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
+    dupes = (
+        e.where(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    corpus = e.unionByName(dupes)
+    norm = _norm(F.col("embedding"))
+    quantized = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 2)
+    )
+    keyed = corpus.select(
+        "vec_id", "embedding", F.md5(F.to_json(quantized).cast("binary")).alias("bucket")
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    return (
+        cand.where(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 4).cast("double").alias("cosine"))
+    )
+
+
 @query(
     "q_embedding_norm",
     tags=("similarity", "llm", "pandas_udf"),
