@@ -17,5 +17,7 @@ from incremental_dagster_delta_spark.queries import events  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import multimodal_q  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import incremental_ops  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import advanced  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import formats  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import scale_patterns  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

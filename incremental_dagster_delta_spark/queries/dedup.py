@@ -150,7 +150,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
     sh = doc_shingles(fan_out(t(spark, sf_dir, "documents"), spark)).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
+    # ^ persisted: referenced on both sides of the self-join below.
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -218,7 +219,9 @@ def q_dedup_minhash(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    # ^ persisted: the self-join below references bands twice; without the
+    # cache the 48-hash signature stage runs twice.
     cand = (
         bands.alias("a")
         .join(

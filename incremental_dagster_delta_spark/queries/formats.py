@@ -1,0 +1,70 @@
+"""Source-format coverage: JSONL and CSV ingestion paths.
+
+A training-data pipeline's raw corpus usually arrives as JSONL (and
+sometimes CSV) long before it becomes parquet. These qids exercise
+``spark.read.json`` / ``spark.read.csv`` with explicit schemas (never
+inference at scale — schema inference is a full extra pass over 100 TB)
+against a deterministic dump of the ``documents`` table, and are checked
+against the parquet-backed oracle — proving the format path is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_DUMP_ROOT = "/tmp/spark_graft/format_dumps"
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_DOCS_AGG_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def _dump(spark, sf_dir: str, fmt: str) -> str:
+    """Deterministic one-time dump of documents as jsonl/csv under /tmp."""
+    target = os.path.join(_DUMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), fmt)
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        d = t(spark, sf_dir, "documents").coalesce(1)
+        writer = d.write.mode("overwrite")
+        if fmt == "json":
+            writer.json(target)
+        else:
+            # documents.text contains no quotes/commas-in-quotes issues the
+            # default csv dialect can't round-trip, but quote anyway
+            writer.option("header", "true").option("quoteAll", "true").csv(target)
+    return target
+
+
+@query("q_jsonl_source", tags=("source", "format"), oracle=_DOCS_AGG_ORACLE)
+def q_jsonl_source(spark, sf_dir):
+    """JSONL scan with explicit schema (no inference pass) aggregated to
+    prove lossless round-trip vs the parquet-backed oracle."""
+    path = _dump(spark, sf_dir, "json")
+    docs = spark.read.schema(DOCS_SCHEMA).json(path)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query("q_csv_source", tags=("source", "format"), oracle=_DOCS_AGG_ORACLE)
+def q_csv_source(spark, sf_dir):
+    """CSV scan with explicit schema + header, same lossless check."""
+    path = _dump(spark, sf_dir, "csv")
+    docs = spark.read.schema(DOCS_SCHEMA).option("header", "true").csv(path)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

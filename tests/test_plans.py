@@ -5,6 +5,7 @@ products anywhere in the registry)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from incremental_dagster_delta_spark.queries import QUERIES
 from incremental_dagster_delta_spark.queries.relational import (
@@ -46,6 +47,33 @@ def test_partition_pruning(spark, sf_dir):
     plan = _plan(q_partition_prune(spark, sf_dir))
     after = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
     assert "event_day" in after, f"no partition filter on event_day: {after}"
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located joins via bucketing (the 100 TB pattern for repeated
+    fact-fact joins): both sides bucketed+sorted on the join key join
+    with ZERO Exchange operators — no shuffle at all."""
+    from incremental_dagster_delta_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("b_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in physical, f"bucketed join still shuffles:\n{physical[:500]}"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 _PURE_QUERIES = [
