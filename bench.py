@@ -34,22 +34,28 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
 
+    def run(spec) -> None:
+        # noop sink: full query execution JVM-side without paying the
+        # row-by-row Python deserialization a collect() would add (the
+        # full-table-output window query collects 150k rows otherwise,
+        # and driver-side GC makes that timing swing 1-15s run to run)
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # queries may persist() intermediates scoped to one execution;
+        # drop them so reps don't accumulate cached copies
+        spark.catalog.clearCache()
+
     # Warmup: executes every headline query once (JVM JIT, codegen cache,
     # parquet footer reads) so the timed runs measure steady-state.
     for name, spec in bench_queries.items():
-        spec.fn(spark, sf_dir).collect()
-        spark.catalog.clearCache()
+        run(spec)
 
     times: dict[str, float] = {}
     for name, spec in bench_queries.items():
         samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
+            run(spec)
             samples.append(time.perf_counter() - t0)
-            # queries may persist() intermediates scoped to one execution;
-            # drop them so reps don't accumulate cached copies
-            spark.catalog.clearCache()
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
 

@@ -261,6 +261,36 @@ def q_partition_prune(spark, sf_dir):
     )
 
 
+# --- §2.2 P9: row-tuple → DataFrame construction ----------------------------
+
+
+@query(
+    "q_row_construction",
+    tags=("construct", "reference:P9"),
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, t.tier
+    FROM region r
+    JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'growth'), (3, 'frontier'), (4, 'frontier'))
+         AS t(r_regionkey, tier)
+      ON r.r_regionkey = t.r_regionkey
+    """,
+)
+def q_row_construction(spark, sf_dir):
+    """Build a DataFrame from Python row tuples with an explicit schema
+    (reference processed.py:51-60: rows → named-column table) and join it
+    to a real table — the driver-side small-dim construction path."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("r_regionkey", IntegerType()), StructField("tier", StringType())]
+    )
+    tiers = spark.createDataFrame(
+        [(0, "core"), (1, "growth"), (2, "growth"), (3, "frontier"), (4, "frontier")], schema
+    )
+    region = t(spark, sf_dir, "region")
+    return region.join(F.broadcast(tiers), "r_regionkey").select("r_regionkey", "r_name", "tier")
+
+
 # --- §2.1 S1/S2: wholetext ingest + file listing over the fixture (rows-only)
 
 _FIXTURE_ROOT = "/tmp/spark_graft/ingest_fixture"

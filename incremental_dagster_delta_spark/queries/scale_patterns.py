@@ -46,6 +46,32 @@ def q_salted_agg(spark, sf_dir):
 
 
 @query(
+    "q_sql_udf",
+    tags=("sql", "pandas_udf"),
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """UDF registry surface (SURVEY.md §2.4): a vectorized pandas_udf
+    registered into the SQL function catalog and invoked from spark.sql
+    text. Arrow-batched — not a per-row Python call."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def token_count(texts: pd.Series) -> pd.Series:
+        return texts.str.count(" ") + 1
+
+    spark.udf.register("token_count", token_count)
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql("SELECT doc_id, token_count(text) AS n_tokens FROM documents")
+
+
+@query(
     "q_grouped_pandas",
     tags=("pandas", "agg"),
     oracle="""
