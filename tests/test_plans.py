@@ -4,6 +4,8 @@ products anywhere in the registry)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -53,7 +55,16 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Co-located joins via bucketing (the 100 TB pattern for repeated
     fact-fact joins): both sides bucketed+sorted on the join key join
     with ZERO Exchange operators — no shuffle at all."""
+    import shutil
+
     from incremental_dagster_delta_spark.tables import load_table
+
+    # the warehouse dir outlives the in-memory catalog: drop any stale
+    # table locations from previous sessions before re-creating
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
 
     load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
         "overwrite"
