@@ -63,6 +63,66 @@ def time_part_columns(date_col: Column, grains: list[str]) -> dict[str, Column]:
     return out
 
 
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns.
+
+    Sorting (or range-repartitioning) a table by this key clusters rows
+    that are close in BOTH dimensions into the same files, so parquet
+    row-group min/max statistics can skip data for predicates on either
+    column — the data-skipping alternative to partitioning by a
+    high-cardinality column (SURVEY.md §4: prefer Z-order over
+    ``word_length``-style partition keys at scale). Pure bit arithmetic,
+    whole-stage-codegen friendly.
+    """
+    a = a.cast("long")
+    b = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
+    return key
+
+
+def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Bucket index = number of boundaries ≤ value (codegen'd array scan;
+    |boundaries| is 2^bits - 1, small)."""
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= col.cast("double")))
+
+
+def zorder_write(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16, bits: int = 8
+) -> None:
+    """Cluster ``df`` by the Z-order of (col_a, col_b) into ``n_files``
+    range-partitioned parquet files, each covering a compact range in
+    BOTH dimensions.
+
+    Raw-value interleaving would let the wider-range column dominate the
+    key, so each dimension is first mapped to its ``2^bits``-quantile
+    rank (boundaries from ``approxQuantile`` — a sampled aggregate, no
+    global sort; this is the same ranging approach Delta's OPTIMIZE
+    ZORDER uses) and the *ranks* are interleaved.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.stat.approxQuantile([col_a, col_b], probs, 0.01)
+    keyed = df.withColumn(
+        "_z",
+        zorder_key(
+            _quantile_bucket(F.col(col_a), qa), _quantile_bucket(F.col(col_b), qb), bits=bits
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def expand_time(df: DataFrame, date_col: str, schedule: str = "daily") -> DataFrame:
     """``$time$expand`` macro: one string column per grain (delta_io.py:56-67)."""
     for name, col in time_part_columns(F.col(date_col), TIME_GRAINS[schedule]).items():
