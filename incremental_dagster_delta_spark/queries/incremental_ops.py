@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -26,6 +27,21 @@ from incremental_dagster_delta_spark.tableio import PartitionedTable
 
 def _tmp(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+
+
+@contextmanager
+def _few_shuffle_partitions(spark, n: int = 8):
+    """These qids run micro-pipelines over ~dozens of rows; under a
+    default session (200 shuffle partitions) the stateful streaming ones
+    pay state-store setup per partition per micro-batch (~90 s for the
+    sessionizer). Scope the partition count down and restore after."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _fixture(tag: str, waves: int = 1) -> str:
@@ -324,3 +340,33 @@ def q_late_data(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# Every qid above that drives a pipeline/stream materializes its result
+# (localCheckpoint) inside the call, so scoping the shuffle-partition
+# count around the call covers the whole execution.
+def _scoped(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        with _few_shuffle_partitions(spark):
+            return fn(spark, sf_dir)
+
+    return wrapped
+
+
+from incremental_dagster_delta_spark.queries.registry import QUERIES as _Q  # noqa: E402
+
+for _name in [
+    "q_delta_append",
+    "q_partitioned_write",
+    "q_replace_where",
+    "q_refresh_overwrite",
+    "q_listing_accumulate",
+    "q_backfill",
+    "q_multi_hop",
+    "q_sessionize_stateful",
+    "q_late_data",
+]:
+    _Q[_name].fn = _scoped(_Q[_name].fn)
