@@ -63,12 +63,27 @@ def to_backwards(processed: DataFrame) -> DataFrame:
     )
 
 
+PROCESSED_SCHEMA = (
+    "filename string, word string, word_length long, year string, month string, day string"
+)
+
+
 class IngestPipeline:
-    def __init__(self, spark: SparkSession, ingest_root: str, tables_root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        ingest_root: str,
+        tables_root: str,
+        derive_backwards: bool = True,
+    ) -> None:
+        """``derive_backwards=False`` skips the in-batch backwards hop so
+        the cascade topology (``run_backwards_cascade``) can own it."""
         self.spark = spark
         self.ingest_root = ingest_root
         self.tables_root = tables_root
+        self.derive_backwards = derive_backwards
         self.checkpoint = os.path.join(tables_root, "_checkpoints", "ingest")
+        self.cascade_checkpoint = os.path.join(tables_root, "_checkpoints", "backwards")
         self.listing = PartitionedTable(spark, os.path.join(tables_root, "listing", "v1"), ["day"])
         self.processed = PartitionedTable(
             spark, os.path.join(tables_root, "processed", "v1"), PROCESSED_PARTITIONS
@@ -99,7 +114,8 @@ class IngestPipeline:
         try:
             proc = to_processed(batch_df).repartition("year", "month", "day")
             self.processed.append_batch(proc, batch_id)
-            self.backwards.append_batch(to_backwards(proc), batch_id)
+            if self.derive_backwards:
+                self.backwards.append_batch(to_backwards(proc), batch_id)
             self.listing.append_batch(batch_df.select("filename", "day").repartition("day"), batch_id)
         finally:
             batch_df.unpersist()
@@ -115,6 +131,38 @@ class IngestPipeline:
         q = (
             stream.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+
+    def run_backwards_cascade(self, timeout_sec: int = 300) -> None:
+        """Alternative multi-hop topology (SURVEY.md §3.3): ``backwards``
+        as its OWN checkpointed stream reading the ``processed`` table
+        directory with a parquet file-stream source — the vanilla-parquet
+        analogue of ``spark.readStream.format("delta")`` on the upstream
+        table. Use with ``derive_backwards=False``; each hop then has an
+        independent checkpoint, restart story, and trigger cadence.
+
+        The hop's own micro-batches are idempotent the same way the
+        ingest hop's are (append_batch + batch markers), so crash-replay
+        between the hops cannot duplicate rows.
+        """
+        stream = (
+            self.spark.readStream.schema(PROCESSED_SCHEMA)
+            .option("basePath", self.processed.path)
+            .parquet(self.processed.path)
+        )
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            out = to_backwards(batch_df).repartition("year", "month", "day")
+            self.backwards.append_batch(out, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", self.cascade_checkpoint)
             .trigger(availableNow=True)
             .start()
         )

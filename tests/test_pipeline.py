@@ -149,6 +149,35 @@ def test_incremental_equals_backfill(spark, tmp_path):
     assert _table_rows(inc.backwards) == _table_rows(back.backwards)
 
 
+def test_cascade_multi_hop(spark, tmp_path):
+    """Cascade topology: backwards derived by a second checkpointed
+    stream over the processed table dir must equal the in-batch
+    derivation, wave over wave, with exactly-once per hop."""
+    ingest = str(tmp_path / "ingest")
+    tables = str(tmp_path / "tables")
+    pipe = IngestPipeline(spark, ingest, tables, derive_backwards=False)
+
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=9, wave=0)
+    pipe.run_incremental()
+    pipe.run_backwards_cascade()
+    assert pipe.backwards.read().count() == 9
+
+    generate_ingest_fixture(ingest, days=["2024-03-26", "2024-03-27"], files_per_day_per_wave=4, wave=1)
+    pipe.run_incremental()
+    pipe.run_backwards_cascade()
+    # rerun with no new upstream data: must be a no-op (checkpointed)
+    pipe.run_backwards_cascade()
+
+    total = 9 + 8
+    proc = pipe.processed.read()
+    back = pipe.backwards.read()
+    assert back.count() == total
+    assert back.select("filename", "day").distinct().count() == total
+    joined = proc.alias("p").join(back.alias("b"), ["filename", "day"])
+    assert joined.count() == total
+    assert joined.where(F.expr("b.word != reverse(p.word)")).count() == 0
+
+
 def test_compaction(spark, roots):
     """Multi-wave ingest must not produce per-row parquet files: each
     leaf partition holds at most one file per micro-batch that touched
