@@ -173,6 +173,77 @@ def q_cosine_ann_ivf(spark, sf_dir):
     )
 
 
+LSH_TABLES = 8  # OR-construction: candidate if colliding in ANY table
+LSH_BITS = 6  # AND-construction within a table: all 6 sign bits agree
+
+
+def _rp_table_sigs(vec: Column) -> Column:
+    """Array of LSH_TABLES bucket signatures (LSH_BITS sign bits each)
+    under deterministic pseudo-random hyperplanes: plane (t, j)'s i-th
+    coefficient derives from murmur3((t*LSH_BITS+j)*1024 + i) mapped to
+    [-1, 1] — fully reproducible, no stored model."""
+    sigs = []
+    for tbl in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_BITS):
+            k = tbl * LSH_BITS + j
+            coef = lambda i, k=k: (  # noqa: E731
+                (F.pmod(F.hash(F.lit(k * 1024) + i), F.lit(2001)) - 1000) / 1000.0
+            )
+            dot_k = F.aggregate(
+                F.zip_with(
+                    vec, F.sequence(F.lit(0), F.size(vec) - 1), lambda x, i: x.cast("double") * coef(i)
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            bits.append(F.when(dot_k > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        sigs.append(sum(bits[1:], bits[0]))
+    return F.array(*sigs).alias("sigs")
+
+
+@query("q_cosine_ann_rplsh", tags=("similarity", "llm"), oracle=None)
+def q_cosine_ann_rplsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN, standard AND-OR construction: 8 hash
+    tables of 6 sign bits; a vector is a candidate when it shares a
+    bucket with the query in ANY table (P[bit agree] = 1 - θ/π, so the
+    OR over tables amplifies recall while each table's AND keeps buckets
+    selective). Exact cosine ranks the candidate union. Scan cost is the
+    probed buckets, never N. Rows-only (ground truth q_cosine_topk;
+    recall bound asserted in tests)."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
+    signed = e.select("vec_id", "embedding", _rp_table_sigs(F.col("embedding"))).persist()
+    buckets = signed.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("sigs").alias("tbl", "sig"),
+    )
+    queries = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("tbl").alias("qtbl"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        queries.join(buckets, (F.col("qtbl") == F.col("tbl")) & (F.col("qsig") == F.col("sig")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "embedding")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).cast("double").alias("cosine"), F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
 NEARDUP_COS = 0.999
 
 

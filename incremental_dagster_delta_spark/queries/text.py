@@ -202,6 +202,86 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+# --- q_winnow_fingerprint: rolling-hash winnowing fingerprint ---------------
+
+_RK_MOD = 1_000_000_007
+_GRAM_K = 8  # char-gram width
+_WIN_W = 4  # winnowing window (Schleimer et al.: min hash per window)
+
+
+@query(
+    "q_winnow_fingerprint",
+    tags=("text", "llm"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(ghashes) AS BIGINT) AS n_grams,
+           md5(array_to_string(
+             list_transform(
+               list_sort(list_distinct(
+                 list_transform(range(1, greatest(len(ghashes) - {_WIN_W - 1}, 1) + 1),
+                                j -> list_aggregate(ghashes[j:j+{_WIN_W - 1}], 'min'))
+               )),
+               h -> CAST(h AS VARCHAR)), ',')) AS fingerprint
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, greatest(length(norm) - {_GRAM_K - 1}, 1) + 1),
+                              i -> substring(norm, CAST(i AS INT), {_GRAM_K})),
+               g -> list_reduce(list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT)),
+                                (a, b) -> (a * 257 + b) % {_RK_MOD})
+             ) AS ghashes
+      FROM (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ') AS norm
+        FROM documents
+      )
+    )
+    """,
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
+    Rabin-Karp rolling hashes over 8-char grams, minimum per 4-gram
+    window, fingerprint = md5 of the distinct sorted mins. The standard
+    near-dup/plagiarism fingerprint — pure codegen'd array expressions,
+    identical arithmetic on both engines (verified: same polynomial mod
+    fold, same gram lists)."""
+    d = t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", F.array_join(_tokens(F.col("text")), " ").alias("norm")
+    )
+    ghashes = norm.select(
+        "doc_id",
+        F.expr(
+            f"""transform(
+              transform(sequence(1, greatest(length(norm) - {_GRAM_K - 1}, 1)),
+                        i -> substring(norm, i, {_GRAM_K})),
+              g -> aggregate(transform(split(g, ''), c -> cast(ascii(c) as bigint)),
+                             0L, (a, x) -> (a * 257 + x) % {_RK_MOD})
+            )"""
+        ).alias("ghashes"),
+    )
+    return ghashes.select(
+        "doc_id",
+        F.size("ghashes").cast("long").alias("n_grams"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.expr(
+                                f"""transform(sequence(1, greatest(size(ghashes) - {_WIN_W - 1}, 1)),
+                                          j -> array_min(slice(ghashes, j, {_WIN_W})))"""
+                            )
+                        )
+                    ),
+                    lambda h: h.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
 # --- q_subword_counts: BPE-ish subword segmentation counting ----------------
 
 

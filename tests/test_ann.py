@@ -1,0 +1,46 @@
+"""ANN recall bounds vs the exact brute-force baseline (deterministic
+data + seeded hash families → exact recall values are stable; bounds
+leave margin anyway)."""
+
+from __future__ import annotations
+
+from incremental_dagster_delta_spark.queries.similarity import (
+    TOP_K,
+    q_cosine_ann_ivf,
+    q_cosine_ann_rplsh,
+    q_cosine_topk,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ann_recall_bounds(spark):
+    exact = _pairs(q_cosine_topk(spark, SF_DIR))
+    ivf = _pairs(q_cosine_ann_ivf(spark, SF_DIR))
+    rp = _pairs(q_cosine_ann_rplsh(spark, SF_DIR))
+    assert len(exact) > 0
+    ivf_recall = len(exact & ivf) / len(exact)
+    rp_recall = len(exact & rp) / len(exact)
+    # uniform-random embeddings are ANN's worst case (no cluster
+    # structure); measured: IVF 0.575, rp-LSH 0.425 — bounds with margin
+    assert ivf_recall >= 0.4, ivf_recall
+    assert rp_recall >= 0.25, rp_recall
+
+
+def test_ann_results_are_ranked_subsets(spark):
+    """Every ANN result must be genuinely cosine-ranked: rank within a
+    query strictly follows descending cosine."""
+    for fn in (q_cosine_ann_ivf, q_cosine_ann_rplsh):
+        rows = fn(spark, SF_DIR).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert len(rs) <= TOP_K
+            cosines = [r["cosine"] for r in rs]
+            assert cosines == sorted(cosines, reverse=True), (q, cosines)
