@@ -1,0 +1,126 @@
+"""Analytics workload shapes: cohort retention, histograms, TF-IDF.
+
+These are the day-two queries of any event/corpus warehouse; each is a
+two-level aggregation whose shuffles key on small-cardinality composites
+(cohort × offset, bucket, token), so partial aggregation dominates and
+the plans scale linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+
+@query(
+    "q_cohort_retention",
+    tags=("events", "agg"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per (cohort, day offset). The firsts table is a per-user
+    aggregate (small) joined back broadcast-style; the retention agg
+    keys on a tiny composite."""
+    e = t(spark, sf_dir, "events").select("user_id", F.date_trunc("day", "ts").alias("day"))
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q_histogram",
+    tags=("agg",),
+    oracle="""
+    -- width_bucket(value, 0, 500, 20) spelled as floor arithmetic
+    -- (DuckDB 1.0 has no width_bucket): bucket i covers [25(i-1), 25i)
+    SELECT CAST(least(greatest(floor(value / 25) + 1, 0), 21) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram via width_bucket — one scan, one tiny-key
+    aggregation; the building block for distribution profiling."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).cast("double").alias("lo"),
+            F.round(F.max("value"), 4).cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_tfidf",
+    tags=("text", "llm"),
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok,
+           CAST(ROUND(tfidf, 4) AS DOUBLE) AS tfidf,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF with top-3 terms per document: term frequencies
+    (explode + count), document frequencies (distinct-doc count per
+    token — at 31-token vocab the df table broadcasts), score, per-doc
+    window rank with token tie-break. All aggregations partial-combine
+    before their shuffles."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .withColumn("tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", F.round("tfidf", 4).cast("double").alias("tfidf"), F.col("rank").cast("long"))
+    )
