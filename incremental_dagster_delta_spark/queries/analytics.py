@@ -74,6 +74,33 @@ def q_histogram(spark, sf_dir):
 
 
 @query(
+    "q_pivot_api",
+    tags=("agg",),
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_api(spark, sf_dir):
+    """The real pivot operator (vs q_pivot_counts' conditional aggs):
+    explicit pivot values keep the plan a single two-phase aggregation —
+    never omit them at scale, or Spark runs an extra distinct pass to
+    discover the columns."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
     "q_tfidf",
     tags=("text", "llm"),
     oracle="""

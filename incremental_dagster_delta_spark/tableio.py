@@ -188,6 +188,37 @@ class PartitionedTable:
                 n += 1
         return n
 
+    # -- upsert (MERGE-equivalent) ------------------------------------------
+
+    def merge_partition(
+        self, updates: DataFrame, key_cols: list[str], **partition_values: str
+    ) -> None:
+        """MERGE INTO equivalent for one partition: upsert ``updates``
+        into the partition identified by ``partition_values``, matching
+        on ``key_cols`` (update wins over existing; unmatched update
+        rows insert).
+
+        Parquet has no row-level transaction log, so the merge is
+        read-modify-replace scoped to the partition: read current rows,
+        anti-join out the keys being updated, union the updates, drop
+        and rewrite the partition. On Delta this maps to ``MERGE INTO``
+        (transactional); here the replace window is the delete+append.
+        Scoping to one partition keeps the rewrite proportional to the
+        partition, not the table — the same reason the reference
+        scopes refresh to a day (delta_io.py:104-107).
+        """
+        if self.exists():
+            current = self.read_partition(**partition_values)
+            remainder = current.join(
+                updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+            merged = remainder.select(*updates.columns).unionByName(updates)
+        else:
+            merged = updates  # table does not exist yet → pure insert
+        merged = merged.localCheckpoint()  # materialize BEFORE deleting inputs
+        self.delete_partitions(**partition_values)
+        self.append(merged)
+
     # -- partition management ----------------------------------------------
 
     def delete_partitions(self, **partition_values: str) -> None:
