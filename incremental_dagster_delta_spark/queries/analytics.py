@@ -103,6 +103,7 @@ def q_pivot_api(spark, sf_dir):
 @query(
     "q_tfidf",
     tags=("text", "llm"),
+    bench=True,
     oracle="""
     WITH tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf

@@ -212,6 +212,7 @@ _WIN_W = 4  # winnowing window (Schleimer et al.: min hash per window)
 @query(
     "q_winnow_fingerprint",
     tags=("text", "llm"),
+    bench=True,
     oracle=f"""
     SELECT doc_id,
            CAST(len(ghashes) AS BIGINT) AS n_grams,
