@@ -113,6 +113,117 @@ def q_min_cost_supplier(spark, sf_dir):
 
 
 @query(
+    "q_profit_by_nation_year",
+    tags=("join", "agg"),
+    bench=True,
+    oracle="""
+    SELECT n_name,
+           strftime(o_orderdate, '%Y') AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+           ), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN (
+      SELECT p_partkey AS ps_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+               AS ps_supplycost
+      FROM part WHERE p_name LIKE '%red%'
+    ) ps ON ps_partkey = l_partkey
+    GROUP BY n_name, o_year
+    """,
+)
+def q_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: product-profit by nation and order year. The
+    testdata has no partsupp table, so supply cost derives from
+    part.p_retailprice (deterministic on both engines). supplier/nation/
+    part are broadcast; the lineitem↔orders join shuffles on orderkey
+    with AQE skew handling — the one unavoidable fact-fact shuffle.
+    All money math stays in exact DECIMAL through the sum (a double
+    accumulator would be partition-order dependent); the single cast to
+    double happens after aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supplier = F.broadcast(t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    ps = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * F.lit("0.6").cast("decimal(3,2)"))
+            .cast("decimal(18,2)")
+            .alias("ps_supplycost"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * dec("l_quantity")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(ps, F.col("ps_partkey") == F.col("l_partkey"))
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    tags=("events", "window"),
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    converted AS (
+      SELECT DISTINCT c.user_id
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM clicks) AS n_clickers,
+           (SELECT COUNT(*) FROM converted) AS n_converted
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Click→purchase funnel within a 1-hour window: the conversion
+    check rides the as-of machinery (per-user ordered window carrying
+    the last click forward) instead of the oracle's range self-join —
+    one shuffle on user_id vs. a quadratic-in-events-per-user join."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.lit(None).cast("timestamp").alias("click_ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    converted = (
+        merged.where(
+            (F.col("tag") == 1)
+            & F.col("last_click").isNotNull()
+            & (F.col("ts") > F.col("last_click"))
+            & (F.col("ts") <= F.col("last_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    clickers = clicks.agg(F.count_distinct("user_id").alias("n_clickers"))
+    return clickers.crossJoin(converted.agg(F.count("*").alias("n_converted")))
+
+
+@query(
     "q_notin_filter",
     tags=("join", "setop"),
     oracle="""
