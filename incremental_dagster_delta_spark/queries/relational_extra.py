@@ -224,6 +224,56 @@ def q_funnel_conversion(spark, sf_dir):
 
 
 @query(
+    "q_excess_shippers",
+    tags=("join", "agg", "setop"),
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 50
+    )
+    """,
+)
+def q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped an excess quantity (>50)
+    of any 'red' part during 1996. The correlated IN-subquery becomes a
+    bottom-up dataflow: filtered fact scan (date predicate pushed to
+    parquet) joined to a broadcast part key-set, partial-agg on
+    (suppkey, partkey) — map-side combine shrinks the shuffle — then the
+    surviving supplier keys, a handful of rows, broadcast back into a
+    left-semi join against supplier. No subquery re-scan of lineitem,
+    and the semi-join probe side never shuffles."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red_parts = F.broadcast(
+        t(spark, sf_dir, "part").where(F.col("p_name").contains("red")).select("p_partkey")
+    )
+    excess_keys = (
+        li.join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(excess_keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
     "q_notin_filter",
     tags=("join", "setop"),
     oracle="""
