@@ -68,3 +68,21 @@ def q_csv_source(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query("q_orc_source", tags=("source", "format"), oracle=_DOCS_AGG_ORACLE)
+def q_orc_source(spark, sf_dir):
+    """ORC scan (Spark's second native columnar format — common when
+    ingesting from Hive/Trino warehouses). Unlike CSV/JSONL, ORC carries
+    its own schema and, like parquet, supports predicate pushdown and
+    column pruning, so it is a first-class 100 TB source. Same lossless
+    round-trip check against the parquet-backed oracle."""
+    target = os.path.join(_DUMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), "orc")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        t(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite").orc(target)
+    docs = spark.read.orc(target)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

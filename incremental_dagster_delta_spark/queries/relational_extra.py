@@ -1,6 +1,6 @@
 """Additional relational coverage: window-function battery, array
-expression battery, and two more TPC-H-shaped queries (min-cost-per-group
-and NOT-IN filtering)."""
+expression battery, more TPC-H-shaped queries (min-cost-per-group,
+NOT-IN filtering, Q13 custdist), and outer-join surface (left + full)."""
 
 from __future__ import annotations
 
@@ -49,13 +49,15 @@ def q_window_battery(spark, sf_dir):
     tags=("array", "scalar"),
     oracle="""
     SELECT vec_id,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           CAST(ROUND(embedding[1], 4) AS DOUBLE) AS first_val,
-           CAST(ROUND(list_aggregate(embedding[1:8], 'sum'), 4) AS DOUBLE) AS head_sum,
-           CAST(ROUND(list_aggregate(embedding, 'max'), 4) AS DOUBLE) AS max_val,
-           CAST(ROUND(list_sort(embedding)[1], 4) AS DOUBLE) AS min_via_sort,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
-    FROM embeddings
+           CAST(len(emb) AS BIGINT) AS dim,
+           CAST(ROUND(emb[1], 4) AS DOUBLE) AS first_val,
+           CAST(ROUND(list_aggregate(emb[1:8], 'sum'), 4) AS DOUBLE) AS head_sum,
+           CAST(ROUND(list_aggregate(emb, 'max'), 4) AS DOUBLE) AS max_val,
+           CAST(ROUND(list_sort(emb)[1], 4) AS DOUBLE) AS min_via_sort,
+           CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings)
     """,
 )
 def q_array_funcs(spark, sf_dir):
@@ -82,7 +84,7 @@ def q_array_funcs(spark, sf_dir):
     tags=("join", "window"),
     oracle="""
     SELECT l_partkey, l_suppkey,
-           CAST(ROUND(min_cost, 4) AS DOUBLE) AS min_cost
+           CAST(min_cost AS DOUBLE) AS min_cost
     FROM (
       SELECT l_partkey, l_suppkey,
              CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_cost,
@@ -98,8 +100,11 @@ def q_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: per-group minimum selection via a window min
     rather than a correlated subquery re-scan — one shuffle on the group
     key, no second pass over the fact table. Unit cost is a single
-    double division (no accumulation), so double math is deterministic
-    on both engines; decimal division would differ in result scale."""
+    double division (no accumulation), so the IEEE result is
+    bit-identical on both engines and compared UNrounded: rounding would
+    *introduce* divergence at half-way values (27.657249999999998 →
+    Spark HALF_UP on the binary value gives .6572, DuckDB rounds the
+    shortest decimal representation and gives .6573)."""
     li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
     w = Window.partitionBy("l_partkey")
@@ -108,7 +113,7 @@ def q_min_cost_supplier(spark, sf_dir):
     ).withColumn("min_cost", F.min("unit_cost").over(w))
     return (
         scored.where((F.col("unit_cost") == F.col("min_cost")) & (F.col("l_partkey") < 200))
-        .select("l_partkey", "l_suppkey", F.round("min_cost", 4).cast("double").alias("min_cost"))
+        .select("l_partkey", "l_suppkey", F.col("min_cost").cast("double").alias("min_cost"))
     )
 
 
@@ -296,4 +301,81 @@ def q_notin_filter(spark, sf_dir):
         t(spark, sf_dir, "part")
         .join(returned, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
+    )
+
+
+@query(
+    "q_custdist_outer",
+    tags=("join", "agg"),
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_custdist_outer(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution *including*
+    zero-order customers — the canonical left-outer-join-then-count
+    pattern (COUNT(col) skips the nulls the outer join manufactures).
+    Plan notes for 100 TB: the outer join shuffles both sides on custkey
+    (customer is too large to broadcast at scale); the second aggregation
+    runs on the tiny (c_count) domain and is all map-side partials."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_daily_activity_outer",
+    tags=("join", "agg"),
+    oracle="""
+    SELECT COALESCE(o.day, e.day) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+          FROM events GROUP BY 1) e
+      ON o.day = e.day
+    """,
+)
+def q_daily_activity_outer(spark, sf_dir):
+    """Full outer join of two pre-aggregated daily activity series whose
+    date ranges don't overlap (TPC-H order dates vs synthetic event
+    days) — every row exercises one of the three outer-join cases.
+    Aggregate-then-join: both sides collapse to one row per day BEFORE
+    the join, so the full-outer shuffle moves day-counts, not raw rows —
+    the only sane order at 100 TB."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        o.join(e, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
     )

@@ -9,6 +9,7 @@ see reference ``ingest_example/delta_io.py:91-107``).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -77,3 +78,53 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextlib.contextmanager
+def runtime_filtering(
+    spark: SparkSession,
+    application_side_threshold: str = "10GB",
+    force_shuffle_join: bool = False,
+):
+    """Enable Spark's runtime bloom-filter injection for the enclosed
+    queries.
+
+    When a shuffle join has a selective predicate on one side, Catalyst
+    builds a bloom filter over that side's join keys at runtime and
+    injects ``might_contain(xxhash64(key))`` into the other side's scan —
+    pruning fact rows *before* they are shuffled. On a 100 TB fact join
+    this cuts shuffle volume roughly by the dim predicate's selectivity,
+    which AQE alone cannot do (it only re-plans sizes, it doesn't filter
+    rows). Off by default because below
+    ``application_side_threshold`` of scanned bytes the filter costs
+    more than it saves; local tests lower the threshold to force it.
+
+    ``force_shuffle_join`` additionally disables broadcast joins so the
+    injection path is exercised even when the dim side would broadcast
+    (at real scale the creation side is often above the broadcast
+    threshold but still selective).
+    """
+    saved = {}
+
+    def _set(k: str, v: str) -> None:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+
+    _set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    _set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    if force_shuffle_join:
+        _set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

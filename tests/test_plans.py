@@ -87,6 +87,46 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With runtime filtering enabled, a selective dim predicate on one
+    side of a shuffle join injects a bloom-filter probe
+    (``might_contain(xxhash64(key))``) into the fact-side scan, pruning
+    rows before the shuffle — the row-level counterpart to AQE's
+    size-level re-planning. Results must be bit-identical to the
+    unfiltered plan (a bloom filter admits false positives, never false
+    negatives, and the join re-checks the key)."""
+    from incremental_dagster_delta_spark.session import runtime_filtering
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def q():
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {r["l_returnflag"]: r["n"] for r in q().collect()}
+    with runtime_filtering(spark, application_side_threshold="0", force_shuffle_join=True):
+        executed = str(q()._jdf.queryExecution().executedPlan())
+        assert "might_contain" in executed, "no bloom filter injected into fact scan"
+        filtered = {r["l_returnflag"]: r["n"] for r in q().collect()}
+    assert filtered == baseline
+    # and the context manager restored the session confs (enabled is true
+    # by default in Spark 4 — the 10GB application-side threshold is what
+    # gates injection, so that's the conf that must be back)
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
 _PURE_QUERIES = [
     n for n, s in QUERIES.items() if not s.fn.__module__.endswith("incremental_ops")
 ]  # incremental_ops qids return materialized (localCheckpoint) state — no plan to inspect
