@@ -395,3 +395,78 @@ def q_dedup_simhash(spark, sf_dir):
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- connected components over the near-dup graph ---------------------------
+
+
+@query(
+    "q_dedup_cluster",
+    tags=("dedup", "llm", "iterative"),
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIRS_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup *cluster* formation: connected components over the
+    Jaccard pair graph, so a whole family of mutual near-dups collapses
+    to one canonical survivor (min doc_id) instead of the pairwise
+    greedy drop of ``q_dedup_near_keep`` (which can over-drop on chains
+    a-b, b-c).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Each round is one shuffle join + one
+    aggregation — the standard distributed-CC shape; at 100 TB the
+    large-star/small-star variant halves the rounds but has the same
+    per-round plan. ``localCheckpoint`` truncates the plan lineage each
+    round so the loop doesn't compound into one giant DAG. Oracle:
+    DuckDB recursive CTE transitive closure (feasible only at test
+    scale)."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
