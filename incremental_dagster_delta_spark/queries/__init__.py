@@ -22,5 +22,6 @@ from incremental_dagster_delta_spark.queries import scale_patterns  # noqa: E402
 from incremental_dagster_delta_spark.queries import sketches  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import relational_extra  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import analytics  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import training_prep  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

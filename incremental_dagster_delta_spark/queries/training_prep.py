@@ -1,0 +1,131 @@
+"""Training-data preparation operators: deterministic splits and
+sequence packing (SURVEY.md §2.5 extensions).
+
+Two steps every LLM training pipeline runs after dedup/filtering:
+
+- **hash split** — assign each document to train/val/test by a stable
+  content-independent hash of its id. Hash-based assignment (vs random)
+  is reproducible across runs, engines, and backfills, and survives
+  re-sharding: a doc keeps its split forever. md5 is used because both
+  engines implement it identically (xxhash64 is Spark-only).
+- **sequence packing** — greedily pack documents into fixed token-budget
+  bins (next-fit, in deterministic doc_id order) so training batches
+  waste no padding. A sequential scan per group: Spark runs it as
+  ``applyInPandas`` over the ``source`` grouping (parallel across
+  groups); the oracle replays the identical recurrence as a DuckDB
+  recursive CTE. At 100 TB you'd sub-shard each source by a hash bucket
+  (source, xxhash64(doc_id) % k) to bound group size — the packing
+  quality loss is negligible and the parallelism becomes k× sources.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+PACK_BUDGET = 256  # tokens per training sequence bin
+
+
+@query(
+    "q_hash_split",
+    tags=("llm", "sampling"),
+    oracle="""
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             CASE
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+                 OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b')
+               THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic 12/2/2-nibble train/val/test split on
+    md5(doc_id) — first hex nibble 0-b → train (75%), c-d → val
+    (12.5%), e-f → test (12.5%) — aggregated per (split, lang) to
+    verify both assignment and stratification. Pure scan + map-side
+    partial agg; no shuffle beyond the tiny (split × lang) domain."""
+    d = t(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "9") | nib.isin("a", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_token_pack",
+    tags=("llm", "pandas"),
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (
+      SELECT source, doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT source, rn, doc_id, n_tokens, 0, n_tokens FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens > {PACK_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + d.n_tokens > {PACK_BUDGET}
+                  THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id
+    FROM pack
+    """,
+)
+def q_token_pack(spark, sf_dir):
+    """Next-fit sequence packing: walk each source's documents in
+    doc_id order, open a new bin whenever the running token count would
+    exceed PACK_BUDGET. Token counts are computed JVM-side; only the
+    tiny (doc_id, n_tokens) frame crosses into Arrow for the inherently
+    sequential per-group scan."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    counted = d.select("source", "doc_id", F.size(toks).cast("long").alias("n_tokens"))
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, bin_id = [], 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                fill = nt
+            elif fill + nt > PACK_BUDGET:
+                bin_id += 1
+                fill = nt
+            else:
+                fill += nt
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["source", "doc_id", "n_tokens", "bin_id"]]
+
+    return counted.groupBy("source").applyInPandas(
+        pack_group, "source string, doc_id long, n_tokens long, bin_id long"
+    )
