@@ -257,6 +257,59 @@ class PartitionedTable:
             df = df.where(predicate)
         return df
 
+    def committed_batches(self) -> list[int]:
+        """Sorted ids of every batch with a commit marker — the table's
+        version history (Delta's equivalent is the ``_delta_log`` entry
+        list)."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        commits = Path(posixpath.join(self.path, "_commits"))
+        fs = commits.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(commits):
+            return []
+        out = []
+        for st in fs.listStatus(commits):
+            name = st.getPath().getName()
+            if name.isdigit():
+                out.append(int(name))
+        return sorted(out)
+
+    def read_as_of(self, batch_id: int) -> DataFrame:
+        """Time-travel read: the table exactly as it stood after
+        ``batch_id`` committed (Delta ``versionAsOf``; the reference gets
+        this from delta-rs for free).
+
+        Every published file carries its batch's ``b{id}-`` prefix, so a
+        snapshot is just the file set from committed batches ≤
+        ``batch_id`` — selected here and handed to the reader with
+        ``basePath`` so hive partition columns survive. The listing is
+        O(files) driver-side metadata (Delta's log avoids the walk but
+        resolves to the same file set). ``compact()`` rewrites files and
+        therefore collapses history — same contract as Delta OPTIMIZE +
+        VACUUM of old versions.
+        """
+        wanted = {b for b in self.committed_batches() if b <= batch_id}
+        if not wanted:
+            raise ValueError(f"no committed batch <= {batch_id} at {self.path}")
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        files = []
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            name = p.getName()
+            if name.startswith("b") and "-" in name:
+                bid = name[1 : name.index("-")]
+                if bid.isdigit() and int(bid) in wanted:
+                    files.append(p.toString())
+        return (
+            self.spark.read.format(self.fmt)
+            .option("basePath", self.path)
+            .load(files)
+        )
+
     def read_partition(self, **partition_values: str) -> DataFrame:
         """Read exactly one partition, e.g. ``read_partition(year="2024",
         month="03", day="26")`` — the reference's per-run scoped load

@@ -1,0 +1,56 @@
+"""Time-travel (snapshot-as-of-batch) reads on PartitionedTable.
+
+The reference inherits version history from delta-rs; here the
+``b{batch_id}-`` file prefixes plus commit markers reconstruct any
+committed snapshot.
+"""
+
+from __future__ import annotations
+
+from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_read_as_of_reconstructs_each_snapshot(spark, tmp_path):
+    table = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    schema = "k long, v string, day string"
+    table.append_batch(
+        spark.createDataFrame([(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], schema), 0
+    )
+    table.append_batch(spark.createDataFrame([(3, "c", "2024-01-01")], schema), 1)
+    table.append_batch(spark.createDataFrame([(4, "d", "2024-01-03")], schema), 2)
+
+    assert table.committed_batches() == [0, 1, 2]
+    assert _keys(table.read_as_of(0)) == [1, 2]
+    assert _keys(table.read_as_of(1)) == [1, 2, 3]
+    assert _keys(table.read_as_of(2)) == [1, 2, 3, 4]
+    # as-of between commits resolves to the highest committed id below it
+    assert _keys(table.read_as_of(10)) == [1, 2, 3, 4]
+    # current read sees everything the latest snapshot sees
+    assert _keys(table.read()) == _keys(table.read_as_of(2))
+    # partition columns survive the file-list read path
+    snap = table.read_as_of(1)
+    assert "day" in snap.columns
+    assert sorted(r["day"] for r in snap.collect()) == [
+        "2024-01-01",
+        "2024-01-01",
+        "2024-01-02",
+    ]
+
+
+def test_read_as_of_skips_uncommitted_and_empty(spark, tmp_path):
+    table = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    schema = "k long, v string, day string"
+    table.append_batch(spark.createDataFrame([(1, "a", "2024-01-01")], schema), 0)
+    # empty batch commits a marker but publishes no files
+    table.append_batch(spark.createDataFrame([], schema), 1)
+    assert table.committed_batches() == [0, 1]
+    assert _keys(table.read_as_of(1)) == [1]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.read_as_of(-1)
