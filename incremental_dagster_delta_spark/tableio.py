@@ -248,11 +248,21 @@ class PartitionedTable:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, predicate: str | None = None) -> DataFrame:
+    def read(self, predicate: str | None = None, merge_schema: bool = False) -> DataFrame:
         """Partition-pruned read (reference delta_io.py:118-129). Catalyst
         prunes partitions and pushes data filters into the parquet scan
-        automatically from the ``where`` — no manual filter plumbing."""
-        df = self.spark.read.format(self.fmt).load(self.path)
+        automatically from the ``where`` — no manual filter plumbing.
+
+        ``merge_schema=True`` unions the schemas of every file (Delta
+        schema-evolution read parity): columns added by later appends
+        surface as nulls on old rows. Off by default — merging reads
+        every file footer, a real metadata cost at 100 TB; evolved
+        tables should record their current schema in a catalog instead.
+        """
+        reader = self.spark.read.format(self.fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.load(self.path)
         if predicate is not None:
             df = df.where(predicate)
         return df

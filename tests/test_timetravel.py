@@ -54,3 +54,21 @@ def test_read_as_of_skips_uncommitted_and_empty(spark, tmp_path):
 
     with pytest.raises(ValueError):
         table.read_as_of(-1)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A later append may add columns (Delta mergeSchema parity): the
+    merged read surfaces new columns as nulls on old rows; the default
+    read keeps the original schema cheap."""
+    table = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    table.append(spark.createDataFrame([(1, "a", "2024-01-01")], "k long, v string, day string"))
+    table.append(
+        spark.createDataFrame(
+            [(2, "b", 7.5, "2024-01-02")], "k long, v string, score double, day string"
+        )
+    )
+    merged = table.read(merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score", "day"}
+    by_k = {r["k"]: r["score"] for r in merged.collect()}
+    assert by_k == {1: None, 2: 7.5}
+    assert merged.count() == 2
