@@ -1,0 +1,159 @@
+"""Time-series / reshaping operators: unpivot (melt), gap-filling with
+forward fill, and incremental-aggregate maintenance.
+
+- **unpivot** — wide metric columns to long (metric, value) rows; the
+  inverse of ``q_pivot_api``. Pure projection after the aggregate: no
+  extra shuffle, output is metrics× the aggregate's row count.
+- **gap fill + forward fill** — regularize a sparse daily series onto a
+  complete day spine, carrying the last observation forward. The spine
+  is (days × keys) — both tiny dimensions built from aggregates, so the
+  cross join is a broadcast nested loop over metadata-sized inputs, and
+  the fill is one window per key. The fact table is touched exactly
+  once, pre-aggregated.
+- **incremental aggregate maintenance** — the algebra behind every
+  incremental materialized view: partial aggregates of disjoint slices
+  (here: days before/after a cutover) merge by re-aggregation into
+  exactly the full recompute, because (count, sum) are associative and
+  commutative. The oracle IS the full recompute, so the driver verifies
+  the merge identity itself. avg/stddev maintain the same way via
+  (n, sum, sum²); min/max merge but don't retract — deletions need the
+  full group re-read (the reference's refresh path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+GAP_THRESHOLD = 150  # value filter that leaves real day-gaps at test SFs
+SPLIT_DAY = "2024-01-15"  # incremental-maintenance cutover
+
+
+@query(
+    "q_unpivot",
+    tags=("reshape", "agg"),
+    oracle="""
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY 1
+    ) UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long melt of a per-flag aggregate (inverse of q_pivot_api).
+    ``unpivot`` is a generate-style projection — no shuffle beyond the
+    aggregate's own."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "metric", "value")
+
+
+@query(
+    "q_gap_fill",
+    tags=("timeseries", "window"),
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events WHERE value >= {GAP_THRESHOLD} GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT ty.event_type, CAST(u.d AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT MIN(CAST(ts AS DATE)) FROM events),
+          (SELECT MAX(CAST(ts AS DATE)) FROM events),
+          INTERVAL 1 DAY)) AS d
+      ) u
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day, s.event_type,
+           COALESCE(f.n, 0) AS n,
+           CAST(last_value(f.total IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS filled_total
+    FROM spine s LEFT JOIN f ON f.event_type = s.event_type AND f.d = s.d
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Regularize a sparse (event_type, day) series: complete day spine
+    from the table's own min/max date, zero-fill counts, forward-fill
+    the day total with ``last(ignorenulls)``. Leading gaps before a
+    key's first observation stay null — forward fill has nothing to
+    carry."""
+    e = t(spark, sf_dir, "events")
+    f = (
+        e.where(F.col("value") >= GAP_THRESHOLD)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+    rng = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(f, ["event_type", "d"], "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("total", ignorenulls=True).over(w).cast("double").alias("filled_total"),
+    )
+
+
+@query(
+    "q_incr_agg_maintain",
+    tags=("incremental", "agg"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incr_agg_maintain(spark, sf_dir):
+    """Incremental materialized-view maintenance identity: partial
+    (count, sum) states of the pre-cutover slice and the delta slice
+    merge by re-aggregation into the full recompute — which is exactly
+    what the oracle computes. At scale the 'old' partial is the stored
+    view state (never re-scanned); only the delta is read per tick."""
+    e = t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+
+    old = partial(e.where(F.col("d") < SPLIT_DAY))
+    delta = partial(e.where(F.col("d") >= SPLIT_DAY))
+    return (
+        old.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("double").alias("total"),
+        )
+    )
