@@ -75,13 +75,25 @@ class IngestPipeline:
         ingest_root: str,
         tables_root: str,
         derive_backwards: bool = True,
+        expectations: dict[str, str] | None = None,
     ) -> None:
         """``derive_backwards=False`` skips the in-batch backwards hop so
-        the cascade topology (``run_backwards_cascade``) can own it."""
+        the cascade topology (``run_backwards_cascade``) can own it.
+
+        ``expectations`` are SQL boolean rules over the *processed*
+        schema (see :mod:`incremental_dagster_delta_spark.quality`);
+        failing rows divert to a ``quarantine`` table (tagged with the
+        violated rule names) instead of ``processed`` — the Dagster
+        asset-check gate, evaluated in the same micro-batch pass with no
+        extra scan."""
         self.spark = spark
         self.ingest_root = ingest_root
         self.tables_root = tables_root
         self.derive_backwards = derive_backwards
+        self.expectations = expectations
+        self.quarantine = PartitionedTable(
+            spark, os.path.join(tables_root, "quarantine", "v1"), ["day"]
+        )
         self.checkpoint = os.path.join(tables_root, "_checkpoints", "ingest")
         self.cascade_checkpoint = os.path.join(tables_root, "_checkpoints", "backwards")
         self.listing = PartitionedTable(spark, os.path.join(tables_root, "listing", "v1"), ["day"])
@@ -113,6 +125,14 @@ class IngestPipeline:
         batch_df = batch_df.persist()
         try:
             proc = to_processed(batch_df).repartition("year", "month", "day")
+            if self.expectations:
+                from incremental_dagster_delta_spark.quality import split as q_split
+
+                frames = q_split(proc, self.expectations)
+                self.quarantine.append_batch(
+                    frames.quarantine.repartition("day"), batch_id
+                )
+                proc = frames.good
             self.processed.append_batch(proc, batch_id)
             if self.derive_backwards:
                 self.backwards.append_batch(to_backwards(proc), batch_id)

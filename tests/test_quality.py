@@ -69,3 +69,31 @@ def test_null_passes_like_sql_check(spark):
     df = _frame(spark)
     assert violation_counts(df, {"v_pos": "value > 0"})["v_pos"] == 2  # row 5 passes
     assert violation_counts(df, {"v_set": "value IS NOT NULL"})["v_set"] == 1
+
+
+def test_pipeline_quarantine_gate(spark, tmp_path):
+    """Expectations wired into IngestPipeline: failing rows land in the
+    quarantine table (tagged), good rows flow to processed/backwards,
+    and the partition good+quarantine == all input files holds across
+    incremental waves (exactly-once on both tables)."""
+    from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
+    from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline
+
+    root, tables = str(tmp_path / "ingest"), str(tmp_path / "tables")
+    written = generate_ingest_fixture(root, wave=0)
+    pipe = IngestPipeline(
+        spark, root, tables, expectations={"short_word": "word_length <= 6"}
+    )
+    pipe.run_incremental()
+    written += generate_ingest_fixture(root, wave=1)
+    pipe.run_incremental()
+
+    good = pipe.processed.read()
+    quar = pipe.quarantine.read()
+    assert good.where(F.col("word_length") > 6).count() == 0
+    assert quar.where(F.col("word_length") <= 6).count() == 0
+    assert set(quar.columns) >= {"filename", "word", "_violations", "day"}
+    assert {tuple(r["_violations"]) for r in quar.collect()} == {("short_word",)}
+    assert good.count() + quar.count() == len(written)
+    # backwards derives from the gated rows only
+    assert pipe.backwards.read().count() == good.count()
