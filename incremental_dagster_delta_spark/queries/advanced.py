@@ -236,3 +236,33 @@ def q_exists_sql(spark, sf_dir):
 
     register_views(spark, sf_dir, ["supplier", "lineitem"])
     return spark.sql(_EXISTS_SQL)
+
+
+# --- q_regex_parse: regex extraction / replacement / counting ---------------
+
+
+@query(
+    "q_regex_parse",
+    tags=("scalar", "text"),
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '#([0-9]+)$', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_name, '[0-9]', '', 'g') AS name_root,
+           CASE WHEN regexp_matches(c_name, '#000') THEN 1 ELSE 0 END AS zero_padded,
+           CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS n_zeros
+    FROM customer
+    """,
+)
+def q_regex_parse(spark, sf_dir):
+    """Regex battery — the log/ID-parsing workhorses (extract group,
+    global replace, match test, occurrence count), all JVM-side codegen.
+    Note the dialect trap pinned here: Spark ``regexp_replace`` is
+    global by default, DuckDB needs the explicit ``'g'`` flag."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.regexp_replace("c_name", r"[0-9]", "").alias("name_root"),
+        F.when(F.col("c_name").rlike("#000"), 1).otherwise(0).alias("zero_padded"),
+        F.regexp_count("c_name", F.lit("0")).cast("long").alias("n_zeros"),
+    )
