@@ -266,3 +266,31 @@ def q_regex_parse(spark, sf_dir):
         F.when(F.col("c_name").rlike("#000"), 1).otherwise(0).alias("zero_padded"),
         F.regexp_count("c_name", F.lit("0")).cast("long").alias("n_zeros"),
     )
+
+
+# --- q_grouping_sets: arbitrary grouping-set combinations -------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query(
+    "q_grouping_sets",
+    tags=("agg", "sql"),
+    oracle=_GROUPING_SETS_SQL.format(table="lineitem"),
+)
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form cube/rollup
+    specialize), with GROUPING() flags disambiguating aggregated-away
+    nulls from data nulls. Catalyst expands the sets into one Expand +
+    single aggregation — the fact table is scanned once regardless of
+    how many sets are requested."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="li_gs"))
