@@ -140,14 +140,24 @@ class IngestPipeline:
         finally:
             batch_df.unpersist()
 
-    def run_incremental(self, timeout_sec: int = 300) -> None:
+    def run_incremental(
+        self, timeout_sec: int = 300, max_files_per_trigger: int | None = None
+    ) -> None:
         """Process all files not yet seen by the checkpoint, then stop.
 
         First invocation = backfill over everything present (reference I9);
         subsequent invocations = incremental ticks (reference I1–I7). The
         checkpoint survives restarts — cursor persistence/recovery for free.
+
+        ``max_files_per_trigger`` bounds each micro-batch (AvailableNow
+        honors source admission limits, unlike the legacy once-trigger):
+        a 100 TB backfill becomes a sequence of bounded, individually
+        committed batches instead of one cluster-sized transaction, and a
+        crash loses at most one bounded batch of work.
         """
-        stream = stream_text_files(self.spark, self.ingest_root)
+        stream = stream_text_files(
+            self.spark, self.ingest_root, max_files_per_trigger=max_files_per_trigger
+        )
         q = (
             stream.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", self.checkpoint)

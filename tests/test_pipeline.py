@@ -205,3 +205,22 @@ def test_compaction(spark, roots):
     batch = to_processed(read_text_files(spark, ingest))
     assert pipe.processed.append_batch(batch, 0) is False
     assert _table_rows(pipe.processed) == before
+
+
+def test_bounded_backfill_multi_batch(spark, roots):
+    """max_files_per_trigger splits the backfill into several bounded,
+    individually committed micro-batches (AvailableNow honors admission
+    control) with the same exactly-once result."""
+    root, tables = roots
+    written = generate_ingest_fixture(root, wave=0)  # 24 files
+    pipe = IngestPipeline(spark, root, tables)
+    pipe.run_incremental(max_files_per_trigger=5)
+
+    batches = pipe.processed.committed_batches()
+    assert len(batches) >= 4  # 24 files / 5 per trigger
+    rows = pipe.processed.read()
+    assert rows.count() == len(written)
+    assert rows.select("filename", "day").distinct().count() == len(written)
+    # every snapshot is a strict prefix: as-of counts are monotone
+    counts = [pipe.processed.read_as_of(b).count() for b in batches]
+    assert counts == sorted(counts) and counts[-1] == len(written)
