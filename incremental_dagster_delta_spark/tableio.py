@@ -22,9 +22,10 @@ the API is format-agnostic.
 
 from __future__ import annotations
 
+import json
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -113,10 +114,14 @@ class PartitionedTable:
                 if p.getName().startswith(prefix):
                     fs.delete(p, False)
         if df.isEmpty():
-            fs.mkdirs(marker.getParent())
-            fs.createNewFile(marker)
+            self._write_marker(fs, marker, {"rows": 0})
             return False
         staging = posixpath.join(self.path, "_staging", f"batch={batch_id}")
+        # commit-metrics observation: accumulator-backed, measured during
+        # the write itself — no second counting job (Delta's
+        # operationMetrics.numOutputRows parity)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.format(self.fmt).mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
@@ -135,9 +140,42 @@ class PartitionedTable:
             fs.mkdirs(target.getParent())
             fs.rename(p, target)
         fs.delete(staging_path, True)
-        fs.mkdirs(marker.getParent())
-        fs.createNewFile(marker)
+        self._write_marker(fs, marker, {"rows": int(obs.get.get("rows", 0))})
         return True
+
+    def _write_marker(self, fs, marker, metrics: dict) -> None:
+        fs.mkdirs(marker.getParent())
+        out = fs.create(marker, True)
+        out.write(bytearray(json.dumps(metrics).encode("utf-8")))
+        out.close()
+
+    def batch_metrics(self) -> dict[int, dict]:
+        """Commit metrics per batch id (rows written), read back from the
+        marker contents; markers from older writers parse as ``{}``."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        commits = Path(posixpath.join(self.path, "_commits"))
+        fs = commits.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(commits):
+            return {}
+        out: dict[int, dict] = {}
+        for st in fs.listStatus(commits):
+            p = st.getPath()
+            name = p.getName()
+            if not name.isdigit():
+                continue
+            try:
+                stream = fs.open(p)
+                data = bytearray()
+                b = stream.read()
+                while b != -1:
+                    data.append(b)
+                    b = stream.read()
+                stream.close()
+                out[int(name)] = json.loads(data.decode("utf-8")) if data else {}
+            except Exception:
+                out[int(name)] = {}
+        return out
 
     # -- compaction ---------------------------------------------------------
 

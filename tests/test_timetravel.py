@@ -72,3 +72,20 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     by_k = {r["k"]: r["score"] for r in merged.collect()}
     assert by_k == {1: None, 2: 7.5}
     assert merged.count() == 2
+
+
+def test_commit_markers_carry_row_metrics(spark, tmp_path):
+    """append_batch records numOutputRows in the commit marker (Delta
+    operationMetrics parity) via an Observation — no second counting
+    job."""
+    table = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    schema = "k long, v string, day string"
+    table.append_batch(
+        spark.createDataFrame([(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], schema), 0
+    )
+    table.append_batch(spark.createDataFrame([(3, "c", "2024-01-01")], schema), 1)
+    table.append_batch(spark.createDataFrame([], schema), 2)
+    m = table.batch_metrics()
+    assert m[0]["rows"] == 2
+    assert m[1]["rows"] == 1
+    assert m[2]["rows"] == 0
