@@ -86,3 +86,29 @@ def q_orc_source(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query("q_drip_source", tags=("source", "format"), oracle=None)
+def q_drip_source(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 API): the reference's drip
+    generator as a native source — parallel deterministic generation
+    across input partitions (rows-only: the corpus never touches disk,
+    so there is no parquet table for DuckDB to check against)."""
+    from incremental_dagster_delta_spark.sources.drip import DripDataSource
+
+    spark.dataSource.register(DripDataSource)
+    d = (
+        spark.read.format("drip")
+        .option("n_rows", 200)
+        .option("num_partitions", 8)
+        .load()
+    )
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("word_length").alias("total_len"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy("day")
+    )
