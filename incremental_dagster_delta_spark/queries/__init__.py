@@ -24,5 +24,6 @@ from incremental_dagster_delta_spark.queries import relational_extra  # noqa: E4
 from incremental_dagster_delta_spark.queries import analytics  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import training_prep  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import timeseries  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import modern  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -1,0 +1,107 @@
+"""Modern Spark surfaces: Python UDTFs, the VARIANT type, and lateral
+position-aware explosion.
+
+- **UDTF document chunking** — the RAG/training chunking step as a
+  Python user-defined table function called through SQL ``LATERAL``.
+  UDTFs are row-at-a-time Python (the slow path): the codegen'd
+  equivalent is ``sequence + transform + explode`` and is what a 100 TB
+  chunker should run; the UDTF registers the API surface and the oracle
+  proves both produce identical chunks.
+- **VARIANT** — Spark 4's binary semi-structured type: ``parse_json``
+  once, then typed ``variant_get`` paths without re-parsing the string
+  per access (the schema-on-read upgrade over ``get_json_object``).
+- **posexplode** — ordinal-preserving array explosion via the lateral
+  generator path; positions survive distribution (no window needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+CHUNK = 10  # tokens per chunk
+
+
+@query(
+    "q_udtf_chunks",
+    tags=("llm", "udtf", "sql"),
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / {CHUNK}.0) AS BIGINT))) AS ci
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           array_to_string(toks[ci*{CHUNK}+1:ci*{CHUNK}+{CHUNK}], ' ') AS chunk,
+           CAST(least({CHUNK}, len(toks) - ci*{CHUNK}) AS INT) AS n_tokens
+    FROM idx
+    """,
+)
+def q_udtf_chunks(spark, sf_dir):
+    """Fixed-size document chunking as a SQL ``LATERAL`` Python UDTF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = [tok for tok in text.lower().split(" ") if tok]
+            for i in range(0, len(toks), CHUNK):
+                c = toks[i : i + CHUNK]
+                yield doc_id, i // CHUNK, " ".join(c), len(c)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_chunks")
+    return spark.sql(
+        "SELECT c.* FROM docs_for_chunks, "
+        "LATERAL chunk_doc(docs_for_chunks.doc_id, docs_for_chunks.text) c"
+    )
+
+
+@query(
+    "q_variant_json",
+    tags=("events", "llm"),
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_variant_json(spark, sf_dir):
+    """VARIANT path extraction: parse the JSON payload once into the
+    binary VARIANT encoding, then typed ``try_variant_get`` access — at
+    scale this beats per-access string re-parsing
+    (``get_json_object``, kept as q_json_extract for comparison)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_posexplode",
+    tags=("array", "text"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS tok
+    FROM d
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """Ordinal-preserving token explosion (positions computed in the
+    generator, not reconstructed by a window afterwards)."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
