@@ -25,5 +25,6 @@ from incremental_dagster_delta_spark.queries import analytics  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import training_prep  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import timeseries  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import modern  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import cdc  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]
