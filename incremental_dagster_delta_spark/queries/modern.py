@@ -105,3 +105,49 @@ def q_posexplode(spark, sf_dir):
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
     return d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+
+
+@query(
+    "q_chunk_docs",
+    tags=("llm", "array"),
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / {CHUNK}.0) AS BIGINT))) AS ci
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           array_to_string(toks[ci*{CHUNK}+1:ci*{CHUNK}+{CHUNK}], ' ') AS chunk,
+           CAST(least({CHUNK}, len(toks) - ci*{CHUNK}) AS INT) AS n_tokens
+    FROM idx
+    """,
+)
+def q_chunk_docs(spark, sf_dir):
+    """The scale-path chunker: identical semantics to ``q_udtf_chunks``
+    (same oracle) but fully codegen'd — ``sequence`` of chunk ordinals
+    exploded, ``slice``/``array_join`` per chunk, zero Python in the
+    row path. This is the form to run at 100 TB; the UDTF twin exists
+    for API parity and the shared oracle proves them interchangeable."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK))).cast("int")
+    ords = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array())
+    return (
+        with_toks.withColumn("n_chunks", n_chunks)
+        .select("doc_id", "toks", F.explode(ords).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("toks", F.col("chunk_idx") * CHUNK + 1, CHUNK), " "
+            ).alias("chunk"),
+            F.least(F.lit(CHUNK), F.size("toks") - F.col("chunk_idx") * CHUNK)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
