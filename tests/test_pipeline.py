@@ -224,3 +224,30 @@ def test_bounded_backfill_multi_batch(spark, roots):
     # every snapshot is a strict prefix: as-of counts are monotone
     counts = [pipe.processed.read_as_of(b).count() for b in batches]
     assert counts == sorted(counts) and counts[-1] == len(written)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_incremental_equals_backfill_random_schedule(spark, tmp_path, seed):
+    """SURVEY §5.3 as stated: the equivalence holds for RANDOM file
+    arrival schedules, not just the fixed three-wave interleaving —
+    random day subsets, random file counts (incl. empty waves)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    all_days = ["2024-03-25", "2024-03-26", "2024-03-27", "2024-03-28", "2024-03-29"]
+    ingest = str(tmp_path / "ingest")
+    os.makedirs(ingest, exist_ok=True)  # first wave may legally be empty
+    inc = IngestPipeline(spark, ingest, str(tmp_path / "inc"))
+    for wave in range(rng.randint(2, 4)):
+        days = rng.sample(all_days, rng.randint(1, len(all_days)))
+        n = rng.randint(0, 5)  # 0 = a tick with no new files
+        if n:
+            generate_ingest_fixture(
+                ingest, days=days, files_per_day_per_wave=n, wave=wave, seed=seed
+            )
+        inc.run_incremental()
+
+    back = IngestPipeline(spark, ingest, str(tmp_path / "back"))
+    back.run_incremental()
+    assert _table_rows(inc.processed) == _table_rows(back.processed)
+    assert _table_rows(inc.backwards) == _table_rows(back.backwards)
