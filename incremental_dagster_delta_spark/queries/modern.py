@@ -109,6 +109,7 @@ def q_posexplode(spark, sf_dir):
 
 @query(
     "q_chunk_docs",
+    bench=True,
     tags=("llm", "array"),
     oracle=f"""
     WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -30,6 +30,7 @@ PACK_BUDGET = 256  # tokens per training sequence bin
 
 @query(
     "q_hash_split",
+    bench=True,
     tags=("llm", "sampling"),
     oracle="""
     SELECT split, lang,
@@ -76,6 +77,7 @@ def q_hash_split(spark, sf_dir):
 
 @query(
     "q_token_pack",
+    bench=True,
     tags=("llm", "pandas"),
     oracle=f"""
     WITH RECURSIVE
