@@ -140,3 +140,50 @@ def test_no_cartesian_product(spark, sf_dir, name):
     set and centroid assignment, bounded by |Q| and K.)"""
     df = QUERIES[name].fn(spark, sf_dir)
     assert "CartesianProduct" not in _plan(df), f"{name} compiles to a cartesian product"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, demonstrated at runtime: a hash-partition
+    holding one hot key (200k of 250k rows) is split into multiple
+    subpartitions (SortMergeJoin(skew=true) + 'AQEShuffleRead ...
+    skewed' in the final adaptive plan) instead of serializing the join
+    onto one straggler task — the no-code-change answer to key skew
+    that salting (q_salted_agg) solves manually for aggregations."""
+    saved = {}
+
+    def _set(k, v):
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+
+    _set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    _set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    _set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    _set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        left = spark.range(0, 250000).select(
+            F.when(F.col("id") < 200000, 0)
+            .otherwise((F.col("id") % 999) + 1)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        j = left.join(right, "k").select(F.sum(F.length("pay")).alias("s"))
+        skewed_total = j.collect()[0]["s"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # result parity with the unrestricted (broadcast) plan
+    left2 = spark.range(0, 250000).select(
+        F.when(F.col("id") < 200000, 0).otherwise((F.col("id") % 999) + 1).alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+    )
+    right2 = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    base = left2.join(F.broadcast(right2), "k").select(F.sum(F.length("pay")).alias("s"))
+    assert base.collect()[0]["s"] == skewed_total
