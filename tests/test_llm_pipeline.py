@@ -1,0 +1,91 @@
+"""End-to-end LLM training-data pipeline composition.
+
+The registry operators are not isolated demos — this test runs the full
+prep chain a training pipeline would, over the real ``documents`` table,
+and checks the cross-stage invariants that make the output usable:
+
+    quality gate → exact dedup → near-dup clustering → canonical keep
+    → chunk → pack → split
+
+Every stage is the same code path the driver's qids exercise; what's
+verified here is that they *compose* (schemas line up, survivors
+propagate, budgets hold, splits partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.quality import split as q_split
+from incremental_dagster_delta_spark.queries.dedup import q_dedup_cluster, q_ngram_jaccard
+from incremental_dagster_delta_spark.queries.modern import CHUNK, q_chunk_docs
+from incremental_dagster_delta_spark.queries.registry import t
+from incremental_dagster_delta_spark.queries.training_prep import PACK_BUDGET, q_token_pack
+
+
+def test_full_prep_chain_invariants(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. quality gate: everything in this corpus passes the basic rules
+    frames = q_split(
+        docs,
+        {"has_text": "length(text) > 0", "sane_len": "n_chars >= 1", "known_lang": "lang IS NOT NULL"},
+    )
+    good = frames.good
+    assert good.count() + frames.quarantine.count() == n_docs
+
+    # 2. near-dup clustering: drop every non-canonical cluster member
+    clusters = q_dedup_cluster(spark, sf_dir)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    n_drop = drop.count()
+    assert n_drop > 0  # the corpus has planted near-dups
+    kept = good.join(drop, "doc_id", "left_anti")
+    assert kept.count() == good.count() - n_drop
+
+    # after the drop, no surviving pair is near-duplicate
+    pairs = q_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.9)
+    surviving_ids = kept.select("doc_id")
+    bad_pairs = (
+        pairs.join(surviving_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(surviving_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    assert bad_pairs.count() == 0
+
+    # 3. chunking: every surviving doc chunks completely and within size
+    chunks = q_chunk_docs(spark, sf_dir).join(kept.select("doc_id"), "doc_id")
+    assert chunks.where(F.col("n_tokens") > CHUNK).count() == 0
+    # token conservation: chunk tokens sum back to the doc's token count
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    doc_tokens = kept.select("doc_id", F.size(toks).alias("n_doc_tokens"))
+    recon = chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("sum_chunk_tokens"))
+    mismatch = doc_tokens.join(recon, "doc_id").where(
+        F.col("n_doc_tokens") != F.col("sum_chunk_tokens")
+    )
+    assert mismatch.count() == 0
+
+    # 4. packing: bins respect the budget except unavoidable singletons
+    packed = q_token_pack(spark, sf_dir)
+    bin_sizes = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"), F.count("*").alias("n_in_bin")
+    )
+    overfull_multi = bin_sizes.where(
+        (F.col("bin_tokens") > PACK_BUDGET) & (F.col("n_in_bin") > 1)
+    )
+    assert overfull_multi.count() == 0
+    # every doc lands in exactly one bin
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+    # 5. split: deterministic partition of the corpus with all three sets
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split_col = (
+        F.when(nib.between("0", "9") | nib.isin("a", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    assigned = kept.select("doc_id", split_col.alias("split"))
+    by_split = {r["split"]: r["n"] for r in assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == kept.count()
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]  # 12/2/2 nibble weighting
