@@ -173,8 +173,18 @@ def q_cosine_ann_ivf(spark, sf_dir):
     )
 
 
-LSH_TABLES = 8  # OR-construction: candidate if colliding in ANY table
-LSH_BITS = 6  # AND-construction within a table: all 6 sign bits agree
+# OR-construction: candidate if colliding in ANY table; AND within a
+# table: all LSH_BITS sign bits agree. This corpus is LSH-hard — true
+# top-5 neighbors sit at cos≈0.4-0.5 (p_bit = 1-θ/π ≈ 0.65), so per
+# table P[collide] ≈ 0.65⁶ ≈ 0.06 while a random pair (cos≈0) collides
+# at 0.5⁶ = 1/64. Measured recall@5 vs table count at sf0.01 (test
+# floor asserts ≥0.5): 8 → 0.425, 16 → 0.600, 24 → 0.725; random-pair
+# candidate fraction 1-(63/64)^T: 0.12 / 0.22 / 0.31. 16 balances
+# recall against the fraction of the corpus the rerank must scan; for
+# truly-near duplicates (cos ≥ 0.9, p_bit ≥ 0.86) the same 16 tables
+# give recall ≈ 1 - (1-0.86⁶)¹⁶ ≈ 0.9996.
+LSH_TABLES = 16
+LSH_BITS = 6
 
 
 def _rp_table_sigs(vec: Column) -> Column:
