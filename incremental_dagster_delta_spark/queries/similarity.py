@@ -32,7 +32,12 @@ from incremental_dagster_delta_spark.queries.registry import query, t
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 IVF_CENTROID_STRIDE = 50  # vec_id % 50 == 0 → centroid (10 at sf0.01)
-NPROBE = 3
+# probed buckets per query. Measured recall@5 at sf0.01 (10 centroids):
+# NPROBE 2/3/4/5 → 0.425/0.575/0.675/0.775. The probed corpus fraction
+# is NPROBE·STRIDE/N — it SHRINKS as the corpus grows (fixed bucket
+# count probed out of N/50), so unlike LSH tables this dial is nearly
+# free at scale; 4 keeps the test floor honest at small N.
+NPROBE = 4
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -26,9 +26,9 @@ def test_ann_recall_bounds(spark):
     ivf_recall = len(exact & ivf) / len(exact)
     rp_recall = len(exact & rp) / len(exact)
     # uniform-random embeddings are ANN's worst case (no cluster
-    # structure); measured: IVF 0.575, rp-LSH 0.600 at 16 tables —
-    # bounds with margin
-    assert ivf_recall >= 0.4, ivf_recall
+    # structure); measured: IVF 0.675 at NPROBE=4, rp-LSH 0.600 at 16
+    # tables — bounds with margin
+    assert ivf_recall >= 0.55, ivf_recall
     assert rp_recall >= 0.5, rp_recall
 
 
