@@ -97,6 +97,34 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``extract_features`` on the ``mapInArrow`` path: RecordBatch in,
+    RecordBatch out, no pandas materialization. For wide binary payloads
+    this skips the Arrow→pandas object-per-row copy that mapInPandas
+    pays on the input side — at media-lake scale the payload column IS
+    the data volume, so the copy is the cost. Output is bit-identical to
+    ``extract_features`` (pinned by test)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("payload"))
+            feats = [_fake_decode(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": b.column(b.schema.get_field_index("media_id")),
+                    "kind": b.column(b.schema.get_field_index("kind")),
+                    "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+                    "sha256": pa.array([f["sha256"] for f in feats], pa.string()),
+                    "width": pa.array([f["width"] for f in feats], pa.int64()),
+                    "height": pa.array([f["height"] for f in feats], pa.int64()),
+                }
+            )
+
+    return media.mapInArrow(run, schema=FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
     """Fixed-stride frame sampling: split each payload into
     ``frame_bytes`` chunks (the video-frame / audio-window shape), one

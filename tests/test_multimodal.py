@@ -71,3 +71,20 @@ def test_features_distributed_plan(media):
     scan."""
     plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_arrow_path_matches_pandas_path(spark, sf_dir):
+    """mapInArrow and mapInPandas feature extraction are bit-identical
+    — the Arrow path just skips the pandas materialization of the
+    payload column."""
+    from incremental_dagster_delta_spark.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        synth_media,
+    )
+    from incremental_dagster_delta_spark.tables import load_table
+
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features_arrow(media).collect()))
+    assert a == b and len(a) > 0
