@@ -45,3 +45,25 @@ def test_ann_results_are_ranked_subsets(spark):
             assert len(rs) <= TOP_K
             cosines = [r["cosine"] for r in rs]
             assert cosines == sorted(cosines, reverse=True), (q, cosines)
+
+
+def test_simhash_recovers_planted_near_dups(spark):
+    """SimHash (Hamming ≤ 3 via 4×16-bit pigeonhole buckets) is the
+    cheap screen, not the exact answer: measured on the planted
+    jaccard≥0.9 pairs it recovers 15/25 with 2 extras — pin a recall
+    floor and a bounded false-positive count so regressions in the
+    hash family or bucketing surface immediately."""
+    from incremental_dagster_delta_spark.queries.dedup import (
+        q_dedup_simhash,
+        q_ngram_jaccard,
+    )
+
+    planted = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_ngram_jaccard(spark, SF_DIR).where("jaccard >= 0.9").collect()
+    }
+    sim = {(r["doc_a"], r["doc_b"]) for r in q_dedup_simhash(spark, SF_DIR).collect()}
+    assert len(planted) > 0
+    recall = len(planted & sim) / len(planted)
+    assert recall >= 0.5, recall
+    assert len(sim - planted) <= 5  # approximate, but not noisy
