@@ -187,3 +187,27 @@ def test_aqe_splits_skewed_join_partition(spark):
     right2 = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
     base = left2.join(F.broadcast(right2), "k").select(F.sum(F.length("pay")).alias("s"))
     assert base.collect()[0]["s"] == skewed_total
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Per-join strategy control without session-wide conf changes:
+    hints pick the physical join. At 100 TB the useful override is
+    usually shuffle_hash for a mid-size build side that's too big to
+    broadcast but small enough to hash (skips both sort passes of SMJ)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cond = li["l_orderkey"] == o["o_orderkey"]
+        shj = li.join(o.hint("shuffle_hash"), cond)
+        smj = li.join(o.hint("merge"), cond)
+        bhj = li.join(o.hint("broadcast"), cond)
+        assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bhj._jdf.queryExecution().executedPlan().toString()
+        # all three strategies agree on the result cardinality
+        n = smj.count()
+        assert shj.count() == n == bhj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
