@@ -157,3 +157,40 @@ def q_incr_agg_maintain(spark, sf_dir):
             F.col("total").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "q_rolling_range_window",
+    tags=("timeseries", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+             SUM(CAST(value AS DECIMAL(18,2))) AS day_total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_num,
+           CAST(SUM(day_total) OVER (
+             PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d
+    FROM daily
+    """,
+)
+def q_rolling_range_window(spark, sf_dir):
+    """7-day rolling sum with a RANGE (value-based) frame: the frame
+    covers day_num values in [current-6, current], NOT the previous 6
+    rows — on sparse series the two differ wherever days are missing
+    (a ROWS frame would silently reach further back in time). Runs on
+    the pre-aggregated daily series, so the window input is |days×keys|
+    rows, not raw events."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day_num")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_total"))
+    w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day_num",
+        F.sum("day_total").over(w).cast("double").alias("rolling_7d"),
+    )
