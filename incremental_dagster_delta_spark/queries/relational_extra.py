@@ -379,3 +379,66 @@ def q_daily_activity_outer(spark, sf_dir):
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q_promo_ratio",
+    tags=("agg", "scalar"),
+    oracle="""
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p_name LIKE '%green%'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+           4) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q_promo_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio in one pass — the
+    CASE moves the predicate INTO the aggregate so one scan/join feeds
+    both numerator and denominator (two filtered scans would double the
+    fact IO). part broadcasts; decimal until the final division."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    promo = F.when(F.col("p_name").contains("green"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+        .cast("double")
+        .alias("promo_pct")
+    )
+
+
+@query(
+    "q_above_avg_customers",
+    tags=("agg", "subquery"),
+    oracle="""
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND c_custkey % 10 = 0
+    """,
+)
+def q_above_avg_customers(spark, sf_dir):
+    """TPC-H Q22 shape: filter by comparison against a scalar-subquery
+    aggregate. The scalar collapses to one row and broadcasts as a
+    nested-loop build side — the fact scan streams against a constant;
+    no driver-side collect of the average. Average compared UNrounded:
+    AVG over doubles is order-stable here because DuckDB and Spark both
+    sum in double over <50k values with identical results on this data;
+    the final projection only emits raw column values, so the filter
+    threshold is the single shared derived quantity."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where((F.col("c_acctbal") > F.col("avg_bal")) & (F.col("c_custkey") % 10 == 0))
+        .select("c_custkey", F.col("c_acctbal").cast("double").alias("acctbal"))
+    )
