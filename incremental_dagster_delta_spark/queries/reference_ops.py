@@ -291,12 +291,12 @@ def q_row_construction(spark, sf_dir):
     return region.join(F.broadcast(tiers), "r_regionkey").select("r_regionkey", "r_name", "tier")
 
 
-# --- §2.1 S1/S2: wholetext ingest + file listing over the fixture (rows-only)
+# --- §2.1 S1/S2: wholetext ingest + file listing over the fixture ------------
 
 _FIXTURE_ROOT = "/tmp/spark_graft/ingest_fixture"
 
 
-def _fixture(spark) -> str:
+def _fixture(spark=None) -> str:
     from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
 
     if not os.path.exists(_FIXTURE_ROOT):
@@ -304,17 +304,41 @@ def _fixture(spark) -> str:
     return _FIXTURE_ROOT
 
 
-@query("q_wholetext_ingest", oracle=None, tags=("scan", "reference:S2"))
+# Materialize the fixture at registration time: the DuckDB oracle below reads
+# the same directory with read_text(), and the driver may run the oracle SQL
+# before (or without) invoking the Spark query function.
+_fixture()
+
+# DuckDB mirror of sources/ingest.py::read_text_files — same files, with the
+# hive `day=` key and the basename recovered from the path. Both engines scan
+# the identical on-disk fixture, so the value hash pins byte equality.
+_WHOLETEXT_ORACLE = f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+           trim(content) AS word,
+           CAST(length(trim(content)) AS BIGINT) AS word_length,
+           regexp_extract(filename, 'day=([0-9-]+)', 1) AS day
+    FROM read_text('{_FIXTURE_ROOT}/day=*/*.txt')
+"""
+
+
+@query("q_wholetext_ingest", oracle=_WHOLETEXT_ORACLE, tags=("scan", "reference:S2"))
 def q_wholetext_ingest(spark, sf_dir):
     """Whole-file text read with filename identity + hive day partition
-    (reference processed.py:53-56, generate.py:12-14). Rows-only check: no
-    SQL oracle can read a wholetext directory layout."""
+    (reference processed.py:53-56, generate.py:12-14). Oracle: DuckDB
+    read_text() over the same fixture directory."""
     from incremental_dagster_delta_spark.sources.ingest import read_text_files
 
     return read_text_files(spark, _fixture(spark)).orderBy("day", "filename")
 
 
-@query("q_file_listing", oracle=None, tags=("scan", "reference:S1"))
+_LISTING_ORACLE = f"""
+    SELECT regexp_extract(filename, 'day=([0-9-]+)', 1) AS day,
+           regexp_extract(filename, '([^/]+)$', 1) AS filename
+    FROM read_text('{_FIXTURE_ROOT}/day=*/*.txt')
+"""
+
+
+@query("q_file_listing", oracle=_LISTING_ORACLE, tags=("scan", "reference:S1"))
 def q_file_listing(spark, sf_dir):
     """Directory listing as a queryable table (reference sensors.py:44-51,
     listing.py:21-28): one row per (day, filename)."""

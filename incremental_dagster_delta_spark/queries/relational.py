@@ -350,7 +350,8 @@ def q_rollup_agg(spark, sf_dir):
     "q_pivot_counts",
     tags=("agg",),
     oracle="""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+    SELECT CAST(DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT) AS VARCHAR)
+               AS event_date,
            SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
            SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
@@ -360,12 +361,23 @@ def q_rollup_agg(spark, sf_dir):
     """,
 )
 def q_pivot_counts(spark, sf_dir):
+    """Conditional-aggregation pivot over event types per UTC day.
+
+    The day key is derived with integer arithmetic on epoch microseconds
+    (``unix_micros(ts) div 86_400e6`` → date) rather than
+    ``date_trunc``/``date_format`` so the result is identical under ANY
+    ``spark.sql.session.timeZone`` — the instant→wall rendering path was the
+    one environment-sensitive surface in the whole registry (r2 verdict).
+    The DuckDB oracle mirrors the same epoch-day arithmetic.
+    """
     e = t(spark, sf_dir, "events")
     aggs = [
         F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"n_{et}")
         for et in ["click", "view", "purchase", "signup", "error"]
     ]
-    return e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_date")).agg(*aggs)
+    epoch_day = F.expr("unix_micros(ts) div 86400000000").cast("int")
+    event_date = F.date_add(F.lit("1970-01-01").cast("date"), epoch_day).cast("string")
+    return e.groupBy(event_date.alias("event_date")).agg(*aggs)
 
 
 # --- SQL front-end -----------------------------------------------------------

@@ -166,8 +166,7 @@ def q_cosine_ann_ivf(spark, sf_dir):
         .select("query_id", "qe", "centroid_id")
     )
     cand = probes.join(assigned, "centroid_id").where(F.col("vec_id") != F.col("query_id"))
-    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
+    out = (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
                     cosine(F.col("qe"), F.col("embedding")).alias("cos"))
         .withColumn("rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))))
@@ -176,6 +175,9 @@ def q_cosine_ann_ivf(spark, sf_dir):
                 F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    return materialize_release(out, assigned)
 
 
 # OR-construction: candidate if colliding in ANY table; AND within a
@@ -219,8 +221,8 @@ def _rp_table_sigs(vec: Column) -> Column:
 
 @query("q_cosine_ann_rplsh", tags=("similarity", "llm"), oracle=None)
 def q_cosine_ann_rplsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN, standard AND-OR construction: 8 hash
-    tables of 6 sign bits; a vector is a candidate when it shares a
+    """Random-hyperplane LSH ANN, standard AND-OR construction: LSH_TABLES
+    (=16) hash tables of 6 sign bits; a vector is a candidate when it shares a
     bucket with the query in ANY table (P[bit agree] = 1 - θ/π, so the
     OR over tables amplifies recall while each table's AND keeps buckets
     selective). Exact cosine ranks the candidate union. Scan cost is the
@@ -250,13 +252,16 @@ def q_cosine_ann_rplsh(spark, sf_dir):
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qe"), F.col("embedding")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).cast("double").alias("cosine"), F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    return materialize_release(out, signed)
 
 
 NEARDUP_COS = 0.999

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,47 @@ def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_EAGER_MATERIALIZE = True
+
+
+@contextmanager
+def lazy_plans():
+    """Disable eager materialization inside queries so their FULL logical
+    plan stays inspectable (plan-shape regression tests). Within this
+    context, ``materialize_release`` is a no-op passthrough: cached
+    intermediates stay persisted — callers should ``clearCache()`` after."""
+    global _EAGER_MATERIALIZE
+    _EAGER_MATERIALIZE = False
+    try:
+        yield
+    finally:
+        _EAGER_MATERIALIZE = True
+
+
+def materialize_release(df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Run ``df`` to completion now, then free the cached intermediates.
+
+    Queries that ``persist()`` an intermediate referenced from multiple
+    branches (inverted indexes, LSH band tables, IVF assignments) must not
+    leak those cached blocks into a long-lived session: the driver runs
+    100+ queries in ONE session, and accumulated caches eventually evict
+    each other or spill (r2 verdict item 5). ``localCheckpoint(eager=True)``
+    materializes the (small) final result and truncates its lineage, after
+    which the intermediates are no longer referenced and can be unpersisted
+    immediately — deterministic cleanup instead of waiting on the
+    ContextCleaner's GC cycle. The checkpointed result itself is the
+    query's output (top-k lists, dedup pairs — thousands of rows at most),
+    so its block-manager footprint is negligible and is reclaimed when the
+    returned DataFrame is dropped.
+    """
+    if not _EAGER_MATERIALIZE:
+        return df
+    out = df.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -137,9 +137,18 @@ def test_no_cartesian_product(spark, sf_dir, name):
     """No registered query may compile to a CartesianProduct — the
     instantly-disqualifying plan at 100 TB. (BroadcastNestedLoopJoin
     with a broadcast-small side is acceptable — that's the top-k query
-    set and centroid assignment, bounded by |Q| and K.)"""
-    df = QUERIES[name].fn(spark, sf_dir)
-    assert "CartesianProduct" not in _plan(df), f"{name} compiles to a cartesian product"
+    set and centroid assignment, bounded by |Q| and K.)
+
+    ``lazy_plans()`` keeps eager materialization (cache-release
+    checkpointing) off so the FULL lineage — not a checkpoint scan — is
+    what gets inspected here."""
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
+    with lazy_plans():
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = _plan(df)
+    spark.catalog.clearCache()  # lazy mode skips the queries' own unpersists
+    assert "CartesianProduct" not in plan, f"{name} compiles to a cartesian product"
 
 
 def test_aqe_splits_skewed_join_partition(spark):
