@@ -26,6 +26,7 @@ from incremental_dagster_delta_spark.queries import training_prep  # noqa: E402,
 from incremental_dagster_delta_spark.queries import timeseries  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import modern  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import cdc  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import curation  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the

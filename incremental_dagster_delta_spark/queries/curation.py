@@ -1,0 +1,339 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The second curation family beyond dedup (SURVEY.md §2.5): the filters a
+100 TB pretraining corpus passes through between raw ingest and
+tokenization —
+
+- **PII redaction** — regex scrub of emails / phone numbers / IPv4s, with
+  per-doc redaction counts. Pure ``regexp_replace`` → whole-stage codegen,
+  no Python. Patterns are kept to the RE2 ∩ Java-regex common subset so
+  the DuckDB oracle applies the identical expressions.
+- **benchmark decontamination** — drop training docs sharing any 8-token
+  shingle with a held-out "benchmark" split (here: ``source = 'src0'``),
+  the standard n-gram-collision screen (e.g. GPT-3 appendix C). Inverted
+  index on the shingle hash + semi-join; never doc×doc.
+- **stratified sampling** — per-source keep-rates decided by a
+  deterministic md5-based uniform draw per doc (same device as
+  q_hash_split): reproducible, rerun-stable, no RNG state; at scale this
+  is a map-only filter.
+- **Gopher-style quality rules** — the classic static filters (word
+  count bounds, mean word length, symbol ratio, stopword presence,
+  within-doc repetition fraction) as boolean columns + a keep decision.
+- **per-source reservoir top-k** — deterministic k-per-group sample via
+  ``row_number`` over an md5 order: one shuffle on the group key; the
+  at-scale form of "give me k examples from each source".
+
+All five are oracle-checked against DuckDB on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+# --- PII redaction -----------------------------------------------------------
+
+# RE2 ∩ Java-regex compatible patterns (no backrefs, no lookaround).
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+# The synthetic corpus contains no PII, which would make the operator
+# vacuous — so both engines deterministically inject a synthetic email
+# for every 20th doc and a phone for every 50th, then redact. The
+# injection is part of the test harness, not the operator.
+_INJECT_SQL = """
+    SELECT doc_id,
+           text ||
+             CASE WHEN doc_id % 20 = 0
+                  THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+             CASE WHEN doc_id % 50 = 0
+                  THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             AS text
+    FROM documents
+"""
+
+
+@query(
+    "q_pii_redact",
+    tags=("curation", "llm"),
+    oracle=f"""
+    WITH injected AS ({_INJECT_SQL})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{_PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+             '{_PII_PATTERNS["ipv4"]}', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4
+    FROM injected
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """Regex PII scrub with per-category counts. regexp_replace /
+    regexp_count are JVM codegen — at 100 TB this is a map-only pass with
+    zero shuffle; counts let a downstream gate quarantine PII-dense docs
+    instead of silently rewriting them."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(F.lit(" call 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_PATTERNS["email"], "<EMAIL>"),
+            _PII_PATTERNS["phone"],
+            "<PHONE>",
+        ),
+        _PII_PATTERNS["ipv4"],
+        "<IP>",
+    )
+    return injected.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PATTERNS["email"])).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PATTERNS["phone"])).cast("long").alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PATTERNS["ipv4"])).cast("long").alias("n_ipv4"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+DECONTAM_NGRAM = 8  # 31-token vocab → short shingles collide by chance; 8 is discriminative
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_NGRAMS_SQL = f"""
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {DECONTAM_NGRAM - 1}, 0) + 1),
+           i -> array_to_string(toks[i:i+{DECONTAM_NGRAM - 1}], ' ')
+         )) AS grams
+  FROM (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+@query(
+    "q_decontaminate",
+    tags=("curation", "llm"),
+    oracle=f"""
+    WITH grams AS ({_NGRAMS_SQL}),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE source = 'src0'
+    ),
+    train AS (
+      SELECT doc_id, unnest(grams) AS gram FROM grams WHERE source <> 'src0'
+    )
+    SELECT DISTINCT t.doc_id AS doc_id
+    FROM train t JOIN bench b ON t.gram = b.gram
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (source != 'src0') that
+    share any 8-token shingle with the held-out split (source = 'src0').
+    Shape at 100 TB: the benchmark shingle set is tiny relative to the
+    corpus (benchmarks are MBs, corpora are TBs) → distinct bench grams
+    broadcast, and the flagged set falls out of a semi-join against the
+    training side's exploded shingles — one shuffle-free map + semi-join,
+    never doc×doc. Shingles are compared by value here (exactness for the
+    oracle); at scale hash them to 8-byte keys first."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    with_toks = d.select("doc_id", "source", toks.alias("toks"))
+    n = F.size("toks") - (DECONTAM_NGRAM - 1)
+    gram = lambda i: F.array_join(F.slice(F.col("toks"), i, DECONTAM_NGRAM), " ")  # noqa: E731
+    # sequence(1, n) with n <= 0 runs DESCENDING — guard short docs to an
+    # empty gram set explicitly (DuckDB's range(1, n+1) is empty there).
+    grams = with_toks.select(
+        "doc_id",
+        "source",
+        F.when(
+            n >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), n), gram))
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    ).where(F.size("grams") > 0)
+    bench = (
+        grams.where(F.col("source") == "src0")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = grams.where(F.col("source") != "src0").select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), "gram", "left_semi").select("doc_id").distinct()
+    )
+
+
+# --- stratified sampling ------------------------------------------------------
+
+# Per-source keep-rates (percent). Deterministic md5 draw — the same
+# device as q_hash_split, so any rerun (or a different engine) keeps the
+# exact same docs.
+_STRATA_RATES = {"src0": 100, "src1": 50, "src2": 25}
+_DEFAULT_RATE = 10
+
+_DRAW_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT) % 100"
+
+
+@query(
+    "q_stratified_sample",
+    tags=("curation", "llm"),
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_DRAW_SQL} < CASE source
+        WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 10 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified downsampling with per-source rates — the mixture-
+    rebalancing step of corpus assembly. The keep decision is a pure
+    function of doc_id (md5 first 8 hex digits mod 100 < rate), so it is
+    a map-only filter with no shuffle, stable under reruns and
+    backfills — at 100 TB each executor decides its rows locally."""
+    d = t(spark, sf_dir, "documents")
+    draw = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8), 16, 10).cast("long") % 100
+    rate = F.when(F.col("source") == "src0", 100)
+    for s, r in list(_STRATA_RATES.items())[1:]:
+        rate = rate.when(F.col("source") == s, r)
+    rate = rate.otherwise(_DEFAULT_RATE)
+    return d.where(draw < rate).select("doc_id", "source")
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to")  # vocab-appropriate subset
+
+
+@query(
+    "q_gopher_rules",
+    tags=("curation", "llm"),
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(ROUND(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                        / greatest(len(toks), 1), 4) AS DOUBLE) AS mean_word_len,
+             CAST(ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1), 4) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) > 0 AS has_stopword,
+             CAST(ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                  / greatest(len(toks) - 2, 1), 4) AS DOUBLE) AS rep_3gram_frac
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_stopword, rep_3gram_frac,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND has_stopword
+            AND rep_3gram_frac <= 0.9) AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style static quality filters as one codegen'd projection:
+    word-count bounds, mean word length, symbol-to-char ratio, stopword
+    presence, and within-doc repeated-3-gram fraction (the repetition
+    signal; near-1 means the doc is one phrase looped). All arithmetic is
+    JVM higher-order functions over the token array — a map-only pass at
+    any scale; the boolean columns let downstream stages route docs
+    instead of just dropping them."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    w = d.select("doc_id", "text", toks.alias("toks"))
+    n_words = F.size("toks").cast("long")
+    mean_wl = F.round(
+        F.aggregate(F.transform("toks", lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, v: a + v)
+        / F.greatest(F.size("toks"), F.lit(1)),
+        4,
+    ).cast("double")
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    ).cast("double")
+    has_stop = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS))) > 0
+    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    shingle = lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " ")  # noqa: E731
+    rep_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.transform(F.sequence(F.lit(1), n3), shingle))).cast("double")
+        / F.greatest(F.size("toks") - 2, F.lit(1)),
+        4,
+    ).cast("double")
+    m = w.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        has_stop.alias("has_stopword"),
+        rep_frac.alias("rep_3gram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & F.col("has_stopword")
+        & (F.col("rep_3gram_frac") <= 0.9)
+    )
+    return m.withColumn("keep", keep)
+
+
+# --- per-source reservoir top-k ----------------------------------------------
+
+RESERVOIR_K = 20
+
+
+@query(
+    "q_reservoir_per_source",
+    tags=("curation", "llm"),
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':res'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def q_reservoir_per_source(spark, sf_dir):
+    """Deterministic k-per-group sample: order each source's docs by an
+    md5 draw and keep the first k — reservoir sampling's output, without
+    RNG state. One shuffle on the group key; at 100 TB prefer the
+    two-phase form (per-partition top-k then global top-k per group,
+    which is exactly what Spark's window + partial sort does under AQE).
+    Inspection samples, eval slices, and per-domain caps all reduce to
+    this operator."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    w = Window.partitionBy("source").orderBy(draw, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source")
+    )

@@ -363,13 +363,28 @@ def q_dedup_near_keep(spark, sf_dir):
 # --- SimHash (rows-only: hash family not portable to the oracle) ------------
 
 
+# Hamming budget + pigeonhole blocks. Any pair within Hamming distance
+# HAMMING_BUDGET must agree exactly on ≥1 of the SIMHASH_BLOCKS sub-keys
+# (budget < blocks), so the bucket join on (block, sub-key) finds every
+# such pair with no all-pairs scan. Dial (measured on the 25 planted
+# jaccard≥0.9 pairs at sf0.01, whose Hamming histogram is
+# [0×4, 1×2, 2×5, 3×4, 4×7, 5×3]): budget 3 / 4×16-bit blocks → recall
+# 15/25 = 0.60; budget 4 / 5×13-bit blocks → recall 22/25 = 0.88 with no
+# extra false positives after the Hamming filter. 13-bit blocks keep
+# random collisions at ~2⁻¹³ per block — selective enough that bucket
+# sizes stay bounded at 10⁹ docs (SimHash pigeonhole is a screen; pairs
+# still pass the exact Hamming check).
+HAMMING_BUDGET = 4
+SIMHASH_BLOCKS = 5  # 64 bits → blocks of 13,13,13,13,12
+
+
 @query("q_dedup_simhash", tags=("dedup", "llm"), oracle=None)
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document: sign-aggregate each bit of the token
     xxhash64 over the document, then report candidate pairs at Hamming
-    distance ≤ 3 via bucket join on 4 16-bit sub-keys (any pair within
-    distance 3 must agree on ≥1 of 4 sub-keys — pigeonhole). Rows-only
-    check: the bit-level hash family has no DuckDB equivalent."""
+    distance ≤ HAMMING_BUDGET via bucket join on SIMHASH_BLOCKS sub-keys
+    (pigeonhole — see the dial comment above). Rows-only check: the
+    bit-level hash family has no DuckDB equivalent."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
@@ -392,6 +407,8 @@ def q_dedup_simhash(spark, sf_dir):
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+    # 64 bits split into SIMHASH_BLOCKS near-equal sub-keys.
+    bounds = [round(64 * k / SIMHASH_BLOCKS) for k in range(SIMHASH_BLOCKS + 1)]
     keys = simhash.select(
         "doc_id",
         "simhash",
@@ -400,9 +417,11 @@ def q_dedup_simhash(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(k).alias("slot"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("sub"),
+                        F.shiftrightunsigned(F.col("simhash"), bounds[k])
+                        .bitwiseAND(F.lit((1 << (bounds[k + 1] - bounds[k])) - 1))
+                        .alias("sub"),
                     )
-                    for k in range(4)
+                    for k in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("kk"),
@@ -425,7 +444,7 @@ def q_dedup_simhash(spark, sf_dir):
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= HAMMING_BUDGET)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )

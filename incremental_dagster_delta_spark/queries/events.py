@@ -138,8 +138,11 @@ def q_sliding_window(spark, sf_dir):
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- >= (not >): Spark's session_window is end-EXCLUSIVE — an
+             -- event at exactly lag(ts) + gap starts a NEW session
+             -- (ADVICE r2: latent divergence if an exact-gap pair occurs)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 10 MINUTE OR
+                       >= INTERVAL 10 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

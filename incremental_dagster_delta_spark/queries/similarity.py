@@ -292,12 +292,19 @@ NEARDUP_COS = 0.999
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup detection, bucketed (never all-pairs):
-    quantize the L2-normalized vector to 2 decimals, hash it to a bucket
-    key, join within buckets only, verify with exact double-precision
-    cosine. Exact/near-exact duplicates land in the same bucket by
-    construction; at 100 TB the bucket join replaces an O(n²) cross join
-    with a shuffle on the quantized-vector hash. The corpus plants a
+    """Embedding-cosine duplicate detection, bucketed (never all-pairs):
+    quantize the L2-normalized vector to 2 decimals under TWO grids (the
+    second shifted by half a cell), hash each to a bucket key, join within
+    buckets only, verify with exact double-precision cosine.
+
+    Guarantees: byte-identical duplicates always collide (both grids).
+    Near-exact but non-identical pairs collide when no component straddles
+    a cell boundary in at least one grid — the shifted grid halves each
+    component's straddle probability, but with 64 components a residual
+    miss rate remains (this is a DEDUP screen for exact/near-exact copies,
+    not an ANN substitute; use q_cosine_ann_* for genuine similarity
+    search). At 100 TB the two bucket joins replace an O(n²) cross join
+    with two shuffles on quantized-vector hashes. The corpus plants a
     re-keyed copy of every 10th vector; the oracle is exact all-pairs
     (feasible only at test scale)."""
     from incremental_dagster_delta_spark.tables import fan_out
@@ -309,23 +316,40 @@ def q_dedup_embedding(spark, sf_dir):
     )
     corpus = e.unionByName(dupes)
     norm = _norm(F.col("embedding"))
-    quantized = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 2)
-    )
+    grids = [
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 2)),
+        # half-cell shift: a pair split by grid 0's boundary at k·0.01 ± ε
+        # agrees in grid 1 unless it also straddles k·0.01 + 0.005
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / norm + 0.005, 2)),
+    ]
     keyed = corpus.select(
-        "vec_id", "embedding", F.md5(F.to_json(quantized).cast("binary")).alias("bucket")
-    )
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("grid"),
+                        F.md5(F.to_json(q).cast("binary")).alias("cell"),
+                    )
+                    for g, q in enumerate(grids)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.grid").alias("grid"), F.col("bk.cell").alias("cell"))
     cand = (
         keyed.alias("a")
         .join(
             keyed.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.grid") == F.col("b.grid"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+        .join(corpus.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a"}), "vec_a")
+        .join(corpus.withColumnsRenamed({"vec_id": "vec_b", "embedding": "emb_b"}), "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"))
     )
     return (
         cand.where(F.col("cos") >= NEARDUP_COS)

@@ -184,26 +184,37 @@ class PartitionedTable:
         files — the OPTIMIZE/bin-packing pass for the small-files pressure
         the one-record-per-file ingest pattern creates (SURVEY.md §7.7).
 
-        Implementation: read the whole table, repartition by the partition
-        columns (so each leaf's rows land in one task), rewrite into a
-        staging dir, then atomically swap staging into place. Returns the
-        number of data files after compaction. On a Delta deployment this
-        maps to ``OPTIMIZE`` and is transactional; here the swap window is
-        the two renames.
+        Implementation: read the whole table, repartition so each leaf's
+        rows land in exactly ``target_files_per_partition`` tasks (partition
+        columns plus a deterministic row-hash salt when >1 — a bare
+        ``repartition(*cols)`` would always emit ONE file per leaf), rewrite
+        into a staging dir, then swap staging into place. Returns the number
+        of data files after compaction. On a Delta deployment this maps to
+        ``OPTIMIZE`` and is transactional; here the swap window is the two
+        renames — ``_recover_compaction`` rolls an interrupted swap back or
+        forward, and a crash test pins every window (tests/test_compaction_
+        crash.py).
         """
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        self._recover_compaction(fs, Path)
         if not fs.exists(root):
             return 0
         df = self.read()
         staging = self.path.rstrip("/") + ".compacting"
-        writer = (
-            df.repartition(*self.partition_cols)
-            if self.partition_cols
-            else df.coalesce(target_files_per_partition)
-        )
+        n_files = max(1, int(target_files_per_partition))
+        if self.partition_cols and n_files == 1:
+            writer = df.repartition(*self.partition_cols)
+        elif self.partition_cols:
+            # Deterministic salt spreads each leaf over exactly n_files
+            # tasks; hashing the full row keeps the spread data-independent
+            # of any one column's skew.
+            salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
+            writer = df.repartition(*[F.col(c) for c in self.partition_cols], salt)
+        else:
+            writer = df.coalesce(n_files)
         w = writer.write.format(self.fmt).mode("overwrite")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
@@ -226,6 +237,51 @@ class PartitionedTable:
                 n += 1
         return n
 
+    def _recover_compaction(self, fs, Path) -> None:
+        """Converge an interrupted ``compact()`` swap to a readable table.
+
+        Crash points and their signatures (root = table path, ``.compacting``
+        = staged rewrite, ``.precompact`` = renamed-away original):
+
+        1. crash before ``rename(root, .precompact)`` — root intact,
+           ``.compacting`` may exist: drop the stale staging dir.
+        2. crash between the two renames — root MISSING, ``.precompact`` and
+           ``.compacting`` both present: roll BACK (restore original,
+           drop staging) — the rewrite never became visible.
+        3. crash after ``rename(.compacting, root)`` but before marker
+           move/cleanup — root present, ``.precompact`` present: roll
+           FORWARD (salvage ``_commits`` if not yet moved, drop
+           ``.precompact``).
+
+        Every path converges to a complete table + marker set; readers never
+        see a partial mix because visibility flips only at whole-directory
+        renames.
+        """
+        root = Path(self.path)
+        staging = Path(self.path.rstrip("/") + ".compacting")
+        old = Path(self.path.rstrip("/") + ".precompact")
+        if fs.exists(root):
+            if fs.exists(old):  # crash point 3: finish the swap
+                old_commits = Path(posixpath.join(old.toString(), "_commits"))
+                new_commits = Path(posixpath.join(self.path, "_commits"))
+                if fs.exists(old_commits) and not fs.exists(new_commits):
+                    fs.rename(old_commits, new_commits)
+                fs.delete(old, True)
+            if fs.exists(staging):  # crash point 1: stale staging
+                fs.delete(staging, True)
+        elif fs.exists(old):  # crash point 2: roll back
+            fs.rename(old, root)
+            if fs.exists(staging):
+                fs.delete(staging, True)
+
+    def recover(self) -> None:
+        """Public entry for crash recovery — call before reads if a
+        compaction may have been interrupted."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        self._recover_compaction(fs, Path)
+
     # -- upsert (MERGE-equivalent) ------------------------------------------
 
     def merge_partition(
@@ -244,7 +300,25 @@ class PartitionedTable:
         Scoping to one partition keeps the rewrite proportional to the
         partition, not the table — the same reason the reference
         scopes refresh to a day (delta_io.py:104-107).
+
+        Rows in ``updates`` that do NOT belong to the target partition are
+        rejected loudly: appending them would bypass the anti-join dedup
+        (which only read the target partition) and silently duplicate keys
+        elsewhere.
         """
+        present = [k for k in partition_values if k in updates.columns]
+        if present:
+            cond = None
+            for k in present:
+                c = F.col(k) == F.lit(partition_values[k])
+                cond = c if cond is None else (cond & c)
+            n_stray = updates.where(~cond).count()
+            if n_stray:
+                raise ValueError(
+                    f"merge_partition: {n_stray} update row(s) fall outside the "
+                    f"target partition {partition_values} — merge them via their "
+                    "own partition's merge_partition call"
+                )
         if self.exists():
             current = self.read_partition(**partition_values)
             remainder = current.join(
@@ -352,6 +426,13 @@ class PartitionedTable:
                 bid = name[1 : name.index("-")]
                 if bid.isdigit() and int(bid) in wanted:
                     files.append(p.toString())
+        if not files:
+            raise ValueError(
+                f"read_as_of({batch_id}) at {self.path}: batches {sorted(wanted)} "
+                "are committed but none of their files survive — history was "
+                "collapsed (compact() rewrites files, like Delta OPTIMIZE + "
+                "VACUUM). Only the current state is readable via read()."
+            )
         return (
             self.spark.read.format(self.fmt)
             .option("basePath", self.path)

@@ -48,11 +48,11 @@ def test_ann_results_are_ranked_subsets(spark):
 
 
 def test_simhash_recovers_planted_near_dups(spark):
-    """SimHash (Hamming ≤ 3 via 4×16-bit pigeonhole buckets) is the
+    """SimHash (Hamming ≤ 4 via 5×13-bit pigeonhole buckets) is the
     cheap screen, not the exact answer: measured on the planted
-    jaccard≥0.9 pairs it recovers 15/25 with 2 extras — pin a recall
-    floor and a bounded false-positive count so regressions in the
-    hash family or bucketing surface immediately."""
+    jaccard≥0.9 pairs it recovers 22/25 — pin a recall floor and a
+    bounded false-positive count so regressions in the hash family or
+    bucketing surface immediately."""
     from incremental_dagster_delta_spark.queries.dedup import (
         q_dedup_simhash,
         q_ngram_jaccard,
@@ -65,5 +65,9 @@ def test_simhash_recovers_planted_near_dups(spark):
     sim = {(r["doc_a"], r["doc_b"]) for r in q_dedup_simhash(spark, SF_DIR).collect()}
     assert len(planted) > 0
     recall = len(planted & sim) / len(planted)
-    assert recall >= 0.5, recall
-    assert len(sim - planted) <= 5  # approximate, but not noisy
+    assert recall >= 0.7, recall  # measured 0.88 (deterministic)
+    # Extras are genuine Hamming≤4 pairs that sit below the 0.9 Jaccard
+    # bar (measured: 11) — the screen's precision trade for the recall
+    # gain; a downstream exact-Jaccard verify drops them, same as the
+    # MinHash path. Bound pins "not noisy", not "no extras".
+    assert len(sim - planted) <= 12
