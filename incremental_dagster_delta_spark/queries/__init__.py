@@ -27,6 +27,7 @@ from incremental_dagster_delta_spark.queries import timeseries  # noqa: E402,F40
 from incremental_dagster_delta_spark.queries import modern  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import cdc  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import curation  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import assembly  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the

@@ -1,0 +1,270 @@
+"""Corpus assembly & accounting operators (SURVEY.md §2.5, round 3).
+
+The bookkeeping layer of a training-data pipeline — what gets reported,
+planned and packed once filtering/dedup is done:
+
+- **corpus stats** — per-source doc/token/char counts and corpus shares;
+  the accounting table every data card and mixture decision starts from.
+- **mixture plan** — turn target source proportions + a token budget into
+  per-source epoch multipliers (the "how many passes over Wikipedia vs
+  one pass over CommonCrawl" computation).
+- **sequence-length buckets** — power-of-two token-length histogram, the
+  input to batch-shape planning (bucketed batching wastes less padding
+  than global max-length).
+- **SemDeDup-style cell-scoped embedding dedup** — assign vectors to IVF
+  cells (broadcast centroids, map-side argmin), then find duplicate pairs
+  (cos ≥ threshold) WITHIN cells only and keep the min vec_id. The
+  all-pairs comparison is confined to a cell, so cost is Σ|cell|², not
+  N² — the SemDeDup recipe (Abbas et al. 2023) re-expressed as two
+  narrow Spark joins.
+
+All four hash-match DuckDB oracles. The SemDeDup oracle is the GLOBAL
+exact dedup decision — equal to the cell-scoped result here because
+duplicate pairs are identical vectors, which always land in the same cell
+(deterministic argmin); corpora whose near-dups straddle cell boundaries
+would diverge, which is SemDeDup's documented recall trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+# --- corpus accounting -------------------------------------------------------
+
+
+@query(
+    "q_corpus_stats",
+    tags=("assembly", "llm"),
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, len({_TOKS_SQL}) AS n_toks, length(text) AS n_chars FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_chars,
+           CAST(ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 4) AS DOUBLE)
+               AS token_share
+    FROM agg
+    """,
+)
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus accounting: doc/token/char totals + each
+    source's token share. One partial-agg shuffle on source; the share
+    divides by a windowed grand total (tiny post-agg table — the window
+    runs over |sources| rows, not the corpus)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    agg = (
+        d.select("source", F.size(toks).alias("n_toks"), F.length("text").alias("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    total = Window.partitionBy()
+    return agg.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 4).cast("double"),
+    )
+
+
+# --- mixture planning --------------------------------------------------------
+
+# Target mixture proportions and total token budget for the assembled
+# corpus. Sources not listed share the remainder equally.
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2}
+_TOKEN_BUDGET = 1_000_000
+
+
+@query(
+    "q_mixture_plan",
+    tags=("assembly", "llm"),
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, avail_tokens,
+             CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
+                  ELSE 0.1 / greatest((SELECT COUNT(*) FROM avail WHERE source NOT IN ('src0','src1','src2')), 1)
+             END AS target_share
+      FROM avail
+    )
+    SELECT source, avail_tokens,
+           CAST(ROUND(target_share, 4) AS DOUBLE) AS target_share,
+           CAST(CAST(target_share * {_TOKEN_BUDGET} AS DOUBLE) AS BIGINT) AS target_tokens,
+           CAST(ROUND(target_share * {_TOKEN_BUDGET} / avail_tokens, 4) AS DOUBLE) AS epochs
+    FROM t
+    """,
+)
+def q_mixture_plan(spark, sf_dir):
+    """Mixture planning: target proportions × token budget ÷ available
+    tokens per source = epoch multiplier (epochs > 1 → upsample/repeat,
+    < 1 → subsample). The whole computation runs on the per-source
+    aggregate (|sources| rows), so the only corpus-scale work is one
+    token-count shuffle; the unlisted-source remainder share is derived
+    with a broadcast scalar subquery, no driver collect."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    avail = (
+        d.select("source", F.size(toks).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("avail_tokens"))
+    )
+    listed = list(_MIX_TARGETS)
+    remainder = 1.0 - sum(_MIX_TARGETS.values())
+    n_unlisted = avail.where(~F.col("source").isin(listed)).agg(
+        F.greatest(F.count("*"), F.lit(1)).alias("n")
+    )
+    share = F.when(F.col("source") == listed[0], F.lit(_MIX_TARGETS[listed[0]]))
+    for s in listed[1:]:
+        share = share.when(F.col("source") == s, F.lit(_MIX_TARGETS[s]))
+    share = share.otherwise(F.lit(remainder) / F.col("n"))
+    return (
+        avail.crossJoin(F.broadcast(n_unlisted))  # 1-row scalar — broadcast, not a real cross
+        .withColumn("target_share_raw", share)
+        .select(
+            "source",
+            "avail_tokens",
+            F.round("target_share_raw", 4).cast("double").alias("target_share"),
+            (F.col("target_share_raw") * _TOKEN_BUDGET).cast("bigint").alias("target_tokens"),
+            F.round(F.col("target_share_raw") * _TOKEN_BUDGET / F.col("avail_tokens"), 4)
+            .cast("double")
+            .alias("epochs"),
+        )
+    )
+
+
+# --- sequence-length bucketing ----------------------------------------------
+
+
+@query(
+    "q_seq_len_buckets",
+    tags=("assembly", "llm"),
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT greatest(len({_TOKS_SQL}), 1) AS n_toks FROM documents
+    )
+    SELECT CAST(power(2, ceil(log2(n_toks))) AS BIGINT) AS bucket_max_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(ROUND(AVG(CAST(n_toks AS DOUBLE)), 4) AS DOUBLE) AS avg_len
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def q_seq_len_buckets(spark, sf_dir):
+    """Power-of-two sequence-length histogram: every doc lands in the
+    smallest 2^k bucket that fits it — the batch-shape planning input
+    (padding waste per bucket is bounded by 2×). Map-only projection +
+    one tiny groupBy on the bucket id; log2 on integers ≤ 2⁵³ is exact
+    at powers of two in both engines, so the bucket boundaries agree."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n_toks))).cast("long")
+    return (
+        d.select(bucket.alias("bucket_max_len"), n_toks.alias("n_toks"))
+        .groupBy("bucket_max_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("n_toks").cast("double")), 4).cast("double").alias("avg_len"),
+        )
+    )
+
+
+# --- SemDeDup: cell-scoped embedding dedup -----------------------------------
+
+SEMDEDUP_COS = 0.999
+
+_COS_SQL = """
+    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+@query(
+    "q_semdedup",
+    tags=("assembly", "dedup", "llm"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 8 = 0
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= {SEMDEDUP_COS}
+    )
+    SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: semantic dedup scoped to IVF cells. Corpus = embeddings
+    plus a re-keyed copy of every 8th vector; broadcast-centroid argmin
+    assigns every vector to a cell (map-side, zero shuffle); duplicate
+    pairs (cos ≥ 0.999) are searched WITHIN cells only — Σ|cell|² work,
+    never N² — and the higher vec_id of each pair is dropped. Oracle is
+    the global exact decision, which matches because identical vectors
+    always share a cell (see module docstring for the recall caveat on
+    boundary-straddling near-dups)."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import (
+        IVF_CENTROID_STRIDE,
+        cosine,
+    )
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
+    dupes = (
+        e.where(F.col("vec_id") % 8 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    corpus = e.unionByName(dupes)
+    centroids = F.broadcast(
+        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    assigned = (
+        corpus.join(centroids)
+        .select("vec_id", "embedding", "centroid_id", cosine(F.col("ce"), F.col("embedding")).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .persist()
+    )
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) >= SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    kept = corpus.join(dropped, "vec_id", "left_anti").select("vec_id")
+    return materialize_release(kept, assigned)
