@@ -51,10 +51,43 @@ def _fixture(tag: str, waves: int = 1) -> str:
     return root
 
 
+# --------------------------------------------------------------------------
+# Oracle fixtures. Each qid below runs the ENGINE (PartitionedTable /
+# IngestPipeline / Structured Streaming) over its own temp copy of the
+# seeded fixture — but because the generator is deterministic, the
+# expected OUTPUT of every table/pipeline operation is a pure function of
+# the fixture content, which DuckDB can recompute with read_text() over a
+# static copy at a fixed path. That turns these from rows-only checks
+# into real hash-checked rows: the streaming engine's materialized state
+# must equal the declarative spec of what ingestion should have produced.
+# (q_sessionize_stateful and q_late_data stay rows-only: their outputs
+# depend on watermark/timeout semantics, not just fixture content.)
+# --------------------------------------------------------------------------
+_ORACLE_FIX_W1 = "/tmp/spark_graft/incr_oracle_fixture/w1"  # wave 0 only
+_ORACLE_FIX_W2 = "/tmp/spark_graft/incr_oracle_fixture/w2"  # waves 0+1
+
+for _root, _waves in ((_ORACLE_FIX_W1, 1), (_ORACLE_FIX_W2, 2)):
+    if not os.path.exists(_root):
+        for _w in range(_waves):
+            generate_ingest_fixture(_root, files_per_day_per_wave=6, wave=_w)
+
+# read_text() projections shared by the oracles below.
+_DAY = "regexp_extract(filename, 'day=([0-9-]+)', 1)"
+_BASE = "regexp_extract(filename, '([^/]+)$', 1)"
+_WORD = "trim(content)"
+
+
 # --- S3: hive partition discovery -------------------------------------------
 
 
-@query("q_partition_discovery", oracle=None, tags=("scan", "reference:S3"))
+@query(
+    "q_partition_discovery",
+    tags=("scan", "reference:S3"),
+    oracle=f"""
+    SELECT {_DAY} AS day, COUNT(*) AS n_files
+    FROM read_text('{_ORACLE_FIX_W1}/day=*/*.txt') GROUP BY 1
+    """,
+)
 def q_partition_discovery(spark, sf_dir):
     """day=YYYY-MM-DD directory keys become a partition column via hive
     discovery (reference generate.py:12-14, sensors.py:45): one row per
@@ -68,10 +101,20 @@ def q_partition_discovery(spark, sf_dir):
 # --- S4/S6: append-mode partitioned sink ------------------------------------
 
 
-@query("q_delta_append", oracle=None, tags=("sink", "reference:S4"))
+@query(
+    "q_delta_append",
+    tags=("sink", "reference:S4"),
+    oracle=f"""
+    SELECT {_BASE} AS filename, {_WORD} AS word,
+           CAST(length({_WORD}) AS BIGINT) AS word_length, {_DAY} AS day
+    FROM read_text('{_ORACLE_FIX_W2}/day=*/*.txt')
+    """,
+)
 def q_delta_append(spark, sf_dir):
     """Two successive appends accumulate (reference delta_io.py:91);
-    returns the final table ordered state: 2 waves × 3 days × 6 files."""
+    returns the final table ordered state: 2 waves × 3 days × 6 files.
+    Oracle: the appended table must equal the wholetext projection of
+    BOTH waves — recomputed by DuckDB from the static fixture copy."""
     root = _fixture("append", waves=2)
     tdir = _tmp("append_table")
     try:
@@ -85,11 +128,20 @@ def q_delta_append(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("q_partitioned_write", oracle=None, tags=("sink", "reference:S6"))
+@query(
+    "q_partitioned_write",
+    tags=("sink", "reference:S6"),
+    oracle=f"""
+    SELECT {_DAY} AS day, CAST(length({_WORD}) AS BIGINT) AS word_length, COUNT(*) AS n
+    FROM read_text('{_ORACLE_FIX_W1}/day=*/*.txt') GROUP BY 1, 2
+    """,
+)
 def q_partitioned_write(spark, sf_dir):
     """Hive partitionBy incl. the data-derived word_length column
     (reference processed.py:34): partition columns come back as strings
-    on read, matching the reference's string-typed partition values."""
+    on read, matching the reference's string-typed partition values
+    (the driver hash stringifies cells, so DuckDB's BIGINT compares
+    equal to Spark's string partition value)."""
     root = _fixture("pwrite")
     tdir = _tmp("pwrite_table")
     try:
@@ -110,10 +162,19 @@ def q_partitioned_write(spark, sf_dir):
 # --- S5 / I8: partition-scoped overwrite (refresh / replaceWhere) -----------
 
 
-@query("q_replace_where", oracle=None, tags=("sink", "reference:S5"))
+@query(
+    "q_replace_where",
+    tags=("sink", "reference:S5"),
+    oracle=f"""
+    SELECT {_DAY} AS day, {_BASE} AS filename,
+           CASE WHEN {_DAY} = '2024-03-26' THEN upper({_WORD}) ELSE {_WORD} END AS word
+    FROM read_text('{_ORACLE_FIX_W1}/day=*/*.txt')
+    """,
+)
 def q_replace_where(spark, sf_dir):
     """Partition-scoped overwrite (reference delta_io.py:92-107): rewrite
-    one day with modified rows; other days untouched, stale rows gone."""
+    one day with modified rows; other days untouched, stale rows gone —
+    the oracle applies the same per-day rewrite declaratively."""
     root = _fixture("replace")
     tdir = _tmp("replace_table")
     try:
@@ -131,11 +192,22 @@ def q_replace_where(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("q_refresh_overwrite", oracle=None, tags=("incremental", "reference:I8"))
+@query(
+    "q_refresh_overwrite",
+    tags=("incremental", "reference:I8"),
+    oracle=f"""
+    SELECT substr({_DAY}, 1, 4) AS year, substr({_DAY}, 6, 2) AS month,
+           substr({_DAY}, 9, 2) AS day,
+           COUNT(*) AS n_rows, COUNT(DISTINCT {_BASE}) AS n_files
+    FROM read_text('{_ORACLE_FIX_W1}/day=*/*.txt') GROUP BY 1, 2, 3
+    """,
+)
 def q_refresh_overwrite(spark, sf_dir):
     """Full refresh of one day through the pipeline API (reference's
     refresh flag, per-table here — SURVEY.md §7.4): incremental ingest
-    then refresh('2024-03-26') must be a no-op on row counts."""
+    then refresh('2024-03-26') must be a no-op on row counts — pinned by
+    the oracle, which derives the expected counts straight from the
+    fixture."""
     root = _fixture("refresh")
     tdir = _tmp("refresh_tables")
     try:
@@ -157,10 +229,18 @@ def q_refresh_overwrite(spark, sf_dir):
 # --- I4 / I9 / I10: listing accumulation, backfill, multi-hop ---------------
 
 
-@query("q_listing_accumulate", oracle=None, tags=("incremental", "reference:I4"))
+@query(
+    "q_listing_accumulate",
+    tags=("incremental", "reference:I4"),
+    oracle=f"""
+    SELECT {_DAY} AS day, COUNT(*) AS n_files
+    FROM read_text('{_ORACLE_FIX_W2}/day=*/*.txt') GROUP BY 1
+    """,
+)
 def q_listing_accumulate(spark, sf_dir):
     """listing accumulates across incremental ticks (reference
-    listing.py:30-41): two waves → per-day file counts double."""
+    listing.py:30-41): two waves → per-day file counts double; the
+    oracle counts both waves in the static fixture."""
     root = _tmp("accum_ingest")
     tdir = _tmp("accum_tables")
     try:
@@ -176,10 +256,21 @@ def q_listing_accumulate(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("q_backfill", oracle=None, tags=("incremental", "reference:I9"))
+@query(
+    "q_backfill",
+    tags=("incremental", "reference:I9"),
+    oracle=f"""
+    -- processed.day is the zero-padded day-of-month grain from
+    -- $time$expand, not the full date key
+    SELECT substr({_DAY}, 9, 2) AS day, COUNT(*) AS n_rows,
+           COUNT(DISTINCT {_BASE}) AS n_files
+    FROM read_text('{_ORACLE_FIX_W2}/day=*/*.txt') GROUP BY 1
+    """,
+)
 def q_backfill(spark, sf_dir):
     """First AvailableNow run over a pre-populated directory = backfill
-    (reference listing.py:19-28): all existing files processed once."""
+    (reference listing.py:19-28): all existing files processed once —
+    exactly-once pinned by the oracle's per-day counts."""
     root = _fixture("backfill", waves=2)
     tdir = _tmp("backfill_tables")
     try:
@@ -197,12 +288,22 @@ def q_backfill(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("q_multi_hop", oracle=None, tags=("incremental", "reference:I10"))
+@query(
+    "q_multi_hop",
+    tags=("incremental", "reference:I10"),
+    oracle=f"""
+    -- processed.day is the zero-padded day-of-month grain (see q_backfill)
+    SELECT substr({_DAY}, 9, 2) AS day, COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM read_text('{_ORACLE_FIX_W1}/day=*/*.txt') GROUP BY 1
+    """,
+)
 def q_multi_hop(spark, sf_dir):
     """listing → processed → backwards in one checkpointed stream
     (reference __init__.py:7-15): returns the per-day parity summary —
     rows equal across hops and every backwards.word is the reverse of
-    its processed.word (n_mismatch must be 0)."""
+    its processed.word. The oracle pins n_mismatch = 0 AND the per-day
+    row counts against the fixture."""
     root = _fixture("multihop")
     tdir = _tmp("multihop_tables")
     try:
