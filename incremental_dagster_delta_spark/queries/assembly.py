@@ -227,10 +227,9 @@ def q_semdedup(spark, sf_dir):
     the global exact decision, which matches because identical vectors
     always share a cell (see module docstring for the recall caveat on
     boundary-straddling near-dups)."""
-    from pyspark.sql.window import Window
-
     from incremental_dagster_delta_spark.queries.similarity import (
         IVF_CENTROID_STRIDE,
+        assign_nearest_centroid,
         cosine,
     )
     from incremental_dagster_delta_spark.tables import fan_out, materialize_release
@@ -241,20 +240,10 @@ def q_semdedup(spark, sf_dir):
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
     corpus = e.unionByName(dupes)
-    centroids = F.broadcast(
-        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-        )
+    centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
-    assigned = (
-        corpus.join(centroids)
-        .select("vec_id", "embedding", "centroid_id", cosine(F.col("ce"), F.col("embedding")).alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-        .persist()
-    )
+    assigned = assign_nearest_centroid(corpus, centroids).persist()
     dropped = (
         assigned.alias("a")
         .join(

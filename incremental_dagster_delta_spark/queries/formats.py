@@ -88,12 +88,49 @@ def q_orc_source(spark, sf_dir):
     )
 
 
-@query("q_drip_source", tags=("source", "format"), oracle=None)
+def _drip_expected_values() -> str:
+    """VALUES oracle for q_drip_source, computed at registration time by
+    simulating the drip generator's exact per-partition contract (same
+    seeding: Random(seed + pid), ceil-split of n_rows). The corpus never
+    touches disk, so DuckDB cannot recompute the Mersenne-Twister rows
+    itself — but a VALUES literal of the expected aggregate still pins
+    the DataSource PLUMBING the query exercises: the partition split,
+    exactly-once reads (no dropped/duplicated partitions), and the
+    aggregation, all of which would shift the hash if broken."""
+    import random as _random
+
+    from incremental_dagster_delta_spark.sources.drip import _row
+
+    n_rows, num_partitions, seed = 200, 8, 42
+    per = max(1, -(-n_rows // num_partitions))
+    rows = []
+    for pid in range(num_partitions):
+        start, end = pid * per, min((pid + 1) * per, n_rows)
+        if start >= end:
+            break
+        rng = _random.Random(seed + pid)
+        rows += [_row(rng) for _ in range(start, end)]
+    agg: dict[str, tuple[int, int, set]] = {}
+    for word, wl, day in rows:
+        n, tot, words = agg.get(day, (0, 0, set()))
+        agg[day] = (n + 1, tot + wl, words | {word})
+    values = ", ".join(
+        f"('{day}', {n}, {tot}, {len(words)})" for day, (n, tot, words) in sorted(agg.items())
+    )
+    return (
+        "SELECT day, CAST(n AS BIGINT) AS n, CAST(total_len AS BIGINT) AS total_len, "
+        "CAST(n_words AS BIGINT) AS n_words "
+        f"FROM (VALUES {values}) AS t(day, n, total_len, n_words)"
+    )
+
+
+@query("q_drip_source", tags=("source", "format"), oracle=_drip_expected_values())
 def q_drip_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 API): the reference's drip
     generator as a native source — parallel deterministic generation
-    across input partitions (rows-only: the corpus never touches disk,
-    so there is no parquet table for DuckDB to check against)."""
+    across input partitions. Oracle: a VALUES literal of the expected
+    per-day aggregate, simulated from the generator's seeding contract
+    at registration time (see _drip_expected_values)."""
     from incremental_dagster_delta_spark.sources.drip import DripDataSource
 
     spark.dataSource.register(DripDataSource)

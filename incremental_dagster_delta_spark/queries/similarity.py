@@ -117,25 +117,47 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-def ivf_assign(e: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid (map-side: centroids
-    broadcast, argmin over the centroid array per row — no shuffle)."""
-    centroids = F.broadcast(
-        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-        )
-    )
-    scored = e.join(centroids).select(
-        "vec_id", "embedding", "centroid_id", cosine(F.col("ce"), F.col("embedding")).alias("cos")
-    )
-    from pyspark.sql.window import Window
+def assign_nearest_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment: collect the (small) centroid
+    set into ONE row as an array of structs, broadcast it to every
+    partition, and fold the arg-max cosine per row with JVM higher-order
+    functions. No shuffle, no N×C row explosion — each task scores its
+    rows against the in-memory centroid array, the k-means-assign shape
+    you want at 10⁹ vectors. Ties break to the lower centroid_id, making
+    the fold independent of collect_list order.
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).select(
-            "vec_id", "embedding", "centroid_id"
-        )
+    ``vectors``: (vec_id, embedding); ``centroids``: (centroid_id, ce).
+    Returns (vec_id, embedding, centroid_id).
+    """
+    cent_row = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("centroid_id", "ce")).alias("cents"))
     )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine(c["ce"], F.col("embedding")).alias("cos"), c["centroid_id"].alias("cid")
+        ),
+    )
+    init = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid"))
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"]) | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])), s
+        ).otherwise(acc),
+    )
+    return vectors.crossJoin(cent_row).select(
+        "vec_id", "embedding", best["cid"].alias("centroid_id")
+    )
+
+
+def ivf_assign(e: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid — zero-shuffle path
+    (see assign_nearest_centroid)."""
+    centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    return assign_nearest_centroid(e.select("vec_id", "embedding"), centroids)
 
 
 @query("q_cosine_ann_ivf", tags=("similarity", "llm"), oracle=None)
