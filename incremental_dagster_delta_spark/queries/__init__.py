@@ -28,6 +28,10 @@ from incremental_dagster_delta_spark.queries import modern  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import cdc  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import curation  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import assembly  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import warehouse  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import lines  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import retrieval  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import vector_compress  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the

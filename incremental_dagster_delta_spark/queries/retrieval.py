@@ -1,0 +1,129 @@
+"""Corpus-scale retrieval & language-model scoring operators.
+
+- **q_bm25** — Okapi BM25 scoring of every document against a fixed term
+  set. The classic sparse-retrieval ranking function; at corpus scale it
+  is tf/df/length aggregations plus a broadcast of the (tiny) per-term
+  statistics — one shuffle on doc_id, nothing quadratic.
+- **q_unigram_surprisal** — CCNet-style LM quality proxy: train a unigram
+  model on the corpus itself, score each document by its mean token
+  surprisal (−ln p). Documents far above corpus-typical surprisal are
+  gibberish; far below are repetitive boilerplate. Two aggregations; the
+  vocabulary statistics broadcast (a unigram table is small even for
+  web-scale corpora).
+
+Float determinism: all logs in double precision, final scores rounded to
+4 decimals on both engines (registry.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "join", "window")  # one rare + two common corpus terms
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TERMS_IN = "('" + "', '".join(BM25_TERMS) + "')"
+
+
+@query(
+    "q_bm25",
+    tags=("retrieval", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok
+      WHERE tok IN {_TERMS_IN} GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+      WHERE tok IN {_TERMS_IN} GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(ROUND(SUM(
+             ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * t.tf * ({BM25_K1} + 1.0)
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+           ), 4) AS DOUBLE) AS bm25
+    FROM tf t
+    JOIN df d USING (tok)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 for a fixed query-term set over every document.
+    Plan shape at 100 TB: token explode feeds two partial-aggregations
+    (per-doc length, per-(doc, term) tf); the per-term df table (|terms|
+    rows) and the 1-row corpus stats broadcast; the final score is one
+    groupBy doc_id. The fact side shuffles once — BM25 is aggregation,
+    not search, until you add an index; its inverted-index form is the
+    same tf table keyed by term."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    matched = tok.where(F.col("tok").isin(*BM25_TERMS))
+    tf = matched.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = matched.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+    )
+
+
+@query(
+    "q_unigram_surprisal",
+    tags=("retrieval", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(avg(-ln(v.c / (1.0 * s.total))), 4) AS DOUBLE) AS avg_surprisal
+    FROM tok JOIN vocab v USING (tok) CROSS JOIN tot s
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per document — the cheapest LM-based
+    quality score (CCNet uses a real LM; the unigram model is the
+    degenerate case with the same plumbing). Two passes over the token
+    explode: corpus vocabulary counts (broadcast — unigram tables are
+    tiny), then a per-doc average of −ln p(token). Map-side join +
+    one groupBy doc_id; no stage touches more than the exploded token
+    stream, which is the same cost as tokenization itself."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / (1.0 * F.col("total")))), 4).alias("avg_surprisal"),
+        )
+    )

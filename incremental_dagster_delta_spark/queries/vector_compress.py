@@ -1,0 +1,155 @@
+"""Embedding compression: int8 scalar quantization and product quantization.
+
+ANN at 10⁹+ vectors is memory-bound before it is compute-bound; the
+standard fixes are scalar quantization (4× smaller, exact-ish) and
+product quantization (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — 32× smaller, approximate). Both are
+map-only passes over the embedding column, which is exactly what you
+want at scale: no shuffle, codebooks broadcast.
+
+Determinism: all arithmetic in double precision on both engines;
+rounding to int8 uses ``floor(x + 0.5)`` (identical IEEE ops in Spark
+and DuckDB) rather than each engine's ``round`` (whose half-way tie
+rules differ). Distance ties in PQ break to the lower centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+EMB_DIM = 64
+PQ_M = 4  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_STRIDE = 25  # vec_id % 25 == 0 → codebook entry (deterministic "training")
+
+
+@query(
+    "q_embedding_quantize",
+    tags=("similarity", "llm"),
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             CASE WHEN s0 = 0 THEN 1.0 ELSE s0 / 127.0 END AS s
+      FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s0
+        FROM embeddings
+      )
+    )
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) AS qvec,
+           CAST(ROUND(s, 6) AS DOUBLE) AS scale,
+           CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
+             x -> pow(floor(CAST(x AS DOUBLE) / s + 0.5) * s - CAST(x AS DOUBLE), 2)), 'sum')), 4) AS DOUBLE)
+             AS recon_err
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization per vector: scale =
+    max|component| / 127, components rounded to int8 range, plus the L2
+    reconstruction error. Pure JVM higher-order functions over the
+    array — a zero-shuffle projection that compresses a 100 TB float32
+    embedding store to 25 TB while keeping cosine rankings nearly intact
+    (the recon_err column is the audit trail for "nearly")."""
+    e = t(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    s0 = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.when(s0 == 0.0, F.lit(1.0)).otherwise(s0 / 127.0)
+    base = e.select("vec_id", emb_d.alias("emb"), scale.alias("s"))
+    qvec = F.transform("emb", lambda v: F.floor(v / F.col("s") + 0.5).cast("int"))
+    recon = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "emb",
+                lambda v: F.pow(F.floor(v / F.col("s") + 0.5) * F.col("s") - v, F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    return base.select(
+        "vec_id",
+        qvec.alias("qvec"),
+        F.round("s", 6).alias("scale"),
+        F.round(recon, 4).alias("recon_err"),
+    )
+
+
+@query(
+    "q_pq_codes",
+    tags=("similarity", "llm"),
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % {PQ_STRIDE} = 0
+    ),
+    d AS (
+      SELECT e.vec_id, s.s, c.cid,
+             list_aggregate(list_transform(range(1, {PQ_SUBDIM} + 1),
+               j -> pow(CAST(e.embedding[s.s * {PQ_SUBDIM} + j] AS DOUBLE)
+                        - CAST(c.ce[s.s * {PQ_SUBDIM} + j] AS DOUBLE), 2)), 'sum') AS dist
+      FROM embeddings e
+      CROSS JOIN range(0, {PQ_M}) s(s)
+      CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, s, cid,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+      FROM d
+    )
+    SELECT vec_id, list(cid ORDER BY s) AS codes
+    FROM best WHERE rk = 1
+    GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: split each 64-dim vector into 4
+    16-dim subvectors and store, per subspace, the id of the nearest
+    codebook centroid (deterministic codebook: every PQ_STRIDE-th
+    vector). Encoding is map-only — the codebook collapses to ONE
+    broadcast row of structs and each task arg-mins its rows against it
+    with JVM fold expressions (same zero-shuffle shape as
+    ``similarity.assign_nearest_centroid``); no N×C row explosion, no
+    Python. At 10⁹ vectors this turns a 256 GB float store into 8 GB of
+    codes scanned by ADC distance tables."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cent_row = F.broadcast(cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cents")))
+
+    def sq_dist(a, b):  # L2² between two equal-length float arrays, in double
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.pow(x.cast("double") - y.cast("double"), F.lit(2.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_for(s: int):
+        sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                sq_dist(F.slice(c["ce"], s * PQ_SUBDIM + 1, PQ_SUBDIM), sub).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("dist"), F.lit(-1).cast("long").alias("cid")
+        )
+        best = F.aggregate(
+            scored,
+            init,
+            lambda acc, x: F.when(
+                (x["dist"] < acc["dist"])
+                | ((x["dist"] == acc["dist"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+        return best["cid"]
+
+    return e.crossJoin(cent_row).select(
+        "vec_id", F.array(*[code_for(s) for s in range(PQ_M)]).alias("codes")
+    )
