@@ -31,11 +31,12 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     """One-time bootstrap of session confs this package requires, for
     sessions NOT built by :func:`session.get_spark` (the driver owns its
     own SparkSession). Idempotent and guarded — it never flips a conf that
-    is already correct, so interleaved queries see a stable session (the
-    r2 verdict flagged a bare ``conf.set`` inside the read path as a
-    foot-gun). The only conf involved is ``nanosAsLong``: events.parquet
-    stores ``timestamp[ns]``, which Spark 4's reader rejects unless nanos
-    are read as LONG.
+    is already correct, so interleaved queries see a stable session. The
+    only conf involved is ``nanosAsLong``: on Spark readers that still
+    honor it, events.parquet's ``timestamp[ns]`` column arrives as LONG
+    nanos; on PySpark ≥4.1 the conf is ignored and the column arrives as
+    TIMESTAMP_NTZ directly — :func:`load_table` adapts to whichever dtype
+    the reader actually produced, so setting this is a harmless fallback.
     """
     key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
@@ -43,22 +44,40 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     except Exception:
         current = None
     if current != "true":
-        spark.conf.set(key, "true")
+        try:
+            spark.conf.set(key, "true")
+        except Exception:
+            pass  # conf removed entirely on some versions — dtype branch below copes
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
-    ``events.parquet`` stores nanosecond timestamps (``timestamp[ns]``),
-    read as LONG (see :func:`ensure_session_defaults`) and converted to a
-    real TimestampType with integer division — DuckDB's µs TIMESTAMP
-    truncates the same way, so the oracle comparison agrees to the
-    microsecond.
+    ``events.parquet`` stores nanosecond timestamps (``timestamp[ns]``).
+    Different Spark versions surface that column differently, so the
+    conversion branches on the ACTUAL dtype the reader produced:
+
+    - ``bigint`` (``nanosAsLong`` honored, Spark ≤4.0): integer-divide to
+      µs and rebuild a TimestampType.
+    - ``timestamp_ntz`` (PySpark ≥4.1.2, which ignores the legacy conf and
+      µs-truncates the nanos itself): cast to session-tz ``timestamp`` —
+      the session timezone is UTC (session.py), so wall-clock values are
+      unchanged and the schema matches DuckDB's TIMESTAMP in the oracle
+      compare.
+    - ``timestamp``: already what we want; pass through.
+
+    Either way the result is µs-truncated exactly like DuckDB's TIMESTAMP,
+    so oracle comparisons agree to the microsecond.
     """
     if name == "events":
         ensure_session_defaults(spark)
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes)["ts"]
+        if ts_dtype == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_dtype != "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
