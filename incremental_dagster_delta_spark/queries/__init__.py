@@ -38,66 +38,69 @@ from incremental_dagster_delta_spark.queries import vector_compress  # noqa: E40
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
 # across rounds. Round 2 verified the first 50 import-order entries; round 3
-# front-loads the 50 highest-value rows the driver has not yet recorded —
-# the 42 oracle-backed qids it never reached, the fixed q_pivot_counts
-# (r2's one hash-red row), the two scans that now carry read_text() oracles,
-# and the five flagship incremental write/rebuild ops (rows-only). Everything
-# already driver-green in r2 keeps its relative order after the window.
+# verified 42 previously-unseen qids. Round 4 front-loads: the 13 qids whose
+# r3 rows went red under the events timestamp bug (now fixed in
+# tables.load_table — these must finally show green, q_pivot_counts in
+# particular has been red since r2), the 25 qids the driver has never
+# sampled (all 18 round-3 LLM-pipeline operators + 7 stragglers), and 12
+# re-confirmations of events-dependent or high-value qids whose last green
+# row predates the fix.
 # --------------------------------------------------------------------------
-_R3_FRONT = [
-    # fixed red row + newly-oracled scans
+_R4_FRONT = [
+    # 13 red r3 rows (events bug) — oracle-backed, must flip green
     "q_pivot_counts",
-    "q_wholetext_ingest",
-    "q_file_listing",
-    # oracle-backed qids with no driver row yet (registry order)
     "q_asof_join",
     "q_range_join",
-    "q_lead_lag",
-    "q_cube_agg",
-    "q_string_funcs",
     "q_quantiles",
-    "q_exists_sql",
-    "q_regex_parse",
-    "q_grouping_sets",
-    "q_jsonl_source",
-    "q_csv_source",
-    "q_orc_source",
-    "q_salted_agg",
-    "q_sql_udf",
-    "q_grouped_pandas",
-    "q_prefilter_semi_join",
-    "q_window_battery",
-    "q_array_funcs",
-    "q_min_cost_supplier",
-    "q_profit_by_nation_year",
     "q_funnel_conversion",
-    "q_excess_shippers",
-    "q_notin_filter",
-    "q_custdist_outer",
     "q_daily_activity_outer",
-    "q_promo_ratio",
-    "q_above_avg_customers",
     "q_cohort_retention",
     "q_histogram",
     "q_pivot_api",
-    "q_tfidf",
-    "q_hash_split",
-    "q_token_pack",
-    "q_unpivot",
     "q_gap_fill",
     "q_incr_agg_maintain",
     "q_rolling_range_window",
-    "q_udtf_chunks",
     "q_variant_json",
-    "q_posexplode",
-    "q_chunk_docs",
-    "q_table_diff",
-    # flagship incremental write/rebuild ops (rows-only ★)
-    "q_delta_append",
-    "q_partitioned_write",
-    "q_replace_where",
-    "q_backfill",
-    "q_multi_hop",
+    # 25 never-sampled (18 round-3 operators + 7 stragglers)
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_stratified_sample",
+    "q_gopher_rules",
+    "q_reservoir_per_source",
+    "q_corpus_stats",
+    "q_mixture_plan",
+    "q_seq_len_buckets",
+    "q_semdedup",
+    "q_scd2_merge",
+    "q_upsert_merge",
+    "q_dedup_lines",
+    "q_boilerplate_lines",
+    "q_repeated_ngrams",
+    "q_bm25",
+    "q_unigram_surprisal",
+    "q_embedding_quantize",
+    "q_pq_codes",
+    "q_partition_discovery",
+    "q_refresh_overwrite",
+    "q_listing_accumulate",
+    "q_sessionize_stateful",
+    "q_late_data",
+    "q_drip_source",
+    "q_approx_sketches",
+    # 12 re-confirmations: events qids green in r2 but untested since the
+    # fix, plus flagship dedup/analytics rows worth a fresh green
+    "q_partition_prune",
+    "q_json_extract",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_tfidf",
+    "q_cosine_topk",
+    "q_profit_by_nation_year",
 ]
 
 
@@ -111,6 +114,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R3_FRONT)
+_rotate(_R4_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -204,6 +204,7 @@ _COS_SQL = """
 @query(
     "q_semdedup",
     tags=("assembly", "dedup", "llm"),
+    bench=True,
     oracle=f"""
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings

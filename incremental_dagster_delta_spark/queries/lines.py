@@ -101,6 +101,7 @@ def q_dedup_lines(spark, sf_dir):
 @query(
     "q_boilerplate_lines",
     tags=("curation", "llm"),
+    bench=True,
     oracle=f"""
     WITH c AS ({_CHUNKS_SQL}),
     u AS (

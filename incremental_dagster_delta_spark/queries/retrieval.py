@@ -32,6 +32,7 @@ _TERMS_IN = "('" + "', '".join(BM25_TERMS) + "')"
 @query(
     "q_bm25",
     tags=("retrieval", "llm"),
+    bench=True,
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(toks) AS tok

@@ -314,21 +314,10 @@ NEARDUP_COS = 0.999
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine duplicate detection, bucketed (never all-pairs):
-    quantize the L2-normalized vector to 2 decimals under TWO grids (the
-    second shifted by half a cell), hash each to a bucket key, join within
-    buckets only, verify with exact double-precision cosine.
-
-    Guarantees: byte-identical duplicates always collide (both grids).
-    Near-exact but non-identical pairs collide when no component straddles
-    a cell boundary in at least one grid — the shifted grid halves each
-    component's straddle probability, but with 64 components a residual
-    miss rate remains (this is a DEDUP screen for exact/near-exact copies,
-    not an ANN substitute; use q_cosine_ann_* for genuine similarity
-    search). At 100 TB the two bucket joins replace an O(n²) cross join
-    with two shuffles on quantized-vector hashes. The corpus plants a
-    re-keyed copy of every 10th vector; the oracle is exact all-pairs
-    (feasible only at test scale)."""
+    """Embedding-cosine duplicate detection, bucketed (never all-pairs).
+    See :func:`near_dup_pairs` for the grid + multi-probe construction.
+    The corpus plants a re-keyed copy of every 10th vector; the oracle is
+    exact all-pairs (feasible only at test scale)."""
     from incremental_dagster_delta_spark.tables import fan_out
 
     e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
@@ -336,29 +325,71 @@ def q_dedup_embedding(spark, sf_dir):
         e.where(F.col("vec_id") % 10 == 0)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    corpus = e.unionByName(dupes)
+    return near_dup_pairs(e.unionByName(dupes))
+
+
+GRID_CELL = 0.01
+GRID_OFFSETS = (0.0, 0.005)  # second grid shifted by half a cell
+
+
+def near_dup_pairs(corpus: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine ≥ ``threshold``, bucketed.
+
+    Candidate generation quantizes the L2-normalized vector to 2 decimals
+    under TWO grids (the second shifted by half a cell) plus a T=1
+    multi-probe per grid: alongside the base cell, each vector also emits
+    the cell with its closest-to-boundary component flipped to the
+    adjacent cell, so a pair split by one grid boundary collides via the
+    probe (both points sit within ε of the same boundary, making that
+    component their argmax |frac|). Exact double-precision
+    cosine verifies every candidate, so false candidates never leak into
+    the output. Guarantees: byte-identical duplicates always collide;
+    near-exact pairs whose components straddle at most one cell boundary
+    per grid collide via the shifted grid or the probe. With 64
+    components an adversarial residual miss rate remains (this is a DEDUP
+    screen for exact/near-exact copies, not an ANN substitute — use
+    q_cosine_ann_* for genuine similarity search). At 100 TB the bucket
+    joins replace an O(n²) cross join with shuffles on quantized-vector
+    hashes at constant (4×) key fan-out.
+    """
+    corpus = corpus.select("vec_id", "embedding")
     norm = _norm(F.col("embedding"))
-    grids = [
-        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 2)),
-        # half-cell shift: a pair split by grid 0's boundary at k·0.01 ± ε
-        # agrees in grid 1 unless it also straddles k·0.01 + 0.005
-        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / norm + 0.005, 2)),
-    ]
-    keyed = corpus.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(g).alias("grid"),
-                        F.md5(F.to_json(q).cast("binary")).alias("cell"),
-                    )
-                    for g, q in enumerate(grids)
-                ]
+    with_cells = corpus.withColumn("nrm", norm)
+    keyed_parts = []
+    for g, off in enumerate(GRID_OFFSETS):
+        part = (
+            with_cells.withColumn(
+                "shifted",
+                F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) / nrm + {off})"),
             )
-        ).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.grid").alias("grid"), F.col("bk.cell").alias("cell"))
+            .withColumn("cells", F.expr("transform(shifted, x -> round(x, 2))"))
+            .withColumn("fracs", F.expr("zip_with(shifted, cells, (n, c) -> n - c)"))
+            .withColumn(
+                "idx",
+                F.expr("array_position(transform(fracs, v -> abs(v)), array_max(transform(fracs, v -> abs(v))))"),
+            )
+            .select(
+                "vec_id",
+                F.lit(g).alias("grid"),
+                F.explode(
+                    F.array(
+                        F.md5(F.to_json(F.col("cells")).cast("binary")),
+                        F.md5(
+                            F.to_json(
+                                F.expr(
+                                    f"""transform(cells, (c, i) ->
+                                        IF(i = idx - 1,
+                                           round(c + sign(element_at(fracs, CAST(idx AS INT))) * {GRID_CELL}, 2),
+                                           c))"""
+                                )
+                            ).cast("binary")
+                        ),
+                    )
+                ).alias("cell"),
+            )
+        )
+        keyed_parts.append(part)
+    keyed = keyed_parts[0].unionByName(keyed_parts[1])
     cand = (
         keyed.alias("a")
         .join(
@@ -374,7 +405,7 @@ def q_dedup_embedding(spark, sf_dir):
         .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"))
     )
     return (
-        cand.where(F.col("cos") >= NEARDUP_COS)
+        cand.where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).cast("double").alias("cosine"))
     )
 

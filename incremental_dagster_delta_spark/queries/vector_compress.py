@@ -81,6 +81,7 @@ def q_embedding_quantize(spark, sf_dir):
 @query(
     "q_pq_codes",
     tags=("similarity", "llm"),
+    bench=True,
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % {PQ_STRIDE} = 0

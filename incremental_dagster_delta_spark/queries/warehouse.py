@@ -43,7 +43,7 @@ _SCD2_SQL = """
 """
 
 
-@query("q_scd2_merge", tags=("warehouse",), oracle=_SCD2_SQL)
+@query("q_scd2_merge", tags=("warehouse",), bench=True, oracle=_SCD2_SQL)
 def q_scd2_merge(spark, sf_dir):
     """SCD Type-2 dimension history: union the initial snapshot with the
     change-event waves, then close each version with the next version's

@@ -71,3 +71,35 @@ def test_simhash_recovers_planted_near_dups(spark):
     # gain; a downstream exact-Jaccard verify drops them, same as the
     # MinHash path. Bound pins "not noisy", not "no extras".
     assert len(sim - planted) <= 12
+
+
+def test_neardup_multiprobe_catches_boundary_straddling_pair(spark):
+    """A near-exact pair engineered to be split by a cell boundary in BOTH
+    grids (one component straddles grid 0's boundary at 0.005, another
+    straddles grid 1's boundary at 0.01) is invisible to the plain 2-grid
+    bucketing — only the multi-probe key recovers it. Guards the recall
+    hole the r3 verdict flagged (near-dups straddling a rounding
+    boundary)."""
+    import math
+
+    from incremental_dagster_delta_spark.queries.similarity import near_dup_pairs
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # dim0 straddles grid-0 boundary (round(.,2) flips at 0.005):
+    #   0.00499 -> cell 0.00 vs 0.00501 -> cell 0.01
+    # dim1 straddles grid-1 boundary (round(.+0.005,2) flips at 0.010):
+    #   0.00999 -> cell 0.01 vs 0.01001 -> cell 0.02
+    # remaining mass on dims 2/3 keeps the vectors unit-norm and the pair
+    # at cosine ~0.9999987 >= 0.999.
+    a = unit([0.00499, 0.00999, 0.7071, 0.7071])
+    b = unit([0.00501, 0.01001, 0.7071, 0.7071])
+    # an unrelated far-away vector must NOT pair with either
+    c = unit([0.9, -0.3, 0.1, 0.2])
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<double>"
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs(corpus).collect()}
+    assert pairs == {(1, 2)}, pairs
