@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StringType, StructType
 
 from incremental_dagster_delta_spark.multimodal import (
-    HAS_PIL,
     extract_features,
     resize_images,
     sample_frames,
@@ -59,11 +58,48 @@ def test_frames_reassemble_payload(media):
             assert c["frame_md5"] == hashlib.md5(payload[i * 64 : (i + 1) * 64]).hexdigest()
 
 
-def test_resize_requires_codec(media):
-    if HAS_PIL:
-        pytest.skip("PIL present; stub contract not applicable")
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 32, 32)
+def test_resize_shapes_and_determinism(media):
+    """resize_images emits exactly width*height*3 raw RGB bytes per image
+    row, matching the shared single-payload kernel byte-for-byte."""
+    from incremental_dagster_delta_spark.multimodal import resize_image_bytes
+
+    out = resize_images(media, 8, 6).collect()
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.where(F.col("kind") == "image").collect()}
+    assert len(out) == len(src) > 0
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 6)
+        payload = bytes(r["payload"])
+        assert len(payload) == 8 * 6 * 3
+        assert payload == resize_image_bytes(src[r["media_id"]], 8, 6)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_resize_kernels_known_values():
+    """Pin the numpy kernels against hand-computed expectations."""
+    import numpy as np
+
+    from incremental_dagster_delta_spark.multimodal import _resize_bilinear, _resize_nearest
+
+    # 2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+    img = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    up = _resize_nearest(img, 4, 4)[:, :, 0]
+    assert up.tolist() == [[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30], [20, 20, 30, 30]]
+    # 4x4 -> 2x2 nearest picks rows/cols 0 and 2
+    big = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    down = _resize_nearest(big, 2, 2)[:, :, 0]
+    assert down.tolist() == [[0, 2], [8, 10]]
+    # bilinear identity resize is a no-op
+    assert (_resize_bilinear(big, 4, 4) == big).all()
+    # 2x1 -> 3x1 bilinear with half-pixel centers: y coords 0, 1/6... ->
+    # samples at clip((i+0.5)*2/3-0.5) = [0, 0.5, 1] -> values 0, 15, 30
+    col = np.array([[[0]], [[30]]], dtype=np.uint8)
+    tri = _resize_bilinear(col, 3, 1)[:, 0, 0]
+    assert tri.tolist() == [0, 15, 30]
+
+
+def test_resize_bad_method_rejected(media):
+    with pytest.raises(ValueError):
+        resize_images(media, 8, 8, method="bicubic")
 
 
 def test_features_distributed_plan(media):
