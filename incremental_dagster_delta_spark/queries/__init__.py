@@ -32,6 +32,7 @@ from incremental_dagster_delta_spark.queries import warehouse  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import lines  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import retrieval  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import vector_compress  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import graph  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -99,8 +100,9 @@ _R4_FRONT = [
     "q_dedup_minhash",
     "q_ngram_jaccard",
     "q_tfidf",
-    "q_cosine_topk",
-    "q_profit_by_nation_year",
+    # round-4 additions: pair->cluster connected components + survivors
+    "q_dedup_clusters",
+    "q_dedup_survivors",
 ]
 
 

@@ -1,0 +1,211 @@
+"""Graph operators: distributed connected components for dedup clustering.
+
+Pair-finding (MinHash, n-gram Jaccard, embedding near-dup) is only half
+of deduplication — production pipelines must turn the pair list into
+CLUSTER assignments (a~b, b~c ⇒ {a,b,c} is one duplicate group even when
+a~c was never emitted) and then pick one survivor per cluster. The
+missing step is connected components over the candidate-pair graph.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC 2014): each round is two groupBy/join passes keyed on
+node id, and the edge set converges to stars centered at each
+component's minimum id in O(log²·n) rounds regardless of graph diameter
+— unlike naive min-label propagation, whose round count is the graph
+DIAMETER (a 10⁶-long chain of near-dup spam pages would need 10⁶
+rounds). Every round shuffles only the current edge list on node id; no
+step ever materializes neighborhoods as arrays, so a skewed super-node
+(one boilerplate page near-duplicating millions) costs one hot reduce
+key — which AQE skew-join handling splits — rather than an O(deg²)
+explosion.
+
+Per-iteration ``localCheckpoint`` truncates lineage: iterative DataFrame
+algorithms otherwise build exponentially nested plans that stall the
+optimizer long before the data is large.
+
+Reference parity: the reference engine has no graph operator; this is
+part of the LLM-pipeline extension surface (build brief: dedup as a
+first-class family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.dedup import (
+    _PAIRS_ORACLE,
+    JACCARD_THRESHOLD,
+    ngram_jaccard_pairs,
+)
+
+CC_MAX_ITER = 25  # ≥ log²(any realistic node count); loop exits early on fixpoint
+
+
+def _edge_digest(e: DataFrame) -> tuple:
+    """(row count, order-independent content hash) of an edge set —
+    two numbers per iteration instead of a full sort/collect compare."""
+    # bit_xor: order-independent and overflow-free under ANSI mode (a SUM
+    # of 64-bit hashes overflows LongType)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the smallest node id in the component.
+
+    Alternates large-star and small-star rewrites until the edge set is a
+    fixpoint (then it is exactly the star forest node→component-min):
+
+    - **large-star**: for each node u, attach every strictly-larger
+      neighbor to m(u) = min(Γ(u) ∪ {u}).
+    - **small-star**: orient edges parent=smaller; for each node u,
+      attach u and all its smaller neighbors to m(u).
+
+    Both steps are (groupBy node → min) + (join back on node): plain
+    shuffles on the node id at any scale. Raises if ``max_iter`` rounds
+    don't converge (never observed below 20 for n ≤ 10⁹ in the paper's
+    experiments; the bound is log²·n).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_digest(e)
+    for _ in range(max_iter):
+        # -- large-star: Γ over the symmetrized edge list
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            large.where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+        # -- small-star: orient child=larger, parent=smaller
+        o = e1.select(F.col("v").alias("u"), F.col("u").alias("v"))  # u > v
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = (
+            small.where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        cur = _edge_digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # fixpoint edge set is a star forest stored (u=root=component min,
+    # v=member): emit every member plus each root labeling itself
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .union(e.select(F.col("u").alias("node"), F.col("u").alias("component")))
+        .distinct()
+    )
+
+
+# Recursive-CTE transitive closure over the same Jaccard pair list the
+# Spark side clusters — exact, feasible only at oracle scale.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@query("q_dedup_clusters", tags=("dedup", "graph", "llm"), oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive duplicate clusters: run
+    :func:`connected_components` over the exact n-gram-Jaccard pair list
+    and label EVERY document with its component id (singletons label
+    themselves). The oracle recomputes the same closure with a recursive
+    CTE — exact, and only feasible at oracle scale; the Spark side's
+    star-contraction rounds are the 100 TB path."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, docs.select("doc_id", "text"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+
+
+_SURVIVORS_ORACLE = f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY component
+    HAVING COUNT(*) > 1
+"""
+
+
+@query("q_dedup_survivors", tags=("dedup", "graph", "llm"), oracle=_SURVIVORS_ORACLE)
+def q_dedup_survivors(spark, sf_dir):
+    """Survivor selection per duplicate cluster: within each multi-member
+    component keep the highest-quality document (longest text; ties to
+    the smallest doc_id) and count the drops. One window over the
+    component id on top of :func:`q_dedup_clusters` — the retention
+    policy is a pluggable ORDER BY, not new machinery."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .where(F.col("n_members") > 1)
+    )

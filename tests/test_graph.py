@@ -1,0 +1,55 @@
+"""Connected-components correctness on adversarial shapes (long chains,
+rings, stars, singletons) — the cases where naive min-propagation needs
+O(diameter) rounds but alternating star contraction stays logarithmic."""
+
+from __future__ import annotations
+
+import pytest
+
+from incremental_dagster_delta_spark.queries.graph import connected_components
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["component"] for r in connected_components(df, **kw).collect()}
+
+
+def test_cc_chain(spark):
+    """100-node chain: diameter 99, must still converge in CC_MAX_ITER
+    star rounds (log², not diameter)."""
+    got = _components(spark, [(i, i + 1) for i in range(100)])
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_cc_ring_and_separate_clique(spark):
+    ring = [(i, (i + 1) % 10) for i in range(10)]  # component min 0
+    clique = [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # min 20
+    got = _components(spark, ring + clique)
+    assert {n: c for n, c in got.items() if n < 10} == {i: 0 for i in range(10)}
+    assert {n: c for n, c in got.items() if n >= 20} == {i: 20 for i in range(20, 24)}
+
+
+def test_cc_handles_duplicate_and_reversed_edges(spark):
+    got = _components(spark, [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_cc_empty_edges(spark):
+    got = _components(spark, [])
+    assert got == {}
+
+
+def test_cc_two_chains_merged_by_bridge(spark):
+    """Two chains joined at their far ends — the min label must cross the
+    bridge, the shape that defeats single-round approaches."""
+    a = [(i, i + 1) for i in range(0, 10)]          # 0..10
+    b = [(i, i + 1) for i in range(100, 110)]       # 100..110
+    got = _components(spark, a + b + [(10, 110)])
+    assert set(got.values()) == {0}
+    assert len(got) == 22
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
