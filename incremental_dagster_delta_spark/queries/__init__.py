@@ -33,6 +33,7 @@ from incremental_dagster_delta_spark.queries import lines  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import retrieval  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import vector_compress  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import graph  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import selection  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -98,11 +99,12 @@ _R4_FRONT = [
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_dedup_minhash",
-    "q_ngram_jaccard",
-    "q_tfidf",
-    # round-4 additions: pair->cluster connected components + survivors
+    # round-4 additions: pair->cluster connected components + survivors,
+    # DSIR importance weights, batch-vs-corpus incremental dedup
     "q_dedup_clusters",
     "q_dedup_survivors",
+    "q_dsir_weights",
+    "q_incremental_dedup",
 ]
 
 

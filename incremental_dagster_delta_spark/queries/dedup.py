@@ -559,3 +559,135 @@ def q_dedup_cluster(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --- incremental dedup: batch vs existing corpus -----------------------------
+
+BATCH_OFFSET = 300000  # re-keyed batch doc ids start here
+
+
+@query(
+    "q_incremental_dedup",
+    tags=("dedup", "incremental", "llm"),
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    batch AS (
+      -- arriving batch: exact copies of every 10th doc (dups the index
+      -- must catch) + reversed-token rewrites of every (10k+7)th doc
+      -- (novel content the index must NOT flag)
+      SELECT doc_id + {BATCH_OFFSET} AS batch_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + {BATCH_OFFSET} AS batch_id,
+             array_to_string(list_reverse({_TOKS_SQL}), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    bsh AS (
+      SELECT batch_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS shingles
+      FROM (SELECT batch_id, {_TOKS_SQL} AS toks FROM batch)
+    ),
+    matches AS (
+      SELECT b.batch_id, s.doc_id,
+             CAST(len(list_intersect(b.shingles, s.shingles)) AS DOUBLE) /
+             (len(b.shingles) + len(s.shingles) - len(list_intersect(b.shingles, s.shingles)))
+               AS jaccard
+      FROM bsh b JOIN sh s ON TRUE
+      WHERE CAST(len(list_intersect(b.shingles, s.shingles)) AS DOUBLE) /
+            (len(b.shingles) + len(s.shingles) - len(list_intersect(b.shingles, s.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT batch_id, doc_id, jaccard,
+             row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, doc_id ASC) AS rk
+      FROM matches
+    )
+    SELECT batch_id, doc_id AS dup_of,
+           CAST(ROUND(jaccard, 4) AS DOUBLE) AS jaccard
+    FROM best WHERE rk = 1
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup — the production shape: a new BATCH is screened
+    against the EXISTING corpus without ever re-comparing the corpus to
+    itself. Band buckets are computed for both sides with the same fixed
+    seeds, but the candidate join is batch×corpus only (batch side is a
+    day's arrivals — orders of magnitude smaller than the index), then
+    exact Jaccard verifies and the best match per batch doc wins. At
+    100 TB the corpus band table is a precomputed, bucketed-on-
+    (band, bucket) index that each day's batch probes; the cost is
+    O(batch) map work + one bucket-keyed shuffle, independent of corpus
+    size growth except via bucket occupancy. The oracle is exact
+    all-pairs batch×corpus (oracle-scale only)."""
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+
+    d = fan_out(t(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    batch = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + BATCH_OFFSET).alias("doc_id"),
+                F.array_join(F.reverse(toks), " ").alias("text"),
+            )
+        )
+    )
+    corpus_sh = doc_shingles(d).persist()
+    batch_sh = doc_shingles(batch).persist()
+    r = N_HASHES // N_BANDS
+
+    def band_table(sh):
+        sig = minhash_signatures(sh)
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    corpus_bands = band_table(corpus_sh)
+    batch_bands = band_table(batch_sh)
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("batch_id"), F.col("c.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    verified = (
+        cand.join(batch_sh.withColumnsRenamed({"doc_id": "batch_id", "shingles": "sh_b"}), "batch_id")
+        .join(corpus_sh.withColumnsRenamed({"doc_id": "corpus_id", "shingles": "sh_c"}), "corpus_id")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_b", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("sh_b") + F.size("sh_c") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(F.col("jaccard").desc(), F.col("corpus_id").asc())
+    out = (
+        verified.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "batch_id",
+            F.col("corpus_id").alias("dup_of"),
+            F.round("jaccard", 4).cast("double").alias("jaccard"),
+        )
+    )
+    return materialize_release(out, corpus_sh, batch_sh)
