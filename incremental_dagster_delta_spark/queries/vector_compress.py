@@ -118,10 +118,25 @@ def q_pq_codes(spark, sf_dir):
     from incremental_dagster_delta_spark.tables import fan_out
 
     e = fan_out(t(spark, sf_dir, "embeddings"), spark)
-    # Pre-slice each centroid into its per-subspace subvectors ONCE, in the
-    # broadcast row — the per-row argmin then compares 16-dim arrays
-    # directly instead of re-slicing every 64-dim centroid for every row
-    # (4×N×C slice() calls saved; measured ~8× faster at sf0.1).
+    return pq_encode(e, pq_codebook_row(e))
+
+
+def _sq_dist(a, b):
+    """L2² between two equal-length float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(x.cast("double") - y.cast("double"), F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook_row(e):
+    """ONE broadcastable row holding the PQ codebook with each centroid
+    pre-sliced into its per-subspace subvectors — the per-row argmin then
+    compares 16-dim arrays directly instead of re-slicing every 64-dim
+    centroid for every row (4×N×C slice() calls saved; measured ~8×
+    faster at sf0.1). Columns ``cents0..cents{{M-1}}``, each an array of
+    (cid, ce) structs."""
     cents = e.where(F.col("vec_id") % PQ_STRIDE == 0).select(
         F.col("vec_id").alias("cid"),
         *[
@@ -129,7 +144,7 @@ def q_pq_codes(spark, sf_dir):
             for s in range(PQ_M)
         ],
     )
-    cent_row = F.broadcast(
+    return F.broadcast(
         cents.agg(
             *[
                 F.collect_list(F.struct("cid", F.col(f"sub{s}").alias("ce"))).alias(f"cents{s}")
@@ -138,19 +153,18 @@ def q_pq_codes(spark, sf_dir):
         )
     )
 
-    def sq_dist(a, b):  # L2² between two equal-length float arrays, in double
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: F.pow(x.cast("double") - y.cast("double"), F.lit(2.0))),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+
+def pq_encode(vectors, cent_row):
+    """(vec_id, codes array<long>) — nearest-centroid code per subspace,
+    computed entirely with JVM fold expressions against the broadcast
+    codebook row; ties break to the lower centroid id."""
 
     def code_for(s: int):
         sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         scored = F.transform(
             F.col(f"cents{s}"),
             lambda c: F.struct(
-                sq_dist(c["ce"], sub).alias("dist"),
+                _sq_dist(c["ce"], sub).alias("dist"),
                 c["cid"].alias("cid"),
             ),
         )
@@ -168,6 +182,144 @@ def q_pq_codes(spark, sf_dir):
         )
         return best["cid"]
 
-    return e.crossJoin(cent_row).select(
+    return vectors.crossJoin(cent_row).select(
         "vec_id", F.array(*[code_for(s) for s in range(PQ_M)]).alias("codes")
     )
+
+
+# ADC keeps TOP_K × this many candidates for exact re-rank. Measured
+# recall@5 vs q_cosine_topk at sf0.01 (uniform-random embeddings, 20-entry
+# codebooks — ANN's worst case): factor 4/8/16/32 → 0.15/0.275/0.425/0.65,
+# ceiling 0.675 (= the NPROBE=4 IVF probe's own recall). The tiny test
+# codebook (N/25 entries ≈ 17 bits/vector) makes ADC deliberately coarse
+# here; at production scale (256 entries/subspace over 10⁹ vectors) the
+# table is ~10× finer and the shortlist prunes far harder.
+RERANK_FACTOR = 16
+
+
+@query("q_ann_ivf_pq", tags=("similarity", "llm"), oracle=None)
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ search with asymmetric distance computation (ADC) — the
+    production ANN shape at 10⁹+ vectors (Jégou et al. 2011): coarse IVF
+    probe narrows the scan to NPROBE buckets, PQ codes stand in for the
+    vectors inside those buckets (32× less IO), each query scores codes
+    via a per-query distance TABLE (subspace × centroid lookup, built
+    once per query against the broadcast codebook), and only the ADC
+    top-(k·RERANK_FACTOR) pay an exact-cosine re-rank.
+
+    Plan shape: zero-shuffle coarse assign + PQ encode (broadcast
+    codebooks), bucket-keyed candidate join, 8-row broadcast of the query
+    distance tables, one window per stage. Rows-only (ground truth is
+    q_cosine_topk; recall floor asserted in tests — bounded above by the
+    IVF probe's own recall)."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import (
+        IVF_CENTROID_STRIDE,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+        cosine,
+        ivf_assign,
+    )
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    raw = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # L2-normalize first: on unit vectors ||a-b||² = 2 - 2·cos, so the
+    # ADC's L2 ranking IS the cosine ranking the ground truth uses;
+    # encoding the raw (unnormalized) vectors instead collapses recall
+    # to ~0.05 because PQ then optimizes the wrong metric.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    e = raw.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("embedding"),
+    )
+    assigned = ivf_assign(e).persist()  # (vec_id, embedding, centroid_id)
+    cent_row = pq_codebook_row(e)
+    codes = pq_encode(assigned.select("vec_id", "embedding"), cent_row)
+    indexed = assigned.select("vec_id", "centroid_id").join(codes, "vec_id").persist()
+
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # per-query ADC tables: for each subspace, map cid -> ||q_sub - ce||².
+    # NB: the subspace index must be closed over with a factory function,
+    # NOT a `lambda c, s=s:` default arg — PySpark treats a two-parameter
+    # HOF lambda as (element, index) and passes the array index as the
+    # second argument, silently shadowing the default.
+    def _entry_fn(s: int):
+        qsub = F.slice(F.col("qe"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return lambda c: F.struct(
+            c["cid"].alias("k"), _sq_dist(c["ce"], qsub).alias("v")
+        )
+
+    dtables = queries.crossJoin(cent_row).select(
+        "query_id",
+        "qe",
+        F.array(
+            *[
+                F.map_from_entries(F.transform(F.col(f"cents{s}"), _entry_fn(s)))
+                for s in range(PQ_M)
+            ]
+        ).alias("dt"),
+    )
+    # coarse probe: NPROBE nearest centroids per query (exact, tiny)
+    centroids = F.broadcast(
+        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    probes = (
+        dtables.join(centroids)
+        .select("query_id", "qe", "dt", "centroid_id", cosine(F.col("ce"), F.col("qe")).alias("ccos"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE)
+        .select("query_id", "qe", "dt", "centroid_id")
+    )
+    # ADC scan of the probed buckets: distance = Σ_s dt[s][code_s]
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dt"),
+            F.col("codes"),
+            lambda table, code: F.element_at(table, code),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        probes.join(indexed, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", adc.alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("ark", F.row_number().over(wa))
+        .where(F.col("ark") <= TOP_K * RERANK_FACTOR)
+        .select("query_id", "qe", "vec_id")
+    )
+    # exact re-rank of the shortlist only
+    rer = shortlist.join(e, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    out = (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).cast("double").alias("cosine"),
+            F.col("rank").cast("long"),
+        )
+        .orderBy("query_id", "rank")
+    )
+    return materialize_release(out, assigned, indexed)

@@ -103,3 +103,24 @@ def test_neardup_multiprobe_catches_boundary_straddling_pair(spark):
     )
     pairs = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs(corpus).collect()}
     assert pairs == {(1, 2)}, pairs
+
+
+def test_ivf_pq_adc_recall_floor(spark):
+    """IVF-PQ ADC search: recall@5 floor vs the exact baseline. Measured
+    0.425 at RERANK_FACTOR=16 on this corpus (ceiling 0.675 = the IVF
+    probe's own recall); the floor leaves margin while still catching a
+    broken ADC table (which measured 0.05-0.15)."""
+    from incremental_dagster_delta_spark.queries.vector_compress import q_ann_ivf_pq
+
+    exact = _pairs(q_cosine_topk(spark, SF_DIR))
+    got = _pairs(q_ann_ivf_pq(spark, SF_DIR))
+    assert len(exact) > 0
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.35, recall
+    # surface contract: exactly TOP_K ranked rows per query
+    rows = q_ann_ivf_pq(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), (q, ranks)
