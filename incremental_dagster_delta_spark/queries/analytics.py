@@ -152,3 +152,86 @@ def q_tfidf(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", F.round("tfidf", 4).cast("double").alias("tfidf"), F.col("rank").cast("long"))
     )
+
+
+@query(
+    "q_winsorize",
+    tags=("analytics", "curation"),
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(ROUND(ANY_VALUE(b.p01), 4) AS DOUBLE) AS p01,
+           CAST(ROUND(ANY_VALUE(b.p99), 4) AS DOUBLE) AS p99,
+           CAST(COUNT(CASE WHEN e.value < b.p01 THEN 1 END) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(CASE WHEN e.value > b.p99 THEN 1 END) AS BIGINT) AS n_clipped_high,
+           CAST(ROUND(SUM(LEAST(GREATEST(e.value, b.p01), b.p99)), 2) AS DOUBLE) AS winsorized_sum
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Outlier winsorization per group: clip ``value`` to its group's
+    exact [p01, p99] band and report the clip counts + clipped sum — the
+    feature-cleaning pass before any numeric column feeds a model. The
+    percentile table is one row per event_type (broadcast); the clip
+    itself is map-only, so the whole operator is two shuffles on the
+    group key regardless of scale. Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` share linear interpolation, so the oracle
+    matches to 4 decimals (at 100 TB swap in approx_percentile and the
+    sketch-backed q_approx_sketches pattern)."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("wv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.first("p01"), 4).cast("double").alias("p01"),
+        F.round(F.first("p99"), 4).cast("double").alias("p99"),
+        F.count(F.when(F.col("value") < F.col("p01"), 1)).cast("long").alias("n_clipped_low"),
+        F.count(F.when(F.col("value") > F.col("p99"), 1)).cast("long").alias("n_clipped_high"),
+        F.round(F.sum("wv"), 2).cast("double").alias("winsorized_sum"),
+    )
+
+
+@query(
+    "q_regression_by_group",
+    tags=("analytics",),
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(regr_slope(value, hour(ts)), 4) AS DOUBLE) AS slope,
+           CAST(ROUND(regr_intercept(value, hour(ts)), 4) AS DOUBLE) AS intercept,
+           CAST(ROUND(corr(value, hour(ts)), 4) AS DOUBLE) AS correlation,
+           CAST(ROUND(regr_r2(value, hour(ts)), 4) AS DOUBLE) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_regression_by_group(spark, sf_dir):
+    """Per-group OLS diagnostics (value ~ hour-of-day): slope, intercept,
+    Pearson correlation, R². All are single-pass algebraic aggregates
+    (sums of x, y, xy, x², y²) that partial-combine map-side — the ideal
+    100 TB aggregation shape, one narrow shuffle on the group key. Spark
+    and DuckDB implement the same regr_* definitions, checked to 4
+    decimals."""
+    e = t(spark, sf_dir, "events")
+    x = F.hour("ts")
+    return e.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 4).cast("double").alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).cast("double").alias("intercept"),
+        F.round(F.corr(F.col("value"), x), 4).cast("double").alias("correlation"),
+        F.round(F.regr_r2(F.col("value"), x), 4).cast("double").alias("r2"),
+        F.count("*").cast("long").alias("n"),
+    )
