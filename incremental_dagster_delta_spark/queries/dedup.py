@@ -521,12 +521,14 @@ def q_dedup_cluster(spark, sf_dir):
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels; converges in
     O(graph diameter) rounds. Each round is one shuffle join + one
-    aggregation — the standard distributed-CC shape; at 100 TB the
-    large-star/small-star variant halves the rounds but has the same
-    per-round plan. ``localCheckpoint`` truncates the plan lineage each
-    round so the loop doesn't compound into one giant DAG. Oracle:
-    DuckDB recursive CTE transitive closure (feasible only at test
-    scale)."""
+    aggregation — the simplest distributed-CC shape, kept as the
+    diameter-bound baseline; the SCALE path is
+    ``graph.connected_components`` (alternating large-star/small-star,
+    O(log² n) rounds regardless of diameter — see ``q_dedup_clusters``,
+    which also labels singletons and feeds ``q_dedup_survivors``).
+    ``localCheckpoint`` truncates the plan lineage each round so the
+    loop doesn't compound into one giant DAG. Oracle: DuckDB recursive
+    CTE transitive closure (feasible only at test scale)."""
     pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(

@@ -155,7 +155,11 @@ def q_dedup_clusters(spark, sf_dir):
     and label EVERY document with its component id (singletons label
     themselves). The oracle recomputes the same closure with a recursive
     CTE — exact, and only feasible at oracle scale; the Spark side's
-    star-contraction rounds are the 100 TB path."""
+    star-contraction rounds are the 100 TB path. (``q_dedup_cluster``
+    in dedup.py is the O(diameter) min-label-propagation baseline of
+    the same clustering, kept for comparison; this one is the
+    diameter-independent scale path and additionally covers
+    singletons.)"""
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(spark, docs.select("doc_id", "text"))
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
