@@ -220,3 +220,26 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         assert shj.count() == n == bhj.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dsir_ratio_join_broadcast(spark, sf_dir):
+    """q_dsir_weights' per-doc scoring join must broadcast the 4096-row
+    log-ratio table — shuffling the exploded corpus side against it
+    would be the scale killer."""
+    from incremental_dagster_delta_spark.queries.selection import q_dsir_weights
+
+    plan = _plan(q_dsir_weights(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastExchange") >= 1
+
+
+def test_incremental_dedup_probe_is_hash_join(spark, sf_dir):
+    """The batch→corpus band probe must be an equi hash join on
+    (band, bucket) — never a nested-loop over the corpus index."""
+    from incremental_dagster_delta_spark.queries.dedup import q_incremental_dedup
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
+    with lazy_plans():
+        plan = _plan(q_incremental_dedup(spark, sf_dir))
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
