@@ -213,3 +213,53 @@ def q_dedup_survivors(spark, sf_dir):
         )
         .where(F.col("n_members") > 1)
     )
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    assigned AS (
+      SELECT doc_id, component,
+             CASE
+               WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+                 OR substring(md5(CAST(component AS VARCHAR)), 1, 1) IN ('a', 'b')
+               THEN 'train'
+               WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM clusters
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           MIN(doc_id) AS first_doc
+    FROM assigned
+    GROUP BY split
+"""
+
+
+@query("q_leakage_free_split", tags=("graph", "sampling", "llm"), oracle=_LEAKAGE_SPLIT_ORACLE)
+def q_leakage_free_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: hash the duplicate-cluster
+    COMPONENT id (not the doc id) into the 12/2/2-nibble split, so a
+    document and all its near-duplicates land in the same split — the
+    standard fix for train→test contamination that a per-doc hash split
+    cannot provide (a doc in train with its near-copy in test silently
+    inflates eval). Plan: q_dedup_clusters' component labels + one
+    map-only md5 assignment + a 3-group aggregate; the split decision
+    adds ZERO shuffles on top of the clustering."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    nib = F.substring(F.md5(F.col("component").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "9") | nib.isin("a", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        clusters.select("doc_id", "component", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
