@@ -693,3 +693,94 @@ def q_incremental_dedup(spark, sf_dir):
         )
     )
     return materialize_release(out, corpus_sh, batch_sh)
+
+
+# --- containment (asymmetric subset-duplication) ----------------------------
+
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_OFFSET = 400000  # re-keyed truncated copies start here
+
+
+@query(
+    "q_containment",
+    tags=("dedup", "llm"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- planted: first-half truncations of every 13th doc — contained in
+      -- their source but far below symmetric-Jaccard thresholds
+      SELECT doc_id + {CONTAIN_OFFSET} AS doc_id,
+             array_to_string(toks[1:greatest(len(toks) // 2, 3)], ' ') AS text
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+      WHERE doc_id % 13 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS shingles
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM corpus)
+    )
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           CAST(ROUND(
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles),
+           4) AS DOUBLE) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles)
+          >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric containment dedup: |A∩B| / |A| ≥ 0.9 catches a document
+    CONTAINED in another (quote expansions, truncated mirrors, page
+    fragments) that symmetric Jaccard misses entirely — the planted
+    half-truncations sit at containment 1.0 but Jaccard ≈ 0.5·|B|/|A|.
+    Same inverted-index scale shape as q_ngram_jaccard: candidates only
+    materialize for docs sharing a shingle, co-occurrence counts stay
+    (doc, doc) narrow, and the directional score is computed for both
+    orientations of each candidate pair. (At 100 TB, apply the same
+    DF_CAP cold/hot split q_ngram_jaccard uses before the self-join —
+    omitted here so the exact oracle stays unconditional.) The corpus
+    plants first-half truncations of every 13th document."""
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+
+    d = fan_out(t(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    half = F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(3)))
+    planted = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + CONTAIN_OFFSET).alias("doc_id"),
+        F.array_join(half, " ").alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    sh = doc_shingles(corpus).persist()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_x"), F.col("b.doc_id").alias("doc_y"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    scored = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_x", "n_sh": "n_x"}), "doc_x")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_y", "n_sh": "n_y"}), "doc_y")
+    )
+    # both orientations of each undirected candidate pair
+    directed = scored.select(
+        F.col("doc_x").alias("contained_doc"),
+        F.col("doc_y").alias("container_doc"),
+        (F.col("n_shared").cast("double") / F.col("n_x")).alias("containment"),
+    ).unionByName(
+        scored.select(
+            F.col("doc_y").alias("contained_doc"),
+            F.col("doc_x").alias("container_doc"),
+            (F.col("n_shared").cast("double") / F.col("n_y")).alias("containment"),
+        )
+    )
+    out = directed.where(F.col("containment") >= CONTAIN_THRESHOLD).select(
+        "contained_doc", "container_doc", F.round("containment", 4).cast("double").alias("containment")
+    )
+    return materialize_release(out, sh)

@@ -128,3 +128,125 @@ def q_unigram_surprisal(spark, sf_dir):
             F.round(F.avg(-F.log(F.col("c") / (1.0 * F.col("total")))), 4).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "q_surprisal_buckets",
+    tags=("retrieval", "curation", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(toks) AS tok
+      FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             avg(-ln(v.c / (1.0 * s.total))) AS surprisal
+      FROM tok JOIN vocab v USING (tok) CROSS JOIN tot s
+      GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT lang, ntile(5) OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS quintile,
+             surprisal
+      FROM scored
+    )
+    SELECT lang, CAST(quintile AS BIGINT) AS quintile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(min(surprisal), 4) AS DOUBLE) AS lo,
+           CAST(ROUND(max(surprisal), 4) AS DOUBLE) AS hi
+    FROM bucketed
+    GROUP BY lang, quintile
+    """,
+)
+def q_surprisal_buckets(spark, sf_dir):
+    """Per-language surprisal quintiles — the CCNet-style quality
+    partition (head/middle/tail by LM perplexity, here the unigram
+    proxy): score every doc, ntile(5) within its language, report each
+    bucket's doc count and surprisal band. The scoring is the same
+    broadcast-vocab shape as q_unigram_surprisal; the quintile window
+    shuffles one narrow (lang, surprisal) row per doc. Deterministic
+    ntile tie-break on doc_id keeps Spark and DuckDB identical."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.avg(-F.log(F.col("c") / (1.0 * F.col("total")))).alias("surprisal"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("surprisal").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("quintile", F.ntile(5).over(w))
+        .groupBy("lang", "quintile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("surprisal"), 4).cast("double").alias("lo"),
+            F.round(F.max("surprisal"), 4).cast("double").alias("hi"),
+        )
+        .select("lang", F.col("quintile").cast("long"), "n_docs", "lo", "hi")
+    )
+
+
+@query(
+    "q_kl_drift",
+    tags=("retrieval", "analytics", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, substring(md5(tok), 1, 2) AS bucket
+      FROM (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents)
+    ),
+    src AS (SELECT source, bucket, count(*) AS c FROM tok GROUP BY source, bucket),
+    src_tot AS (SELECT source, sum(c) AS n FROM src GROUP BY source),
+    corpus AS (SELECT bucket, count(*) AS c FROM tok GROUP BY bucket),
+    corpus_tot AS (SELECT sum(c) AS n FROM corpus),
+    terms AS (
+      SELECT s.source,
+             ((s.c + 1.0) / (st.n + 256)) *
+             ln(((s.c + 1.0) / (st.n + 256)) / ((c.c + 1.0) / (ct.n + 256))) AS term
+      FROM src s
+      JOIN src_tot st USING (source)
+      JOIN corpus c USING (bucket)
+      CROSS JOIN corpus_tot ct
+    )
+    SELECT source, CAST(ROUND(sum(term), 6) AS DOUBLE) AS kl_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def q_kl_drift(spark, sf_dir):
+    """Per-source distribution drift: KL(source ‖ corpus) over 256
+    hashed unigram buckets with add-one smoothing — the monitoring
+    signal that flags a source whose content shifted (scraper broke,
+    spam flood, language change) before it pollutes a training mix.
+    All aggregations are map-side-combinable counts; the corpus
+    distribution is 256 rows broadcast to the per-source term join.
+    Note: summed over only the source's observed buckets (smoothed
+    absent-bucket terms are ~0 and identically defined on both
+    engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select(
+        "source", F.explode(toks).alias("tok")
+    ).select("source", F.substring(F.md5(F.col("tok").cast("binary")), 1, 2).alias("bucket"))
+    src = tok.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = tok.groupBy("bucket").agg(F.count("*").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("cn"))
+    p = (F.col("c") + 1.0) / (F.col("n") + 256)
+    q = (F.col("cc") + 1.0) / (F.col("cn") + 256)
+    return (
+        src.join(src_tot, "source")
+        .join(F.broadcast(corpus), "bucket")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("source", (p * F.log(p / q)).alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("kl_divergence"))
+    )
