@@ -89,3 +89,73 @@ def test_full_prep_chain_invariants(spark, sf_dir):
     assert sum(by_split.values()) == kept.count()
     assert set(by_split) == {"train", "val", "test"}
     assert by_split["train"] > by_split["val"]  # 12/2/2 nibble weighting
+
+
+def test_round4_dedup_chain_invariants(spark, sf_dir):
+    """Round-4 chain: star-contraction clustering ≡ min-label clustering,
+    survivors consistent with clusters, leakage-free split respects
+    cluster boundaries, DSIR weights cover the corpus, and incremental
+    dedup catches every planted copy."""
+    from incremental_dagster_delta_spark.queries.dedup import (
+        BATCH_OFFSET,
+        q_dedup_cluster,
+        q_incremental_dedup,
+    )
+    from incremental_dagster_delta_spark.queries.graph import (
+        q_dedup_clusters,
+        q_dedup_survivors,
+    )
+    from incremental_dagster_delta_spark.queries.selection import q_dsir_weights
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # star contraction and min-label propagation must produce the SAME
+    # partition of the non-singleton nodes (independent algorithms, one
+    # answer)
+    star = {(r["doc_id"], r["component"]) for r in q_dedup_clusters(spark, sf_dir).collect()}
+    minlabel = {(r["doc_id"], r["cluster_id"]) for r in q_dedup_cluster(spark, sf_dir).collect()}
+    assert minlabel <= star  # star also labels singletons
+    assert len(star) == n_docs
+
+    # survivors: one keeper per multi-member component, keeper belongs to
+    # its component, drops counted exactly
+    comp_of = dict(star)
+    surv = q_dedup_survivors(spark, sf_dir).collect()
+    assert len(surv) > 0
+    sizes = {}
+    for d, c in star:
+        sizes[c] = sizes.get(c, 0) + 1
+    for r in surv:
+        assert comp_of[r["keep_doc_id"]] == r["component"]
+        assert r["n_members"] == sizes[r["component"]] >= 2
+        assert r["n_dropped"] == r["n_members"] - 1
+
+    # leakage-free split: every member of a component shares its split
+    from incremental_dagster_delta_spark.queries.graph import q_leakage_free_split
+
+    split_rows = q_leakage_free_split(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in split_rows) == n_docs
+
+    # DSIR: a weight for every tokenized doc; target-language docs score
+    # higher on average than the rest (the estimator's defining property)
+    w = q_dsir_weights(spark, sf_dir).join(docs.select("doc_id", "lang"), "doc_id")
+    assert w.count() == n_docs
+    means = {
+        r["is_en"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+    # incremental dedup: every planted exact copy (batch_id = src+OFFSET,
+    # src % 10 == 0) is matched back to a corpus doc with jaccard 1.0 for
+    # its own source; reversed-token plants are never flagged
+    matches = {r["batch_id"]: (r["dup_of"], r["jaccard"]) for r in q_incremental_dedup(spark, sf_dir).collect()}
+    planted = [r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()]
+    for src in planted:
+        assert src + BATCH_OFFSET in matches, f"planted copy of {src} not caught"
+    reversed_ids = {r["doc_id"] + BATCH_OFFSET for r in docs.where(F.col("doc_id") % 10 == 7).collect()}
+    flagged_reversed = reversed_ids & set(matches)
+    assert not flagged_reversed, f"reversed-token plants wrongly flagged: {flagged_reversed}"
