@@ -146,3 +146,68 @@ def q_upsert_merge(spark, sf_dir):
         .otherwise(F.lit("update"))
         .alias("merge_action"),
     )
+
+
+@query(
+    "q_column_stats",
+    tags=("warehouse",),
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(ROUND(MIN(l_quantity), 4) AS DOUBLE) AS min_val,
+           CAST(ROUND(MAX(l_quantity), 4) AS DOUBLE) AS max_val,
+           CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(ROUND(MIN(l_extendedprice), 4) AS DOUBLE),
+           CAST(ROUND(MAX(l_extendedprice), 4) AS DOUBLE),
+           CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(ROUND(MIN(l_discount), 4) AS DOUBLE),
+           CAST(ROUND(MAX(l_discount), 4) AS DOUBLE),
+           CAST(ROUND(AVG(l_discount), 4) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style column statistics (row/non-null/NDV/min/max/avg) for
+    the optimizer's cost model — the warehouse cataloging pass. All three
+    columns' stats come from ONE scan: a single groupBy().agg() computes
+    every aggregate, then a stack() unpivot reshapes to one row per
+    column. Exact NDV here (hash-checkable); at 100 TB swap
+    count_distinct for approx_count_distinct and keep the same plan
+    shape."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).cast("double").alias(f"{c}__min_val"),
+            F.round(F.max(c), 4).cast("double").alias(f"{c}__max_val"),
+            F.round(F.avg(c), 4).cast("double").alias(f"{c}__avg_val"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_nonnull, {c}__ndv, {c}__min_val, {c}__max_val, {c}__avg_val"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_nonnull, ndv, min_val, max_val, avg_val)"
+        )
+    )
