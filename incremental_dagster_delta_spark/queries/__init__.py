@@ -97,14 +97,15 @@ _R4_FRONT = [
     "q_sliding_window",
     "q_session_window",
     "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    # round-4 additions: pair->cluster connected components + survivors,
-    # DSIR importance weights, batch-vs-corpus incremental dedup
+    # round-4 additions: pair->cluster connected components + survivors +
+    # leakage-free split, DSIR importance weights, batch-vs-corpus
+    # incremental dedup, asymmetric containment
     "q_dedup_clusters",
     "q_dedup_survivors",
+    "q_leakage_free_split",
     "q_dsir_weights",
     "q_incremental_dedup",
+    "q_containment",
 ]
 
 
