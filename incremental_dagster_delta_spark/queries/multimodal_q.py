@@ -48,3 +48,18 @@ def q_frame_sample(spark, sf_dir):
     """Fixed-stride frame sampling of binary payloads (128-byte frames),
     one row per frame, hashed per frame inside the Arrow batch."""
     return sample_frames(synth_media(t(spark, sf_dir, "documents")))
+
+
+@query("q_media_resize", tags=("multimodal", "llm"), oracle=None)
+def q_media_resize(spark, sf_dir):
+    """Image resize over the media table (raw-RGB24 contract, pure-numpy
+    nearest-neighbor kernel inside one narrow mapInPandas stage — see
+    multimodal.resize_images). Rows-only: the resampled bytes depend on
+    the numpy kernel, which the SQL oracle cannot reproduce; kernel
+    outputs are pinned against hand-computed values in
+    tests/test_multimodal.py instead."""
+    from incremental_dagster_delta_spark.multimodal import resize_images, synth_media
+    from incremental_dagster_delta_spark.queries.registry import t as _t
+
+    media = synth_media(_t(spark, sf_dir, "documents"))
+    return resize_images(media, 16, 12).select("media_id", "width", "height", "sha256")

@@ -250,3 +250,84 @@ def q_kl_drift(spark, sf_dir):
         .groupBy("source")
         .agg(F.round(F.sum("term"), 6).cast("double").alias("kl_divergence"))
     )
+
+
+PMI_MIN_COUNT = 25  # report bigrams seen at least this often
+
+
+@query(
+    "q_pmi_bigrams",
+    tags=("retrieval", "analytics", "llm"),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM toks
+    ),
+    uni_counts AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    uni_tot AS (SELECT sum(c) AS n FROM uni_counts),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM toks, unnest(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2
+    ),
+    bi_counts AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    bi_tot AS (SELECT sum(c) AS n FROM bi_counts)
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS pair_count,
+           -- + 0.0 normalizes IEEE negative zero (ROUND(-1e-9, 4) = -0.0)
+           CAST(ROUND(
+             ln( (b.c / (1.0 * bt.n)) /
+                 ((u1.c / (1.0 * ut.n)) * (u2.c / (1.0 * ut.n))) ),
+           4) + 0.0 AS DOUBLE) AS pmi
+    FROM bi_counts b
+    JOIN uni_counts u1 ON b.w1 = u1.tok
+    JOIN uni_counts u2 ON b.w2 = u2.tok
+    CROSS JOIN bi_tot bt CROSS JOIN uni_tot ut
+    WHERE b.c >= {PMI_MIN_COUNT}
+    """,
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation detector (phrases like proper names score high PMI;
+    chance co-occurrences of frequent words score ~0). One bigram
+    explode + two count aggs; unigram counts broadcast to the PMI join,
+    so the only wide shuffle keys on the bigram itself. Reported above a
+    min-count floor, as PMI is noise below it."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    wtoks = d.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    uni = d.select(F.explode(toks).alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    uni_tot = uni_counts.agg(F.sum("c").alias("un"))
+    bi = wtoks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    bi_tot = bi_counts.agg(F.sum("bc").alias("bn"))
+    return (
+        bi_counts.where(F.col("bc") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni_counts.withColumnsRenamed({"tok": "w1", "c": "c1"})), "w1")
+        .join(F.broadcast(uni_counts.withColumnsRenamed({"tok": "w2", "c": "c2"})), "w2")
+        .crossJoin(F.broadcast(bi_tot))
+        .crossJoin(F.broadcast(uni_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("bc").cast("long").alias("pair_count"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("bc") / (1.0 * F.col("bn")))
+                        / ((F.col("c1") / (1.0 * F.col("un"))) * (F.col("c2") / (1.0 * F.col("un"))))
+                    ),
+                    4,
+                )
+                + 0.0  # normalize IEEE negative zero, matching the oracle
+            ).cast("double").alias("pmi"),
+        )
+    )
