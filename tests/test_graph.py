@@ -53,3 +53,51 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def _union_find_reference(edges):
+    """Pure-Python union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: every node maps to its component's minimum
+    out = {}
+    for n in list(parent):
+        root = find(n)
+        out[n] = root
+    # path compression above may leave root labels non-minimal only if
+    # union order broke min-rooting; enforce min per component explicitly
+    comp_min = {}
+    for n, r in out.items():
+        comp_min[r] = min(comp_min.get(r, r), n)
+    return {n: comp_min[r] for n, r in out.items()}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property: on arbitrary random edge lists (self-loops, duplicates,
+    skewed hubs included) star contraction agrees with a pure-Python
+    union-find."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=60)
+    edge = st.tuples(node, node)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=0, max_size=60))
+    def prop(edges):
+        expected = _union_find_reference([(a, b) for a, b in edges if a != b])
+        got = _components(spark, edges)
+        assert got == expected, (sorted(got.items()), sorted(expected.items()))
+
+    prop()
