@@ -81,3 +81,116 @@ def q_table_diff(spark, sf_dir):
         )
         .select("doc_id", "change_type")
     )
+
+
+@query(
+    "q_cdc_apply",
+    tags=("cdc", "warehouse", "incremental"),
+    oracle="""
+    WITH snapshot AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    changelog AS (
+      -- inserts: the keys missing from the snapshot
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+             'I' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 4 = 3
+      UNION ALL
+      -- updates: +10% price on keys = 1 (mod 4)
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2), 'U', 2
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      -- deletes: keys = 2 (mod 4)
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2), 'D', 3
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      -- late second update on keys = 5 (mod 8): must win over seq-2 'U'
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 2.0, 2), 'U', 4
+      FROM orders WHERE o_orderkey % 8 = 5
+    ),
+    latest AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, op,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+      FROM changelog
+    ),
+    effective AS (SELECT * FROM latest WHERE rk = 1)
+    SELECT s.o_orderkey,
+           COALESCE(e.o_custkey, s.o_custkey) AS o_custkey,
+           CAST(COALESCE(e.o_totalprice, s.o_totalprice) AS DOUBLE) AS o_totalprice
+    FROM snapshot s LEFT JOIN effective e USING (o_orderkey)
+    WHERE e.op IS NULL OR e.op <> 'D'
+    UNION ALL
+    SELECT e.o_orderkey, e.o_custkey, CAST(e.o_totalprice AS DOUBLE)
+    FROM effective e LEFT JOIN snapshot s USING (o_orderkey)
+    WHERE s.o_orderkey IS NULL AND e.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """Changelog APPLY — the consumer half of CDC (q_table_diff is the
+    producer half): fold an I/U/D event stream into a snapshot with
+    last-writer-wins by sequence number, including a late second update
+    that must supersede an earlier one. Plan: one window over the
+    changelog keyed on the primary key picks each key's effective
+    operation, then ONE full-outer-shaped merge (left join + anti union)
+    against the snapshot — the same single-shuffle shape as
+    q_upsert_merge, extended with deletes and op ordering. At 100 TB the
+    changelog is a day's CDC feed (orders of magnitude smaller than the
+    snapshot) and the join partitions on the same key as the stored
+    table, so only the feed shuffles."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    snapshot = o.where(F.col("o_orderkey") % 4 != 3)
+    changelog = (
+        o.where(F.col("o_orderkey") % 4 == 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", "o_custkey",
+                F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+                F.lit("U").alias("op"), F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 4 == 2).select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit("D").alias("op"), F.lit(3).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 8 == 5).select(
+                "o_orderkey", "o_custkey",
+                F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+                F.lit("U").alias("op"), F.lit(4).alias("seq"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    effective = (
+        changelog.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk", "seq")
+    )
+    eff = effective.withColumnsRenamed(
+        {"o_custkey": "e_custkey", "o_totalprice": "e_totalprice"}
+    )
+    kept = (
+        snapshot.join(eff, "o_orderkey", "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.coalesce("e_custkey", "o_custkey").alias("o_custkey"),
+            F.coalesce("e_totalprice", "o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    inserted = (
+        eff.join(snapshot.select("o_orderkey"), "o_orderkey", "left_anti")
+        .where(F.col("op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("e_custkey").alias("o_custkey"),
+            F.col("e_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    return kept.unionByName(inserted)
