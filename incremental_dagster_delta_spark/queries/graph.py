@@ -263,3 +263,32 @@ def q_leakage_free_split(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    sizes AS (SELECT component, count(*) AS sz FROM clusters GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+"""
+
+
+@query("q_cluster_size_histogram", tags=("graph", "dedup", "llm"), oracle=_CLUSTER_SIZES_ORACLE)
+def q_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the audit view of a dedup
+    pass (how many exact singletons, how many 2-clusters, any
+    mega-cluster that signals boilerplate misfire before you commit to
+    dropping millions of docs). Two tiny aggregations on top of
+    q_dedup_clusters' component labels."""
+    sizes = q_dedup_clusters(spark, sf_dir).groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )

@@ -310,3 +310,45 @@ def q_subword_counts(spark, sf_dir):
             "n_subwords"
         ),
     )
+
+
+@query(
+    "q_char_entropy",
+    tags=("text", "curation", "llm"),
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(ROUND(-sum((f.c / (1.0 * t.n)) * ln(f.c / (1.0 * t.n))), 4) AS DOUBLE)
+             AS char_entropy,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap gibberish
+    detector (binary junk and aaaa-spam score far below natural text's
+    ~2.8-3.2 nats; encrypted/compressed payloads score near the alphabet
+    ceiling). One char explode + two keyed aggregations, both map-side
+    combinable; no token model needed, which is what makes it the FIRST
+    gate in a curation cascade at 100 TB."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = d.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")).where(
+        F.col("ch") != ""
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / (1.0 * F.col("n"))
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).cast("double").alias("char_entropy"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+        )
+    )
