@@ -292,3 +292,37 @@ def q_cluster_size_histogram(spark, sf_dir):
             (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
         )
     )
+
+
+_DUP_RATE_ORACLE = f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    marked AS (
+      SELECT c.doc_id, d.source,
+             CASE WHEN c.doc_id <> c.component THEN 1 ELSE 0 END AS is_dup
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           CAST(ROUND(sum(is_dup) / (1.0 * count(*)), 4) AS DOUBLE) AS dup_rate
+    FROM marked GROUP BY source
+"""
+
+
+@query("q_dup_rate_by_source", tags=("graph", "dedup", "llm"), oracle=_DUP_RATE_ORACLE)
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication rate — which feeds are flooding the corpus
+    with near-copies (a doc is a duplicate when it is not its cluster's
+    canonical min-id member). One join of component labels to source
+    tags + one group-key aggregation; the operational dashboard number
+    behind 'should we keep paying for this crawl'."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    marked = clusters.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", (F.col("doc_id") != F.col("component")).cast("int").alias("is_dup")
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.round(F.sum("is_dup") / (1.0 * F.count("*")), 4).cast("double").alias("dup_rate"),
+    )
