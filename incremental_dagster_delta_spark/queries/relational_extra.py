@@ -442,3 +442,71 @@ def q_above_avg_customers(spark, sf_dir):
         .where((F.col("c_acctbal") > F.col("avg_bal")) & (F.col("c_custkey") % 10 == 0))
         .select("c_custkey", F.col("c_acctbal").cast("double").alias("acctbal"))
     )
+
+
+@query(
+    "q_funnel_multistep",
+    tags=("events", "window"),
+    oracle="""
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.ts
+      FROM c JOIN s ON s.user_id = c.user_id
+       AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 2 HOUR
+    ),
+    qp AS (
+      SELECT DISTINCT p.user_id
+      FROM p JOIN qc ON qc.user_id = p.user_id
+       AND p.ts > qc.ts AND p.ts <= qc.ts + INTERVAL 2 HOUR
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM s) AS n_step1,
+           (SELECT COUNT(DISTINCT user_id) FROM qc) AS n_step2,
+           (SELECT COUNT(*) FROM qp) AS n_step3
+    """,
+)
+def q_funnel_multistep(spark, sf_dir):
+    """Three-step funnel (signup → click → purchase, each within 2 hours
+    of the previous step): generalizes q_funnel_conversion's carry-
+    forward trick to CHAINED steps. Correctness hinges on one property:
+    carrying the LATEST qualifying previous-step event minimizes the gap
+    at each step, so 'last qualifying within window' is exactly EXISTS
+    semantics without the oracle's range self-joins. Each chaining stage
+    is one shuffle on user_id (union + ordered window) — N-step funnels
+    cost N-1 such shuffles, vs N-1 quadratic-per-user range joins."""
+    e = t(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOUR")
+
+    def step(prev_qualifying, next_type):
+        """Events of next_type within 2h after the latest qualifying
+        previous-step event. prev/next = (user_id, ts)."""
+        prev = prev_qualifying.select(
+            "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("prev_ts")
+        )
+        nxt = e.where(F.col("event_type") == next_type).select(
+            "user_id", "ts", F.lit(1).alias("tag"), F.lit(None).cast("timestamp").alias("prev_ts")
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = prev.unionByName(nxt).withColumn(
+            "last_prev", F.last("prev_ts", ignorenulls=True).over(w)
+        )
+        return merged.where(
+            (F.col("tag") == 1)
+            & F.col("last_prev").isNotNull()
+            & (F.col("ts") > F.col("last_prev"))
+            & (F.col("ts") <= F.col("last_prev") + two_h)
+        ).select("user_id", "ts")
+
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    q_clicks = step(signups, "click")
+    q_purchases = step(q_clicks, "purchase")
+    return (
+        signups.agg(F.count_distinct("user_id").alias("n_step1"))
+        .crossJoin(q_clicks.agg(F.count_distinct("user_id").alias("n_step2")))
+        .crossJoin(q_purchases.select("user_id").distinct().agg(F.count("*").alias("n_step3")))
+    )
