@@ -235,3 +235,57 @@ def q_regression_by_group(spark, sf_dir):
         F.round(F.regr_r2(F.col("value"), x), 4).cast("double").alias("r2"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+N_RESAMPLES = 50
+
+
+@query(
+    "q_bootstrap_ci",
+    tags=("analytics", "sampling"),
+    oracle=f"""
+    WITH reps AS (
+      SELECT event_type, b, avg(value) AS m
+      FROM events, unnest(range(0, {N_RESAMPLES})) AS r(b)
+      WHERE substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1) < '8'
+      GROUP BY event_type, b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_resamples,
+           CAST(ROUND(avg(m), 4) AS DOUBLE) AS mean_of_means,
+           CAST(ROUND(quantile_cont(m, 0.025), 4) AS DOUBLE) AS ci_lo,
+           CAST(ROUND(quantile_cont(m, 0.975), 4) AS DOUBLE) AS ci_hi
+    FROM reps GROUP BY event_type
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Resampling confidence interval for the per-group mean — 50
+    deterministic half-sample replicates (row joins replicate b iff the
+    first md5 nibble of 'event_id:b' is below 0x8), percentile band over
+    the replicate means. Deterministic hashing makes the stochastic
+    method oracle-checkable; the plan is one generator explode + two
+    keyed aggregations, all map-side combinable. At 100 TB use Poisson
+    resampling with per-row replicate counts instead of the ×B explode
+    (same two-agg shape, B× less explode traffic)."""
+    e = t(spark, sf_dir, "events")
+    nib = F.substring(
+        F.md5(
+            F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("b").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    reps = (
+        e.select("event_type", "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(N_RESAMPLES - 1))).alias("b"))
+        .where(nib < "8")
+        .groupBy("event_type", "b")
+        .agg(F.avg("value").alias("m"))
+    )
+    return reps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_resamples"),
+        F.round(F.avg("m"), 4).cast("double").alias("mean_of_means"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).cast("double").alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).cast("double").alias("ci_hi"),
+    )
