@@ -1,9 +1,23 @@
 """Differential-test harness: Spark result vs DuckDB oracle.
 
-Mirrors the driver's comparison: row count, column-name set, and an
-order-insensitive value hash over cells normalized per type (floats to 6
-significant digits). Used by ``tests/test_oracle.py`` and
-``scripts/check_oracle.py``.
+Mirrors the DRIVER's comparison as closely as its observed behavior
+allows (r4 verdict #4 — the previous normalizing harness was MORE
+lenient than the driver and let a HUGEINT-vs-BIGINT rendering mismatch
+survive three rounds undetected):
+
+- both sides land in pandas (Spark ``toPandas()``, DuckDB ``.df()``) so
+  engine-specific logical types hit the SAME dtype funnel the driver
+  uses — DuckDB ``SUM(int)`` is HUGEINT and becomes float64 ("74.0"),
+  while Spark bigint stays int64 ("74"); the harness must SEE that
+  difference, not normalize it away;
+- rows are ordered with ``DataFrame.sort_values`` over all columns, the
+  driver's observed path — list-valued (unhashable) cells raise
+  ``TypeError`` here exactly as they do in the driver (r4:
+  q_embedding_quantize / q_pq_codes);
+- cells render with pandas' plain ``str()`` — no float rounding, no
+  int/float unification.
+
+Used by ``tests/test_oracle.py`` and ``scripts/check_oracle.py``.
 """
 
 from __future__ import annotations
@@ -14,11 +28,15 @@ import os
 from dataclasses import dataclass
 
 import duckdb
+import pandas as pd
 
 from incremental_dagster_delta_spark.tables import TABLE_NAMES
 
 
 def norm_cell(v) -> str:
+    """Lenient single-cell rendering — retained ONLY for the harness's
+    own property tests and human-readable diffs; the driver-faithful
+    hash path uses raw ``str()`` via :func:`canonical_lines`."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -30,7 +48,27 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def canonical_lines(pdf: pd.DataFrame) -> list[str]:
+    """Driver-faithful canonical form of a result frame: columns sorted
+    by name, rows sorted via ``sort_values`` over every column (raises
+    ``TypeError: unhashable type`` on list cells — intentionally, the
+    driver does too), each cell rendered with plain ``str()`` of its
+    pandas-dtype value."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    return ["\x01".join(str(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+
+
+def pandas_hash(pdf: pd.DataFrame) -> str:
+    return hashlib.sha256("\n".join(canonical_lines(pdf)).encode()).hexdigest()[:16]
+
+
 def table_hash(rows: list[tuple], colnames: list[str]) -> str:
+    """Order-insensitive hash of plain Python rows (lenient ``norm_cell``
+    rendering). Kept for property tests; the oracle gate uses
+    :func:`pandas_hash`."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
@@ -62,23 +100,26 @@ class CompareResult:
 
 def compare_query(spark, con, name: str, spec, sf_dir: str) -> CompareResult:
     sdf = spec.fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = sdf.toPandas()
+    scols = list(spdf.columns)
     if spec.oracle is None:
-        return CompareResult(name, len(srows), None, True, True, True, "rows-only")
-    rel = con.sql(spec.oracle)
-    orows = [tuple(r) for r in rel.fetchall()]
-    ocols = rel.columns
-    rows_match = len(srows) == len(orows)
+        return CompareResult(name, len(spdf), None, True, True, True, "rows-only")
+    opdf = con.sql(spec.oracle).df()
+    ocols = list(opdf.columns)
+    rows_match = len(spdf) == len(opdf)
     cols_match = sorted(scols) == sorted(ocols)
-    hash_match = cols_match and table_hash(srows, scols) == table_hash(orows, ocols)
+    # canonical_lines raises TypeError on unhashable (list) cells — let it
+    # propagate: the driver fails the same way and the qid must fix its
+    # output shape, not the harness.
+    hash_match = cols_match and pandas_hash(spdf) == pandas_hash(opdf)
     detail = ""
-    if rows_match and cols_match and not hash_match and srows:
-        order = sorted(range(len(scols)), key=lambda i: scols[i])
-        snorm = sorted("|".join(norm_cell(r[i]) for i in order) for r in srows)
-        onorm = sorted("|".join(norm_cell(r[i]) for i in order) for r in orows)
-        for a, b in zip(snorm, onorm):
+    if rows_match and cols_match and not hash_match and len(spdf):
+        snorm = canonical_lines(spdf)
+        onorm = canonical_lines(opdf)
+        for a, b in zip(sorted(snorm), sorted(onorm)):
             if a != b:
-                detail = f"first diff: spark={a[:160]} oracle={b[:160]}"
+                detail = f"first diff: spark={a[:160]!r} oracle={b[:160]!r}"
                 break
-    return CompareResult(name, len(srows), len(orows), rows_match, cols_match, hash_match, detail)
+        if not detail:
+            detail = "diff beyond zip range (row count mismatch?)"
+    return CompareResult(name, len(spdf), len(opdf), rows_match, cols_match, hash_match, detail)

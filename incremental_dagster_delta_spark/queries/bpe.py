@@ -1,0 +1,236 @@
+"""BPE merge training (SURVEY §7-M6c) — the standard LLM-tokenization
+operator: learn the top-N byte-pair-encoding merges from a corpus
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units").
+
+Scale shape: merge training never iterates over the CORPUS — the corpus
+pays exactly one tokenize + word-count pass (map-side-combinable), and
+every merge iteration runs on the resulting VOCAB table (|V| rows — a
+few million even at 100 TB of text, comfortably one executor's worth of
+partitions). Per iteration: one narrow (left, right, freq) shuffle for
+the pair counts and a 1-row argmax brought to the driver (the same
+legitimate driver-side scalar as a scalar subquery — it IS the learned
+merge). Iterations are bounded by N_MERGES, and each vocab revision is
+persisted/released like graph.py's fixpoint discipline so iteration k
+never recomputes iterations 0..k-1.
+
+Determinism: segmentations are represented as SEP-delimited strings
+(``␟l␟o␟w␟</w>␟``) and a merge (a,b)→ab is applied with LITERAL string
+replace of ``␟a␟b␟`` → ``␟ab␟`` — both Spark's ``replace`` and DuckDB's
+``replace`` scan left-to-right non-overlapping, which is exactly BPE's
+greedy leftmost-first application (``a a a`` under (a,a)→aa becomes
+``aa a``, not ``a aa``). Pair frequencies are integers, argmax ties
+break on (freq DESC, left ASC, right ASC) — bit-identical across
+engines, so the oracle is a full hash check, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+SEP = "\x1f"  # unit separator: delimits symbols inside a segmentation
+EOW = "</w>"  # end-of-word marker symbol (standard BPE)
+N_MERGES = 8
+
+
+def _oracle(n: int = N_MERGES) -> str:
+    """Chained-CTE DuckDB oracle: w0 = char-segmented vocab; for each
+    iteration k, p{k} explodes adjacent symbol pairs, b{k} takes the
+    deterministic argmax, w{k+1} applies the merge via literal replace.
+    Generated programmatically — the SQL is the same 3-CTE block × N."""
+    parts = [
+        f"""WITH w0 AS (
+      SELECT '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') || '{EOW}{SEP}' AS seq,
+             freq
+      FROM (
+        SELECT tok AS word, count(*) AS freq
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        WHERE NOT contains(tok, '{SEP}')
+        GROUP BY tok
+      )
+    )"""
+    ]
+    for k in range(n):
+        parts.append(f""", p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+        SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        FROM (SELECT list_filter(string_split(seq, '{SEP}'), x -> x <> '') AS syms, freq
+              FROM w{k})
+      )
+    ), b{k} AS (
+      SELECT l, r, CAST(sum(freq) AS BIGINT) AS c
+      FROM p{k} GROUP BY l, r
+      ORDER BY c DESC, l, r LIMIT 1
+    ), w{k + 1} AS (
+      SELECT replace(seq, '{SEP}' || b.l || '{SEP}' || b.r || '{SEP}',
+                          '{SEP}' || b.l || b.r || '{SEP}') AS seq, freq
+      FROM w{k} CROSS JOIN b{k} b
+    )""")
+    selects = [
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS freq FROM b{k}"
+        for k in range(n)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def learn_bpe(spark, docs, n: int = N_MERGES):
+    """Run the merge-training loop over a (doc_id, text) DataFrame.
+
+    Returns ``(merges, vocab)`` where ``merges`` is the learned list of
+    ``(rank, left, right, merged, freq)`` tuples and ``vocab`` is the
+    FINAL segmentation table ``(word, seq, freq)`` — i.e. the result of
+    applying every learned merge, which is exactly what encoding needs
+    (a word's token sequence is a pure function of the trained vocab).
+    The returned ``vocab`` is persisted; callers release it via
+    ``materialize_release`` or ``unpersist``."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .where(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq0 = F.concat(
+        F.lit(SEP), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP), F.lit(EOW + SEP)
+    )
+    cur = words.select("word", seq0.alias("seq"), "freq").persist()
+    cur.count()  # materialize the one corpus pass before iterating
+    merges: list[tuple] = []
+    for rank in range(1, n + 1):
+        syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+        prs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        best = (
+            cur.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, left, right, left + right, c))
+        nxt = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(SEP + left + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            ),
+        ).persist()
+        nxt.count()  # materialize before releasing the parent revision
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
+
+
+@query("q_bpe_merges", tags=("text", "llm"), oracle=_oracle())
+def q_bpe_merges(spark, sf_dir):
+    """Learn the first N_MERGES BPE merges over the documents corpus.
+
+    Returns one row per merge: (merge_rank, left_sym, right_sym, merged,
+    freq) in learned order. See the module docstring for the scale and
+    determinism story."""
+    merges, vocab = learn_bpe(spark, t(spark, sf_dir, "documents"))
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, merged string, freq long"
+    )
+
+
+def _encode_oracle(n: int = N_MERGES) -> str:
+    """Encode oracle: reuse the training CTE chain (word carried through
+    every revision), then token-count each document against the FINAL
+    vocab segmentation w{n}."""
+    # Rebuild the training CTE chain (same 3-CTE block as _oracle but
+    # carrying `word` through every revision), then swap the final SELECT
+    # for the encode join.
+    parts = [
+        f"""WITH w0 AS (
+      SELECT word,
+             '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') || '{EOW}{SEP}' AS seq,
+             freq
+      FROM (
+        SELECT tok AS word, count(*) AS freq
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        WHERE NOT contains(tok, '{SEP}')
+        GROUP BY tok
+      )
+    )"""
+    ]
+    for k in range(n):
+        parts.append(f""", p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+        SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        FROM (SELECT list_filter(string_split(seq, '{SEP}'), x -> x <> '') AS syms, freq
+              FROM w{k})
+      )
+    ), b{k} AS (
+      SELECT l, r, sum(freq) AS c FROM p{k} GROUP BY l, r
+      ORDER BY c DESC, l, r LIMIT 1
+    ), w{k + 1} AS (
+      SELECT word, replace(seq, '{SEP}' || b.l || '{SEP}' || b.r || '{SEP}',
+                                '{SEP}' || b.l || b.r || '{SEP}') AS seq, freq
+      FROM w{k} CROSS JOIN b{k} b
+    )""")
+    return "".join(parts) + f"""
+    , vocab AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(seq, '{SEP}'), x -> x <> '')) AS BIGINT)
+               AS n_toks
+      FROM w{n}
+    ),
+    doc_words AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(sum(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(d.word) + 1) AS BIGINT) AS n_char_symbols,
+           CAST(ROUND(sum(length(d.word) + 1) / (1.0 * sum(v.n_toks)), 4) AS DOUBLE)
+             AS compression
+    FROM doc_words d JOIN vocab v USING (word)
+    GROUP BY d.doc_id
+    """
+
+
+@query("q_bpe_encode", tags=("text", "llm"), oracle=_encode_oracle())
+def q_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the learned BPE vocab: per document, the
+    BPE token count, the character-level symbol count (chars + one
+    end-of-word per word — the untrained baseline), and the resulting
+    compression ratio. Encoding never re-runs merges over the corpus:
+    a word's token sequence is a pure function of the trained vocab, so
+    the corpus pays ONE explode + word-keyed join against the |V|-row
+    segmentation table (broadcastable at typical vocab sizes) and one
+    doc-keyed agg — the exact shape tokenizer application has at 100 TB.
+    ``</w>`` counts as part of the last token of each word (standard)."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    docs = t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(spark, docs)
+    syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+    seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    out = (
+        doc_words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum(F.length("word") + 1).alias("n_char_symbols"),
+            F.round(
+                F.sum(F.length("word") + 1) / (1.0 * F.sum("n_toks")), 4
+            ).cast("double").alias("compression"),
+        )
+    )
+    return materialize_release(out, vocab)

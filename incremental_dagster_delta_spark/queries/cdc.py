@@ -88,25 +88,36 @@ def q_table_diff(spark, sf_dir):
     tags=("cdc", "warehouse", "incremental"),
     oracle="""
     WITH snapshot AS (
-      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+      -- all price math in exact DECIMAL: ROUND over a DOUBLE diverges
+      -- between engines on half-cent boundaries (Spark rounds the
+      -- shortest decimal rendering, DuckDB the binary value — a 1-cent
+      -- flip caught by the driver-faithful harness, r5)
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
       FROM orders WHERE o_orderkey % 4 <> 3
     ),
     changelog AS (
       -- inserts: the keys missing from the snapshot
-      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
              'I' AS op, 1 AS seq
       FROM orders WHERE o_orderkey % 4 = 3
       UNION ALL
-      -- updates: +10% price on keys = 1 (mod 4)
-      SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 1.1, 2), 'U', 2
+      -- updates: +10% price on keys = 1 (mod 4); 1.1 is a DECIMAL
+      -- literal, so the product and its round stay exact
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2)),
+             'U', 2
       FROM orders WHERE o_orderkey % 4 = 1
       UNION ALL
       -- deletes: keys = 2 (mod 4)
-      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2), 'D', 3
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)), 'D', 3
       FROM orders WHERE o_orderkey % 4 = 2
       UNION ALL
       -- late second update on keys = 5 (mod 8): must win over seq-2 'U'
-      SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 2.0, 2), 'U', 4
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 2.0, 2) AS DECIMAL(18,2)),
+             'U', 4
       FROM orders WHERE o_orderkey % 8 = 5
     ),
     latest AS (
@@ -140,8 +151,12 @@ def q_cdc_apply(spark, sf_dir):
     table, so only the feed shuffles."""
     from pyspark.sql import Window
 
+    from decimal import Decimal
+
+    # exact DECIMAL price math throughout — see the oracle comment
     o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
     snapshot = o.where(F.col("o_orderkey") % 4 != 3)
     changelog = (
@@ -150,7 +165,9 @@ def q_cdc_apply(spark, sf_dir):
         .unionByName(
             o.where(F.col("o_orderkey") % 4 == 1).select(
                 "o_orderkey", "o_custkey",
-                F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+                F.round(F.col("o_totalprice") * F.lit(Decimal("1.1")), 2)
+                .cast("decimal(18,2)")
+                .alias("o_totalprice"),
                 F.lit("U").alias("op"), F.lit(2).alias("seq"),
             )
         )
@@ -163,7 +180,9 @@ def q_cdc_apply(spark, sf_dir):
         .unionByName(
             o.where(F.col("o_orderkey") % 8 == 5).select(
                 "o_orderkey", "o_custkey",
-                F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+                F.round(F.col("o_totalprice") * F.lit(Decimal("2.0")), 2)
+                .cast("decimal(18,2)")
+                .alias("o_totalprice"),
                 F.lit("U").alias("op"), F.lit(4).alias("seq"),
             )
         )

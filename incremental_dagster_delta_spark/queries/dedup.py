@@ -153,6 +153,11 @@ def q_dedup_prefix_key(spark, sf_dir):
 # the cap is behavior-neutral here and the exact oracle still matches.
 DF_CAP = 256
 
+# Row fraction for the sampled heavy-hitter probe — large enough that a
+# df = 4·DF_CAP shingle is flagged with p > 0.99, small enough that the
+# probe agg touches 20× fewer rows than the full index.
+PROBE_FRACTION = 0.05
+
 
 def ngram_jaccard_pairs(spark, docs, threshold: float = JACCARD_THRESHOLD, df_cap: int = DF_CAP):
     """Core of q_ngram_jaccard over any (doc_id, text) DataFrame — exact
@@ -164,20 +169,40 @@ def ngram_jaccard_pairs(spark, docs, threshold: float = JACCARD_THRESHOLD, df_ca
     sh = doc_shingles(fan_out(docs, spark)).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
-    # Heavy-hitter probe: ONE aggregation over the (persisted) index tells
-    # us whether any shingle exceeds the cap. The common case — no heavy
-    # hitters at this corpus/scale — then runs the plain inverted-index
-    # plan with zero correction machinery; the probe costs one map-side-
-    # combined agg (~2% of query time at sf0.1). Only a genuinely skewed
-    # corpus pays for the cold/hot split.
-    hot = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > df_cap)
+    # SAMPLED heavy-hitter probe (SURVEY §7-M6f; r4 bench showed the full
+    # probe — a groupBy over EVERY index row — cost ~0.5 s at sf0.1).
+    # Stage 1 aggregates only a seeded PROBE_FRACTION row-sample of the
+    # index with a conservative threshold (half the cap's expected sample
+    # count), yielding SUSPECT shingles; stage 2 exact-counts suspects
+    # only (broadcast semi-join — zero shuffle of non-suspect rows).
+    # Exactness is unconditional: a marginally-hot shingle the sample
+    # misses simply stays in the cold index and is counted exactly there
+    # — the only cost is its bounded O(df²) pair blowup, and the
+    # catastrophic hitters (df ≫ cap, the actual 100 TB hazard) are
+    # caught with probability → 1 (Chernoff: df = 4·cap already misses
+    # with p < 0.01 at a 5% sample).
+    suspects = (
+        inv.sample(fraction=PROBE_FRACTION, seed=42)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > df_cap * PROBE_FRACTION / 2)
         .select("shingle")
         .persist()
     )
-    has_hot = hot.limit(1).count() > 0
+    has_suspects = suspects.limit(1).count() > 0
+    if has_suspects:
+        hot = (
+            inv.join(F.broadcast(suspects), "shingle", "left_semi")
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+            .persist()
+        )
+        has_hot = hot.limit(1).count() > 0
+    else:
+        hot = suspects  # empty — keeps the release list uniform
+        has_hot = False
     cold = inv.join(hot, "shingle", "left_anti").persist() if has_hot else inv
     pairs = (
         cold.alias("a")
@@ -216,7 +241,11 @@ def ngram_jaccard_pairs(spark, docs, threshold: float = JACCARD_THRESHOLD, df_ca
         F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
     ).where(F.col("jaccard") >= threshold)
     out = jac.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
-    cached = [sh, inv, hot] + ([cold] if has_hot else [])
+    cached = [sh, inv, suspects]
+    if has_suspects:
+        cached.append(hot)
+    if has_hot:
+        cached.append(cold)
     return materialize_release(out, *cached)
 
 

@@ -63,13 +63,44 @@ def _fixture(tag: str, waves: int = 1) -> str:
 # (q_sessionize_stateful and q_late_data stay rows-only: their outputs
 # depend on watermark/timeout semantics, not just fixture content.)
 # --------------------------------------------------------------------------
-_ORACLE_FIX_W1 = "/tmp/spark_graft/incr_oracle_fixture/w1"  # wave 0 only
-_ORACLE_FIX_W2 = "/tmp/spark_graft/incr_oracle_fixture/w2"  # waves 0+1
+def _build_oracle_fixture(waves: int) -> str:
+    """Content-addressed oracle fixture (r4 verdict #3): the old scheme
+    generated into ONE fixed path guarded by ``if not os.path.exists`` —
+    a stale or partially-written copy from a crashed earlier run would
+    poison the oracle forever while the Spark side used a fresh temp dir.
+    Now: always generate into a fresh temp dir, digest the actual bytes
+    written (names + contents), and atomically rename to a path KEYED BY
+    that digest. The digest path can only ever hold a complete, correct
+    copy (rename is atomic; a half-built tree never lands there), and any
+    change to the generator moves the path instead of silently reusing
+    stale content."""
+    import hashlib
 
-for _root, _waves in ((_ORACLE_FIX_W1, 1), (_ORACLE_FIX_W2, 2)):
-    if not os.path.exists(_root):
-        for _w in range(_waves):
-            generate_ingest_fixture(_root, files_per_day_per_wave=6, wave=_w)
+    build = tempfile.mkdtemp(prefix=f"spark_graft_oraclefix_build_w{waves}_")
+    for _w in range(waves):
+        generate_ingest_fixture(build, files_per_day_per_wave=6, wave=_w)
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(build)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            full = os.path.join(dirpath, name)
+            h.update(os.path.relpath(full, build).encode())
+            with open(full, "rb") as fh:
+                h.update(fh.read())
+    final = f"/tmp/spark_graft/incr_oracle_fixture_{h.hexdigest()[:16]}/w{waves}"
+    if os.path.exists(final):
+        shutil.rmtree(build)
+        return final
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(build, final)
+    except OSError:  # concurrent builder won the rename race — theirs is identical
+        shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+_ORACLE_FIX_W1 = _build_oracle_fixture(1)  # wave 0 only
+_ORACLE_FIX_W2 = _build_oracle_fixture(2)  # waves 0+1
 
 # read_text() projections shared by the oracles below.
 _DAY = "regexp_extract(filename, 'day=([0-9-]+)', 1)"
@@ -181,10 +212,9 @@ def q_replace_where(spark, sf_dir):
         table = PartitionedTable(spark, os.path.join(tdir, "t"), ["day"])
         files = read_text_files(spark, root).repartition("day")
         table.append(files)
-        # refresh 2024-03-26 with uppercased words
+        # refresh 2024-03-26 with uppercased words — crash-atomic swap
         refreshed = files.where(F.col("day") == "2024-03-26").withColumn("word", F.upper("word"))
-        table.delete_partitions(day="2024-03-26")
-        table.append(refreshed)
+        table.overwrite_partitions(refreshed, day="2024-03-26")
         out = table.read().select("day", "filename", "word").orderBy("day", "filename")
         return out.localCheckpoint()
     finally:

@@ -352,11 +352,11 @@ def q_rollup_agg(spark, sf_dir):
     oracle="""
     SELECT CAST(DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT) AS VARCHAR)
                AS event_date,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events GROUP BY 1
     """,
 )

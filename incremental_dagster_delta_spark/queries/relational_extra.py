@@ -481,8 +481,13 @@ def q_funnel_multistep(spark, sf_dir):
     def step(prev_qualifying, next_type):
         """Events of next_type within 2h after the latest qualifying
         previous-step event. prev/next = (user_id, ts)."""
+        # prev sorts AFTER next at equal ts (tag 2 > 1): an equal-ts prev
+        # can never qualify (the filter is strict ts > last_prev), but if
+        # it became last_prev it would SHADOW an earlier in-window prev
+        # that the oracle's range join counts (ADVICE r4) — excluding
+        # equal-ts prevs from the carry is exactly EXISTS semantics.
         prev = prev_qualifying.select(
-            "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("prev_ts")
+            "user_id", "ts", F.lit(2).alias("tag"), F.col("ts").alias("prev_ts")
         )
         nxt = e.where(F.col("event_type") == next_type).select(
             "user_id", "ts", F.lit(1).alias("tag"), F.lit(None).cast("timestamp").alias("prev_ts")

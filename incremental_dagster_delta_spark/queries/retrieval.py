@@ -142,7 +142,11 @@ def q_unigram_surprisal(spark, sf_dir):
     tot AS (SELECT sum(c) AS total FROM vocab),
     scored AS (
       SELECT doc_id, ANY_VALUE(lang) AS lang,
-             avg(-ln(v.c / (1.0 * s.total))) AS surprisal
+             -- rounded BEFORE the ntile ORDER BY: Spark and DuckDB sum
+             -- the per-token log terms in different orders, so scores
+             -- differing in the last ulp could sort differently and
+             -- shift a quintile boundary (ADVICE r4)
+             round(avg(-ln(v.c / (1.0 * s.total))), 6) AS surprisal
       FROM tok JOIN vocab v USING (tok) CROSS JOIN tot s
       GROUP BY doc_id
     ),
@@ -180,7 +184,8 @@ def q_surprisal_buckets(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
-            F.avg(-F.log(F.col("c") / (1.0 * F.col("total")))).alias("surprisal"),
+            # round to 6 decimals pre-ntile — see the oracle comment
+            F.round(F.avg(-F.log(F.col("c") / (1.0 * F.col("total")))), 6).alias("surprisal"),
         )
     )
     w = Window.partitionBy("lang").orderBy(F.col("surprisal").asc(), F.col("doc_id").asc())

@@ -39,7 +39,8 @@ PQ_STRIDE = 25  # vec_id % 25 == 0 → codebook entry (deterministic "training")
       )
     )
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) AS qvec,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER) AS VARCHAR)), ',') AS qvec,
            CAST(ROUND(s, 6) AS DOUBLE) AS scale,
            CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
              x -> pow(floor(CAST(x AS DOUBLE) / s + 0.5) * s - CAST(x AS DOUBLE), 2)), 'sum')), 4) AS DOUBLE)
@@ -53,7 +54,12 @@ def q_embedding_quantize(spark, sf_dir):
     reconstruction error. Pure JVM higher-order functions over the
     array — a zero-shuffle projection that compresses a 100 TB float32
     embedding store to 25 TB while keeping cosine rankings nearly intact
-    (the recon_err column is the audit trail for "nearly")."""
+    (the recon_err column is the audit trail for "nearly").
+
+    The code vector is emitted as a comma-joined string: the driver's
+    canonicalizer hashes cells via pandas ``sort_values``, which cannot
+    hash raw list cells (r4: ``TypeError: unhashable type: 'list'``) —
+    serializing on BOTH sides keeps the check exact and hashable."""
     e = t(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     s0 = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
@@ -72,7 +78,7 @@ def q_embedding_quantize(spark, sf_dir):
     )
     return base.select(
         "vec_id",
-        qvec.alias("qvec"),
+        F.array_join(F.transform(qvec, lambda x: x.cast("string")), ",").alias("qvec"),
         F.round("s", 6).alias("scale"),
         F.round(recon, 4).alias("recon_err"),
     )
@@ -100,7 +106,7 @@ def q_embedding_quantize(spark, sf_dir):
              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
       FROM d
     )
-    SELECT vec_id, list(cid ORDER BY s) AS codes
+    SELECT vec_id, array_to_string(list(CAST(cid AS VARCHAR) ORDER BY s), ',') AS codes
     FROM best WHERE rk = 1
     GROUP BY vec_id
     """,
@@ -118,7 +124,13 @@ def q_pq_codes(spark, sf_dir):
     from incremental_dagster_delta_spark.tables import fan_out
 
     e = fan_out(t(spark, sf_dir, "embeddings"), spark)
-    return pq_encode(e, pq_codebook_row(e))
+    codes = pq_encode(e, pq_codebook_row(e))
+    # Comma-joined string, not array<long>: the driver's canonicalizer
+    # cannot hash list cells (r4 red) — serialize on BOTH sides.
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes"),
+    )
 
 
 def _sq_dist(a, b):

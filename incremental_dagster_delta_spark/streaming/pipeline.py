@@ -205,18 +205,18 @@ class IngestPipeline:
         that partition (reference I8: delta_io.py:92-107), scoped per-table
         rather than via the reference's global refresh flag.
 
-        The whole day is dropped first: dynamic partition overwrite alone
-        only replaces leaf partitions present in the recomputed data, so a
-        ``word_length`` leaf whose value vanished from the day's files
-        would otherwise survive — the reference's ``replaceWhere`` on the
-        day predicate (delta_io.py:104-107) replaces the entire day.
+        Uses the crash-atomic ``overwrite_partitions`` with a day scope:
+        staged write + marker + per-leaf swap, so a killed refresh can
+        never leave a half-written day, and a ``word_length`` leaf whose
+        value vanished from the day's files is dropped in the same
+        transaction — the reference's ``replaceWhere`` on the day
+        predicate (delta_io.py:104-107) replaces the entire day.
         """
         y, m, d = day.split("-")
         files = read_text_files(self.spark, self.ingest_root).where(F.col("day") == day)
         proc = to_processed(files).repartition("year", "month", "day")
-        self.processed.delete_partitions(year=y, month=m, day=d)
-        self.processed.append(proc)
-        self.backwards.delete_partitions(year=y, month=m, day=d)
-        self.backwards.append(to_backwards(proc))
-        self.listing.delete_partitions(day=day)
-        self.listing.append(files.select("filename", "day").repartition("day"))
+        self.processed.overwrite_partitions(proc, year=y, month=m, day=d)
+        self.backwards.overwrite_partitions(to_backwards(proc), year=y, month=m, day=d)
+        self.listing.overwrite_partitions(
+            files.select("filename", "day").repartition("day"), day=day
+        )

@@ -24,9 +24,29 @@ from __future__ import annotations
 
 import json
 import posixpath
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _string_partitions(spark: SparkSession):
+    """Scope-disable hive partition-value type inference around an eager
+    ``load()``: partition values must come back as the strings that were
+    written (reference's string-typed partition columns,
+    delta_io.py:108-110) regardless of who built the session — under a
+    default session ``month=03`` infers as int 3 and the zero-padding is
+    unrecoverable (r4: the one red q_refresh_overwrite driver row).
+    load() resolves partition schema eagerly, so set/restore around it is
+    sufficient and leaves the caller's session conf untouched."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class PartitionedTable:
@@ -60,11 +80,162 @@ class PartitionedTable:
         """
         return self._write(df, mode="append")
 
-    def overwrite_partitions(self, df: DataFrame) -> bool:
+    def overwrite_partitions(self, df: DataFrame, **scope: str) -> bool:
         """Refresh mode (reference delta_io.py:92-93 + 104-107): replace
-        only the partitions present in ``df`` — Delta ``replaceWhere``
-        semantics via dynamic partition overwrite."""
-        return self._write(df, mode="overwrite")
+        the partitions present in ``df`` — Delta ``replaceWhere``
+        semantics — CRASH-ATOMICALLY (r4 verdict #7: plain dynamic
+        partition overwrite deletes-then-writes in place, so a killed
+        refresh left a half-written partition, the one Delta semantic the
+        parquet mapping didn't reproduce).
+
+        Protocol (same commit-marker discipline as ``compact()``):
+
+        1. write ``df`` partitioned into a sibling staging dir — the live
+           table is untouched while the expensive work runs;
+        2. enumerate staged leaf partitions; with ``**scope`` given
+           (e.g. ``day="2024-03-26"``), also enumerate existing leaves
+           matching the scope but absent from the staged set — those are
+           DROPPED in the same transaction (full ``replaceWhere``: a
+           ``word_length`` leaf whose value vanished doesn't survive);
+        3. persist the plan in a sibling ``…overwrite_pending.json``
+           intent marker (written only AFTER staging completes, so marker
+           present ⇒ staged data complete ⇒ recovery always rolls
+           FORWARD);
+        4. per leaf: rename live → ``…preoverwrite`` shadow, rename
+           staged → live, delete shadow — each step idempotent, each
+           rename atomic, shadows live OUTSIDE the table dir so readers
+           never see a ``day=X.pre`` ghost partition;
+        5. delete staging + marker.
+
+        A crash at any point converges via ``recover()`` (or the next
+        ``overwrite_partitions`` call): marker present → re-run step 4-5;
+        staging without marker → the overwrite never became visible, drop
+        the stale staging. Readers see each leaf flip atomically and the
+        marker defines the committed set — the parquet analogue of
+        Delta's log entry for a replaceWhere commit.
+        """
+        empty = df.isEmpty()
+        if empty and not scope:
+            return False  # empty-commit guard (reference delta_io.py:85-86)
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        self._recover_overwrite(fs, Path)  # converge any earlier crash first
+        staging = self._overwrite_staging_path()
+        if fs.exists(Path(staging)):
+            fs.delete(Path(staging), True)
+        staged: list[str] = []
+        if not empty:
+            writer = df.write.format(self.fmt).mode("overwrite")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.save(staging)
+            staged = self._list_leaf_dirs(fs, Path, staging)
+        plan = [{"leaf": leaf, "action": "swap"} for leaf in staged]
+        if scope and self.partition_cols and fs.exists(Path(self.path)):
+            staged_set = set(staged)
+            for leaf in self._list_leaf_dirs(fs, Path, self.path):
+                if leaf in staged_set:
+                    continue
+                parts = dict(seg.split("=", 1) for seg in leaf.split("/"))
+                if all(parts.get(k) == str(v) for k, v in scope.items()):
+                    plan.append({"leaf": leaf, "action": "drop"})
+        if not plan:
+            return False
+        marker = Path(self._overwrite_marker_path())
+        out = fs.create(marker, True)
+        out.write(bytearray(json.dumps({"leaves": plan}).encode("utf-8")))
+        out.close()
+        self._complete_overwrite(fs, Path)
+        if not empty:
+            self._record_partition_schema(df)
+        return not empty
+
+    # sibling paths (outside the table dir → never visible to readers)
+    def _overwrite_staging_path(self) -> str:
+        return self.path.rstrip("/") + ".overwriting"
+
+    def _overwrite_marker_path(self) -> str:
+        return self.path.rstrip("/") + ".overwrite_pending.json"
+
+    def _overwrite_shadow_root(self) -> str:
+        return self.path.rstrip("/") + ".preoverwrite"
+
+    def _list_leaf_dirs(self, fs, Path, root: str) -> list[str]:
+        """Relative paths of the leaf partition dirs under ``root`` (depth
+        = len(partition_cols)); [""] for an unpartitioned table. Driver-
+        side metadata listing, O(partitions touched by this refresh)."""
+        if not self.partition_cols:
+            return [""]
+        out: list[str] = []
+
+        def walk(p, rel: str, depth: int) -> None:
+            if depth == len(self.partition_cols):
+                out.append(rel)
+                return
+            for st in fs.listStatus(p):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                walk(st.getPath(), posixpath.join(rel, name) if rel else name, depth + 1)
+
+        walk(Path(root), "", 0)
+        return sorted(out)
+
+    def _complete_overwrite(self, fs, Path) -> None:
+        """Roll the marker's plan forward to completion — idempotent, safe
+        to replay from any crash point (marker present ⇒ staging was
+        complete when it was written)."""
+        marker = Path(self._overwrite_marker_path())
+        if not fs.exists(marker):
+            return
+        stream = fs.open(marker)
+        data = bytearray()
+        b = stream.read()
+        while b != -1:
+            data.append(b)
+            b = stream.read()
+        stream.close()
+        plan = json.loads(data.decode("utf-8"))["leaves"]
+        staging, shadow_root = self._overwrite_staging_path(), self._overwrite_shadow_root()
+        for entry in plan:
+            leaf, action = entry["leaf"], entry["action"]
+            final = Path(posixpath.join(self.path, leaf) if leaf else self.path)
+            pre = Path(posixpath.join(shadow_root, leaf) if leaf else shadow_root)
+            stg = Path(posixpath.join(staging, leaf) if leaf else staging)
+            if action == "swap":
+                if fs.exists(final) and not fs.exists(pre) and fs.exists(stg):
+                    fs.mkdirs(pre.getParent())
+                    fs.rename(final, pre)
+                if fs.exists(stg):
+                    fs.mkdirs(final.getParent())
+                    fs.rename(stg, final)
+                    if not leaf:  # whole-table swap: salvage commit markers
+                        old_commits = Path(posixpath.join(pre.toString(), "_commits"))
+                        new_commits = Path(posixpath.join(self.path, "_commits"))
+                        if fs.exists(old_commits) and not fs.exists(new_commits):
+                            fs.rename(old_commits, new_commits)
+            elif fs.exists(final):  # drop
+                fs.mkdirs(pre.getParent())
+                fs.rename(final, pre)
+            if fs.exists(pre):
+                fs.delete(pre, True)
+        for p in (Path(staging), Path(shadow_root)):
+            if fs.exists(p):
+                fs.delete(p, True)
+        fs.delete(marker, False)
+
+    def _recover_overwrite(self, fs, Path) -> None:
+        marker = Path(self._overwrite_marker_path())
+        if fs.exists(marker):
+            self._complete_overwrite(fs, Path)  # staged data complete → forward
+            return
+        # no marker → the overwrite never became visible: drop leftovers
+        for p in (Path(self._overwrite_staging_path()), Path(self._overwrite_shadow_root())):
+            if fs.exists(p):
+                fs.delete(p, True)
 
     def _write(self, df: DataFrame, mode: str) -> bool:
         if df.isEmpty():
@@ -73,7 +244,63 @@ class PartitionedTable:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.save(self.path)
+        self._record_partition_schema(df)
         return True
+
+    # -- partition-column type fidelity -------------------------------------
+    #
+    # Hive partition values live in DIRECTORY NAMES, so their types are
+    # gone by read time and Spark's inference guesses them back — wrongly
+    # for zero-padded strings (``month=03`` → int 3, padding
+    # unrecoverable; r4's one red q_refresh_overwrite driver row came
+    # from exactly this under a default-conf session). Delta solves it by
+    # recording the schema in the transaction log; we do the parquet
+    # equivalent: persist the partition columns' dtypes in a one-line
+    # ``_partition_schema.json`` at write time, read partition values
+    # with inference DISABLED (strings, padding intact), and cast each
+    # back to its recorded type. String partitions stay byte-identical;
+    # numeric partitions regain their true type.
+
+    def _record_partition_schema(self, df: DataFrame) -> None:
+        if not self.partition_cols:
+            return
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name in self.partition_cols
+        }
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(posixpath.join(self.path, "_partition_schema.json"))
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(types).encode("utf-8")))
+        out.close()
+
+    def _partition_types(self) -> dict[str, str]:
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(posixpath.join(self.path, "_partition_schema.json"))
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return {}
+        try:
+            stream = fs.open(p)
+            data = bytearray()
+            b = stream.read()
+            while b != -1:
+                data.append(b)
+                b = stream.read()
+            stream.close()
+            return json.loads(data.decode("utf-8"))
+        except Exception:
+            return {}
+
+    def _restore_partition_types(self, df: DataFrame) -> DataFrame:
+        for c, typ in self._partition_types().items():
+            if c in df.columns and typ != "string":
+                df = df.withColumn(c, F.col(c).cast(typ))
+        return df
 
     # -- idempotent streaming append (exactly-once per micro-batch) ---------
 
@@ -126,6 +353,7 @@ class PartitionedTable:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.save(staging)
+        self._record_partition_schema(df)
         staging_path = Path(staging)
         staging_uri = staging_path.toUri().getPath()
         it = fs.listFiles(staging_path, True)
@@ -228,6 +456,7 @@ class PartitionedTable:
         if fs.exists(old_commits):
             fs.rename(old_commits, Path(posixpath.join(self.path, "_commits")))
         fs.delete(Path(old), True)
+        self._record_partition_schema(df)
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -276,11 +505,12 @@ class PartitionedTable:
 
     def recover(self) -> None:
         """Public entry for crash recovery — call before reads if a
-        compaction may have been interrupted."""
+        compaction or partition overwrite may have been interrupted."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         self._recover_compaction(fs, Path)
+        self._recover_overwrite(fs, Path)
 
     # -- upsert (MERGE-equivalent) ------------------------------------------
 
@@ -374,7 +604,8 @@ class PartitionedTable:
         reader = self.spark.read.format(self.fmt)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        df = reader.load(self.path)
+        with _string_partitions(self.spark):
+            df = self._restore_partition_types(reader.load(self.path))
         if predicate is not None:
             df = df.where(predicate)
         return df
@@ -433,17 +664,19 @@ class PartitionedTable:
                 "collapsed (compact() rewrites files, like Delta OPTIMIZE + "
                 "VACUUM). Only the current state is readable via read()."
             )
-        return (
-            self.spark.read.format(self.fmt)
-            .option("basePath", self.path)
-            .load(files)
-        )
+        with _string_partitions(self.spark):
+            return self._restore_partition_types(
+                self.spark.read.format(self.fmt)
+                .option("basePath", self.path)
+                .load(files)
+            )
 
     def read_partition(self, **partition_values: str) -> DataFrame:
         """Read exactly one partition, e.g. ``read_partition(year="2024",
         month="03", day="26")`` — the reference's per-run scoped load
         (delta_io.py:122-127)."""
-        df = self.spark.read.format(self.fmt).load(self.path)
+        with _string_partitions(self.spark):
+            df = self._restore_partition_types(self.spark.read.format(self.fmt).load(self.path))
         for k, v in partition_values.items():
             df = df.where(F.col(k) == F.lit(v))
         return df

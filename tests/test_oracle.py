@@ -51,3 +51,45 @@ def test_nonvacuous_oracles(spark, con):
         if con.sql(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0] == 0:
             vacuous.append(name)
     assert not vacuous, f"vacuous oracle checks: {vacuous}"
+
+
+# --- harness driver-faithfulness regressions (r4 verdict #2/#4) -------------
+
+
+def test_harness_catches_hugeint_vs_bigint(spark, con):
+    """DuckDB SUM(int) is HUGEINT → float64 ("74.0") in pandas while the
+    matching Spark bigint renders "74". The old normalizing harness
+    unified those and let q_pivot_counts stay red at the driver for
+    three rounds; the driver-faithful harness must FAIL this pair."""
+    from incremental_dagster_delta_spark.oracle import compare_query
+    from incremental_dagster_delta_spark.queries.registry import QuerySpec
+
+    spec = QuerySpec(
+        fn=lambda s, d: s.range(1).selectExpr("CAST(3 AS BIGINT) AS total"),
+        oracle="SELECT SUM(v) AS total FROM (SELECT 1 AS v UNION ALL SELECT 2) t",
+    )
+    r = compare_query(spark, con, "hugeint_regression", spec, SF_DIR)
+    assert not r.hash_match, "harness failed to see HUGEINT→float64 vs int64"
+    # the cast oracle must pass
+    spec_cast = QuerySpec(
+        fn=spec.fn,
+        oracle="SELECT CAST(SUM(v) AS BIGINT) AS total FROM (SELECT 1 AS v UNION ALL SELECT 2) t",
+    )
+    assert compare_query(spark, con, "hugeint_cast_ok", spec_cast, SF_DIR).ok
+
+
+def test_harness_rejects_list_cells(spark, con):
+    """The driver cannot hash list-valued cells (r4: q_embedding_quantize
+    / q_pq_codes red with ``TypeError: unhashable type: 'list'``). The
+    local harness must fail the same way, not silently stringify."""
+    import pytest as _pytest
+
+    from incremental_dagster_delta_spark.oracle import compare_query
+    from incremental_dagster_delta_spark.queries.registry import QuerySpec
+
+    spec = QuerySpec(
+        fn=lambda s, d: s.range(2).selectExpr("id", "array(id, id + 1) AS arr"),
+        oracle="SELECT * FROM (VALUES (0, [0, 1]), (1, [1, 2])) t(id, arr)",
+    )
+    with _pytest.raises(TypeError):
+        compare_query(spark, con, "list_cells", spec, SF_DIR)
