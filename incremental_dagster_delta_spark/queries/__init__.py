@@ -36,6 +36,7 @@ from incremental_dagster_delta_spark.queries import graph  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import selection  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import bpe  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import docsim  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -87,6 +88,7 @@ _R5_FRONT = [
     "q_late_data",
     "q_drip_source",
     "q_sessionize_stateful",
+    "q_stream_dedup",
     # dedup family (sampled heavy-hitter probe touched candidate gen)
     "q_ngram_jaccard",
     "q_ngram_jaccard_prefix",
@@ -99,16 +101,18 @@ _R5_FRONT = [
     "q_top_orders",
     "q_window_running",
     "q_rank_in_group",
-    "q_topk",
-    "q_set_ops",
-    "q_distinct",
-    "q_semi_join",
+    # new this session: distributed Gram/PCA, Z-order layout audit,
+    # bucketed co-located join (replacing four stable double-green
+    # basics: q_topk, q_set_ops, q_distinct, q_semi_join)
+    "q_gram_matrix",
+    "q_pca_topk",
+    "q_zorder_layout",
+    "q_bucketed_join",
     "q_rollup_agg",
     "q_sql_frontend",
-    "q_dedup_exact",
+    "q_rp_embed",
     "q_cosine_topk",
     "q_asof_join",
-    "q_quantiles",
 ]
 
 

@@ -289,3 +289,76 @@ def q_bootstrap_ci(spark, sf_dir):
         F.round(F.expr("percentile(m, 0.025)"), 4).cast("double").alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 4).cast("double").alias("ci_hi"),
     )
+
+
+# --- Johnson-Lindenstrauss random-projection document embeddings ------------
+
+RP_DIM = 8
+# md5 hex first-nibble parity -> Rademacher +-1 sign, identical on both
+# engines (the q_hash_split determinism trick applied to a sign matrix).
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _rp_oracle() -> str:
+    odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    dims = ",\n           ".join(
+        f"CAST(ROUND(SUM(tfidf * (CASE WHEN substring(md5(tok || '#{k}'), 1, 1) IN ({odd})"
+        f" THEN -1.0 ELSE 1.0 END)), 4) AS DOUBLE) AS e{k}"
+        for k in range(RP_DIM)
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id,
+           {dims}
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+@query("q_rp_embed", tags=("text", "llm", "similarity"), oracle=_rp_oracle())
+def q_rp_embed(spark, sf_dir):
+    """Model-free document embeddings by sparse random projection
+    (Johnson-Lindenstrauss / Achlioptas 2003): project each document's
+    TF-IDF vector onto RP_DIM Rademacher directions, where direction k's
+    sign for a token is the parity of ``md5(tok + '#k')``'s first hex
+    nibble — a deterministic sign MATRIX that is never materialized,
+    broadcast, or shuffled; each row computes its own signs inline. JL
+    guarantees pairwise distances survive within 1+eps, so the output
+    column feeds every embedding-keyed operator in the registry (SemDeDup
+    cells, LSH bucketing, cosine top-k) on corpora that have no model
+    embeddings. Plan shape: tokenize/explode -> per-(doc,tok) count ->
+    broadcast df join -> ONE shuffle on doc_id with 8 parallel
+    conditional sums — identical cost to the TF-IDF query it extends."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_t), "tok").withColumn(
+        "tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    )
+    signed = scored
+    for k in range(RP_DIM):
+        sign = F.when(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(f"#{k}"))), 1, 1).isin(*_ODD_HEX),
+            F.lit(-1.0),
+        ).otherwise(F.lit(1.0))
+        signed = signed.withColumn(f"_t{k}", F.col("tfidf") * sign)
+    return signed.groupBy("doc_id").agg(
+        *[F.round(F.sum(f"_t{k}"), 4).cast("double").alias(f"e{k}") for k in range(RP_DIM)]
+    )

@@ -473,6 +473,64 @@ def q_late_data(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --- streaming exactly-once deduplication -----------------------------------
+
+
+@query(
+    "q_stream_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: the events table is fed to a file
+    stream TWICE (two waves of identical files — the at-least-once
+    redelivery every real ingest pipeline must survive), deduped on
+    event_id with streaming ``dropDuplicates`` state, and the
+    materialized output must equal a single clean pass — the oracle is a
+    plain aggregate over the original table, so the hash check proves the
+    redelivered wave contributed zero rows. State holds one entry per
+    key; production variant with bounded state is
+    ``dropDuplicatesWithinWatermark`` (same plan shape, state evicted at
+    the watermark), which tests/test_streaming.py covers — here the
+    unbounded form keeps the output independent of event-time ordering."""
+    base = _tmp("sdedup")
+    in_dir, out_dir, cp = (os.path.join(base, d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def run():
+        stream = spark.readStream.schema("event_id long, event_type string").parquet(in_dir)
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        shutil.copy(src, os.path.join(in_dir, "wave1.parquet"))
+        run()
+        shutil.copy(src, os.path.join(in_dir, "wave2.parquet"))  # full redelivery
+        run()
+        out = (
+            spark.read.schema("event_id long, event_type string")
+            .parquet(out_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Every qid above that drives a pipeline/stream materializes its result
 # (localCheckpoint) inside the call, so scoping the shuffle-partition
 # count around the call covers the whole execution.
@@ -499,5 +557,6 @@ for _name in [
     "q_multi_hop",
     "q_sessionize_stateful",
     "q_late_data",
+    "q_stream_dedup",
 ]:
     _Q[_name].fn = _scoped(_Q[_name].fn)

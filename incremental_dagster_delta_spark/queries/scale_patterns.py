@@ -106,3 +106,138 @@ def q_grouped_pandas(spark, sf_dir):
     return d.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs long, median_chars double, mean_chars double"
     )
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+Z_BITS = 8  # 8 bits per dimension -> 16-bit Morton key
+Z_BUCKET_SHIFT = 10  # bucket = z >> 10 -> at most 64 buckets
+
+
+def _zorder_oracle() -> str:
+    """DuckDB replica of ``functions.zorder_key``'s bit interleave —
+    the same shift/mask terms, so the check is exact integer math."""
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+    return f"""
+    WITH ext AS (
+      SELECT MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+             MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+      FROM lineitem
+    ), scaled AS (
+      SELECT ((l_partkey - min_p) * 255) // (max_p - min_p) AS x,
+             ((l_suppkey - min_s) * 255) // (max_s - min_s) AS y
+      FROM lineitem, ext
+    ), keyed AS (
+      SELECT x, y, ({terms}) AS z FROM scaled
+    )
+    SELECT CAST(z >> {Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM keyed
+    GROUP BY 1
+    """
+
+
+@query("q_zorder_layout", tags=("layout", "scale"), oracle=_zorder_oracle())
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit: scale (l_partkey, l_suppkey)
+    to 8-bit ranks, interleave bits into a 16-bit key
+    (``functions.zorder_key`` — pure shift/mask arithmetic, whole-stage
+    codegen), and report per-bucket extents. Each bucket covers a
+    compact rectangle in BOTH dimensions — the property that lets
+    parquet min/max stats skip row groups for predicates on either
+    column, which is the data-skipping strategy for high-cardinality
+    columns at 100 TB where directory partitioning would explode (the
+    file-writing counterpart is ``functions.zorder_write``, exercised in
+    tests/test_zorder.py). Min/max scaling uses a 1-row broadcast of the
+    global extents, and the integer arithmetic is exact on both engines."""
+    from incremental_dagster_delta_spark.functions import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_partkey").alias("min_p"),
+        F.max("l_partkey").alias("max_p"),
+        F.min("l_suppkey").alias("min_s"),
+        F.max("l_suppkey").alias("max_s"),
+    )
+    scaled = li.crossJoin(F.broadcast(ext)).select(
+        F.floor((F.col("l_partkey") - F.col("min_p")) * 255 / (F.col("max_p") - F.col("min_p"))).alias("x"),
+        F.floor((F.col("l_suppkey") - F.col("min_s")) * 255 / (F.col("max_s") - F.col("min_s"))).alias("y"),
+    )
+    keyed = scaled.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=Z_BITS))
+    return keyed.groupBy(
+        F.shiftright("z", Z_BUCKET_SHIFT).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+# --- bucketed co-located join -----------------------------------------------
+
+
+@query(
+    "q_bucketed_join",
+    tags=("join", "scale"),
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Fact-fact join over bucketed tables: both sides written
+    ``bucketBy(8, orderkey).sortBy(orderkey)``, so the sort-merge join
+    reads co-located, pre-sorted buckets and the physical plan contains
+    ZERO Exchange operators (asserted in tests/test_plans.py). At 100 TB
+    this is the pattern for joins you run repeatedly on the same key:
+    pay the shuffle once at layout time, never again at query time. The
+    bucketed copies are content-addressed by scale-factor dir and reused
+    across calls; values are bit-identical to the plain join the oracle
+    runs (decimal revenue arithmetic — associative, order-free)."""
+    import hashlib
+
+    from incremental_dagster_delta_spark.tables import load_table
+
+    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft/bucketed_{digest}"
+    specs = {
+        f"bj_orders_{digest}": ("orders", "o_orderkey"),
+        f"bj_lineitem_{digest}": ("lineitem", "l_orderkey"),
+    }
+    for tbl, (src, key) in specs.items():
+        if not spark.catalog.tableExists(tbl):
+            (
+                load_table(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{tbl}")
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"bj_orders_{digest}")
+    li = spark.table(f"bj_lineitem_{digest}")
+    # the merge hint pins the sort-merge strategy (a broadcast would
+    # bypass the bucket layout); with both sides bucketed+sorted on the
+    # key, SMJ needs neither Exchange nor Sort.
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
