@@ -111,7 +111,7 @@ _R5_FRONT = [
     "q_rollup_agg",
     "q_sql_frontend",
     "q_rp_embed",
-    "q_cosine_topk",
+    "q_pagerank",
     "q_asof_join",
 ]
 

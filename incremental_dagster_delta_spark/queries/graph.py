@@ -326,3 +326,95 @@ def q_dup_rate_by_source(spark, sf_dir):
         F.sum("is_dup").cast("long").alias("n_dups"),
         F.round(F.sum("is_dup") / (1.0 * F.count("*")), 4).cast("double").alias("dup_rate"),
     )
+
+
+# --- weighted PageRank ------------------------------------------------------
+
+PR_ITERS = 8
+PR_DAMPING = 0.85  # teleport base = 0.15, written literally on both engines
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE power iteration (the q_bpe_encode fixed-unroll trick):
+    it0 is the uniform vector, each itK one join+agg over the transition
+    list. Same float ops as the Spark loop — single-division transition
+    probabilities, damped sums — so round(6) hash-matches."""
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        its.append(
+            f"it{k} AS (\n"
+            f"      SELECT t.dst AS node,\n"
+            f"             0.15 / n.cnt + 0.85 * SUM(p.rank * t.p) AS rank\n"
+            f"      FROM trans t JOIN it{k - 1} p ON p.node = t.src, n\n"
+            f"      GROUP BY t.dst, n.cnt)"
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst, w FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst, w FROM pairs
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), trans AS (
+      SELECT e.src, e.dst, e.w / (1.0 * o.ow) AS p FROM edges e JOIN outw o ON e.src = o.src
+    ), n AS (SELECT COUNT(DISTINCT src) AS cnt FROM edges),
+    it0 AS (
+      SELECT src AS node, 1.0 / n.cnt AS rank FROM (SELECT DISTINCT src FROM edges), n
+    ),
+    {chain}
+    SELECT node, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM it{PR_ITERS}
+    """
+
+
+@query("q_pagerank", tags=("graph", "llm"), oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank over the customer<->supplier order graph — the
+    domain-authority signal web-crawl curation pipelines rank sources by
+    (a high-rank node is one heavily referenced by other heavily
+    referenced nodes). Pregel-style power iteration: the transition list
+    (src, dst, w/out_w) is frozen once with ``localCheckpoint``, then
+    each of the PR_ITERS=8 rounds is ONE shuffle join on src plus ONE
+    aggregation on dst — at 10^10 edges that is the standard scalable
+    shape, and lineage is re-truncated every other round so the plan
+    never nests (graph.py CC discipline). The graph is symmetrized, so
+    there is no dangling-mass correction to apply; isolated customers
+    (no orders) are out of the node set by construction. The DuckDB
+    oracle unrolls the same iteration as chained CTEs and hash-matches
+    at round(6)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cs = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        "w",
+    )
+    edges = cs.unionByName(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / (1.0 * F.col("ow"))).alias("p"))
+        .localCheckpoint(eager=True)  # frozen: every iteration re-reads it
+    )
+    nodes = trans.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(PR_ITERS):
+        ranks = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("m"))
+            .select(F.col("dst").alias("node"), (0.15 / n + 0.85 * F.col("m")).alias("rank"))
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)  # truncate iterative lineage
+    return ranks.select("node", F.round("rank", 6).cast("double").alias("rank"))
