@@ -161,7 +161,7 @@ def q_dedup_clusters(spark, sf_dir):
     diameter-independent scale path and additionally covers
     singletons.)"""
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, docs.select("doc_id", "text"))
+    pairs = ngram_jaccard_pairs(spark, docs.select("doc_id", "text"), cache_key=sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     return (
         docs.select("doc_id")
