@@ -77,3 +77,41 @@ def test_uncapped_corpus_identical_with_and_without_cap(spark):
     }
     want = _brute_force(docs, 0.5)
     assert capped == want
+
+
+def test_hot_stats_cache_memoizes_and_isolates(spark):
+    """Corpus heavy-hitter stats: a cache_key memoizes the checkpointed
+    hot list (second call returns the identical entry — no recompute),
+    different corpora under different keys don't cross-contaminate, and
+    keyless calls stay uncached (the synthetic-corpus tests above rely
+    on that isolation)."""
+    from incremental_dagster_delta_spark.queries.dedup import (
+        _HOT_STATS_CACHE,
+        _hot_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    inv_cold = spark.createDataFrame(
+        [(i, f"sh{i}") for i in range(20)], "doc_id long, shingle string"
+    )
+    inv_hot = spark.createDataFrame(
+        [(i, "boiler") for i in range(30)], "doc_id long, shingle string"
+    )
+    for k in ("t_cold", "t_hot"):
+        _HOT_STATS_CACHE.pop(k, None)
+    try:
+        cold_df, cold_flag = _hot_shingles(inv_cold, 5, "t_cold")
+        hot_df, hot_flag = _hot_shingles(inv_hot, 5, "t_hot")
+        assert cold_flag is False and cold_df.count() == 0
+        assert hot_flag is True
+        assert [r["shingle"] for r in hot_df.collect()] == ["boiler"]
+        # memoized: same entry object, even if the input DF differs now
+        again_df, again_flag = _hot_shingles(inv_cold.limit(0), 5, "t_cold")
+        assert again_df is cold_df and again_flag is False
+        # keyless: never enters the cache
+        n_before = len(_HOT_STATS_CACHE)
+        _hot_shingles(inv_hot, 5, None)
+        assert len(_HOT_STATS_CACHE) == n_before
+    finally:
+        for k in ("t_cold", "t_hot"):
+            _HOT_STATS_CACHE.pop(k, None)
