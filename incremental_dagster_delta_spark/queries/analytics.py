@@ -327,7 +327,7 @@ def _rp_oracle() -> str:
     """
 
 
-@query("q_rp_embed", tags=("text", "llm", "similarity"), oracle=_rp_oracle())
+@query("q_rp_embed", tags=("text", "llm", "similarity"), bench=True, oracle=_rp_oracle())
 def q_rp_embed(spark, sf_dir):
     """Model-free document embeddings by sparse random projection
     (Johnson-Lindenstrauss / Achlioptas 2003): project each document's

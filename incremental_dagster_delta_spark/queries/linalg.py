@@ -68,6 +68,7 @@ def _gram_partials(emb_df):
 @query(
     "q_gram_matrix",
     tags=("linalg", "llm"),
+    bench=True,
     oracle=f"""
     WITH comp AS (
       SELECT vec_id,

@@ -142,7 +142,7 @@ def _zorder_oracle() -> str:
     """
 
 
-@query("q_zorder_layout", tags=("layout", "scale"), oracle=_zorder_oracle())
+@query("q_zorder_layout", tags=("layout", "scale"), bench=True, oracle=_zorder_oracle())
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) clustering audit: scale (l_partkey, l_suppkey)
     to 8-bit ranks, interleave bits into a 16-bit key
