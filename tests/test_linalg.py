@@ -60,6 +60,21 @@ def test_bucketed_join_qid_plan(spark):
     assert plan.count("Bucketed: true") == 2, "both scans must read the bucket layout"
 
 
+def test_gram_matrix_plan_shape(spark):
+    """The Gram plan must be: scan -> MapInArrow (batch-local partials)
+    -> partial agg -> ONE Exchange -> final agg. Any second Exchange or
+    a missing map-side partial means the d² reduction happens after the
+    shuffle — the shape that stops scaling."""
+    df = QUERIES["q_gram_matrix"].fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "MapInArrow" in tree
+    assert tree.count("Exchange") == 1, tree
+    # partial aggregation sits below the Exchange (map-side combine)
+    assert tree.index("Exchange") < tree.index("MapInArrow")
+    assert tree.count("HashAggregate") == 2, tree
+
+
 def test_zorder_layout_buckets_are_compact(spark):
     """Every z-bucket's rectangle must be small relative to the full
     0..255 square — the data-skipping property the layout exists for."""
