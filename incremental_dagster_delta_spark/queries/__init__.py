@@ -108,7 +108,7 @@ _R5_FRONT = [
     "q_pca_topk",
     "q_zorder_layout",
     "q_bucketed_join",
-    "q_rollup_agg",
+    "q_embedding_outliers",
     "q_sql_frontend",
     "q_rp_embed",
     "q_pagerank",

@@ -439,3 +439,76 @@ def q_embedding_norm(spark, sf_dir):
         F.round(l2_norm(F.col("embedding")), 4).cast("double").alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
     )
+
+
+# --- per-label centroid outliers (mislabel / noise QA) ----------------------
+
+OUTLIER_Z = 2.0
+
+
+@query(
+    "q_embedding_outliers",
+    tags=("similarity", "llm", "quality"),
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, idx, AVG(x) AS c FROM comp GROUP BY label, idx
+    ), dist AS (
+      SELECT comp.vec_id, comp.label,
+             sqrt(SUM((comp.x - cent.c) * (comp.x - cent.c))) AS d
+      FROM comp JOIN cent USING (label, idx)
+      GROUP BY comp.vec_id, comp.label
+    ), stats AS (
+      SELECT label, AVG(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label
+    )
+    SELECT dist.vec_id, dist.label,
+           CAST(ROUND(dist.d, 4) AS DOUBLE) AS dist,
+           CAST(ROUND((dist.d - stats.mu) / stats.sd, 4) AS DOUBLE) AS z,
+           ROUND((dist.d - stats.mu) / stats.sd, 6) >= {OUTLIER_Z} AS is_outlier
+    FROM dist JOIN stats USING (label)
+    """,
+)
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers — the mislabeled/noisy-example sweep
+    every labeled training set needs before fine-tuning: distance of
+    each vector to its label centroid, z-scored within the label, flag
+    at z ≥ 2. Scale shape: centroids come from ONE posexplode aggregation
+    (map-side combined; the 64x row blowup never shuffles raw — only
+    (label, idx) partial sums travel), are reassembled into 20 tiny
+    arrays, and broadcast back; distances are then a zero-shuffle
+    zip_with fold per row, and the label z-stats are a second small
+    aggregation. The z-threshold comparison is made on the ROUNDED score
+    on both engines so the boolean can't flip on a last-ulp difference."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("idx", "x"))
+        .groupBy("label", "idx")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("ic"))
+        .select("label", F.col("ic.c").alias("centroid"))
+    )
+    dist = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("embedding", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("d"),
+    )
+    stats = dist.groupBy("label").agg(F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd"))
+    z = (F.col("d") - F.col("mu")) / F.col("sd")
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("d", 4).cast("double").alias("dist"),
+        F.round(z, 4).cast("double").alias("z"),
+        (F.round(z, 6) >= F.lit(OUTLIER_Z)).alias("is_outlier"),
+    )
