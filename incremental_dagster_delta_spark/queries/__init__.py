@@ -112,7 +112,7 @@ _R5_FRONT = [
     "q_sql_frontend",
     "q_rp_embed",
     "q_pagerank",
-    "q_asof_join",
+    "q_hard_negatives",
 ]
 
 

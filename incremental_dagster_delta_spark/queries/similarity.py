@@ -512,3 +512,92 @@ def q_embedding_outliers(spark, sf_dir):
         F.round(z, 4).cast("double").alias("z"),
         (F.round(z, 6) >= F.lit(OUTLIER_Z)).alias("is_outlier"),
     )
+
+
+# --- hard-negative mining (contrastive training prep) -----------------------
+
+HN_ANCHOR_STRIDE = 25  # vec_id % 25 == 0 -> anchor (the "training batch")
+HN_TOP_K = 3
+HN_MARGIN = 0.2
+
+
+@query(
+    "q_hard_negatives",
+    tags=("similarity", "llm", "training"),
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS ae, label AS alabel
+      FROM embeddings WHERE vec_id % {HN_ANCHOR_STRIDE} = 0
+    ), scored AS (
+      SELECT a.anchor_id, a.alabel, e.vec_id AS neighbor_id, e.label,
+             list_aggregate(list_transform(list_zip(a.ae, e.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+             (sqrt(list_aggregate(list_transform(a.ae, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             AS cos
+      FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id
+    ), pos AS (
+      SELECT anchor_id, MAX(cos) AS pos_cos FROM scored WHERE label = alabel GROUP BY anchor_id
+    ), neg AS (
+      SELECT anchor_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored WHERE label <> alabel
+    )
+    SELECT neg.anchor_id, neg.neighbor_id,
+           CAST(ROUND(neg.cos, 4) AS DOUBLE) AS neg_cos,
+           CAST(ROUND(pos.pos_cos, 4) AS DOUBLE) AS pos_cos,
+           ROUND(neg.cos, 6) > ROUND(pos.pos_cos, 6) - {HN_MARGIN} AS semi_hard,
+           CAST(neg.rk AS BIGINT) AS rank
+    FROM neg JOIN pos USING (anchor_id)
+    WHERE neg.rk <= {HN_TOP_K}
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor of
+    a deterministic "batch" (vec_id stride), the top-k highest-cosine
+    DIFFERENT-label neighbors, each labeled semi-hard when it lands
+    within the triplet margin of the anchor's best positive — exactly
+    the pairs a triplet/InfoNCE loss learns most from. Scale shape is
+    batch-times-corpus (the q_incremental_dedup lesson): the anchor
+    batch broadcasts, the corpus streams once and never self-joins, the
+    per-anchor rank is one window over batch-sized groups. The
+    semi-hard boolean compares ROUNDED scores on both engines so it
+    cannot flip on a last-ulp difference."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark)
+    a = F.broadcast(
+        e.where(F.col("vec_id") % HN_ANCHOR_STRIDE == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ae"),
+            F.col("label").alias("alabel"),
+        )
+    )
+    scored = e.join(a, F.col("vec_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        "alabel",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine(F.col("ae"), F.col("embedding")).alias("cos"),
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("alabel"))
+        .groupBy("anchor_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    neg = (
+        scored.where(F.col("label") != F.col("alabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HN_TOP_K)
+    )
+    return neg.join(F.broadcast(pos), "anchor_id").select(
+        "anchor_id",
+        "neighbor_id",
+        F.round("cos", 4).cast("double").alias("neg_cos"),
+        F.round("pos_cos", 4).cast("double").alias("pos_cos"),
+        (F.round("cos", 6) > F.round("pos_cos", 6) - HN_MARGIN).alias("semi_hard"),
+        F.col("rank").cast("long"),
+    )
