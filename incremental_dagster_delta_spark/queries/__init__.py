@@ -99,7 +99,7 @@ _R5_FRONT = [
     "q_pricing_summary",
     "q_region_revenue",
     "q_top_orders",
-    "q_window_running",
+    "q_bpe_encode",
     "q_rank_in_group",
     # new this session: distributed Gram/PCA, Z-order layout audit,
     # bucketed co-located join (replacing four stable double-green
