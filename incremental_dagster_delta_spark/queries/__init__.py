@@ -98,7 +98,7 @@ _R5_FRONT = [
     # relational flagships re-confirmation
     "q_pricing_summary",
     "q_region_revenue",
-    "q_top_orders",
+    "q_class_balance",
     "q_bpe_encode",
     "q_rank_in_group",
     # new this session: distributed Gram/PCA, Z-order layout audit,

@@ -131,3 +131,49 @@ def q_token_pack(spark, sf_dir):
     return counted.groupBy("source").applyInPandas(
         pack_group, "source string, doc_id long, n_tokens long, bin_id long"
     )
+
+
+# --- deterministic class balancing ------------------------------------------
+
+
+@query(
+    "q_class_balance",
+    tags=("training", "llm", "sampling"),
+    oracle="""
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), m AS (SELECT MIN(n) AS m FROM counts),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rk AS BIGINT) AS rank
+    FROM ranked, m
+    WHERE rk <= m.m
+    """,
+)
+def q_class_balance(spark, sf_dir):
+    """Deterministic class balancing: undersample every label to the
+    minority-class count, picking rows by md5(vec_id) order — a seedless
+    shuffle that is reproducible across runs, engines, and re-shards
+    (the q_hash_split determinism trick applied to sampling order). The
+    balanced subset is therefore STABLE: adding new rows to one class
+    never changes which existing rows of another class are kept. One
+    window per label plus a 1-row broadcast of the minority count; no
+    collect, no RNG."""
+    e = t(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        e.select("vec_id", "label")
+        .withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rank") <= F.col("m"))
+        .select("vec_id", "label", F.col("rank").cast("long").alias("rank"))
+    )
