@@ -29,8 +29,24 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def _prewarm_file_cache(sf_dir: str) -> None:
+    """Raw-read every input file so timed runs measure compute, not cold
+    virtio I/O. The Spark warmup pass alone is not enough when the host
+    has just reclaimed the guest's page cache: an evicted cache adds
+    +0.2-0.5 s of disk latency per scan-heavy query, uniformly, which
+    reads as a fake regression."""
+    import glob
+
+    for _ in range(2):
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _prewarm_file_cache(sf_dir)
     spark = get_spark(app_name="bench")
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
 
