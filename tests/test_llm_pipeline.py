@@ -159,3 +159,36 @@ def test_round4_dedup_chain_invariants(spark, sf_dir):
     reversed_ids = {r["doc_id"] + BATCH_OFFSET for r in docs.where(F.col("doc_id") % 10 == 7).collect()}
     flagged_reversed = reversed_ids & set(matches)
     assert not flagged_reversed, f"reversed-token plants wrongly flagged: {flagged_reversed}"
+
+
+def test_class_balance_stable_under_class_growth(spark):
+    """The md5-ordered undersample's selling point: growing ONE class
+    never changes which rows of OTHER classes are kept (as long as the
+    minority count is unchanged) — no RNG reseeding, no global shuffle
+    dependence. Build a corpus, balance it, add rows to one label,
+    balance again, and require the other labels' kept sets identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def balance(df):
+        counts = df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        m = counts.agg(F.min("n").alias("m"))
+        w = Window.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(m))
+            .where(F.col("rank") <= F.col("m"))
+            .select("vec_id", "label")
+        )
+
+    base = [(i, i % 4) for i in range(40)]  # labels 0-3, 10 rows each
+    df1 = spark.createDataFrame(base, "vec_id long, label int")
+    # grow label 0 by 20 new rows; min count (10) unchanged
+    df2 = spark.createDataFrame(base + [(100 + i, 0) for i in range(20)], "vec_id long, label int")
+    kept1 = {(r["vec_id"], r["label"]) for r in balance(df1).collect()}
+    kept2 = {(r["vec_id"], r["label"]) for r in balance(df2).collect()}
+    for lbl in (1, 2, 3):
+        a = {v for v, l in kept1 if l == lbl}
+        b = {v for v, l in kept2 if l == lbl}
+        assert a == b, f"label {lbl} selection changed when label 0 grew"
+    assert len({v for v, l in kept2 if l == 0}) == 10
