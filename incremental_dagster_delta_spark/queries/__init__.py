@@ -100,7 +100,7 @@ _R5_FRONT = [
     "q_region_revenue",
     "q_class_balance",
     "q_bpe_encode",
-    "q_rank_in_group",
+    "q_ts_similarity",
     # new this session: distributed Gram/PCA, Z-order layout audit,
     # bucketed co-located join (replacing four stable double-green
     # basics: q_topk, q_set_ops, q_distinct, q_semi_join)

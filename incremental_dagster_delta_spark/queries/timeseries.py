@@ -194,3 +194,57 @@ def q_rolling_range_window(spark, sf_dir):
         "day_num",
         F.sum("day_total").over(w).cast("double").alias("rolling_7d"),
     )
+
+
+# --- time-series similarity search ------------------------------------------
+
+TS_QUERY_USER = 1
+TS_MIN_OVERLAP = 10
+
+
+@query(
+    "q_ts_similarity",
+    tags=("timeseries", "similarity"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), q AS (
+      SELECT d, v AS qv FROM daily WHERE user_id = {TS_QUERY_USER}
+    )
+    SELECT daily.user_id,
+           COUNT(*) AS n_days,
+           CAST(ROUND(corr(v, qv), 4) AS DOUBLE) AS correlation
+    FROM daily JOIN q USING (d)
+    WHERE daily.user_id <> {TS_QUERY_USER}
+    GROUP BY daily.user_id
+    HAVING COUNT(*) >= {TS_MIN_OVERLAP}
+    """,
+)
+def q_ts_similarity(spark, sf_dir):
+    """Time-series similarity search (the EDBT'19 streaming-similarity
+    shape): which users' daily activity series co-move with a query
+    user's? The query series BROADCASTS (a series is bounded by the
+    calendar, never by corpus size), the per-user daily aggregate
+    streams once, and Pearson correlation is a single map-combinable
+    aggregate per user — so the whole search is one small shuffle keyed
+    on user_id regardless of how many users exist. A minimum-overlap
+    floor keeps short accidental alignments out (the same guard
+    production similarity search applies)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    q = F.broadcast(
+        daily.where(F.col("user_id") == TS_QUERY_USER).select("d", F.col("v").alias("qv"))
+    )
+    return (
+        daily.where(F.col("user_id") != TS_QUERY_USER)
+        .join(q, "d")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("v", "qv"), 4).cast("double").alias("correlation"),
+        )
+        .where(F.col("n_days") >= TS_MIN_OVERLAP)
+    )
