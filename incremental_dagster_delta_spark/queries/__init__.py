@@ -47,11 +47,15 @@ from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 # q_embedding_quantize/q_pq_codes: array outputs serialized on both
 # sides; q_refresh_overwrite: partition-type fidelity on table read-back
 # + content-addressed oracle fixtures), the 14 round-4 qids the driver
-# has never sampled, the 2 new round-5 operators (BPE merge training,
-# DIMSUM TF-IDF doc similarity), and 30 re-confirmations prioritizing
-# every code path touched this round (tableio partition-type restore +
-# atomic overwrite → the incremental-ops family; the sampled heavy-
-# hitter probe → the dedup family) plus the relational flagships.
+# has never sampled, ALL 15 round-5 operators (BPE merges+encode, DIMSUM
+# doc similarity, Gram/PCA, Z-order audit, bucketed join, streaming
+# dedup, JL embeddings, PageRank, embedding outliers, hard negatives,
+# class balancing, time-series similarity — with this list every
+# registered qid has been driver-sampled at least once), and
+# re-confirmations for every code path touched this round (tableio
+# partition-type restore + atomic overwrite → the incremental-ops
+# family; the cached heavy-hitter stats → the dedup family) plus
+# relational flagships.
 # --------------------------------------------------------------------------
 _R5_FRONT = [
     # 4 never-green — fixed this round, must finally flip
