@@ -100,7 +100,7 @@ _R5_FRONT = [
     "q_containment",
     "q_incremental_dedup",
     # relational flagships re-confirmation
-    "q_pricing_summary",
+    "q_quota_stateful",
     "q_region_revenue",
     "q_class_balance",
     "q_bpe_encode",

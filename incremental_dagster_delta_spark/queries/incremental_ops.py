@@ -531,6 +531,73 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --- per-key quota enforcement on the transformWithState surface ------------
+
+
+@query(
+    "q_quota_stateful",
+    tags=("streaming", "stateful"),
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(1 AS BIGINT), true),
+      (1, 11, 2, true),
+      (1, 12, 3, true),
+      (1, 13, 4, false),
+      (1, 14, 5, false),
+      (2, 20, 1, true),
+      (2, 21, 2, true),
+      (2, 22, 3, true)
+    ) AS t(user_id, event_id, seq, admitted)
+    """,
+)
+def q_quota_stateful(spark, sf_dir):
+    """Per-key admission control (streaming/stateful.py
+    ``enforce_quota``): two file waves deliver 5 events for user 1 and 3
+    for user 2 against a budget of 3, and the lifetime counter in the
+    state store must carry ACROSS micro-batches — user 1's third event
+    arrives in wave 2 and is still admitted, the fourth is the first
+    rejection. The oracle is the literal expected admission table
+    derived from the deterministic scenario (the q_drip_source
+    VALUES-literal pattern for engine-driven qids) — a HASH-checked
+    stateful streaming qid, stronger than the sessionizer's rows-only
+    check."""
+    base = _tmp("quota")
+    in_dir, out_dir, cp = (os.path.join(base, d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+    schema = "user_id long, event_id long"
+
+    from incremental_dagster_delta_spark.streaming.stateful import enforce_quota
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            enforce_quota(stream, budget=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], schema
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        spark.createDataFrame(
+            [(1, 12), (1, 13), (1, 14), (2, 21), (2, 22)], schema
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        out = spark.read.schema("user_id long, event_id long, seq long, admitted boolean").parquet(
+            out_dir
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Every qid above that drives a pipeline/stream materializes its result
 # (localCheckpoint) inside the call, so scoping the shuffle-partition
 # count around the call covers the whole execution.
@@ -558,5 +625,6 @@ for _name in [
     "q_sessionize_stateful",
     "q_late_data",
     "q_stream_dedup",
+    "q_quota_stateful",
 ]:
     _Q[_name].fn = _scoped(_Q[_name].fn)

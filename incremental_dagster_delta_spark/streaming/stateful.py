@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -110,4 +111,69 @@ def sessionize(events: DataFrame, gap_seconds: int = 600, watermark: str = "1 ho
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# --- per-key quota enforcement (transformWithStateInPandas) -----------------
+
+QUOTA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("seq", LongType()),
+        StructField("admitted", BooleanType()),
+    ]
+)
+
+
+# state: (n,) — lifetime events seen for the key
+QUOTA_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def _quota_fn(budget: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        n = int(state.get[0]) if state.exists else 0
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["event_id"])
+        ids.sort()  # deterministic sequencing within a micro-batch
+        seqs = list(range(n + 1, n + 1 + len(ids)))
+        state.update((n + len(ids),))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(ids),
+                    "event_id": ids,
+                    "seq": seqs,
+                    "admitted": [s <= budget for s in seqs],
+                }
+            )
+
+    return fn
+
+
+def enforce_quota(events: DataFrame, budget: int = 3) -> DataFrame:
+    """Per-key admission control: events(user_id, event_id) stream →
+    (user_id, event_id, seq, admitted) with each key's lifetime budget
+    enforced ACROSS micro-batches — the ingest-pipeline guard against a
+    runaway producer flooding one key. State is one long per key,
+    shuffled by the grouping key and held in the state store; events are
+    sequenced by event_id within each batch so replays are
+    deterministic.
+
+    Implemented on ``applyInPandasWithState``; the processor maps 1:1
+    onto Spark 4's ``transformWithStateInPandas`` ``ValueState``
+    (``handle.getValueState('count', 'n long')`` + the same fold), but
+    this sandbox's TWS python driver worker cannot start — its protobuf
+    dependency is broken (`ImportError: cannot import name 'descriptor'
+    from 'google.protobuf'`) — so the portable API carries the qid."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _quota_fn(budget),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
