@@ -60,8 +60,10 @@ def _fixture(tag: str, waves: int = 1) -> str:
 # static copy at a fixed path. That turns these from rows-only checks
 # into real hash-checked rows: the streaming engine's materialized state
 # must equal the declarative spec of what ingestion should have produced.
-# (q_sessionize_stateful and q_late_data stay rows-only: their outputs
-# depend on watermark/timeout semantics, not just fixture content.)
+# (q_sessionize_stateful, q_late_data, and q_quota_stateful use literal
+# expected-output oracles instead: their two-wave scenarios are
+# deterministic, so the watermark/timeout/state semantics pin a fixed
+# result table — hash-checked since r5.)
 # --------------------------------------------------------------------------
 def _build_oracle_fixture(waves: int) -> str:
     """Content-addressed oracle fixture (r4 verdict #3): the old scheme
@@ -361,7 +363,21 @@ def q_multi_hop(spark, sf_dir):
 # --- custom stateful streaming: applyInPandasWithState sessionization -------
 
 
-@query("q_sessionize_stateful", oracle=None, tags=("streaming", "stateful"))
+@query(
+    "q_sessionize_stateful",
+    tags=("streaming", "stateful"),
+    # Literal expected-sessions oracle (the q_drip_source VALUES pattern):
+    # the two-wave scenario is deterministic, so the closed-session set is
+    # a fixed table and the qid is HASH-checked, not rows-only (upgraded
+    # r5 alongside q_quota_stateful).
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), '2024-05-01 00:00:00', '2024-05-01 00:08:00', CAST(3 AS BIGINT)),
+      (1, '2024-05-01 00:30:00', '2024-05-01 00:32:00', 2),
+      (2, '2024-05-01 00:00:00', '2024-05-01 00:09:00', 2)
+    ) AS t(user_id, session_start, session_end, n_events)
+    """,
+)
 def q_sessionize_stateful(spark, sf_dir):
     """Custom stateful operator (north star: non-SQL-expressible
     streaming): applyInPandasWithState sessionization with event-time
@@ -422,7 +438,22 @@ def q_sessionize_stateful(spark, sf_dir):
 # --- I12: late-data handling with an event-time watermark -------------------
 
 
-@query("q_late_data", oracle=None, tags=("streaming", "reference:I12"))
+@query(
+    "q_late_data",
+    tags=("streaming", "reference:I12"),
+    # Literal finalized-windows oracle: the scenario pins which windows
+    # the watermark finalizes AND that the 2h-late wave-2 event is
+    # dropped (minute 10 never increments window 00:00 past 2). Upgraded
+    # from rows-only to hash-checked in r5.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-05-01 00:00:00', CAST(2 AS BIGINT)),
+      ('2024-05-01 01:00:00', 1),
+      ('2024-05-01 02:00:00', 1),
+      ('2024-05-01 03:00:00', 1)
+    ) AS t(window_start, n)
+    """,
+)
 def q_late_data(spark, sf_dir):
     """Event-time watermark drops too-late rows (reference's two-day
     lookback I3/I12, improved: bounded state instead of a blind spot —
