@@ -50,10 +50,13 @@ def q_window_battery(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(len(emb) AS BIGINT) AS dim,
-           CAST(ROUND(emb[1], 4) AS DOUBLE) AS first_val,
-           CAST(ROUND(list_aggregate(emb[1:8], 'sum'), 4) AS DOUBLE) AS head_sum,
-           CAST(ROUND(list_aggregate(emb, 'max'), 4) AS DOUBLE) AS max_val,
-           CAST(ROUND(list_sort(emb)[1], 4) AS DOUBLE) AS min_via_sort,
+           -- + 0.0 normalizes IEEE negative zero: a tiny negative first
+           -- element rounds to -0.0 here but +0.0 in Spark (first hit
+           -- at sf0.1, vec 1753)
+           CAST(ROUND(emb[1], 4) + 0.0 AS DOUBLE) AS first_val,
+           CAST(ROUND(list_aggregate(emb[1:8], 'sum'), 4) + 0.0 AS DOUBLE) AS head_sum,
+           CAST(ROUND(list_aggregate(emb, 'max'), 4) + 0.0 AS DOUBLE) AS max_val,
+           CAST(ROUND(list_sort(emb)[1], 4) + 0.0 AS DOUBLE) AS min_via_sort,
            CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_positive
     FROM (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -69,12 +72,14 @@ def q_array_funcs(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at(emb_d, 1), 4).cast("double").alias("first_val"),
-        F.round(
+        # + 0.0 on every rounded float: normalize IEEE negative zero on
+        # both engines (oracle comment; retrieval.py PMI precedent)
+        (F.round(F.element_at(emb_d, 1), 4) + 0.0).cast("double").alias("first_val"),
+        (F.round(
             F.aggregate(F.slice(emb_d, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
-        ).cast("double").alias("head_sum"),
-        F.round(F.array_max(emb_d), 4).cast("double").alias("max_val"),
-        F.round(F.element_at(F.array_sort(emb_d), 1), 4).cast("double").alias("min_via_sort"),
+        ) + 0.0).cast("double").alias("head_sum"),
+        (F.round(F.array_max(emb_d), 4) + 0.0).cast("double").alias("max_val"),
+        (F.round(F.element_at(F.array_sort(emb_d), 1), 4) + 0.0).cast("double").alias("min_via_sort"),
         F.size(F.filter(emb_d, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
