@@ -93,3 +93,26 @@ def test_harness_rejects_list_cells(spark, con):
     )
     with _pytest.raises(TypeError):
         compare_query(spark, con, "list_cells", spec, SF_DIR)
+
+
+def test_harness_catches_negative_zero(spark, con):
+    """ROUND of a tiny negative gives -0.0 in DuckDB but +0.0 in Spark;
+    pandas renders them differently, so the hash diverges (first seen in
+    q_array_funcs at sf0.1). The harness must catch the raw pair, and
+    the `+ 0.0` normalization on both sides must fix it."""
+    from incremental_dagster_delta_spark.oracle import compare_query
+    from incremental_dagster_delta_spark.queries.registry import QuerySpec
+
+    # NB: a plain -0.000000001 literal parses as DECIMAL in DuckDB and
+    # rounds to +0.0; the DOUBLE cast is what reproduces the -0.0.
+    raw = QuerySpec(
+        fn=lambda s, d: s.range(1).selectExpr("round(cast(-1e-9 AS double), 4) AS v"),
+        oracle="SELECT ROUND(CAST(-1e-9 AS DOUBLE), 4) AS v",
+    )
+    r = compare_query(spark, con, "negzero_raw", raw, SF_DIR)
+    assert not r.hash_match, "harness failed to distinguish -0.0 from 0.0"
+    fixed = QuerySpec(
+        fn=lambda s, d: s.range(1).selectExpr("round(cast(-1e-9 AS double), 4) + 0.0 AS v"),
+        oracle="SELECT ROUND(CAST(-1e-9 AS DOUBLE), 4) + 0.0 AS v",
+    )
+    assert compare_query(spark, con, "negzero_fixed", fixed, SF_DIR).ok
