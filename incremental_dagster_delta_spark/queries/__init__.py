@@ -95,13 +95,10 @@ _R5_FRONT = [
     "q_stream_dedup",
     # dedup family (sampled heavy-hitter probe touched candidate gen)
     "q_ngram_jaccard",
-    "q_ngram_jaccard_prefix",
-    "q_dedup_minhash",
     "q_containment",
     "q_incremental_dedup",
     # relational flagships re-confirmation
     "q_quota_stateful",
-    "q_region_revenue",
     "q_class_balance",
     "q_bpe_encode",
     "q_ts_similarity",
@@ -113,10 +110,20 @@ _R5_FRONT = [
     "q_zorder_layout",
     "q_bucketed_join",
     "q_embedding_outliers",
-    "q_sql_frontend",
     "q_rp_embed",
     "q_pagerank",
     "q_hard_negatives",
+    # late round-5 additions: expectation engine, robust MAD outliers,
+    # stream-stream interval join, skew-salted join. They displace four
+    # double-green re-confirmation slots: q_region_revenue (still
+    # smoke-checked every round as entry()'s flagship), q_sql_frontend,
+    # q_dedup_minhash, q_ngram_jaccard_prefix (their shared candidate-gen
+    # path is still covered by q_ngram_jaccard + q_containment +
+    # q_incremental_dedup above).
+    "q_expectations",
+    "q_mad_outliers",
+    "q_stream_join",
+    "q_skew_join",
 ]
 
 

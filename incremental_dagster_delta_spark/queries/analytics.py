@@ -362,3 +362,77 @@ def q_rp_embed(spark, sf_dir):
     return signed.groupBy("doc_id").agg(
         *[F.round(F.sum(f"_t{k}"), 4).cast("double").alias(f"e{k}") for k in range(RP_DIM)]
     )
+
+
+# --- robust (median/MAD) per-group outlier detection -------------------------
+
+_MAD_ORACLE = """
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT grp, CAST(ROUND(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med_x2
+      FROM c GROUP BY grp
+    ), dev AS (
+      SELECT c.grp, ABS(2 * c.cents - m.med_x2) AS dev_x2, m.med_x2
+      FROM c JOIN med m ON c.grp = m.grp
+    ), mad AS (
+      SELECT grp, CAST(ROUND(2 * quantile_cont(dev_x2, 0.5)) AS BIGINT) AS mad_x4
+      FROM dev GROUP BY grp
+    )
+    SELECT d.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(ANY_VALUE(d.med_x2) / 200.0, 4) AS DOUBLE) AS median_price,
+           CAST(ROUND(ANY_VALUE(m.mad_x4) / 400.0, 4) AS DOUBLE) AS mad,
+           CAST(COUNT(CASE WHEN 2 * d.dev_x2 > 3 * m.mad_x4 THEN 1 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.grp = m.grp
+    GROUP BY d.grp
+"""
+
+
+@query("q_mad_outliers", tags=("analytics", "curation"), oracle=_MAD_ORACLE)
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: flag rows whose price deviates
+    from the group MEDIAN by more than 3× the median absolute deviation —
+    the robust alternative to z-scores (one wild value shifts a mean/std
+    but not a median/MAD), the standard gate before numeric features feed
+    a model.
+
+    Determinism: prices are exact cents, so everything runs in INTEGER
+    space — median-of-integers doubles to an exact integer (``med_x2``),
+    per-row deviations are integers, the MAD doubles again (``mad_x4``),
+    and the 3×-MAD comparison is pure integer arithmetic. Zero float
+    boundary risk between Spark and DuckDB; only the two display columns
+    round.
+
+    Scale shape: two grouped exact percentiles + two broadcast joins of a
+    per-group stats table (|groups| rows) back onto the fact — the same
+    two-pass plan as q_winsorize. Exact percentile holds per-group values
+    in memory at the agg; at 100 TB swap approx_percentile (sketch,
+    map-side combined) with the identical surrounding plan."""
+    c = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("grp").agg(
+        F.round(2 * F.expr("percentile(cents, 0.5)")).cast("long").alias("med_x2")
+    )
+    dev = c.join(F.broadcast(med), "grp").select(
+        "grp", "med_x2", F.abs(2 * F.col("cents") - F.col("med_x2")).alias("dev_x2")
+    )
+    mad = dev.groupBy("grp").agg(
+        F.round(2 * F.expr("percentile(dev_x2, 0.5)")).cast("long").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.first("med_x2") / 200.0, 4).cast("double").alias("median_price"),
+            F.round(F.first("mad_x4") / 400.0, 4).cast("double").alias("mad"),
+            F.count(F.when(2 * F.col("dev_x2") > 3 * F.col("mad_x4"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

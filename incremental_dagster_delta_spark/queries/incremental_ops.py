@@ -629,6 +629,109 @@ def q_quota_stateful(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --- stream-stream interval join ---------------------------------------------
+
+
+@query(
+    "q_stream_join",
+    tags=("streaming", "join"),
+    # Literal expected-attributions oracle (the q_quota_stateful
+    # VALUES-literal pattern): the two-wave scenario is deterministic, so
+    # the matched set is a fixed table and the qid is HASH-checked.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('c1', CAST(1 AS BIGINT), '2024-05-01 00:00:00', '2024-05-01 00:15:00'),
+      ('c2', 1, '2024-05-01 01:40:00', '2024-05-01 01:50:00')
+    ) AS t(clk_id, ad_id, imp_ts, clk_ts)
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join: clicks attribute to an impression on
+    the same ad within a 30-minute window, with watermarks on BOTH sides
+    so Spark can expire join state — the condition bounds event time in
+    both directions, which is what keeps state finite at 100 TB/day
+    (without the bound, every impression is kept forever waiting for a
+    future click).
+
+    The scenario forces cross-micro-batch state: click ``c2`` arrives in
+    wave 2 and must join an impression delivered in wave 1, so the match
+    can only come from the impression join state carried in the
+    checkpoint. ``c3`` (outside the 30-min window) and ``c4`` (ad with no
+    impression) must NOT appear; the hash check pins both the matches and
+    the non-matches."""
+    import datetime
+
+    base = _tmp("sjoin")
+    imp_dir, clk_dir, out_dir, cp = (os.path.join(base, d) for d in ("imp", "clk", "out", "cp"))
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    t0 = datetime.datetime(2024, 5, 1)
+    m = lambda mins: t0 + datetime.timedelta(minutes=mins)  # noqa: E731
+    imp_schema = "ad_id long, imp_ts timestamp"
+    clk_schema = "ad_id long, clk_ts timestamp, clk_id string"
+
+    def run():
+        si = (
+            spark.readStream.schema(imp_schema)
+            .parquet(imp_dir)
+            .withWatermark("imp_ts", "1 hour")
+            .alias("imp")
+        )
+        sc = (
+            spark.readStream.schema(clk_schema)
+            .parquet(clk_dir)
+            .withWatermark("clk_ts", "1 hour")
+            .alias("clk")
+        )
+        q = (
+            si.join(
+                sc,
+                F.expr(
+                    "imp.ad_id = clk.ad_id AND "
+                    "clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 30 minutes"
+                ),
+            )
+            .select("clk_id", F.col("imp.ad_id").alias("ad_id"), "imp_ts", "clk_ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame(
+            [(1, m(0)), (2, m(10)), (3, m(20)), (1, m(100))], imp_schema
+        ).coalesce(1).write.mode("append").parquet(imp_dir)
+        spark.createDataFrame([(1, m(15), "c1")], clk_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(clk_dir)
+        run()
+        # wave 2: c2 must join the WAVE-1 impression at t100 (state carry);
+        # c3 is 35 min after ad 2's impression (outside the window); c4's ad
+        # never had an impression.
+        spark.createDataFrame(
+            [(1, m(110), "c2"), (2, m(45), "c3"), (4, m(5), "c4")], clk_schema
+        ).coalesce(1).write.mode("append").parquet(clk_dir)
+        run()
+        run()
+        out = (
+            spark.read.schema("clk_id string, ad_id long, imp_ts timestamp, clk_ts timestamp")
+            .parquet(out_dir)
+            .select(
+                "clk_id",
+                "ad_id",
+                F.date_format("imp_ts", "yyyy-MM-dd HH:mm:ss").alias("imp_ts"),
+                F.date_format("clk_ts", "yyyy-MM-dd HH:mm:ss").alias("clk_ts"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Every qid above that drives a pipeline/stream materializes its result
 # (localCheckpoint) inside the call, so scoping the shuffle-partition
 # count around the call covers the whole execution.
@@ -657,5 +760,6 @@ for _name in [
     "q_late_data",
     "q_stream_dedup",
     "q_quota_stateful",
+    "q_stream_join",
 ]:
     _Q[_name].fn = _scoped(_Q[_name].fn)

@@ -241,3 +241,53 @@ def q_bucketed_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- skew-salted join --------------------------------------------------------
+
+
+@query(
+    "q_skew_join",
+    tags=("join", "skew"),
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_skew_join(spark, sf_dir):
+    """Skew-salted join: the fact side gets a uniform salt, the dimension
+    side is replicated once per salt value, and the join key becomes
+    (suppkey, salt) — a hot supplier's rows now land on N_SALTS reducers
+    instead of one. This is the manual fallback for the skew shape AQE's
+    skew-join split also targets, and the right pattern when the dim is
+    too big to broadcast but cheap to replicate N× (here: replicate
+    supplier 8×, spread a hypothetical mega-supplier's lineitems over 8
+    tasks). The oracle runs the PLAIN join — the hash check proves
+    salting changes the distribution, never the result (decimal revenue:
+    associative, order-free)."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS)).cast("int")
+    )
+    sup = t(spark, sf_dir, "supplier").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    # pin a shuffle join: at test SF Catalyst would broadcast the dim (and
+    # the salt would be moot); the scenario being modeled is a dim above
+    # the broadcast threshold, where the join hashes on (key, salt).
+    joined = li.join(
+        sup.hint("shuffle_hash"),
+        (F.col("l_suppkey") == F.col("s_suppkey")) & (li["_salt"] == sup["_salt"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

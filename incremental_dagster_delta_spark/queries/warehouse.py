@@ -211,3 +211,101 @@ def q_column_stats(spark, sf_dir):
             "(column_name, n_rows, n_nonnull, ndv, min_val, max_val, avg_val)"
         )
     )
+
+
+# --- declarative data-quality expectations -----------------------------------
+
+# (rule_name, SQL predicate counting a VIOLATION). The thresholds are
+# deliberately warn-level (tighter than the data's hard invariants) so the
+# report carries non-trivial, data-dependent counts — an all-zero report
+# would hash-check nothing.
+_LINEITEM_RULES = [
+    ("lineitem.quantity_at_most_40", "l_quantity > 40"),
+    ("lineitem.discount_at_most_5pct", "l_discount > 0.05"),
+    ("lineitem.tax_nonnegative", "l_tax < 0"),
+    ("lineitem.returnflag_in_domain", "l_returnflag NOT IN ('A','N','R')"),
+]
+_ORDERS_RULES = [
+    ("orders.totalprice_above_5000", "o_totalprice <= 5000"),
+    ("orders.orderdate_before_1999", "o_orderdate >= '1999-01-01'"),
+]
+
+
+def _expectations_oracle() -> str:
+    per_table = []
+    for rule, pred in _LINEITEM_RULES:
+        per_table.append(
+            f"SELECT '{rule}' AS rule_name,"
+            f" CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,"
+            " CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"
+        )
+    for rule, pred in _ORDERS_RULES:
+        per_table.append(
+            f"SELECT '{rule}' AS rule_name,"
+            f" CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,"
+            " CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders"
+        )
+    per_table.append(
+        "SELECT 'orders.orderkey_unique' AS rule_name,"
+        " CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,"
+        " CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders"
+    )
+    per_table.append(
+        "SELECT 'lineitem.orderkey_references_orders' AS rule_name,"
+        " CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,"
+        " CAST(COUNT(*) AS BIGINT) AS n_rows"
+        " FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    return " UNION ALL ".join(per_table)
+
+
+@query("q_expectations", tags=("warehouse", "quality"), oracle=_expectations_oracle())
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality expectation engine (the dbt-test /
+    Deequ-style contract check every warehouse and training-data intake
+    runs before publishing a table). Each rule is a named predicate; the
+    report is (rule_name, n_violations, n_rows).
+
+    Scale shape: ALL rules against one table are evaluated in a SINGLE
+    scan via conditional aggregation (sum-of-CASE — map-side combined,
+    one 1-row result per table, no shuffle of data rows); uniqueness is
+    count-vs-distinct in the same pass; referential integrity is one
+    left join on the key (shuffle join at 100 TB; the orphan count
+    aggregates map-side). Adding a rule adds a column to the agg, not a
+    scan — rule count is O(1) in passes over the data."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+
+    def _counts(df, rules):
+        aggs = [
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+            for i, (_, pred) in enumerate(rules)
+        ] + [F.count("*").alias("n_rows")]
+        wide = df.agg(*aggs)
+        stacked = ", ".join(f"'{rule}', v{i}, n_rows" for i, (rule, _) in enumerate(rules))
+        return wide.select(
+            F.expr(f"stack({len(rules)}, {stacked}) AS (rule_name, n_violations, n_rows)")
+        )
+
+    li_report = _counts(li, _LINEITEM_RULES)
+    od_report = _counts(od, _ORDERS_RULES)
+    unique = od.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("n_violations"),
+        F.count("*").alias("n_rows"),
+    ).select(F.lit("orders.orderkey_unique").alias("rule_name"), "n_violations", "n_rows")
+    ri = (
+        li.select("l_orderkey")
+        .join(od.select("o_orderkey"), li.l_orderkey == od.o_orderkey, "left")
+        .agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.lit("lineitem.orderkey_references_orders").alias("rule_name"),
+            "n_violations",
+            "n_rows",
+        )
+    )
+    return li_report.unionAll(od_report).unionAll(unique).unionAll(ri)
