@@ -127,6 +127,49 @@ _R5_FRONT = [
 ]
 
 
+# --------------------------------------------------------------------------
+# Per-query shuffle sizing. These qids materialize their result INSIDE the
+# call (materialize_release / localCheckpoint), so a scoped
+# spark.sql.shuffle.partitions takes effect for their whole execution.
+# Each shuffles an exploded view of one small corpus table (shingles,
+# tokens, LSH bands, IVF cells); sizing the partition count from that
+# table's on-disk bytes removes the per-task constant costs that dominate
+# sub-GB shuffles under a session-wide default (see tables.sized_shuffle
+# — measured 2.3× on the q_ngram_jaccard pair join). q_ngram_jaccard and
+# q_doc_similarity scope themselves inside their shared pair-finding
+# helpers (ngram_jaccard_pairs / tfidf_cosine_pairs).
+# --------------------------------------------------------------------------
+# A/B-measured at sf0.1 against the session default (median of 3):
+# q_containment 7.05→2.14 s, q_bpe_encode 4.33→3.24, q_ngram_jaccard_prefix
+# 3.50→3.16, q_dedup_minhash 2.03→1.98. Qids where the scoped count LOST
+# (array-verify or window stages that want full-core parallelism more than
+# low task overhead: q_incremental_dedup 2.58→4.88, q_semdedup,
+# q_boilerplate_lines, q_dedup_lines, q_dedup_embedding) stay unwrapped.
+_SIZED_SHUFFLE = {
+    "q_ngram_jaccard_prefix": "documents",
+    "q_dedup_minhash": "documents",
+    "q_containment": "documents",
+    "q_bpe_encode": "documents",
+}
+
+
+def _sized(fn, table: str):
+    import functools
+
+    from incremental_dagster_delta_spark.tables import load_table, sized_shuffle
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        with sized_shuffle(spark, load_table(spark, sf_dir, table)):
+            return fn(spark, sf_dir)
+
+    return wrapped
+
+
+for _name, _table in _SIZED_SHUFFLE.items():
+    QUERIES[_name].fn = _sized(QUERIES[_name].fn, _table)
+
+
 def _rotate(front: list[str]) -> None:
     missing = [q for q in front if q not in QUERIES]
     assert not missing, f"rotation references unknown qids: {missing}"

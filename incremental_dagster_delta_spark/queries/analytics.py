@@ -436,3 +436,72 @@ def q_mad_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# --- A/B experiment readout (Welch's t-test per variant vs control) ----------
+
+_AB_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             AVG(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY event_type
+    ), ctl AS (
+      SELECT n AS n0, m AS m0, v AS v0 FROM g WHERE event_type = 'view'
+    )
+    SELECT g.event_type AS variant,
+           CAST(g.n AS BIGINT) AS n,
+           CAST(ROUND(g.m, 4) AS DOUBLE) AS mean_value,
+           CAST(ROUND(g.m - ctl.m0, 4) AS DOUBLE) AS lift,
+           CAST(ROUND((g.m - ctl.m0) / sqrt(g.v / g.n + ctl.v0 / ctl.n0), 4) AS DOUBLE) AS t_stat,
+           CAST(ROUND(
+             POW(g.v / g.n + ctl.v0 / ctl.n0, 2)
+             / (POW(g.v / g.n, 2) / (g.n - 1) + POW(ctl.v0 / ctl.n0, 2) / (ctl.n0 - 1)),
+             2) AS DOUBLE) AS welch_df
+    FROM g, ctl
+    WHERE g.event_type <> 'view'
+"""
+
+
+@query("q_ab_test", tags=("analytics", "stats"), oracle=_AB_ORACLE)
+def q_ab_test(spark, sf_dir):
+    """Experiment readout: Welch's unequal-variance t-test of every
+    variant's ``value`` against the 'view' control group — lift, t
+    statistic, and Welch–Satterthwaite degrees of freedom. Everything
+    derives from per-group (n, mean, var_samp), which are single-pass
+    algebraic aggregates that partial-combine map-side; the control row
+    is a 1-row broadcast (the scalar-subquery crossJoin pattern). At
+    100 TB this is one narrow shuffle on the variant key — the readout
+    cost is independent of row count beyond the first scan."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    ctl = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    se2 = F.col("v") / F.col("n") + F.col("v0") / F.col("n0")
+    return (
+        g.filter(F.col("event_type") != "view")
+        .crossJoin(F.broadcast(ctl))
+        .select(
+            F.col("event_type").alias("variant"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("m"), 4).cast("double").alias("mean_value"),
+            F.round(F.col("m") - F.col("m0"), 4).cast("double").alias("lift"),
+            F.round((F.col("m") - F.col("m0")) / F.sqrt(se2), 4).cast("double").alias("t_stat"),
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(F.col("v") / F.col("n"), 2) / (F.col("n") - 1)
+                    + F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("welch_df"),
+        )
+    )

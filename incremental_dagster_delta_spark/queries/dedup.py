@@ -197,8 +197,15 @@ def ngram_jaccard_pairs(
     can drive the hot-correction path with a synthetic skewed corpus
     (testdata has no shingle hotter than the cap). ``cache_key`` opts an
     immutable corpus into memoized heavy-hitter statistics."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release, sized_shuffle
 
+    with sized_shuffle(spark, docs):
+        return _ngram_jaccard_pairs_impl(
+            spark, docs, threshold, df_cap, cache_key, fan_out, materialize_release
+        )
+
+
+def _ngram_jaccard_pairs_impl(spark, docs, threshold, df_cap, cache_key, fan_out, materialize_release):
     sh = doc_shingles(fan_out(docs, spark)).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()

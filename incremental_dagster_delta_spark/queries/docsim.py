@@ -77,8 +77,15 @@ def tfidf_cosine_pairs(
 
     ``gamma=None`` → exact; otherwise the DIMSUM estimator described in
     the module docstring."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release, sized_shuffle
 
+    with sized_shuffle(spark, docs):
+        return _tfidf_cosine_pairs_impl(
+            spark, docs, threshold, df_cap, gamma, fan_out, materialize_release
+        )
+
+
+def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, materialize_release):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = fan_out(docs, spark).select("doc_id", F.explode(toks).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

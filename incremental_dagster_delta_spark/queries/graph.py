@@ -418,3 +418,110 @@ def q_pagerank(spark, sf_dir):
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)  # truncate iterative lineage
     return ranks.select("node", F.round("rank", 6).cast("double").alias("rank"))
+
+
+# --- triangle counting (degree-ordered) --------------------------------------
+
+_TRIANGLE_ORACLE = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), und AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), oriented AS (
+      SELECT e.u, e.v FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      WHERE (du.d, e.u) < (dv.d, e.v)
+      UNION ALL
+      SELECT e.v, e.u FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      WHERE (dv.d, e.v) < (du.d, e.u)
+    ), wedges AS (
+      SELECT LEAST(e1.v, e2.v) AS lo, GREATEST(e1.v, e2.v) AS hi
+      FROM oriented e1 JOIN oriented e2
+        ON e1.u = e2.u AND (e1.v < e2.v)
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges w
+      JOIN e ON e.u = w.lo AND e.v = w.hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+"""
+
+
+@query("q_triangle_count", tags=("graph", "llm"), oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark, sf_dir):
+    """Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011) over the
+    co-supplier graph (suppliers adjacent iff they ship the same part).
+    Community density / clustering-coefficient audits over near-dup or
+    citation graphs use exactly this kernel.
+
+    Scale shape: every edge is ORIENTED from its lower-(degree, id)
+    endpoint to the higher one, so each node's out-degree is bounded by
+    O(sqrt(m)) — wedge generation, the quadratic step, becomes
+    Σ out_deg² = O(m^1.5) instead of Σ deg² (which a single celebrity
+    node would blow up quadratically). Three shuffles total: the
+    distinct edge build, the wedge self-join on the shared source, and
+    the wedge-closure semi-join against the oriented edge set. Integer
+    counts — exact on both engines."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    return triangle_stats(e)
+
+
+def triangle_stats(e: DataFrame) -> DataFrame:
+    """(n_edges, n_wedges, n_triangles) for an undirected simple graph
+    given as canonical u<v edges — the degree-ordered kernel behind
+    q_triangle_count, exposed for property tests on known graphs. The
+    degree table (|V| rows, ≪ |E|) broadcasts; swap to a shuffle join on
+    node id if |V| ever outgrows the broadcast threshold."""
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "node")
+    ed = (
+        e.join(F.broadcast(deg.withColumnRenamed("d", "du")), e.u == F.col("node"))
+        .drop("node")
+        .join(F.broadcast(deg.withColumnRenamed("d", "dv")), e.v == F.col("node"))
+        .drop("node")
+    )
+    fwd = ed.filter(
+        (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    rev = ed.filter(
+        (F.col("dv") < F.col("du")) | ((F.col("dv") == F.col("du")) & (F.col("v") < F.col("u")))
+    ).select(F.col("v").alias("u"), F.col("u").alias("v"))
+    oriented = fwd.unionAll(rev).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # each unordered out-neighbor pair once; canonicalize to (lo, hi) so
+    # the closure check is an EQUI-join against the u<v edge set (an OR
+    # of direction cases would degrade to a nested-loop join)
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v"))
+    ).select(
+        F.least(F.col("e1.v"), F.col("e2.v")).alias("lo"),
+        F.greatest(F.col("e1.v"), F.col("e2.v")).alias("hi"),
+    )
+    ec = e.localCheckpoint()  # e is reused by the closure join and the edge count
+    closure = wedges.join(ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi")))
+    n_e = ec.agg(F.count("*").cast("long").alias("n_edges"))
+    n_w = wedges.agg(F.count("*").cast("long").alias("n_wedges"))
+    n_t = closure.agg(F.count("*").cast("long").alias("n_triangles"))
+    return n_e.crossJoin(n_w).crossJoin(n_t)

@@ -763,3 +763,63 @@ for _name in [
     "q_stream_join",
 ]:
     _Q[_name].fn = _scoped(_Q[_name].fn)
+
+
+# --- compaction / small-files maintenance ------------------------------------
+
+
+@query(
+    "q_compaction_stats",
+    tags=("storage", "maintenance"),
+    # Literal oracle: the scenario is fully deterministic — 3 days × 4
+    # single-row appends each = 12 files before, 1 file per leaf after,
+    # 12 rows conserved (the q_drip_source VALUES pattern for
+    # engine-driven qids).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-06-01', CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+      ('2024-06-02', 4, 1, 4),
+      ('2024-06-03', 4, 1, 4)
+    ) AS t(day, files_before, files_after, n_rows)
+    """,
+)
+def q_compaction_stats(spark, sf_dir):
+    """OPTIMIZE/bin-packing maintenance surfaced as a query: an ingest
+    that appends one file per record (the reference's wholetext pattern —
+    one parquet per word, ``/root/reference/ingest_example/processed.py``
+    — is a small-files generator by design) is compacted down to one
+    file per leaf partition, and the report proves (a) file counts
+    collapsed 4→1 per day and (b) not a row was lost. At 100 TB this is
+    the scheduled maintenance job that keeps scan task counts sane;
+    ``tableio.compact`` rewrites each leaf in parallel (repartition on
+    the partition columns + deterministic salt) and swaps atomically,
+    with crash recovery pinned in tests/test_compaction_crash.py."""
+    import glob
+
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+    base = _tmp("compactq")
+    tbl = PartitionedTable(spark, os.path.join(base, "t"), ["day"])
+
+    def leaf_files(day: str) -> int:
+        return len(glob.glob(os.path.join(base, "t", f"day={day}", "*.parquet")))
+
+    try:
+        days = ["2024-06-01", "2024-06-02", "2024-06-03"]
+        for d in days:
+            for i in range(4):  # one record per append = one file per record
+                tbl.append(
+                    spark.createDataFrame([(d, i, f"rec-{d}-{i}")], "day string, seq long, payload string")
+                )
+        before = {d: leaf_files(d) for d in days}
+        tbl.compact(target_files_per_partition=1)
+        rows = {
+            r["day"]: r["n"]
+            for r in tbl.read().groupBy("day").agg(F.count("*").alias("n")).collect()
+        }
+        out = [(d, before[d], leaf_files(d), rows[d]) for d in days]
+        return spark.createDataFrame(
+            out, "day string, files_before long, files_after long, n_rows long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -248,3 +248,71 @@ def q_ts_similarity(spark, sf_dir):
         )
         .where(F.col("n_days") >= TS_MIN_OVERLAP)
     )
+
+
+# --- trailing-window anomaly detection ---------------------------------------
+
+ANOM_Z = 2.0
+
+
+@query(
+    "q_ts_anomaly",
+    tags=("timeseries", "analytics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, day, n, total,
+             COUNT(*) OVER w AS n_prior,
+             AVG(total) OVER w AS mu,
+             stddev_samp(total) OVER w AS sigma
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CAST(ROUND(total, 2) AS DOUBLE) AS total,
+           CAST(ROUND((total - mu) / sigma, 4) AS DOUBLE) AS z,
+           ABS(ROUND((total - mu) / sigma, 4)) > {ANOM_Z} AS is_anomaly
+    FROM scored
+    WHERE n_prior = 7 AND sigma > 0
+    """,
+)
+def q_ts_anomaly(spark, sf_dir):
+    """Trailing-window anomaly detection on the daily event volume: each
+    day's total scores against the mean/stddev of its own PREVIOUS 7
+    days (the current day never contaminates its baseline), flagged at
+    |z| > 2 — the standard drift monitor on ingest volumes. One shuffle
+    to the daily grain, then a single pass of frame-bounded window
+    aggregates per series; state per key is 7 rows regardless of
+    history length, so the same plan runs on years of 100 TB telemetry.
+    The flag derives from the ROUNDED z on both engines, so the
+    comparison is exact."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        F.count("*").over(w).alias("n_prior"),
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_samp("total").over(w).alias("sigma"),
+    )
+    z = F.round((F.col("total") - F.col("mu")) / F.col("sigma"), 4).cast("double")
+    return (
+        scored.where((F.col("n_prior") == 7) & (F.col("sigma") > 0))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round("total", 2).cast("double").alias("total"),
+            z.alias("z"),
+            (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+        )
+    )

@@ -96,6 +96,47 @@ def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
     return df
 
 
+@contextmanager
+def sized_shuffle(
+    spark: SparkSession,
+    df: DataFrame,
+    expansion: float = 4.0,
+    per_partition_bytes: int = 32 << 20,
+):
+    """Scope ``spark.sql.shuffle.partitions`` to the volume THIS query
+    will actually shuffle: ``expansion ×`` the input's on-disk bytes
+    (``df.inputFiles()``), one partition per ~32 MB, floored at a
+    quarter of the machine's parallelism.
+
+    Rationale: a session-wide partition count can't fit every query. The
+    dedup/docsim family shuffles tens of MB at test scale factors —
+    across 64 session-default partitions that is ~0.5 MB/task, and the
+    per-task constant costs (sort-run setup, codegen init, commit) cost
+    more than the data (measured: the q_ngram_jaccard pair join runs
+    2.3× faster at 8 partitions than at 64 on sf0.1). The same formula
+    sized from a 100 TB input yields thousands of partitions — this is
+    the per-job shuffle sizing a cluster submit would configure, derived
+    from input stats instead of hard-coded. AQE can only coalesce DOWN
+    toward the machine's parallelism floor (``parallelismFirst``), so it
+    never reaches the size-optimal count for sub-GB shuffles, and
+    disabling ``parallelismFirst`` over-coalesces to one serial task.
+    """
+    byts = 0
+    for p in df.inputFiles():
+        local = p.removeprefix("file://") if p.startswith("file:") else None
+        if local and os.path.exists(local):
+            byts += os.path.getsize(local)
+    floor = max(2, spark.sparkContext.defaultParallelism // 4)
+    n = max(floor, min(100_000, int(byts * expansion / per_partition_bytes) + 1))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 _EAGER_MATERIALIZE = True
 
 

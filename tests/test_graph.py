@@ -101,3 +101,48 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         assert got == expected, (sorted(got.items()), sorted(expected.items()))
 
     prop()
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from incremental_dagster_delta_spark.queries.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    return r["n_edges"], r["n_wedges"], r["n_triangles"]
+
+
+def test_triangles_known_graphs(spark):
+    # K4: 6 edges, 4 triangles; every wedge closes
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    ne, nw, nt = _tri(spark, k4)
+    assert (ne, nt) == (6, 4)
+    assert nw >= nt
+    # path 0-1-2-3: no triangles
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3)])[2] == 0
+    # two triangles sharing an edge (bowtie-ish): 0-1-2 and 1-2-3
+    assert _tri(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])[2] == 2
+    # star (celebrity node): many wedges at the hub under naive counting,
+    # but degree-ordering orients AWAY from the hub — zero wedges, zero
+    # triangles (the "curse of the last reducer" case)
+    star = [(0, i) for i in range(1, 9)]
+    ne, nw, nt = _tri(spark, star)
+    assert (ne, nw, nt) == (8, 0, 0)
+
+
+def test_triangles_match_bruteforce_random(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+    adj = set(edges)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if ((a, b) in adj and (b, c) in adj and (a, c) in adj)
+    )
+    assert _tri(spark, edges)[2] == want
