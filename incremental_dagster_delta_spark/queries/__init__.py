@@ -47,15 +47,17 @@ from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 # q_embedding_quantize/q_pq_codes: array outputs serialized on both
 # sides; q_refresh_overwrite: partition-type fidelity on table read-back
 # + content-addressed oracle fixtures), the 14 round-4 qids the driver
-# has never sampled, ALL 15 round-5 operators (BPE merges+encode, DIMSUM
-# doc similarity, Gram/PCA, Z-order audit, bucketed join, streaming
-# dedup, JL embeddings, PageRank, embedding outliers, hard negatives,
-# class balancing, time-series similarity — with this list every
-# registered qid has been driver-sampled at least once), and
-# re-confirmations for every code path touched this round (tableio
-# partition-type restore + atomic overwrite → the incremental-ops
-# family; the cached heavy-hitter stats → the dedup family) plus
-# relational flagships.
+# has never sampled, EVERY round-5 operator (28: BPE merges+encode,
+# DIMSUM doc similarity, Gram/PCA, Z-order audit, bucketed join,
+# streaming dedup + quotas + stream-stream join, JL embeddings,
+# PageRank, triangle counting, embedding outliers, hard negatives,
+# class balancing, time-series similarity + anomaly, expectations, MAD
+# outliers, skew join + report, A/B t-test, compaction stats, fuzzy
+# dedup, imputation, interval merge, event transitions), the two
+# rows-only→hash upgrades (sessionizer, late-data), and two
+# changed-code-path re-confirmations (rationale inline below). With
+# this list every registered qid has been driver-sampled at least once
+# across rounds.
 # --------------------------------------------------------------------------
 _R5_FRONT = [
     # 4 never-green — fixed this round, must finally flip
@@ -78,33 +80,9 @@ _R5_FRONT = [
     "q_media_resize",
     "q_funnel_multistep",
     "q_bootstrap_ci",
-    # round-5 additions
+    # every round-5 operator gets its first driver row this round
     "q_bpe_merges",
     "q_doc_similarity",
-    # incremental/tableio family (partition-type restore + atomic overwrite)
-    "q_replace_where",
-    "q_delta_append",
-    "q_partitioned_write",
-    "q_backfill",
-    "q_multi_hop",
-    "q_partition_discovery",
-    "q_listing_accumulate",
-    "q_late_data",
-    "q_drip_source",
-    "q_sessionize_stateful",
-    "q_stream_dedup",
-    # dedup family (sampled heavy-hitter probe touched candidate gen)
-    "q_ngram_jaccard",
-    "q_containment",
-    "q_incremental_dedup",
-    # relational flagships re-confirmation
-    "q_quota_stateful",
-    "q_class_balance",
-    "q_bpe_encode",
-    "q_ts_similarity",
-    # new this session: distributed Gram/PCA, Z-order layout audit,
-    # bucketed co-located join (replacing four stable double-green
-    # basics: q_topk, q_set_ops, q_distinct, q_semi_join)
     "q_gram_matrix",
     "q_pca_topk",
     "q_zorder_layout",
@@ -113,17 +91,38 @@ _R5_FRONT = [
     "q_rp_embed",
     "q_pagerank",
     "q_hard_negatives",
-    # late round-5 additions: expectation engine, robust MAD outliers,
-    # stream-stream interval join, skew-salted join. They displace four
-    # double-green re-confirmation slots: q_region_revenue (still
-    # smoke-checked every round as entry()'s flagship), q_sql_frontend,
-    # q_dedup_minhash, q_ngram_jaccard_prefix (their shared candidate-gen
-    # path is still covered by q_ngram_jaccard + q_containment +
-    # q_incremental_dedup above).
+    "q_class_balance",
+    "q_bpe_encode",
+    "q_ts_similarity",
+    "q_stream_dedup",
+    "q_quota_stateful",
+    # rows-only → hash-checked upgrades this round
+    "q_sessionize_stateful",
+    "q_late_data",
+    # late round-5 additions
     "q_expectations",
     "q_mad_outliers",
     "q_stream_join",
     "q_skew_join",
+    "q_ab_test",
+    "q_triangle_count",
+    "q_ts_anomaly",
+    "q_compaction_stats",
+    "q_dedup_fuzzy",
+    "q_group_impute",
+    "q_interval_merge",
+    "q_event_transitions",
+    "q_skew_report",
+    # changed-code-path re-confirmations: q_replace_where covers the new
+    # crash-atomic overwrite + partition-type restore in tableio (its
+    # green siblings q_delta_append/q_backfill/q_multi_hop, all green
+    # r3/r4, rotate out to make room for first-checks — their write path
+    # is the same PartitionedTable code q_replace_where and
+    # q_refresh_overwrite drive); q_ngram_jaccard re-confirms under the
+    # input-sized shuffle scoping added this session (q_containment /
+    # q_bpe_encode share the same wrapper and had green rows r4/r2).
+    "q_replace_where",
+    "q_ngram_jaccard",
 ]
 
 

@@ -337,3 +337,52 @@ def q_reservoir_per_source(spark, sf_dir):
         .where(F.col("rk") <= RESERVOIR_K)
         .select("doc_id", "source")
     )
+
+
+# --- per-group null imputation -----------------------------------------------
+
+
+@query(
+    "q_group_impute",
+    tags=("curation", "quality"),
+    oracle="""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), stats AS (
+      SELECT event_type, AVG(v) AS fill FROM masked GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(m.v) AS BIGINT) AS n_imputed,
+           CAST(ROUND(ANY_VALUE(s.fill), 4) AS DOUBLE) AS fill_value,
+           CAST(ROUND(SUM(COALESCE(m.v, s.fill)), 2) AS DOUBLE) AS sum_after
+    FROM masked m JOIN stats s USING (event_type)
+    GROUP BY m.event_type
+    """,
+)
+def q_group_impute(spark, sf_dir):
+    """Per-group mean imputation: nulls (here deterministically masked —
+    every 23rd event id — since testdata ships none) fill with their own
+    group's mean over the NON-null rows, the standard feature-cleaning
+    pass before numeric columns feed a model. Two narrow shuffles: the
+    per-group mean (map-side combined) and the final report; the fill
+    itself is a broadcast join of a |groups|-row stats table — at 100 TB
+    the fact table is touched twice and never re-keyed."""
+    e = t(spark, sf_dir, "events")
+    masked = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 23 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    stats = masked.groupBy("event_type").agg(F.avg("v").alias("fill"))
+    return (
+        masked.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count("v")).cast("long").alias("n_imputed"),
+            F.round(F.first("fill"), 4).cast("double").alias("fill_value"),
+            F.round(F.sum(F.coalesce("v", "fill")), 2).cast("double").alias("sum_after"),
+        )
+    )

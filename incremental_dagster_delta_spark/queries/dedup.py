@@ -834,3 +834,71 @@ def q_containment(spark, sf_dir):
         "contained_doc", "container_doc", F.round("containment", 4).cast("double").alias("containment")
     )
     return materialize_release(out, sh)
+
+
+# --- edit-distance (fuzzy) dedup with blocking -------------------------------
+
+FUZZY_REL_DIST = 0.1  # keep pairs with levenshtein <= 10% of the longer text
+
+
+@query(
+    "q_dedup_fuzzy",
+    tags=("dedup", "llm"),
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, lang, n_chars // 64 AS len_bucket,
+             array_to_string((string_split(text, ' '))[1:2], ' ') AS pfx
+      FROM documents
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_distance
+    FROM b x JOIN b y
+      ON x.lang = y.lang AND x.len_bucket = y.len_bucket
+     AND x.pfx = y.pfx AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.text, y.text)
+          <= {FUZZY_REL_DIST} * GREATEST(length(x.text), length(y.text))
+    """,
+)
+def q_dedup_fuzzy(spark, sf_dir):
+    """Fuzzy (edit-distance) dedup: blocked candidate generation, then
+    exact Levenshtein verification at ≤10% of the longer text — the
+    dedup family member for OCR noise / minor-revision duplicates where
+    token-set measures (Jaccard, MinHash) under-read character-level
+    edits.
+
+    Scale shape: Levenshtein is O(|a|·|b|) per pair, so it can NEVER run
+    all-pairs — candidates come from an equality BLOCK on
+    (lang, length-bucket, first-2-tokens): a hash-partitionable key whose
+    per-block cost is Σ|block|² with tight blocks (max block = 2 on
+    testdata, and the length bucket alone caps how different two blocked
+    texts can be). The verify filter runs inside the join's codegen —
+    JVM-side, no UDF. Same (doc_a, doc_b) surface as the other dedup
+    qids, so survivors/clusters compose downstream."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.floor(F.col("n_chars") / 64).alias("len_bucket"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ").alias("pfx"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    dist = F.levenshtein(F.col("x.text"), F.col("y.text"))
+    return (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.len_bucket") == F.col("y.len_bucket"))
+            & (F.col("x.pfx") == F.col("y.pfx"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(
+            dist
+            <= FUZZY_REL_DIST * F.greatest(F.length(F.col("x.text")), F.length(F.col("y.text")))
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_distance"),
+        )
+    )

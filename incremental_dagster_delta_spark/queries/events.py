@@ -173,3 +173,60 @@ def q_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# --- Markov transition matrix over per-user event sequences ------------------
+
+
+@query(
+    "q_event_transitions",
+    tags=("events", "window", "llm"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), counts AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(n / SUM(n) OVER (PARTITION BY from_type), 4) AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with its successor (ts order,
+    event_id tiebreak for same-timestamp determinism), transition counts
+    aggregate globally, and row-normalized probabilities come from a
+    window over the |types|² matrix. The sequence-statistics pass behind
+    session modeling and next-action features. One shuffle on user_id
+    for the sequencing sort, one narrow agg on the (from, to) pair —
+    the per-user sort is the same partitioning every sessionization op
+    shares, so at 100 TB this pipelines after q_session_window with no
+    extra exchange."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    counts = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 4)
+        .cast("double")
+        .alias("p"),
+    )

@@ -520,3 +520,83 @@ def q_funnel_multistep(spark, sf_dir):
         .crossJoin(q_clicks.agg(F.count_distinct("user_id").alias("n_step2")))
         .crossJoin(q_purchases.select("user_id").distinct().agg(F.count("*").alias("n_step3")))
     )
+
+
+# --- overlapping-interval consolidation --------------------------------------
+
+
+@query(
+    "q_interval_merge",
+    tags=("window", "timeseries"),
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + INTERVAL (3 + o_orderkey % 18) DAY AS e
+      FROM orders
+    ), flagged AS (
+      SELECT custkey, s, e,
+             CASE WHEN s <= MAX(e) OVER (PARTITION BY custkey ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ), grouped AS (
+      SELECT custkey, s, e,
+             SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT custkey, island, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_source
+      FROM grouped GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(n_source) AS BIGINT) AS n_intervals,
+           CAST(SUM(date_diff('day', span_start, CAST(span_end AS DATE))) AS BIGINT) AS covered_days
+    FROM merged
+    GROUP BY custkey
+    """,
+)
+def q_interval_merge(spark, sf_dir):
+    """Overlapping-interval consolidation (gaps-and-islands): each
+    order opens a deterministic activity interval; per customer,
+    transitively-overlapping intervals merge into spans, and the report
+    is (spans, source intervals, covered days). The canonical pattern
+    for uptime windows, IP leases, and validity ranges.
+
+    Plan: ONE shuffle on the key, then two frame-bounded window passes
+    in the same sort order — a row starts a new island iff it begins
+    after the running max end of every earlier interval (running-max
+    lag catches intervals that SWALLOW later ones, which a plain
+    lag(e) comparison misses). No self-join, no range join: at 100 TB
+    this is a single sort per key-partition, the optimal shape for
+    interval consolidation."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"), (F.lit(3) + F.col("o_orderkey") % 18).cast("int")
+        ).alias("e"),
+    )
+    order_w = Window.partitionBy("custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(order_w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island", F.when(F.col("s") <= prev_max_e, 0).otherwise(1)
+    )
+    grouped = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grouped.groupBy("custkey", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_source"),
+    )
+    return merged.groupBy("custkey").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("n_source").cast("long").alias("n_intervals"),
+        F.sum(F.datediff("span_end", "span_start")).cast("long").alias("covered_days"),
+    )

@@ -309,3 +309,52 @@ def q_expectations(spark, sf_dir):
         )
     )
     return li_report.unionAll(od_report).unionAll(unique).unionAll(ri)
+
+
+# --- join-key skew diagnostics -----------------------------------------------
+
+_SKEW_COLS = [("lineitem", "l_suppkey"), ("lineitem", "l_partkey"), ("orders", "o_custkey")]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for tbl, col in _SKEW_COLS:
+        parts.append(f"""
+        SELECT '{tbl}.{col}' AS key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+               CAST(MAX(kn) AS BIGINT) AS top_key_rows,
+               CAST(ROUND(MAX(kn) * 1.0 / COUNT(*), 6) AS DOUBLE) AS top_key_share,
+               CAST(ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT {col}), 4) AS DOUBLE) AS avg_rows_per_key
+        FROM (SELECT {col}, COUNT(*) OVER (PARTITION BY {col}) AS kn FROM {tbl})
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@query("q_skew_report", tags=("warehouse", "scale"), oracle=_skew_oracle())
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics — the planning pass that decides whether
+    a key needs salting (q_skew_join), AQE skew splitting, or is safe to
+    shuffle plainly: per candidate join column, NDV, the hottest key's
+    row count and share, and mean rows/key. Per column this is ONE
+    grouped count (map-side combined) reduced to a 1-row summary — at
+    100 TB the report costs one scan per column (or one multi-aggregate
+    scan when columns share a table), and nothing wide ever shuffles."""
+    rows = []
+    for tbl, col in _SKEW_COLS:
+        d = t(spark, sf_dir, tbl)
+        per_key = d.groupBy(col).agg(F.count("*").alias("kn"))
+        rows.append(
+            per_key.agg(
+                F.lit(f"{tbl}.{col}").alias("key_col"),
+                F.sum("kn").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("ndv"),
+                F.max("kn").cast("long").alias("top_key_rows"),
+                F.round(F.max("kn") / F.sum("kn"), 6).cast("double").alias("top_key_share"),
+                F.round(F.sum("kn") / F.count("*"), 4).cast("double").alias("avg_rows_per_key"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
