@@ -671,6 +671,68 @@ class PartitionedTable:
                 .load(files)
             )
 
+    def vacuum(self) -> int:
+        """Remove files no live read can reach — Delta ``VACUUM`` parity
+        for this table layout. Returns the number of files deleted.
+
+        Reclaims, in order:
+
+        1. interrupted maintenance state: ``recover()`` first rolls any
+           half-finished compaction/overwrite swap forward or back, so
+           vacuum never races a swap window;
+        2. leftover ``_staging/`` trees — a writer that crashed between
+           staging and publish leaves its whole staged batch there; a
+           replay rebuilds staging from scratch (``mode("overwrite")``),
+           so anything present when vacuum runs is garbage;
+        3. orphaned data files: a published ``b{id}-`` file whose batch
+           has NO commit marker. ``append_batch`` deletes these when the
+           SAME batch replays, but a batch that never replays (stream
+           decommissioned, checkpoint deleted) would otherwise leak its
+           partial publish forever — and, worse, ``read()`` would count
+           its rows. Committed batches' files are never touched, so
+           ``read_as_of`` history is preserved.
+
+        Like Delta's VACUUM, the caller must not run it concurrently
+        with an active writer on the same table (a writer mid-stage
+        would lose its staging dir and re-stage on replay — converging,
+        but wasted work)."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return 0
+        self.recover()
+        deleted = 0
+        staging_root = Path(posixpath.join(self.path, "_staging"))
+        if fs.exists(staging_root):
+            for st in fs.listStatus(staging_root):
+                it = fs.listFiles(st.getPath(), True) if st.isDirectory() else None
+                if it is not None:
+                    while it.hasNext():
+                        it.next()
+                        deleted += 1
+                else:
+                    deleted += 1
+                fs.delete(st.getPath(), True)
+        committed = set(self.committed_batches())
+        it = fs.listFiles(root, True)
+        orphans = []
+        while it.hasNext():
+            p = it.next().getPath()
+            name = p.getName()
+            rel = posixpath.relpath(p.toUri().getPath(), root.toUri().getPath())
+            if rel.startswith(("_commits", "_staging")) or name.startswith(("_", ".")):
+                continue
+            if name.startswith("b") and "-" in name:
+                bid = name[1 : name.index("-")]
+                if bid.isdigit() and int(bid) not in committed:
+                    orphans.append(p)
+        for p in orphans:
+            fs.delete(p, False)
+            deleted += 1
+        return deleted
+
     def read_partition(self, **partition_values: str) -> DataFrame:
         """Read exactly one partition, e.g. ``read_partition(year="2024",
         month="03", day="26")`` — the reference's per-run scoped load

@@ -243,3 +243,36 @@ def test_incremental_dedup_probe_is_hash_join(spark, sf_dir):
     spark.catalog.clearCache()
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_interval_merge_single_shuffle(spark, sf_dir):
+    """q_interval_merge's claim: gaps-and-islands via frame-bounded
+    windows is ONE hash exchange + ONE sort per key partition — the
+    downstream groupBys reuse the custkey partitioning (subset
+    clustering), so no second shuffle ever materializes. A range-join
+    rewrite would lose this property."""
+    plan = _plan(QUERIES["q_interval_merge"].fn(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Sort ") == 1
+
+
+def test_mad_outliers_stats_broadcast(spark, sf_dir):
+    """The per-group median/MAD tables join back to the fact via
+    broadcast — the fact is never re-keyed."""
+    plan = _plan(QUERIES["q_mad_outliers"].fn(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("BroadcastHashJoin") >= 2
+    # only the two needed columns reach the lineitem scan
+    assert "l_returnflag" in phys and "l_extendedprice" in phys
+    read = phys.split("ReadSchema")[1][:200]
+    assert "l_quantity" not in read and "l_partkey" not in read
+
+
+def test_expectations_single_scan_per_table(spark, sf_dir):
+    """All lineitem rules evaluate in ONE conditional-agg scan: the plan
+    contains exactly two parquet scans of lineitem (the rule scan and
+    the referential-integrity join probe), not one per rule."""
+    plan = _plan(QUERIES["q_expectations"].fn(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("lineitem.parquet") <= 2, phys.count("lineitem.parquet")
