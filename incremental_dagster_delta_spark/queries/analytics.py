@@ -505,3 +505,58 @@ def q_ab_test(spark, sf_dir):
             .alias("welch_df"),
         )
     )
+
+
+# --- equal-frequency binning (feature discretization) ------------------------
+
+N_BINS = 10
+
+
+@query(
+    "q_quantile_bins",
+    tags=("analytics", "curation"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             ntile({N_BINS}) OVER (PARTITION BY l_returnflag
+                                   ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                                            l_orderkey, l_linenumber) AS bin
+      FROM lineitem
+    )
+    SELECT grp, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(MIN(cents) / 100.0, 2) AS DOUBLE) AS lo,
+           CAST(ROUND(MAX(cents) / 100.0, 2) AS DOUBLE) AS hi
+    FROM ranked GROUP BY grp, bin
+    """,
+)
+def q_quantile_bins(spark, sf_dir):
+    """Equal-frequency discretization: ntile(10) per group over exact
+    integer cents with a (orderkey, linenumber) tiebreak, reporting each
+    bin's population and [lo, hi] value range — the feature-binning pass
+    for monotone models and drift dashboards. The total order is unique,
+    so bin assignment is deterministic on both engines (no float
+    boundary, no tie ambiguity). One shuffle + one sort per group key;
+    at 100 TB swap ntile for approx_percentile cut points computed once
+    and applied map-side."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        cents.alias("cents"),
+        F.ntile(N_BINS)
+        .over(
+            Window.partitionBy("l_returnflag").orderBy(
+                cents, F.col("l_orderkey"), F.col("l_linenumber")
+            )
+        )
+        .alias("bin"),
+    )
+    return ranked.groupBy("grp", F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("cents") / 100.0, 2).cast("double").alias("lo"),
+        F.round(F.max("cents") / 100.0, 2).cast("double").alias("hi"),
+    )

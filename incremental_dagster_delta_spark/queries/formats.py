@@ -149,3 +149,44 @@ def q_drip_source(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --- binary-file source (multimodal ingest path) -----------------------------
+
+# Fixed corpus for the byte-level check: the content-addressed ingest
+# fixture (same one the incremental-ops oracles read with read_text()).
+from incremental_dagster_delta_spark.queries.incremental_ops import (  # noqa: E402
+    _ORACLE_FIX_W1 as _BLOB_FIXTURE,
+)
+
+
+@query(
+    "q_binary_source",
+    tags=("source", "format", "multimodal"),
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(decode(content)) AS digest
+    FROM read_blob('{_BLOB_FIXTURE}/day=*/*.txt')
+    """,
+)
+def q_binary_source(spark, sf_dir):
+    """Opaque binary ingestion via Spark's ``binaryFile`` source — the
+    entry point for image/audio/video payloads before any decode UDF
+    runs (multimodal.py consumes exactly this shape). Each file becomes
+    one (path, modificationTime, length, content binary) row; the check
+    pins name, size, and the full content md5 against DuckDB's
+    ``read_blob`` of the same files — a lossless byte-level ingest
+    proof. At 100 TB the source parallelizes per file and prunes on
+    path/size metadata without touching content bytes."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(_BLOB_FIXTURE)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

@@ -358,3 +358,56 @@ def q_skew_report(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- point-in-time (as-of) dimension lookup over SCD2 history ----------------
+
+_PIT_SQL = f"""
+    WITH hist AS ({_SCD2_SQL})
+    SELECT h.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.custkey
+     AND CAST(o.o_orderdate AS DATE) >= CAST(h.valid_from AS DATE)
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < CAST(h.valid_to AS DATE))
+    WHERE h.segment LIKE 'SEG-MOVED%'
+    GROUP BY h.segment
+"""
+
+
+@query("q_pit_join", tags=("warehouse", "join"), oracle=_PIT_SQL)
+def q_pit_join(spark, sf_dir):
+    """Point-in-time dimension lookup: each order joins the SCD2
+    customer-history VERSION that was valid on its order date
+    ([valid_from, valid_to) interval containment) — the correct way to
+    attribute facts to slowly-changing attributes; joining the current
+    dimension instead silently rewrites history. Revenue per moved-to
+    segment proves version selection: a %7 customer's pre-1995 orders
+    must land on the original segment, not the 1995 one.
+
+    Scale shape: an equi-join on the customer key carries the interval
+    predicate as a residual filter — each fact meets only its own key's
+    few versions (≤3 here), so there is no range-join explosion; the
+    dimension side is broadcast-able by definition. ISO date strings
+    compare as dates on both engines."""
+    from incremental_dagster_delta_spark.queries.warehouse import q_scd2_merge
+
+    o = t(spark, sf_dir, "orders")
+    hist = q_scd2_merge(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    joined = o.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("custkey"))
+        & (od >= F.col("valid_from").cast("date"))
+        & (F.col("valid_to").isNull() | (od < F.col("valid_to").cast("date"))),
+    )
+    return (
+        joined.where(F.col("segment").startswith("SEG-MOVED"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
