@@ -160,11 +160,53 @@ def ivf_assign(e: DataFrame) -> DataFrame:
     return assign_nearest_centroid(e.select("vec_id", "embedding"), centroids)
 
 
-@query("q_cosine_ann_ivf", tags=("similarity", "llm"), oracle=None)
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_aggregate(list_transform(list_zip(c.ce, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) DESC, c.centroid_id) AS rk
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_aggregate(list_transform(list_zip(c.ce, q.qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) DESC, c.centroid_id) AS rk
+        FROM q CROSS JOIN cents c
+      ) WHERE rk <= {NPROBE}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_aggregate(list_transform(list_zip(p.qe, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(p.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("q_cosine_ann_ivf", tags=("similarity", "llm"), oracle=_IVF_ORACLE)
 def q_cosine_ann_ivf(spark, sf_dir):
     """IVF approximate top-k: probe only the NPROBE nearest centroid
-    buckets per query instead of the full corpus. Rows-only check (its
-    ground truth is q_cosine_topk; recall is measured in tests). The
+    buckets per query instead of the full corpus. HASH-checked since r5:
+    the oracle replicates the whole IVF pipeline (strided centroids →
+    argmax assignment with id tiebreak → NPROBE probe selection →
+    in-cell scoring) in DuckDB CTEs with the same sequential-double
+    cosine the exact-topk oracle already proved bit-stable; recall vs
+    the exact baseline is separately floored in tests/test_ann.py. The
     bucket join keys on centroid_id — candidate volume is the probed
     buckets, not N."""
     from pyspark.sql.window import Window

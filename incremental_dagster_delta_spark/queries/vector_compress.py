@@ -209,7 +209,114 @@ def pq_encode(vectors, cent_row):
 RERANK_FACTOR = 16
 
 
-@query("q_ann_ivf_pq", tags=("similarity", "llm"), oracle=None)
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB replica of the full IVF-PQ pipeline (normalize → coarse
+    assign → per-subspace PQ argmin → probe → ADC shortlist → exact
+    re-rank). Float parity notes: every dot/L2 folds doubles in list
+    order (the same sequential accumulation Spark's F.aggregate does —
+    bit-stability proven by the q_cosine_topk oracle since r2); the ADC
+    sum is written as an explicit left-to-right chain of the PQ_M
+    subspace terms so its addition order matches Spark's fold; all
+    argmin/argmax selections share the (value, id) tiebreak on both
+    sides."""
+    from incremental_dagster_delta_spark.queries.similarity import (
+        IVF_CENTROID_STRIDE,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+    )
+
+    def dot(a, b):
+        return (
+            f"list_aggregate(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+        )
+
+    def cos(a, b):
+        return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    def sq(a, b):
+        return (
+            f"list_aggregate(list_transform(list_zip({a}, {b}), "
+            f"p -> power(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2)), 'sum')"
+        )
+
+    def sl(col, s):
+        return f"{col}[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}]"
+
+    code_ctes = [
+        f"""codes{s} AS (
+      SELECT vec_id, cid AS c{s} FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sq(sl('a.embedding', s), sl('c.ce', s))} ASC, c.cid) AS rk
+        FROM norm a CROSS JOIN pqcents c
+      ) WHERE rk = 1
+    )"""
+        for s in range(PQ_M)
+    ]
+    adc_terms = " + ".join(sq(sl("p.qe", s), sl(f"cb{s}.ce", s)) for s in range(PQ_M))
+    cb_joins = "\n      ".join(f"JOIN pqcents cb{s} ON cb{s}.cid = ix.c{s}" for s in range(PQ_M))
+    return f"""
+    WITH nrm AS (
+      SELECT vec_id, sqrt({dot('embedding', 'embedding')}) AS n FROM embeddings
+    ), norm AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE) / nrm.n) AS embedding
+      FROM embeddings e JOIN nrm USING (vec_id)
+    ), cents AS (
+      SELECT vec_id AS centroid_id, embedding AS ce FROM norm
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('c.ce', 'e.embedding')} DESC, c.centroid_id) AS rk
+        FROM norm e CROSS JOIN cents c
+      ) WHERE rk = 1
+    ), pqcents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM norm WHERE vec_id % {PQ_STRIDE} = 0
+    ), {', '.join(code_ctes)},
+    ix AS (
+      SELECT a.vec_id, a.centroid_id, {', '.join(f'codes{s}.c{s}' for s in range(PQ_M))}
+      FROM assigned a {' '.join(f'JOIN codes{s} USING (vec_id)' for s in range(PQ_M))}
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM norm WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos('c.ce', 'q.qe')} DESC, c.centroid_id) AS rk
+        FROM q CROSS JOIN cents c
+      ) WHERE rk <= {NPROBE}
+    ), shortlist AS (
+      SELECT query_id, qe, vec_id FROM (
+        SELECT p.query_id, p.qe, ix.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {adc_terms} ASC, ix.vec_id) AS ark
+        FROM probes p
+        JOIN ix USING (centroid_id)
+        {cb_joins}
+        WHERE ix.vec_id <> p.query_id
+      ) WHERE ark <= {TOP_K * RERANK_FACTOR}
+    ), rer AS (
+      SELECT s.query_id, s.vec_id AS neighbor_id, {cos('s.qe', 'e.embedding')} AS cos
+      FROM shortlist s JOIN norm e ON e.vec_id = s.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rer
+    )
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("q_ann_ivf_pq", tags=("similarity", "llm"), oracle=_ivf_pq_oracle())
 def q_ann_ivf_pq(spark, sf_dir):
     """IVF-PQ search with asymmetric distance computation (ADC) — the
     production ANN shape at 10⁹+ vectors (Jégou et al. 2011): coarse IVF
@@ -221,9 +328,11 @@ def q_ann_ivf_pq(spark, sf_dir):
 
     Plan shape: zero-shuffle coarse assign + PQ encode (broadcast
     codebooks), bucket-keyed candidate join, 8-row broadcast of the query
-    distance tables, one window per stage. Rows-only (ground truth is
-    q_cosine_topk; recall floor asserted in tests — bounded above by the
-    IVF probe's own recall)."""
+    distance tables, one window per stage. HASH-checked since r5: the oracle
+    (``_ivf_pq_oracle``) replays the identical pipeline in DuckDB CTEs
+    — same sequential-double folds, same explicit-order ADC sum, same
+    (value, id) tiebreaks; recall vs the exact baseline stays floored
+    in tests/test_ann.py."""
     from pyspark.sql.window import Window
 
     from incremental_dagster_delta_spark.queries.similarity import (
