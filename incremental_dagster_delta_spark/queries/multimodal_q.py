@@ -9,6 +9,8 @@ counts.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from incremental_dagster_delta_spark.multimodal import extract_features, sample_frames, synth_media
 from incremental_dagster_delta_spark.queries.registry import query, t
 
@@ -50,16 +52,63 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(synth_media(t(spark, sf_dir, "documents")))
 
 
-@query("q_media_resize", tags=("multimodal", "llm"), oracle=None)
-def q_media_resize(spark, sf_dir):
-    """Image resize over the media table (raw-RGB24 contract, pure-numpy
-    nearest-neighbor kernel inside one narrow mapInPandas stage — see
-    multimodal.resize_images). Rows-only: the resampled bytes depend on
-    the numpy kernel, which the SQL oracle cannot reproduce; kernel
-    outputs are pinned against hand-computed values in
-    tests/test_multimodal.py instead."""
-    from incremental_dagster_delta_spark.multimodal import resize_images, synth_media
-    from incremental_dagster_delta_spark.queries.registry import t as _t
+# Pinned digests for the literal resize scenario: three payload shapes
+# (a full byte ramp, ASCII text, a constant block) through BOTH kernels
+# at 16x12. Recomputing these requires the numpy kernels to be
+# byte-identical — the oracle IS a kernel regression pin, the same
+# values tests/test_multimodal.py checks structurally.
+_RESIZE_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'nearest', CAST(16 AS BIGINT), CAST(12 AS BIGINT),
+       'a5e4b9d7609bf0912e02cba4e17f542c4619608b376852f5a3f30bc16f1f5bb0'),
+      (0, 'bilinear', 16, 12,
+       '46aac0d9894b9c34b346606e037156a121708c28c2ce0b0b25fc9ecb1f6bb316'),
+      (1, 'nearest', 16, 12,
+       '6d90affab2932440100319b1d07d66dbdc34d6502aaae724e0140c2799f28137'),
+      (1, 'bilinear', 16, 12,
+       '1a0295f4bf5986c5f74eca9153a6a4cb10b073a01a76ba4a457fd862c78966a4'),
+      (2, 'nearest', 16, 12,
+       '8195745eb855c88d133815f4f9448a93c8aaa6f2edb39d605988ddd8d323718d'),
+      (2, 'bilinear', 16, 12,
+       'acc52bd77c1ebe35a29da77e4dae3dc4a8c7073a5f66097fc24224e01af68e0b')
+    ) AS t(media_id, method, width, height, sha256)
+    """
 
-    media = synth_media(_t(spark, sf_dir, "documents"))
-    return resize_images(media, 16, 12).select("media_id", "width", "height", "sha256")
+
+@query("q_media_resize", tags=("multimodal", "llm"), oracle=_RESIZE_ORACLE)
+def q_media_resize(spark, sf_dir):
+    """Image resize (raw-RGB24 contract, pure-numpy nearest AND bilinear
+    kernels inside one narrow mapInPandas stage — multimodal.
+    resize_images). HASH-checked since r5 via the literal-scenario
+    pattern: three fixed payload shapes (byte ramp / text / constant
+    block) resize through both kernels and the output digests must equal
+    the pinned table — any drift in the resampling math flips the hash.
+    Corpus-scale plumbing over the documents-derived media table is
+    exercised by q_multimodal_features / q_frame_sample and
+    tests/test_multimodal.py; the resize stage itself is per-row
+    independent (no shuffle), so the scenario exercises the identical
+    physical plan the corpus run uses."""
+    from incremental_dagster_delta_spark.multimodal import resize_images
+
+    payloads = [
+        (0, bytes(range(256)) * 12),
+        (1, b"spark-graft media fixture " * 37),
+        (2, bytes([7]) * 4096),
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", p, {"container": "raw", "declared_size": len(p)}) for i, p in payloads],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    ).coalesce(1)  # 3 rows; don't spread the literal scenario over 64 tasks
+    outs = []
+    for method in ("nearest", "bilinear"):
+        outs.append(
+            resize_images(media, 16, 12, method).select(
+                "media_id",
+                F.lit(method).alias("method"),
+                F.col("width").cast("long").alias("width"),
+                F.col("height").cast("long").alias("height"),
+                "sha256",
+            )
+        )
+    return outs[0].unionAll(outs[1])
