@@ -389,9 +389,11 @@ def q_pit_join(spark, sf_dir):
 
     Scale shape: an equi-join on the customer key carries the interval
     predicate as a residual filter — each fact meets only its own key's
-    few versions (≤3 here), so there is no range-join explosion; the
-    dimension side is broadcast-able by definition. ISO date strings
-    compare as dates on both engines."""
+    few versions (≤3 here), so there is no range-join explosion, and the
+    strategy degrades gracefully: broadcast while the history fits (as
+    here), plain shuffle join on the key when it doesn't — the residual
+    rides along either way. ISO date strings compare as dates on both
+    engines."""
     from incremental_dagster_delta_spark.queries.warehouse import q_scd2_merge
 
     o = t(spark, sf_dir, "orders")

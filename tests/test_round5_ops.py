@@ -111,3 +111,57 @@ def test_stream_join_qid_pins_both_watermarks():
     src = inspect.getsource(incremental_ops.q_stream_join)
     assert src.count("withWatermark") == 2
     assert "interval 30 minutes" in src
+
+
+def test_interval_merge_matches_bruteforce(spark):
+    """Random interval sets per key: merged span count and covered days
+    must equal a brute-force day-set union (catches the interval-
+    swallowing case a lag(e)-only implementation gets wrong)."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(11)
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for key in range(6):
+        for _ in range(rng.randint(1, 12)):
+            s = rng.randint(0, 60)
+            rows.append((key, base + datetime.timedelta(days=s),
+                         base + datetime.timedelta(days=s + rng.randint(0, 15))))
+    df = spark.createDataFrame(rows, "custkey long, s date, e date")
+
+    # same operator pipeline as q_interval_merge, applied to this frame
+    order_w = Window.partitionBy("custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(order_w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (
+        df.withColumn("new_island", F.when(F.col("s") <= prev_max_e, 0).otherwise(1))
+        .withColumn("island", F.sum("new_island").over(order_w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    merged = grouped.groupBy("custkey", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    got = {
+        r["custkey"]: (r["n"], r["days"])
+        for r in merged.groupBy("custkey")
+        .agg(F.count("*").alias("n"), F.sum(F.datediff("ee", "ss")).alias("days"))
+        .collect()
+    }
+
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        by_key[k].append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        spans = []
+        for s, e in ivs:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        want_days = sum((e - s).days for s, e in spans)
+        assert got[k] == (len(spans), want_days), k
