@@ -823,3 +823,63 @@ def q_compaction_stats(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- exactly-once batch publish under replay ---------------------------------
+
+
+@query(
+    "q_exactly_once_publish",
+    tags=("storage", "streaming"),
+    # Literal oracle: 2 committed batches, batch 0 REPLAYED after a
+    # simulated crash — the table must hold exactly one copy of each
+    # batch's rows and the commit metrics must count each batch once.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+      (1, 2, 2)
+    ) AS t(batch_id, committed_rows, table_rows)
+    """,
+)
+def q_exactly_once_publish(spark, sf_dir):
+    """Exactly-once publish under at-least-once replay — the foreachBatch
+    contract ``tableio.append_batch`` provides on plain parquet (Delta
+    gets it from txnAppId/txnVersion): batch 0 is published, then
+    REPLAYED as a restarted stream would after a crash between write and
+    checkpoint commit, then batch 1 lands. The report joins each batch's
+    commit-marker metrics against the actual row count carrying that
+    batch's file prefix — both must equal the batch size exactly once;
+    the replay must contribute ZERO rows. Crash windows inside the
+    publish protocol itself are exercised step-by-step in
+    tests/test_merge.py and tests/test_vacuum.py."""
+    base = _tmp("e1pub")
+    schema = "k long, day string"
+    tbl = PartitionedTable(spark, os.path.join(base, "t"), ["day"])
+    try:
+        b0 = spark.createDataFrame(
+            [(1, "2024-07-01"), (2, "2024-07-01"), (3, "2024-07-02")], schema
+        )
+        assert tbl.append_batch(b0, 0) is True
+        assert tbl.append_batch(b0, 0) is False  # replay: marker short-circuits
+        b1 = spark.createDataFrame([(4, "2024-07-02"), (5, "2024-07-03")], schema)
+        assert tbl.append_batch(b1, 1) is True
+        metrics = tbl.batch_metrics()
+        per_batch = (
+            tbl.read()
+            .select(F.regexp_extract(F.input_file_name(), r"/b(\d+)-", 1).cast("long").alias("batch_id"))
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("table_rows"))
+        )
+        committed = spark.createDataFrame(
+            [(int(b), int(m.get("rows", -1))) for b, m in sorted(metrics.items())],
+            "batch_id long, committed_rows long",
+        )
+        return committed.join(per_batch, "batch_id").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# qids defined below the main _scoped loop get the same scoped
+# shuffle-partition treatment here.
+for _name in ["q_compaction_stats", "q_exactly_once_publish"]:
+    _Q[_name].fn = _scoped(_Q[_name].fn)
