@@ -181,6 +181,7 @@ def q_session_window(spark, sf_dir):
 @query(
     "q_event_transitions",
     tags=("events", "window", "llm"),
+    bench=True,
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,

@@ -473,7 +473,16 @@ def q_triangle_count(spark, sf_dir):
     node would blow up quadratically). Three shuffles total: the
     distinct edge build, the wedge self-join on the shared source, and
     the wedge-closure semi-join against the oriented edge set. Integer
-    counts — exact on both engines."""
+    counts — exact on both engines.
+
+    Cost honesty: bipartite projections DENSIFY — at sf0.1 the 1000
+    suppliers form a near-complete graph and exact counting does the
+    full O(m^1.5) wedge work (~60 s on local[32]); that is inherent to
+    exact triangle counting on dense graphs, not a plan defect. At real
+    scale you bound the projection first (degree-threshold the hub
+    parts, or count on the sampled graph via Doulion-style edge
+    sampling) before this kernel runs; the qid therefore stays in the
+    correctness set, not the bench headline set."""
     ps = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))

@@ -528,6 +528,7 @@ def q_funnel_multistep(spark, sf_dir):
 @query(
     "q_interval_merge",
     tags=("window", "timeseries"),
+    bench=True,
     oracle="""
     WITH iv AS (
       SELECT o_custkey AS custkey,

@@ -249,6 +249,7 @@ def q_bucketed_join(spark, sf_dir):
 @query(
     "q_skew_join",
     tags=("join", "skew"),
+    bench=True,
     oracle="""
     SELECT s_nationkey,
            COUNT(*) AS n,

@@ -259,7 +259,7 @@ def _expectations_oracle() -> str:
     return " UNION ALL ".join(per_table)
 
 
-@query("q_expectations", tags=("warehouse", "quality"), oracle=_expectations_oracle())
+@query("q_expectations", tags=("warehouse", "quality"), bench=True, oracle=_expectations_oracle())
 def q_expectations(spark, sf_dir):
     """Declarative data-quality expectation engine (the dbt-test /
     Deequ-style contract check every warehouse and training-data intake
