@@ -563,3 +563,130 @@ def q_quantile_bins(spark, sf_dir):
         F.round(F.min("cents") / 100.0, 2).cast("double").alias("lo"),
         F.round(F.max("cents") / 100.0, 2).cast("double").alias("hi"),
     )
+
+
+# --- ranking-metric evaluation: exact AUC via rank-sum -----------------------
+
+_AUC_ORACLE = """
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(label = 0 AS INT) AS pos,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS score
+      FROM embeddings
+    ), ranked AS (
+      SELECT pos, row_number() OVER (ORDER BY score, vec_id) AS rk FROM scored
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+           CAST(ROUND(
+             (SUM(CASE WHEN pos = 1 THEN rk ELSE 0 END)
+              - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * (COUNT(*) - SUM(pos))), 6) AS DOUBLE) AS auc
+    FROM ranked
+"""
+
+
+@query("q_auc_eval", tags=("analytics", "llm"), oracle=_AUC_ORACLE)
+def q_auc_eval(spark, sf_dir):
+    """Exact AUC (Mann–Whitney rank-sum) of a scoring function against a
+    binary relevance flag — the classifier/reranker evaluation every
+    model pipeline runs. Score here is the embedding L2 norm, positives
+    are label 0; AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    Ranking by (score, vec_id) makes the rank assignment deterministic
+    on both engines (scores are the same sequential-double sums the
+    cosine oracles pin).
+
+    Scale shape: ONE global sort (row_number over the score) plus a
+    1-row aggregate — the sort is the irreducible cost of exact AUC and
+    is exactly sortBy at 100 TB; the common approximation (bucketed /
+    trapezoidal over quantized scores) keeps the same surrounding plan
+    with a groupBy replacing the sort."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    score = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    scored = e.select(
+        "vec_id", (F.col("label") == 0).cast("int").alias("pos"), score.alias("score")
+    )
+    ranked = scored.select(
+        "pos", F.row_number().over(Window.orderBy("score", "vec_id")).alias("rk")
+    )
+    n_pos = F.sum("pos")
+    n = F.count("*")
+    return ranked.agg(
+        n_pos.cast("long").alias("n_pos"),
+        (n - n_pos).cast("long").alias("n_neg"),
+        F.round(
+            (F.sum(F.when(F.col("pos") == 1, F.col("rk")).otherwise(0)) - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * (n - n_pos)),
+            6,
+        )
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+# --- calibration audit (reliability diagram) ---------------------------------
+
+_CALIB_ORACLE = """
+    WITH scored AS (
+      SELECT CAST(label = 0 AS INT) AS pos,
+             sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS score
+      FROM embeddings
+    ), ext AS (
+      SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored
+    ), binned AS (
+      SELECT pos, score,
+             LEAST(9, CAST(FLOOR((score - ext.lo) / ((ext.hi - ext.lo) / 10.0)) AS INT)) AS bin
+      FROM scored, ext
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(score), 4) AS DOUBLE) AS mean_score,
+           CAST(ROUND(AVG(pos), 4) AS DOUBLE) AS pos_rate
+    FROM binned GROUP BY bin
+"""
+
+
+@query("q_calibration_bins", tags=("analytics", "llm"), oracle=_CALIB_ORACLE)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram audit: scores bucketed into 10 equal-width
+    bins over the observed [min, max], per-bin population, mean score,
+    and empirical positive rate — the calibration check that pairs with
+    q_auc_eval (AUC measures ranking, this measures probability
+    fidelity). Bin edges derive from a 1-row broadcast of the global
+    extent; binning is map-side integer math on the same bit-stable
+    scores, so the histogram is one narrow shuffle at any scale."""
+    e = t(spark, sf_dir, "embeddings")
+    score = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    scored = e.select((F.col("label") == 0).cast("int").alias("pos"), score.alias("score"))
+    ext = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        "pos",
+        "score",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("score") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)).cast(
+                "int"
+            ),
+        ).alias("bin"),
+    )
+    return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 4).cast("double").alias("mean_score"),
+        F.round(F.avg("pos"), 4).cast("double").alias("pos_rate"),
+    )
