@@ -336,3 +336,87 @@ def q_pmi_bigrams(spark, sf_dir):
             ).cast("double").alias("pmi"),
         )
     )
+
+
+# --- NDCG@k ranking-quality evaluation ---------------------------------------
+
+NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    """Compose the BM25 oracle as a CTE: the ranking under test IS the
+    q_bm25 surface (rounded to 4 on both engines, so rank order and its
+    doc_id tiebreak agree exactly), graded relevance = number of
+    distinct query terms present."""
+    from incremental_dagster_delta_spark.queries.registry import QUERIES
+
+    bm25 = QUERIES["q_bm25"].oracle
+    return f"""
+    WITH scores AS ({bm25}),
+    rel AS (
+      SELECT doc_id, COUNT(DISTINCT tok) AS rel FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+      ) WHERE tok IN {_TERMS_IN}
+      GROUP BY doc_id
+    ), ranked AS (
+      SELECT s.doc_id, r.rel,
+             row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS pos,
+             row_number() OVER (ORDER BY r.rel DESC, s.doc_id) AS ideal_pos
+      FROM scores s JOIN rel r USING (doc_id)
+    )
+    SELECT CAST({NDCG_K} AS BIGINT) AS k,
+           CAST(ROUND(SUM(CASE WHEN pos <= {NDCG_K}
+                     THEN (power(2, rel) - 1) / log2(pos + 1) ELSE 0 END), 6) AS DOUBLE) AS dcg,
+           CAST(ROUND(SUM(CASE WHEN ideal_pos <= {NDCG_K}
+                     THEN (power(2, rel) - 1) / log2(ideal_pos + 1) ELSE 0 END), 6) AS DOUBLE) AS idcg,
+           CAST(ROUND(
+             SUM(CASE WHEN pos <= {NDCG_K} THEN (power(2, rel) - 1) / log2(pos + 1) ELSE 0 END)
+             / SUM(CASE WHEN ideal_pos <= {NDCG_K} THEN (power(2, rel) - 1) / log2(ideal_pos + 1) ELSE 0 END),
+             6) AS DOUBLE) AS ndcg
+    FROM ranked
+    """
+
+
+@query("q_ndcg_eval", tags=("retrieval", "analytics", "llm"), oracle=_ndcg_oracle())
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking against graded relevance (= distinct
+    query terms present in the doc) — the ranking-quality metric that
+    completes the evaluation family (q_auc_eval ranks binary labels,
+    this grades a retrieval ordering). DCG discounts each gain by
+    log2(position+1); the ideal ordering re-ranks by relevance to
+    normalize. Ranking uses the ROUNDED bm25 surface with a doc_id
+    tiebreak, so position assignment is identical on both engines; the
+    two ≤10-term discounted sums round at 6. Cost on top of BM25: one
+    window over the scored docs (|matched docs|, not corpus-sized) and a
+    1-row aggregate."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.registry import QUERIES
+
+    scores = QUERIES["q_bm25"].fn(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    rel = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("rel"))
+    )
+    ranked = (
+        scores.join(rel, "doc_id")
+        .withColumn("pos", F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))))
+        .withColumn(
+            "ideal_pos", F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+        )
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = F.sum(F.when(F.col("pos") <= NDCG_K, gain / F.log2(F.col("pos") + 1)).otherwise(0.0))
+    idcg = F.sum(
+        F.when(F.col("ideal_pos") <= NDCG_K, gain / F.log2(F.col("ideal_pos") + 1)).otherwise(0.0)
+    )
+    return ranked.agg(
+        F.lit(NDCG_K).cast("long").alias("k"),
+        F.round(dcg, 6).cast("double").alias("dcg"),
+        F.round(idcg, 6).cast("double").alias("idcg"),
+        F.round(dcg / idcg, 6).cast("double").alias("ndcg"),
+    )

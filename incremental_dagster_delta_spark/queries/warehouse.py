@@ -413,3 +413,47 @@ def q_pit_join(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+# --- quarantine split via the quality gate engine ----------------------------
+
+_QUAR_RULES = {
+    "qty_le_40": "l_quantity <= 40",
+    "disc_le_5pct": "l_discount <= 0.05",
+}
+
+_QUAR_ORACLE = """
+    SELECT
+      CASE WHEN l_quantity <= 40 AND l_discount <= 0.05 THEN 'good' ELSE 'quarantine' END
+        AS stream,
+      COALESCE(array_to_string(list_sort(
+        (CASE WHEN l_quantity <= 40 THEN [] ELSE ['qty_le_40'] END)
+        || (CASE WHEN l_discount <= 0.05 THEN [] ELSE ['disc_le_5pct'] END)), ','), '')
+        AS violations,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+
+@query("q_quarantine_split", tags=("warehouse", "quality"), oracle=_QUAR_ORACLE)
+def q_quarantine_split(spark, sf_dir):
+    """Quarantine routing via the quality-gate engine (``quality.split``
+    — the Dagster asset-check / Delta CHECK parity layer): rows split
+    into a clean stream and a quarantine stream that carries the array
+    of violated rule names, reported here as counts per (stream,
+    violation-set). Tagging is ONE projection over the scan (no per-rule
+    jobs — quality.py's contract); the report is one narrow groupBy. The
+    oracle recomputes the same routing declaratively, so the hash check
+    pins the engine's tagging semantics, including multi-rule rows."""
+    from incremental_dagster_delta_spark.quality import split
+
+    frames = split(t(spark, sf_dir, "lineitem"), _QUAR_RULES)
+    good = frames.good.select(
+        F.lit("good").alias("stream"), F.lit("").alias("violations")
+    )
+    quar = frames.quarantine.select(
+        F.lit("quarantine").alias("stream"),
+        F.array_join(F.array_sort("_violations"), ",").alias("violations"),
+    )
+    return good.unionAll(quar).groupBy("stream", "violations").agg(F.count("*").alias("n"))
