@@ -690,3 +690,55 @@ def q_calibration_bins(spark, sf_dir):
         F.round(F.avg("score"), 4).cast("double").alias("mean_score"),
         F.round(F.avg("pos"), 4).cast("double").alias("pos_rate"),
     )
+
+
+# --- categorical mutual information (feature relevance) ----------------------
+
+_MI_ORACLE = """
+    WITH joint AS (
+      SELECT lang, source, COUNT(*) AS nxy FROM documents GROUP BY 1, 2
+    ), mx AS (
+      SELECT lang, SUM(nxy) AS nx FROM joint GROUP BY lang
+    ), my AS (
+      SELECT source, SUM(nxy) AS ny FROM joint GROUP BY source
+    ), n AS (SELECT SUM(nxy) AS n FROM joint)
+    SELECT 'lang~source' AS feature_pair,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(ROUND(SUM((j.nxy / n.n) * ln((j.nxy * n.n) / (mx.nx * my.ny))), 6) AS DOUBLE)
+             AS mutual_info,
+           CAST(ROUND(-SUM((j.nxy / n.n) * ln(j.nxy / n.n)), 6) AS DOUBLE) AS joint_entropy
+    FROM joint j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+"""
+
+
+@query("q_mutual_info", tags=("analytics", "llm"), oracle=_MI_ORACLE)
+def q_mutual_info(spark, sf_dir):
+    """Categorical mutual information between two metadata columns
+    (lang, source) plus their joint entropy — the feature-relevance /
+    redundancy screen run before stratifying or balancing a corpus on
+    correlated attributes (MI ≈ 0 → stratify independently; high MI →
+    one column nearly determines the other and a joint stratification
+    double-counts). The contingency table is |lang|×|source| cells —
+    one grouped count of the corpus, marginals derived from the CELLS
+    (never a second corpus scan), and a single-row reduction. Sums run
+    over the tiny cell table, so the 6-decimal rounding is the only
+    float surface."""
+    d = t(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
+    mx = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("n"))
+    cells = (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("nxy") / F.col("n")
+    return cells.agg(
+        F.lit("lang~source").alias("feature_pair"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(p * F.log((F.col("nxy") * F.col("n")) / (F.col("nx") * F.col("ny")))), 6)
+        .cast("double")
+        .alias("mutual_info"),
+        F.round(-F.sum(p * F.log(p)), 6).cast("double").alias("joint_entropy"),
+    )

@@ -643,3 +643,98 @@ def q_hard_negatives(spark, sf_dir):
         (F.round("cos", 6) > F.round("pos_cos", 6) - HN_MARGIN).alias("semi_hard"),
         F.col("rank").cast("long"),
     )
+
+
+# --- k-NN classification evaluation ------------------------------------------
+
+_KNN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < {{N_QUERIES}}
+    ), scored AS (
+      SELECT q.query_id, q.true_label, e.label,
+             list_aggregate(list_transform(list_zip(q.qe, e.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+             (sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+              sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             AS cos,
+             e.vec_id AS neighbor_id
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), topk AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {{TOP_K}}
+    ), votes AS (
+      SELECT query_id, true_label, label AS predicted, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           predicted = true_label AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, predicted) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """.replace("{N_QUERIES}", str(N_QUERIES)).replace("{TOP_K}", str(TOP_K))
+
+
+@query("q_knn_eval", tags=("similarity", "analytics", "llm"), oracle=_KNN_ORACLE)
+def q_knn_eval(spark, sf_dir):
+    """k-NN classification readout: each held-out query vector predicts
+    a label by majority vote among its TOP_K exact cosine neighbors
+    (tie → smaller label id), reported against the true label — the
+    standard embedding-quality probe (better embeddings → higher k-NN
+    accuracy). Reuses the brute-force top-k shape (broadcast queries ×
+    streamed corpus); the vote is a |queries|·k-row aggregate. At
+    production scale the same readout runs over the ANN shortlist
+    instead of the exact scan — identical plan downstream of candidate
+    generation."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        "label",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    topk = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+            ),
+        )
+        .where(F.col("rk") <= TOP_K)
+    )
+    votes = topk.groupBy(
+        "query_id", "true_label", F.col("label").alias("predicted")
+    ).agg(F.count("*").alias("n_votes"))
+    best = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("predicted"))
+            ),
+        )
+        .where(F.col("vr") == 1)
+    )
+    return best.select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("predicted").cast("long").alias("predicted"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("predicted") == F.col("true_label")).alias("correct"),
+    )
