@@ -883,3 +883,141 @@ def q_exactly_once_publish(spark, sf_dir):
 # shuffle-partition treatment here.
 for _name in ["q_compaction_stats", "q_exactly_once_publish"]:
     _Q[_name].fn = _scoped(_Q[_name].fn)
+
+
+# --- schema evolution on append ----------------------------------------------
+
+
+@query(
+    "q_schema_evolution",
+    tags=("storage", "schema"),
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-08-01', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('2024-08-02', 2, 1)
+    ) AS t(day, n_rows, n_null_score)
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on append (Delta mergeSchema parity): wave 2
+    adds a ``score`` column; a merge-schema read surfaces the union
+    schema with NULLs for wave-1 rows — no rewrite of old files, no
+    reader break. The report pins per-day row counts AND the null
+    accounting for the late column (wave 1's two 08-01 rows + one
+    08-02 row read back as null score; wave 2's 08-02 row carries a
+    value). At 100 TB additive evolution must be metadata-only —
+    exactly what this path is."""
+    base = _tmp("schemaevo")
+    tbl = PartitionedTable(spark, os.path.join(base, "t"), ["day"])
+    try:
+        tbl.append(
+            spark.createDataFrame(
+                [(1, "2024-08-01"), (2, "2024-08-01"), (3, "2024-08-02")],
+                "k long, day string",
+            )
+        )
+        tbl.append(
+            spark.createDataFrame(
+                [(4, "2024-08-02", 0.9)], "k long, day string, score double"
+            )
+        )
+        out = (
+            tbl.read(merge_schema=True)
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_score"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --- partition delete (retention / GDPR) -------------------------------------
+
+
+@query(
+    "q_partition_delete",
+    tags=("storage", "maintenance"),
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-08-02', CAST(1 AS BIGINT)),
+      ('2024-08-03', CAST(2 AS BIGINT))
+    ) AS t(day, n_rows)
+    """,
+)
+def q_partition_delete(spark, sf_dir):
+    """Partition-scoped deletion (``tableio.delete_partitions``) — the
+    retention / right-to-erasure primitive: dropping day 08-01 removes
+    its files without touching any other partition (metadata-cost
+    operation at any scale; row-level deletes would rewrite files). The
+    report is the surviving per-day counts, hash-pinned."""
+    base = _tmp("pdel")
+    tbl = PartitionedTable(spark, os.path.join(base, "t"), ["day"])
+    try:
+        tbl.append(
+            spark.createDataFrame(
+                [(1, "2024-08-01"), (2, "2024-08-01"), (3, "2024-08-02"),
+                 (4, "2024-08-03"), (5, "2024-08-03")],
+                "k long, day string",
+            )
+        )
+        tbl.delete_partitions(day="2024-08-01")
+        return (
+            tbl.read().groupBy("day").agg(F.count("*").alias("n_rows")).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --- time travel ---------------------------------------------------------------
+
+
+@query(
+    "q_time_travel",
+    tags=("storage", "versioning"),
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+      (1, 3, 6),
+      (2, 4, 10)
+    ) AS t(as_of_batch, n_rows, key_sum)
+    """,
+)
+def q_time_travel(spark, sf_dir):
+    """Time travel (``read_as_of`` — Delta ``versionAsOf`` parity): three
+    committed batches, and each historical snapshot must reconstruct the
+    table EXACTLY as it stood after that batch (row count + key sum per
+    version, hash-pinned). Snapshots resolve from batch-prefixed file
+    names + commit markers — O(files) metadata, no data copy per
+    version."""
+    base = _tmp("ttravel")
+    tbl = PartitionedTable(spark, os.path.join(base, "t"), ["day"])
+    try:
+        tbl.append_batch(
+            spark.createDataFrame([(1, "2024-08-01"), (2, "2024-08-02")], "k long, day string"), 0
+        )
+        tbl.append_batch(spark.createDataFrame([(3, "2024-08-02")], "k long, day string"), 1)
+        tbl.append_batch(spark.createDataFrame([(4, "2024-08-03")], "k long, day string"), 2)
+        snaps = []
+        for b in tbl.committed_batches():
+            snaps.append(
+                tbl.read_as_of(b).agg(
+                    F.lit(b).cast("long").alias("as_of_batch"),
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum("k").cast("long").alias("key_sum"),
+                )
+            )
+        out = snaps[0]
+        for s in snaps[1:]:
+            out = out.unionAll(s)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+for _name in ["q_schema_evolution", "q_partition_delete", "q_time_travel"]:
+    _Q[_name].fn = _scoped(_Q[_name].fn)
