@@ -294,3 +294,33 @@ def q_grouping_sets(spark, sf_dir):
     how many sets are requested."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql(_GROUPING_SETS_SQL.format(table="li_gs"))
+
+
+# --- LATERAL correlated subquery ---------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+"""
+
+
+@query("q_lateral_topn", tags=("sql", "join", "subquery"), oracle=_LATERAL_SQL)
+def q_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (SQL:1999 / Spark 4 lateral join):
+    top-2 orders per customer expressed as a per-row subquery instead of
+    a window — the form ad-hoc SQL users write, and the identical
+    SQL text runs on both engines. Catalyst DECORRELATES it into the
+    same shuffle + per-key limit a window formulation plans (no
+    nested-loop re-execution per customer row), so the lateral surface
+    costs nothing extra at 100 TB; q_rank_in_group is the explicit
+    window twin of this query."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
