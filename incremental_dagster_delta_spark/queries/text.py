@@ -352,3 +352,74 @@ def q_char_entropy(spark, sf_dir):
             F.count("*").cast("long").alias("n_distinct_chars"),
         )
     )
+
+
+# --- distinguishing terms per source (grouped TF-IDF ranking) -----------------
+
+TOPIC_TOP_N = 5
+
+
+@query(
+    "q_topic_terms",
+    tags=("text", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), sdf AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), ns AS (
+      SELECT COUNT(DISTINCT source) AS n_sources FROM tf
+    ), scored AS (
+      SELECT tf.source, tf.tok,
+             ROUND(tf.tf * ln((ns.n_sources + 1.0) / (sdf.df + 0.5)), 6) AS score
+      FROM tf JOIN sdf USING (tok) CROSS JOIN ns
+    )
+    SELECT source, tok, CAST(score AS DOUBLE) AS score, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= {TOPIC_TOP_N}
+    """,
+)
+def q_topic_terms(spark, sf_dir):
+    """Distinguishing terms per source: grouped TF-IDF where the
+    "document" is the whole source's concatenation — term frequency
+    within the source × inverse SOURCE frequency, top-{TOPIC_TOP_N} per
+    source. The corpus-exploration readout behind mixture debugging
+    ("what is source X actually full of?"). Token explode feeds one
+    (source, tok) aggregation; the per-term source-df table and 1-row
+    source count broadcast; ranking is a window over the per-source
+    term lists. Scores round at 6 BEFORE the rank (the ADVICE
+    ntile-boundary rule) with a token tiebreak, so ordering is
+    engine-identical."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tf = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    sdf = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    ns = tf.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(sdf), "tok")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n_sources") + 1.0) / (F.col("df") + 0.5)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPIC_TOP_N)
+        .select("source", "tok", F.col("score").cast("double"), F.col("rank").cast("long"))
+    )
