@@ -316,3 +316,49 @@ def q_ts_anomaly(spark, sf_dir):
             (F.abs(z) > ANOM_Z).alias("is_anomaly"),
         )
     )
+
+
+# --- rolling exact median (robust trailing statistic) -------------------------
+
+
+@query(
+    "q_rolling_median",
+    tags=("timeseries", "window", "analytics"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(ROUND(total_c / 100.0, 2) AS DOUBLE) AS total,
+           CAST(ROUND(CAST(ROUND(2 * (quantile_cont(total_c, 0.5) OVER w)) AS BIGINT)
+                / 200.0, 4) AS DOUBLE) AS rolling_median
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Trailing 7-day exact MEDIAN of the daily volume per series — the
+    robust companion to q_ts_anomaly's mean/stddev (one spike day drags
+    a trailing mean, not a trailing median). Daily totals are exact
+    integer cents, so the doubled window median is an exact integer on
+    both engines (the q_mad_outliers trick applied to a moving frame) —
+    zero float boundary risk. Frame-bounded window: 7 rows of state per
+    key regardless of history; one shuffle to the daily grain, one sort
+    per series."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("total_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    med_x2 = F.round(2 * F.expr("percentile(total_c, 0.5)").over(w)).cast("long")
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("total_c") / 100.0, 2).cast("double").alias("total"),
+        F.round(med_x2.cast("double") / 200.0, 4).cast("double").alias("rolling_median"),
+    )
