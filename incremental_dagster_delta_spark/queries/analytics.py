@@ -742,3 +742,75 @@ def q_mutual_info(spark, sf_dir):
         .alias("mutual_info"),
         F.round(-F.sum(p * F.log(p)), 6).cast("double").alias("joint_entropy"),
     )
+
+
+# --- RFM feature assembly (per-user behavioral features) ----------------------
+
+_RFM_ORACLE = """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    base AS (
+      SELECT user_id,
+             date_diff('day', MAX(CAST(ts AS DATE)), mx.maxd) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(value), 2) AS DOUBLE) AS monetary
+      FROM events CROSS JOIN mx
+      GROUP BY user_id, mx.maxd
+    )
+    SELECT user_id,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY CAST(ROUND(monetary * 100) AS BIGINT) DESC, user_id)
+             AS BIGINT) AS m_quartile
+    FROM base
+"""
+
+
+@query("q_rfm_features", tags=("analytics", "events"), oracle=_RFM_ORACLE)
+def q_rfm_features(spark, sf_dir):
+    """RFM feature assembly — recency (days since last event, anchored
+    to the corpus max date so the feature is reproducible), frequency,
+    monetary — plus quartile ranks of each: the canonical behavioral
+    feature block for churn/LTV models and the template for any per-user
+    feature-store build. One grouped aggregation over the fact stream, a
+    1-row anchor broadcast, and three ntile windows over the |users|
+    feature table (already ≪ the events). Quartile ordering uses integer
+    day/count/cent keys with a user_id tiebreak — deterministic on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    base = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "maxd")
+        .agg(
+            F.datediff(F.first("maxd"), F.max(F.col("ts").cast("date"))).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).cast("double").alias("monetary"),
+        )
+    )
+    return base.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(
+            Window.orderBy(
+                F.round(F.col("monetary") * 100).cast("long").desc(), F.col("user_id")
+            )
+        )
+        .cast("long")
+        .alias("m_quartile"),
+    )
