@@ -362,3 +362,60 @@ def q_rolling_median(spark, sf_dir):
         F.round(F.col("total_c") / 100.0, 2).cast("double").alias("total"),
         F.round(med_x2.cast("double") / 200.0, 4).cast("double").alias("rolling_median"),
     )
+
+
+# --- day-of-week seasonality profile ------------------------------------------
+
+
+@query(
+    "q_seasonality_profile",
+    tags=("timeseries", "analytics"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), per_dow AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             AVG(n) AS mean_n
+      FROM daily GROUP BY 1, 2
+    ), overall AS (
+      SELECT event_type, AVG(n) AS grand_mean FROM daily GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(p.dow AS BIGINT) AS dow,
+           p.n_days,
+           CAST(ROUND(p.mean_n, 4) AS DOUBLE) AS mean_daily_events,
+           CAST(ROUND(p.mean_n / o.grand_mean, 4) AS DOUBLE) AS seasonal_index
+    FROM per_dow p JOIN overall o USING (event_type)
+    """,
+)
+def q_seasonality_profile(spark, sf_dir):
+    """Day-of-week seasonality profile: each series' mean daily volume
+    per weekday, normalized by its own grand mean — the seasonal index a
+    volume monitor divides out before alerting (q_ts_anomaly's trailing
+    window absorbs level shifts; this captures the weekly cycle). Two
+    narrow aggregations over the daily grain plus a |series|-row
+    broadcast join; NOTE the grand mean averages the per-day totals (a
+    mean of daily means per dow would weight weekdays unequally when the
+    calendar span is ragged). DuckDB's Sunday=0 dayofweek matches
+    Spark's dayofweek()-1."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"), F.avg("n").alias("mean_n")
+    )
+    overall = daily.groupBy("event_type").agg(F.avg("n").alias("grand_mean"))
+    return per_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("mean_n", 4).cast("double").alias("mean_daily_events"),
+        F.round(F.col("mean_n") / F.col("grand_mean"), 4).cast("double").alias("seasonal_index"),
+    )
