@@ -768,6 +768,56 @@ _RFM_ORACLE = """
 """
 
 
+def _distributed_ntile(df, nt, order_cols, out_name):
+    """Exact global ``ntile(nt) OVER (ORDER BY order_cols)`` without a
+    single-partition sort.
+
+    ``Window.orderBy`` with no partitionBy moves the WHOLE table through
+    one task — fine at sf0.01, a scale-killer at 10⁹ rows. Instead:
+    range-repartition on the sort key (disjoint, ordered ranges — one per
+    task), rank WITHIN each partition, and add each partition's global
+    offset. The per-partition sizes are numPartitions scalars, so the
+    running-sum window over them is trivially small, and the offsets come
+    back via a broadcast join. The input is localCheckpointed once so the
+    sampled range boundaries cannot shift between the offsets subtree and
+    the final plan.
+
+    With n = total rows, q, r = divmod(n, nt), SQL ntile gives the first
+    r buckets q+1 rows and the rest q, so the bucket of 0-based global
+    position i is: i // (q+1) + 1 when i < r*(q+1), else
+    r + 1 + (i - r*(q+1)) // q — identical output to the window ntile for
+    any total order, bit-for-bit.
+    """
+    spark = df.sparkSession
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(npart, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_all = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_before), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    q = F.floor(F.col("_n") / nt)
+    r = F.col("_n") % nt
+    head = r * (q + F.lit(1))
+    i = F.row_number().over(w_local) - F.lit(1) + F.col("_off")
+    bucket = F.when(i < head, F.floor(i / (q + F.lit(1))) + F.lit(1)).otherwise(
+        r + F.lit(1) + F.floor((i - head) / F.greatest(q, F.lit(1)))
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_name, bucket.cast("long"))
+        .drop("_pid", "_off", "_n")
+    )
+
+
 @query("q_rfm_features", tags=("analytics", "events"), oracle=_RFM_ORACLE)
 def q_rfm_features(spark, sf_dir):
     """RFM feature assembly — recency (days since last event, anchored
@@ -775,12 +825,12 @@ def q_rfm_features(spark, sf_dir):
     monetary — plus quartile ranks of each: the canonical behavioral
     feature block for churn/LTV models and the template for any per-user
     feature-store build. One grouped aggregation over the fact stream, a
-    1-row anchor broadcast, and three ntile windows over the |users|
-    feature table (already ≪ the events). Quartile ordering uses integer
-    day/count/cent keys with a user_id tiebreak — deterministic on both
-    engines."""
-    from pyspark.sql.window import Window
-
+    1-row anchor broadcast, and three quartile assignments over the
+    |users| feature table (already ≪ the events) — each computed by
+    :func:`_distributed_ntile` (range-repartition + per-partition rank +
+    broadcast offsets), so no ordering ever funnels the table through a
+    single task. Quartile ordering uses integer day/count/cent keys with
+    a user_id tiebreak — deterministic on both engines."""
     e = t(spark, sf_dir, "events")
     mx = e.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
     base = (
@@ -791,26 +841,23 @@ def q_rfm_features(spark, sf_dir):
             F.count("*").alias("frequency"),
             F.round(F.sum("value"), 2).cast("double").alias("monetary"),
         )
-    )
-    return base.select(
-        "user_id",
-        F.col("recency_days").cast("long").alias("recency_days"),
-        F.col("frequency").cast("long").alias("frequency"),
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "user_id"))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(
-            Window.orderBy(
-                F.round(F.col("monetary") * 100).cast("long").desc(), F.col("user_id")
-            )
+        .select(
+            "user_id",
+            F.col("recency_days").cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary",
         )
-        .cast("long")
-        .alias("m_quartile"),
+    )
+    feats = _distributed_ntile(base, 4, [F.col("recency_days"), F.col("user_id")], "r_quartile")
+    feats = _distributed_ntile(
+        feats, 4, [F.col("frequency").desc(), F.col("user_id")], "f_quartile"
+    )
+    feats = _distributed_ntile(
+        feats,
+        4,
+        [F.round(F.col("monetary") * 100).cast("long").desc(), F.col("user_id")],
+        "m_quartile",
+    )
+    return feats.select(
+        "user_id", "recency_days", "frequency", "monetary", "r_quartile", "f_quartile", "m_quartile"
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from incremental_dagster_delta_spark.queries.registry import query
 from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
 from incremental_dagster_delta_spark.sources.ingest import read_text_files
-from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline
+from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline, await_or_raise
 from incremental_dagster_delta_spark.tableio import PartitionedTable
 
 
@@ -405,7 +405,7 @@ def q_sessionize_stateful(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     try:
         spark.createDataFrame(
@@ -483,7 +483,7 @@ def q_late_data(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     try:
         spark.createDataFrame(mk([5, 20, 65, 130, 185]), schema).coalesce(1).write.mode(
@@ -544,7 +544,7 @@ def q_stream_dedup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     try:
         shutil.copy(src, os.path.join(in_dir, "wave1.parquet"))
@@ -610,7 +610,7 @@ def q_quota_stateful(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     try:
         spark.createDataFrame(
@@ -699,7 +699,7 @@ def q_stream_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
 
     try:
         spark.createDataFrame(

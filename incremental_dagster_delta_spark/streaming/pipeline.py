@@ -38,6 +38,24 @@ from incremental_dagster_delta_spark.sources.ingest import read_text_files, stre
 from incremental_dagster_delta_spark.tableio import PartitionedTable
 
 PROCESSED_PARTITIONS = ["year", "month", "day", "word_length"]  # processed.py:34
+
+
+def await_or_raise(q, timeout_sec: int) -> None:
+    """``awaitTermination`` with the boolean return actually checked.
+
+    ``StreamingQuery.awaitTermination(t)`` returns False on timeout with
+    the query STILL RUNNING; ignoring that and proceeding (e.g. starting a
+    second stream on the same checkpoint) turns a slow run into an opaque
+    concurrent-checkpoint error or a partial output directory. On timeout,
+    stop the query and raise a clear error instead.
+    """
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within {timeout_sec}s"
+        )
+
+
 BACKWARDS_PARTITIONS = ["year", "month", "day"]  # backwards.py:11
 
 
@@ -164,7 +182,7 @@ class IngestPipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        await_or_raise(q, timeout_sec)
 
     def run_backwards_cascade(self, timeout_sec: int = 300) -> None:
         """Alternative multi-hop topology (SURVEY.md §3.3): ``backwards``
@@ -196,7 +214,7 @@ class IngestPipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        await_or_raise(q, timeout_sec)
 
     # -- refresh (batch partition overwrite) --------------------------------
 

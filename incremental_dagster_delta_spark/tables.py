@@ -121,11 +121,34 @@ def sized_shuffle(
     never reaches the size-optimal count for sub-GB shuffles, and
     disabling ``parallelismFirst`` over-coalesces to one serial task.
     """
+    from urllib.parse import urlparse
+
     byts = 0
+    unsized = False
     for p in df.inputFiles():
-        local = p.removeprefix("file://") if p.startswith("file:") else None
-        if local and os.path.exists(local):
-            byts += os.path.getsize(local)
+        parsed = urlparse(p)
+        if parsed.scheme in ("", "file"):
+            # urlparse handles both file:///x and single-slash file:/x URIs.
+            if os.path.exists(parsed.path):
+                byts += os.path.getsize(parsed.path)
+            else:
+                unsized = True
+        else:
+            # Remote scheme (s3a://, hdfs://, …): ask the Hadoop FileSystem
+            # for the length rather than silently treating the input as
+            # 0 bytes (which would pin the shuffle to the tiny floor — the
+            # opposite of what a 100 TB input needs).
+            try:
+                jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                byts += fs.getFileStatus(jpath).getLen()
+            except Exception:
+                unsized = True
+    if unsized:
+        # Input bytes could not be fully determined — leave the session
+        # default alone instead of overriding with an under-count.
+        yield
+        return
     floor = max(2, spark.sparkContext.defaultParallelism // 4)
     n = max(floor, min(100_000, int(byts * expansion / per_partition_bytes) + 1))
     key = "spark.sql.shuffle.partitions"
