@@ -470,14 +470,11 @@ HAMMING_BUDGET = 4
 SIMHASH_BLOCKS = 5  # 64 bits → blocks of 13,13,13,13,12
 
 
-@query("q_dedup_simhash", tags=("dedup", "llm"), oracle=None)
-def q_dedup_simhash(spark, sf_dir):
+def simhash_pairs(d):
     """64-bit SimHash per document: sign-aggregate each bit of the token
     xxhash64 over the document, then report candidate pairs at Hamming
     distance ≤ HAMMING_BUDGET via bucket join on SIMHASH_BLOCKS sub-keys
-    (pigeonhole — see the dial comment above). Rows-only check: the
-    bit-level hash family has no DuckDB equivalent."""
-    d = t(spark, sf_dir, "documents")
+    (pigeonhole — see the dial comment above). Input: (doc_id, text)."""
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     bit_sums = th.groupBy("doc_id").agg(
@@ -537,9 +534,49 @@ def q_dedup_simhash(spark, sf_dir):
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= HAMMING_BUDGET)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SIMHASH_SCENARIO = [
+    (0, "the quick brown fox jumps over the lazy dog near the old stone bridge"),
+    (1, "the quick brown fox jumps over the lazy dog near the old stone bridge"),
+    (2, "the quick brown wolf jumps over the lazy dog near the old stone bridge"),
+    (3, "the quick brown fox leaps over the sleepy dog near the new stone bridge"),
+    (4, "seventeen green turtles watch the river drift past the mossy harbor wall"),
+    (5, "seventeen green turtles watch the river drift past the mossy harbor wall"),
+    (6, "completely unrelated text about compilers registers and allocation order"),
+    (7, "the quick brown fox jumps over the lazy dog near the old iron bridge"),
+]
+
+# Pinned output of simhash_pairs over _SIMHASH_SCENARIO: the two exact
+# duplicate pairs at Hamming 0, plus the single-token edit (doc 2) at
+# Hamming 3 from both members of the first dup pair. Docs 3/7 land
+# beyond the budget (short docs — one token flips many bits) and docs
+# 4-6 are unrelated: their absence is part of the pin.
+_SIMHASH_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (0, 2, 3),
+      (1, 2, 3),
+      (4, 5, 0)
+    ) AS t(doc_a, doc_b, hamming)
+    """
+
+
+@query("q_dedup_simhash", tags=("dedup", "llm"), oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup screen through :func:`simhash_pairs`, hash-checked
+    via the literal-scenario pattern: a pinned 8-document set (two exact
+    duplicate pairs, three single-token edits, unrelated fillers) whose
+    candidate pairs and Hamming distances under the xxhash64 bit family
+    are the VALUES oracle — any drift in tokenization, the sign
+    aggregation, or the pigeonhole bucketing flips the comparison.
+    Corpus-scale recall vs the planted jaccard≥0.9 pairs stays pinned in
+    tests/test_ann.py."""
+    docs = spark.createDataFrame(_SIMHASH_SCENARIO, "doc_id long, text string").coalesce(1)
+    return simhash_pairs(docs)
 
 
 # --- connected components over the near-dup graph ---------------------------

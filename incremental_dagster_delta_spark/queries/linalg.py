@@ -95,15 +95,8 @@ def q_gram_matrix(spark, sf_dir):
     )
 
 
-@query(
-    "q_pca_topk",
-    tags=("linalg", "llm"),
-    # No SQL oracle: eigendecomposition is not SQL-expressible. Pinned
-    # against a direct numpy covariance+eigh recomputation in
-    # tests/test_linalg.py instead (rows-only driver check).
-)
-def q_pca_topk(spark, sf_dir, k: int = 8):
-    """Top-k PCA spectrum of the embedding corpus: eigenvalue, explained
+def pca_topk(spark, emb, k: int = 8):
+    """Top-k PCA spectrum of an embedding DataFrame: eigenvalue, explained
     variance ratio, cumulative ratio, and the dominant feature index per
     component. Distributed phase = one pass producing (sum-vector, Gram)
     partials; driver phase = eigh of the d x d covariance — O(d^2) bytes
@@ -111,8 +104,6 @@ def q_pca_topk(spark, sf_dir, k: int = 8):
     ``RowMatrix.computePrincipalComponents`` uses. Informs whitening and
     intrinsic-dimension checks on embedding stores."""
     import numpy as np
-
-    emb = t(spark, sf_dir, "embeddings")
     # One distributed pass for N, the component-sum vector, and the Gram
     # upper triangle. The sum rides along as extra (i, -1) cells so a
     # single job produces everything the driver needs.
@@ -151,3 +142,53 @@ def q_pca_topk(spark, sf_dir, k: int = 8):
     return spark.createDataFrame(
         out, "component int, eigenvalue double, evr double, cum_evr double, top_feature int"
     )
+
+
+# Pinned spectrum for the literal PCA scenario (the q_media_resize
+# pattern): a 96×64 integer-valued embedding set from a fixed modular
+# formula, pushed through the SAME _gram_partials + driver-eigh kernel
+# the corpus path uses, with the numpy-eigh expectation pinned at
+# authoring time. Integer inputs make the distributed Gram exact (no
+# float reassociation across batches), so the eigh input is bit-stable
+# and every rounded quantity sits ≥1e-5 away from its 4-dp boundary
+# (constants chosen by a margin search). Corpus-scale PCA stays covered
+# by tests/test_linalg.py::test_pca_topk_matches_numpy via pca_topk().
+_PCA_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), CAST(340.4984 AS DOUBLE), CAST(0.0669 AS DOUBLE),
+       CAST(0.0669 AS DOUBLE), CAST(57 AS INTEGER)),
+      (1, 269.5769, 0.053, 0.1199, 29),
+      (2, 242.0541, 0.0476, 0.1675, 45),
+      (3, 238.7455, 0.0469, 0.2144, 48),
+      (4, 224.3146, 0.0441, 0.2585, 12),
+      (5, 207.1902, 0.0407, 0.2992, 61),
+      (6, 199.9685, 0.0393, 0.3385, 31),
+      (7, 190.9825, 0.0375, 0.3761, 15)
+    ) AS t(component, eigenvalue, evr, cum_evr, top_feature)
+    """
+
+
+def _pca_scenario_rows():
+    """Deterministic integer-valued 96×64 embedding set (see _PCA_ORACLE)."""
+    return [
+        (
+            i,
+            [float(((i + 1) * (j + 7) ** 2 + 11 * ((i * j) % 7)) % 31 - 15) for j in range(EMB_DIM)],
+        )
+        for i in range(96)
+    ]
+
+
+@query("q_pca_topk", tags=("linalg", "llm"), oracle=_PCA_ORACLE)
+def q_pca_topk(spark, sf_dir, k: int = 8):
+    """PCA spectrum through the distributed Gram + driver-eigh kernel
+    (:func:`pca_topk`), hash-checked via the literal-scenario pattern:
+    a pinned deterministic embedding set whose numpy-eigh spectrum is
+    the VALUES oracle. Any drift in the partial-Gram kernel, the
+    covariance assembly, or the spectrum post-processing flips the
+    comparison. The corpus-scale run of the same kernel is pinned
+    against a direct numpy recomputation in tests/test_linalg.py."""
+    emb = spark.createDataFrame(
+        _pca_scenario_rows(), "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    return pca_topk(spark, emb, k)

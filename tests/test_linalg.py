@@ -20,12 +20,17 @@ def _embeddings_matrix() -> np.ndarray:
 
 
 def test_pca_topk_matches_numpy(spark):
+    """Corpus-scale PCA via the pca_topk kernel (the qid itself runs the
+    pinned literal scenario against its VALUES oracle)."""
+    from incremental_dagster_delta_spark.queries.linalg import pca_topk
+    from incremental_dagster_delta_spark.tables import load_table
+
     x = _embeddings_matrix()
     cov = np.cov(x, rowvar=False, ddof=1)
     evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
     total = float(np.sum(np.clip(np.linalg.eigvalsh(cov), 0.0, None)))
 
-    rows = QUERIES["q_pca_topk"].fn(spark, SF_DIR).orderBy("component").collect()
+    rows = pca_topk(spark, load_table(spark, SF_DIR, "embeddings")).orderBy("component").collect()
     assert len(rows) == 8
     cum = 0.0
     for r in rows:

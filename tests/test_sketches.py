@@ -8,15 +8,18 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from incremental_dagster_delta_spark.oracle import norm_cell, table_hash
-from incremental_dagster_delta_spark.queries.sketches import q_approx_sketches
+from incremental_dagster_delta_spark.queries.sketches import approx_distinct_report
+from incremental_dagster_delta_spark.tables import load_table
 
 from tests.conftest import SF_DIR
 
 
 def test_hll_within_error_bound(spark):
     """approx_count_distinct(rsd=0.02) must land within a generous 5×rsd
-    of the exact count for every group."""
-    for row in q_approx_sketches(spark, SF_DIR).collect():
+    of the exact count for every group — corpus-scale, over the events
+    table (the qid itself runs the pinned literal scenario)."""
+    events = load_table(spark, SF_DIR, "events")
+    for row in approx_distinct_report(events, "event_type", "user_id").collect():
         exact, approx = row["exact_users"], row["approx_users"]
         assert abs(approx - exact) <= max(1, 0.10 * exact), row
 
