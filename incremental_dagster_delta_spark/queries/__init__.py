@@ -42,87 +42,81 @@ from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. Round 5 front-loads: the 4 never-green qids, all fixed
-# this round (q_pivot_counts: oracle SUM cast to BIGINT;
-# q_embedding_quantize/q_pq_codes: array outputs serialized on both
-# sides; q_refresh_overwrite: partition-type fidelity on table read-back
-# + content-addressed oracle fixtures), the 14 round-4 qids the driver
-# has never sampled, EVERY round-5 operator (28: BPE merges+encode,
-# DIMSUM doc similarity, Gram/PCA, Z-order audit, bucketed join,
-# streaming dedup + quotas + stream-stream join, JL embeddings,
-# PageRank, triangle counting, embedding outliers, hard negatives,
-# class balancing, time-series similarity + anomaly, expectations, MAD
-# outliers, skew join + report, A/B t-test, compaction stats, fuzzy
-# dedup, imputation, interval merge, event transitions), the two
-# rows-only→hash upgrades (sessionizer, late-data), and two
-# changed-code-path re-confirmations (rationale inline below). With
-# this list every registered qid has been driver-sampled at least once
-# across rounds.
+# across rounds. After round 5, 18 qids registered after that round's
+# front-50 froze had never been driver-sampled, and 4 qids shipped no
+# oracle at all — round 6 closes both gaps. Front-loads: the 18
+# never-driver-checked qids (all oracle-backed, all green in the local
+# driver-faithful harness), the 4 newly-oracled qids (literal-scenario
+# VALUES oracles landed this round — their only prior rows were
+# `no_oracle` reds), q_cosine_ann_ivf (full DuckDB CTE oracle landed in
+# r5 but its only driver row predates it), changed-code-path
+# re-confirmations (rationale inline), and a re-confirmation sample of
+# the round-5 first-checks. With this list every registered qid has
+# been driver-sampled at least once across rounds 2-6 EXCEPT the
+# round-5 first-checks that rotate out this round — each of those
+# already holds a green r5 row.
 # --------------------------------------------------------------------------
-_R5_FRONT = [
-    # 4 never-green — fixed this round, must finally flip
-    "q_pivot_counts",
-    "q_refresh_overwrite",
-    "q_embedding_quantize",
-    "q_pq_codes",
-    # 14 never-driver-sampled round-4 qids
-    "q_winsorize",
-    "q_regression_by_group",
-    "q_kl_drift",
-    "q_surprisal_buckets",
-    "q_pmi_bigrams",
-    "q_cdc_apply",
-    "q_char_entropy",
-    "q_cluster_size_histogram",
-    "q_dup_rate_by_source",
-    "q_column_stats",
-    "q_ann_ivf_pq",
-    "q_media_resize",
-    "q_funnel_multistep",
-    "q_bootstrap_ci",
-    # every round-5 operator gets its first driver row this round
-    "q_bpe_merges",
-    "q_doc_similarity",
-    "q_gram_matrix",
+_R6_FRONT = [
+    # 18 registered-after-the-r5-freeze qids — first driver rows
+    "q_topic_terms",
+    "q_knn_eval",
+    "q_exactly_once_publish",
+    "q_schema_evolution",
+    "q_partition_delete",
+    "q_time_travel",
+    "q_lateral_topn",
+    "q_binary_source",
+    "q_quantile_bins",
+    "q_auc_eval",
+    "q_calibration_bins",
+    "q_mutual_info",
+    "q_rfm_features",
+    "q_rolling_median",
+    "q_seasonality_profile",
+    "q_pit_join",
+    "q_quarantine_split",
+    "q_ndcg_eval",
+    # 4 formerly oracle-less qids — literal-scenario oracles this round
     "q_pca_topk",
-    "q_zorder_layout",
-    "q_bucketed_join",
-    "q_embedding_outliers",
-    "q_rp_embed",
-    "q_pagerank",
-    "q_hard_negatives",
-    "q_class_balance",
+    "q_approx_sketches",
+    "q_dedup_simhash",
+    "q_cosine_ann_rplsh",
+    # oracle landed r5 after its only (r2, no_oracle) driver row
+    "q_cosine_ann_ivf",
+    # changed-code-path re-confirmations: q_dedup_minhash and
+    # q_ngram_jaccard_prefix last earned rows in r2, BEFORE r5 wrapped
+    # them in sized_shuffle — and sized_shuffle's byte-sizing changed
+    # again this round (URI parsing), so all four wrapped qids plus the
+    # two helpers that scope themselves re-confirm; the five streaming
+    # qids re-confirm under the new awaitTermination handling.
+    "q_dedup_minhash",
+    "q_ngram_jaccard_prefix",
+    "q_containment",
     "q_bpe_encode",
-    "q_ts_similarity",
+    "q_ngram_jaccard",
+    "q_doc_similarity",
+    "q_stream_join",
     "q_stream_dedup",
     "q_quota_stateful",
-    # rows-only → hash-checked upgrades this round
     "q_sessionize_stateful",
     "q_late_data",
-    # late round-5 additions
-    "q_expectations",
-    "q_mad_outliers",
-    "q_stream_join",
-    "q_skew_join",
-    "q_ab_test",
-    "q_triangle_count",
-    "q_ts_anomaly",
-    "q_compaction_stats",
-    "q_dedup_fuzzy",
-    "q_group_impute",
-    "q_interval_merge",
-    "q_event_transitions",
-    "q_skew_report",
-    # changed-code-path re-confirmations: q_replace_where covers the new
-    # crash-atomic overwrite + partition-type restore in tableio (its
-    # green siblings q_delta_append/q_backfill/q_multi_hop, all green
-    # r3/r4, rotate out to make room for first-checks — their write path
-    # is the same PartitionedTable code q_replace_where and
-    # q_refresh_overwrite drive); q_ngram_jaccard re-confirms under the
-    # input-sized shuffle scoping added this session (q_containment /
-    # q_bpe_encode share the same wrapper and had green rows r4/r2).
+    # re-confirmation sample of round-5 first-checks / fixes
+    "q_bpe_merges",
+    "q_gram_matrix",
+    "q_media_resize",
     "q_replace_where",
-    "q_ngram_jaccard",
+    "q_refresh_overwrite",
+    "q_cdc_apply",
+    "q_ann_ivf_pq",
+    "q_dedup_fuzzy",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_semdedup",
+    "q_cosine_topk",
+    "q_pq_codes",
+    "q_embedding_quantize",
+    "q_funnel_multistep",
+    "q_char_entropy",
 ]
 
 
@@ -179,6 +173,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R5_FRONT)
+_rotate(_R6_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]
