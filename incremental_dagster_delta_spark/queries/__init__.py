@@ -116,7 +116,9 @@ _R6_FRONT = [
     "q_pq_codes",
     "q_embedding_quantize",
     "q_funnel_multistep",
-    "q_char_entropy",
+    # new this round: DIMSUM-sampled doc similarity, now oracle-backed
+    # (md5-uniform sampling both engines compute identically)
+    "q_doc_similarity_gamma",
 ]
 
 

@@ -116,11 +116,31 @@ def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, mat
     )
     contrib = F.col("a.u") * F.col("b.u")
     if gamma is not None:
-        p = F.least(F.lit(1.0), F.lit(gamma) / (F.col("a.nrm") * F.col("b.nrm")))
+        # Keep-probability rounded to 6 dp so both engines agree on the
+        # exact threshold (norms are float aggregates whose last-ulp can
+        # differ across engines); the uniform draw is the md5-hex device
+        # shared with the DuckDB oracle (see curation.py's _DRAW_SQL).
+        p = F.round(
+            F.least(F.lit(1.0), F.lit(gamma) / (F.col("a.nrm") * F.col("b.nrm"))), 6
+        )
         unif = (
-            F.pmod(F.xxhash64(F.col("a.term"), F.col("a.doc_id"), F.col("b.doc_id")),
-                   F.lit(_HASH_BUCKETS))
-            / float(_HASH_BUCKETS)
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("a.term"),
+                            F.col("a.doc_id").cast("string"),
+                            F.col("b.doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / float(1 << 32)
         )
         joined = joined.where(unif < p)
         contrib = contrib / p
@@ -137,5 +157,66 @@ def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, mat
 def q_doc_similarity(spark, sf_dir):
     """Exact df-capped TF-IDF cosine all-pairs over the documents table —
     see the module docstring; the DIMSUM-sampled configuration is the
-    same plan with ``gamma`` set."""
+    same plan with ``gamma`` set (q_doc_similarity_gamma)."""
     return tfidf_cosine_pairs(spark, t(spark, sf_dir, "documents"))
+
+
+DIMSUM_GAMMA = 8.0
+
+# Full DuckDB replica of the SAMPLED path: identical CTEs up to `u`,
+# then the same md5-uniform keep/scale rule. The keep-probability is
+# rounded to 6 dp on both engines before the compare, so last-ulp norm
+# differences cannot flip a sampling decision.
+_GAMMA_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+idf AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= {TERM_DF_CAP}
+),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln((1.0 * n.n) / idf.df) AS w
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+u AS (
+  SELECT w.doc_id, w.term, w.w / nrm.nrm AS u, nrm.nrm
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+),
+sampled AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.u * b.u AS contrib,
+         ROUND(LEAST(1.0, {DIMSUM_GAMMA} / (a.nrm * b.nrm)), 6) AS pq,
+         CAST(('0x' || substr(md5(a.term || ':' || CAST(a.doc_id AS VARCHAR)
+                || ':' || CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS unif
+  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, sum(contrib / pq) AS cosine
+  FROM sampled WHERE unif < pq
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+FROM pairs WHERE ROUND(cosine, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+@query(
+    "q_doc_similarity_gamma",
+    tags=("dedup", "similarity", "llm"),
+    bench=True,
+    oracle=_GAMMA_ORACLE,
+)
+def q_doc_similarity_gamma(spark, sf_dir):
+    """The DIMSUM-sampled all-pairs configuration — the documented
+    100 TB shape, where each posting-pair contribution survives with
+    probability p = min(1, γ/(‖a‖·‖b‖)) and is scaled by 1/p, making
+    the pair-join shuffle dimension-independent. Hash-checked end to
+    end: the sampling decisions are a deterministic md5 uniform both
+    engines compute identically, so the oracle replicates the sampled
+    estimator exactly, not just its expectation."""
+    return tfidf_cosine_pairs(
+        spark, t(spark, sf_dir, "documents"), gamma=DIMSUM_GAMMA
+    )

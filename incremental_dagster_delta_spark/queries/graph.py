@@ -458,7 +458,7 @@ _TRIANGLE_ORACLE = """
 """
 
 
-@query("q_triangle_count", tags=("graph", "llm"), oracle=_TRIANGLE_ORACLE)
+@query("q_triangle_count", tags=("graph", "llm"), bench=True, oracle=_TRIANGLE_ORACLE)
 def q_triangle_count(spark, sf_dir):
     """Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
     Triangles and the Curse of the Last Reducer", WWW 2011) over the
