@@ -18,6 +18,22 @@ Lake jars, so the Delta-specific pieces map as:
 
 Set ``format="delta"`` on a cluster with delta-spark to get ACID semantics;
 the API is format-agnostic.
+
+Concurrent-writer guarantee matrix (test-backed in
+``tests/test_concurrent_writers.py``), vs the reference's delta-rs
+transactions:
+
+- **distinct batch ids, any partitions (disjoint or overlapping)**:
+  concurrent ``append_batch`` calls commute — each batch has its own
+  staging dir, its own ``b{batch_id}-`` file-name prefix, and its own
+  commit marker, so renames never collide and both commits land.
+- **same batch id, serialized** (micro-batch replay after restart): the
+  second writer observes the commit marker and no-ops — exactly-once.
+- **same batch id, truly concurrent**: out of contract. Spark's
+  streaming checkpoint serializes micro-batch replays, so this cannot
+  arise from the pipeline; a real Delta log would add optimistic
+  concurrency (conflict detection + retry) here, and that is the one
+  semantic this parquet+markers layout does not replicate.
 """
 
 from __future__ import annotations

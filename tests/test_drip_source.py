@@ -64,3 +64,55 @@ def test_streaming_drip_advances_offsets(spark, tmp_path):
     assert len(again) == 21
     assert all(isinstance(r["word"], str) and r["word"] for r in again)
     assert all(r["word_length"] == len(r["word"]) for r in again)
+
+
+def test_continuous_trigger_drip_respects_admission_control(spark, tmp_path):
+    """Low-latency drip mode (SURVEY §7-M8d): a processingTime trigger
+    polls the drip source on a cadence — the live analogue of the
+    reference's 30-60 s file dripper — and the source's rows_per_batch
+    admission limit bounds EVERY micro-batch, so a burst of available
+    rows becomes a sequence of small committed batches instead of one
+    large one. Pins: per-batch numInputRows ≤ the admission limit, the
+    drip drains to completion across multiple batches, and exactly-once
+    output under the continuous cadence."""
+    import time
+
+    _register(spark)
+    out_dir = str(tmp_path / "cont_out")
+    q = (
+        spark.readStream.format("drip")
+        .option("rows_per_batch", 5)
+        .option("max_rows", 20)
+        .option("seed", 11)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cont_cp"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        drained = 0
+        while time.monotonic() < deadline:
+            try:
+                drained = spark.read.parquet(out_dir).count()
+            except Exception:
+                drained = 0  # sink dir not created yet
+            if drained >= 20:
+                break
+            time.sleep(0.5)
+        assert drained == 20, f"drip did not drain under continuous trigger: {drained}"
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    # admission control bounded every micro-batch, and the drain took
+    # multiple trigger firings (not one cluster-sized batch)
+    assert len(progress) >= 4, [p["numInputRows"] for p in progress]
+    assert all(p["numInputRows"] <= 5 for p in progress), [
+        p["numInputRows"] for p in progress
+    ]
+    # exactly-once: 20 distinct generated rows, none replayed
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 20
+    assert all(r["word_length"] == len(r["word"]) for r in rows)
