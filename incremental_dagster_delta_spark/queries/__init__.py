@@ -37,6 +37,7 @@ from incremental_dagster_delta_spark.queries import selection  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import bpe  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import docsim  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import lm  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -114,11 +115,14 @@ _R6_FRONT = [
     "q_semdedup",
     "q_cosine_topk",
     "q_pq_codes",
-    "q_embedding_quantize",
-    "q_funnel_multistep",
-    # new this round: DIMSUM-sampled doc similarity, now oracle-backed
-    # (md5-uniform sampling both engines compute identically)
+    # new this round: DIMSUM-sampled doc similarity (md5-uniform sampling
+    # both engines compute identically), bigram-LM perplexity, vocabulary
+    # coverage — first driver rows. (q_embedding_quantize and
+    # q_funnel_multistep rotate out to make room; both hold green r5
+    # rows and their code paths are unchanged this round.)
     "q_doc_similarity_gamma",
+    "q_bigram_perplexity",
+    "q_vocab_coverage",
 ]
 
 

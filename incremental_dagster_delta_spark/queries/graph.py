@@ -458,7 +458,11 @@ _TRIANGLE_ORACLE = """
 """
 
 
-@query("q_triangle_count", tags=("graph", "llm"), bench=True, oracle=_TRIANGLE_ORACLE)
+# NOT bench=True: promotion was tried in round 6 and measured at 61 s of
+# the 86 s headline total at sf0.1 — the dense bipartite projection makes
+# exact counting inherently O(m^1.5)-expensive here (see "Cost honesty"
+# below), so it stays in the correctness set.
+@query("q_triangle_count", tags=("graph", "llm"), oracle=_TRIANGLE_ORACLE)
 def q_triangle_count(spark, sf_dir):
     """Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
     Triangles and the Curse of the Last Reducer", WWW 2011) over the

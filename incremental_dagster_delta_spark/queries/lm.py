@@ -1,0 +1,156 @@
+"""Corpus language-model scoring: bigram-LM perplexity and vocabulary
+coverage — the CCNet-style quality filters an LLM-data pipeline runs
+before mixing (Wenzek et al. 2020 filter CommonCrawl by LM perplexity;
+OOV rate against a fixed vocabulary is the cheap screen that catches
+encoding junk and non-target-language text).
+
+Scale shapes:
+
+- The bigram LM is two grouped counts over the token stream (bigram and
+  unigram tables) — both shuffle on token keys with map-side partial
+  aggregation, both bounded by vocabulary size² in the worst case and by
+  the corpus's observed bigram set in practice. Scoring joins each
+  document's bigrams against the count tables: the model tables are the
+  small side at any corpus size where perplexity filtering makes sense
+  (vocab ≪ corpus), so the joins broadcast.
+- Vocabulary coverage broadcasts the top-V vocabulary (V is a constant)
+  and computes per-doc OOV fractions map-side — one shuffle for the
+  per-doc aggregation.
+
+Both scores use add-one (Laplace) smoothing with EXACT integer counts,
+so the only float surface is the final ln()/division, rounded to 4 dp —
+the established oracle-parity device (see queries/retrieval.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+VOCAB_TOP_V = 500
+
+_PPL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKS_SQL}) AS term,
+         generate_subscripts({_TOKS_SQL}, 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v FROM tok),
+scored AS (
+  SELECT big.doc_id,
+         ln((1.0 * c2.c2 + 1) / (c1.c1 + v.v)) AS lp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(-avg(lp), 4) AS DOUBLE) AS cross_entropy
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("q_bigram_perplexity", tags=("text", "llm"), oracle=_PPL_ORACLE)
+def q_bigram_perplexity(spark, sf_dir):
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself — the perplexity-filtering signal
+    (high cross-entropy = unnatural token sequences = boilerplate,
+    encoding junk, or off-distribution text). Token stream → bigrams via
+    a per-doc lead window (one hash shuffle on doc_id), count tables via
+    map-side-combined grouped counts, then scoring joins. Counts are
+    exact integers; ln() and the per-doc average are the only float
+    surface, rounded to 4 dp."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("term", 1).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("term").alias("w1"), "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = tok.agg(F.countDistinct("term").alias("v"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((1.0 * F.col("c2") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 4).cast("double").alias("cross_entropy"),
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM freq
+  ORDER BY n DESC, term
+  LIMIT {VOCAB_TOP_V}
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE vocab.term IS NULL) AS BIGINT) AS n_oov,
+       CAST(ROUND(1.0 * count(*) FILTER (WHERE vocab.term IS NULL) / count(*), 4)
+         AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+GROUP BY tok.doc_id
+"""
+
+
+@query("q_vocab_coverage", tags=("text", "llm"), oracle=_VOCAB_ORACLE)
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus's top-V
+    vocabulary (frequency-ranked, term-asc tiebreak so the cut is
+    deterministic on both engines) — the cheap screen for encoding junk
+    and off-language documents, and the coverage estimate a tokenizer
+    build wants before fixing its vocab size. The vocabulary is a
+    V-row broadcast; OOV flags compute map-side; one shuffle for the
+    per-doc aggregation. All-integer counts; the rate division is the
+    only float, rounded to 4 dp."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(VOCAB_TOP_V)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count("*"),
+                4,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+    )
