@@ -110,19 +110,20 @@ _R6_FRONT = [
     "q_cdc_apply",
     "q_ann_ivf_pq",
     "q_dedup_fuzzy",
-    "q_triangle_count",
-    "q_pagerank",
-    "q_semdedup",
+    "q_triangle_count",  # cosupplier_edges factored out this round
     "q_cosine_topk",
     "q_pq_codes",
     # new this round: DIMSUM-sampled doc similarity (md5-uniform sampling
     # both engines compute identically), bigram-LM perplexity, vocabulary
-    # coverage — first driver rows. (q_embedding_quantize and
-    # q_funnel_multistep rotate out to make room; both hold green r5
-    # rows and their code paths are unchanged this round.)
+    # coverage, Doulion-sampled triangle estimate, n-gram novelty — first
+    # driver rows. (q_embedding_quantize, q_funnel_multistep, q_pagerank
+    # and q_semdedup rotate out to make room; all hold green r5/r4 rows
+    # and their code paths are unchanged this round.)
     "q_doc_similarity_gamma",
     "q_bigram_perplexity",
     "q_vocab_coverage",
+    "q_triangle_doulion",
+    "q_ngram_novelty",
 ]
 
 

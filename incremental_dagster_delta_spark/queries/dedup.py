@@ -458,6 +458,52 @@ def q_dedup_near_keep(spark, sf_dir):
     ).select("doc_id")
 
 
+# --- n-gram novelty (memorization / boilerplate screen) ----------------------
+
+
+_NOVELTY_ORACLE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_novel,
+           CAST(ROUND(1.0 * count(*) FILTER (WHERE df.df = 1) / count(*), 4) AS DOUBLE)
+             AS novelty
+    FROM ex JOIN df USING (s)
+    GROUP BY ex.doc_id
+"""
+
+
+@query("q_ngram_novelty", tags=("dedup", "llm"), oracle=_NOVELTY_ORACLE)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-token shingles that appear in NO other document — the memorization
+    / boilerplate screen (novelty ≈ 0 means the document is assembled
+    from corpus-common phrasing; ≈ 1 means unique content) run before
+    selecting data for eval sets or dedup thresholds. Shape: one grouped
+    count for the shingle document frequencies, one shingle-keyed join
+    back (rows are linear in total shingle occurrences — no pair
+    blowup), one per-doc aggregation. All-integer counts; the rate
+    division is the only float, rounded to 4 dp."""
+    d = t(spark, sf_dir, "documents")
+    ex = doc_shingles(d).select("doc_id", F.explode("shingles").alias("s"))
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        ex.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1.0).otherwise(0.0)) / F.count("*"), 4
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+    )
+
+
 # --- SimHash (rows-only: hash family not portable to the oracle) ------------
 
 

@@ -486,19 +486,27 @@ def q_triangle_count(spark, sf_dir):
     scale you bound the projection first (degree-threshold the hub
     parts, or count on the sampled graph via Doulion-style edge
     sampling) before this kernel runs; the qid therefore stays in the
-    correctness set, not the bench headline set."""
+    correctness set, not the bench headline set (q_triangle_doulion is
+    the benchmarked sampled configuration)."""
+    return triangle_stats(cosupplier_edges(spark, sf_dir))
+
+
+def cosupplier_edges(spark, sf_dir):
+    """Canonical u<v co-supplier edge set: suppliers adjacent iff they
+    ship the same part (bipartite projection of lineitem's part-supplier
+    incidence; cost Σ df_part² — bounded here, degree-capped at real
+    scale)."""
     ps = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
     a, b = ps.alias("a"), ps.alias("b")
-    e = (
+    return (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
     )
-    return triangle_stats(e)
 
 
 def triangle_stats(e: DataFrame) -> DataFrame:
@@ -538,3 +546,87 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     n_w = wedges.agg(F.count("*").cast("long").alias("n_wedges"))
     n_t = closure.agg(F.count("*").cast("long").alias("n_triangles"))
     return n_e.crossJoin(n_w).crossJoin(n_t)
+
+
+# --- Doulion edge-sampled triangle estimate (the 100 TB configuration) -------
+
+DOULION_P = 0.2
+# 1/p³ as the EXACT double both engines multiply by (computed once here;
+# embedding the repr avoids cross-engine pow() drift)
+_DOULION_SCALE = 1.0 / (DOULION_P**3)
+
+_DOULION_ORACLE = f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), full_e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), e AS (
+      SELECT u, v FROM full_e
+      WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)
+              || ':tri'), 1, 8)) AS BIGINT) / 4294967296.0 < {DOULION_P}
+    ), und AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), oriented AS (
+      SELECT e.u, e.v FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      WHERE (du.d, e.u) < (dv.d, e.v)
+      UNION ALL
+      SELECT e.v, e.u FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      WHERE (dv.d, e.v) < (du.d, e.u)
+    ), wedges AS (
+      SELECT LEAST(e1.v, e2.v) AS lo, GREATEST(e1.v, e2.v) AS hi
+      FROM oriented e1 JOIN oriented e2
+        ON e1.u = e2.u AND (e1.v < e2.v)
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges w
+      JOIN e ON e.u = w.lo AND e.v = w.hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(ROUND(n_triangles * {_DOULION_SCALE!r}, 4) AS DOUBLE) AS est_triangles
+    FROM tri
+"""
+
+
+@query("q_triangle_doulion", tags=("graph", "llm"), bench=True, oracle=_DOULION_ORACLE)
+def q_triangle_doulion(spark, sf_dir):
+    """Doulion triangle estimation (Tsourakakis et al., KDD 2009): keep
+    each edge with probability p = 0.2 via a deterministic md5 uniform
+    (both engines compute the identical sample), run the degree-ordered
+    exact kernel on the sampled graph, scale the count by 1/p³ — an
+    unbiased estimator whose wedge work shrinks by ~p², which is how
+    triangle counting actually runs on a dense 100 TB projection
+    (measured here: the exact kernel costs 61 s at sf0.1; this
+    configuration is the benchmarked one). Accuracy vs the exact count
+    is pinned in tests/test_graph.py; the estimate itself is
+    hash-checked because the sample is deterministic."""
+    e = cosupplier_edges(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("u").cast("string"), F.col("v").cast("string"), F.lit("tri")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / float(1 << 32)
+    )
+    sampled = e.where(unif < DOULION_P)
+    return triangle_stats(sampled).withColumn(
+        "est_triangles",
+        F.round(F.col("n_triangles") * F.lit(_DOULION_SCALE), 4).cast("double"),
+    )

@@ -146,3 +146,21 @@ def test_triangles_match_bruteforce_random(spark):
         if ((a, b) in adj and (b, c) in adj and (a, c) in adj)
     )
     assert _tri(spark, edges)[2] == want
+
+
+def test_doulion_estimate_tracks_exact(spark):
+    """Doulion (p=0.2 deterministic md5 sample, ×1/p³) must land near
+    the exact triangle count on the sf0.01 co-supplier graph — measured
+    9.9% relative error on this fixed corpus (the sample is
+    deterministic, so this outcome is pinned, with margin for testdata
+    regeneration)."""
+    from incremental_dagster_delta_spark.queries.graph import (
+        q_triangle_count,
+        q_triangle_doulion,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = q_triangle_count(spark, SF_DIR).collect()[0]["n_triangles"]
+    row = q_triangle_doulion(spark, SF_DIR).collect()[0]
+    assert row["n_triangles"] < exact  # genuinely sampled, not a copy
+    assert abs(row["est_triangles"] - exact) / exact < 0.25
