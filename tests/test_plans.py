@@ -276,3 +276,50 @@ def test_expectations_single_scan_per_table(spark, sf_dir):
     plan = _plan(QUERIES["q_expectations"].fn(spark, sf_dir))
     phys = plan.split("== Physical Plan ==")[1]
     assert phys.count("lineitem.parquet") <= 2, phys.count("lineitem.parquet")
+
+
+def test_vocab_coverage_broadcasts_vocabulary(spark, sf_dir):
+    """The top-V vocabulary (a constant-size table) joins to the token
+    stream via broadcast — the stream is never shuffled for the join;
+    its only Exchange is the per-doc aggregation."""
+    plan = _plan(QUERIES["q_vocab_coverage"].fn(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys
+    # vocabulary ranking compiles to TakeOrderedAndProject (bounded V),
+    # never a global Sort of the term-frequency table
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_doulion_sampled_edge_plan_filters_before_checkpoint(spark, sf_dir):
+    """The md5 edge-sampling filter must run in the edge-build pass —
+    i.e. before triangle_stats' checkpoint, hence structurally before
+    wedge generation. The final qid plan scans the checkpointed sample
+    (ExistingRDD), so inspect the sampled-edge subplan directly. The
+    runtime consequence (wedge work shrinking ~p²) is asserted in
+    tests/test_graph.py."""
+    from incremental_dagster_delta_spark.queries.graph import (
+        DOULION_P,
+        cosupplier_edges,
+    )
+
+    e = cosupplier_edges(spark, sf_dir)
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("u").cast("string"), F.col("v").cast("string"), F.lit("tri")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / float(1 << 32)
+    )
+    plan = _plan(e.where(unif < DOULION_P))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "md5" in phys
+    assert "CartesianProduct" not in phys
