@@ -102,7 +102,6 @@ _R6_FRONT = [
     "q_sessionize_stateful",
     "q_late_data",
     # re-confirmation sample of round-5 first-checks / fixes
-    "q_bpe_merges",
     "q_gram_matrix",
     "q_media_resize",
     "q_replace_where",
@@ -124,6 +123,7 @@ _R6_FRONT = [
     "q_vocab_coverage",
     "q_triangle_doulion",
     "q_ngram_novelty",
+    "q_kcore",
 ]
 
 

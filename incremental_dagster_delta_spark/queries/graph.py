@@ -630,3 +630,104 @@ def q_triangle_doulion(spark, sf_dir):
         "est_triangles",
         F.round(F.col("n_triangles") * F.lit(_DOULION_SCALE), 4).cast("double"),
     )
+
+
+# --- k-core decomposition (graph hygiene for dedup/link graphs) --------------
+
+
+def k_core_edges(e: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Edges of the k-core: iteratively drop nodes with degree < k until
+    fixpoint (Matula & Beck 1983 peeling, expressed as Spark rounds).
+
+    Each round is two shuffles (degree count + semi-join filter) over a
+    strictly shrinking edge set; lineage is truncated per round with
+    localCheckpoint, the same discipline as connected_components. Round
+    count is bounded by the peel depth (≤ |V| worst case, small in
+    practice: every round removes every currently-under-k node at
+    once)."""
+    cur = e.select("u", "v").localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        if n_cur == 0:
+            return cur
+        und = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        keep = (
+            und.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+        )
+        nxt = (
+            cur.join(keep, cur.u == keep.node, "left_semi")
+            .join(keep, cur.v == keep.node, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return nxt
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+
+
+def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
+    """(node, core) — each node's core number: the largest k for which it
+    survives the k-core peel. Computed by ascending-k peeling: the
+    (k+1)-peel starts from the k-core's edges (strictly shrinking), so
+    total work is Σ_k rounds_k over ever-smaller graphs."""
+    spark = e.sparkSession
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cores = nodes.select("node", F.lit(0).alias("core"))
+    cur = e
+    for k in range(1, max_k + 1):
+        cur = k_core_edges(cur, k)
+        if cur.isEmpty():
+            break
+        survivors = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.lit(k).alias("core"))
+        )
+        cores = cores.unionAll(survivors)
+    else:
+        raise RuntimeError(f"core_numbers: graph has a core deeper than {max_k}")
+    return cores.groupBy("node").agg(F.max("core").cast("long").alias("core"))
+
+
+# Pinned literal scenario (the q_media_resize pattern): K5 clique with a
+# pendant, a 6-cycle, and a 5-leaf star — core numbers are textbook
+# (clique 4, cycle 2, star/pendant 1).
+_KCORE_SCENARIO = (
+    [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5: 0-4
+    + [(4, 5)]  # pendant off the clique
+    + [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 10)]  # C6
+    + [(20, leaf) for leaf in (21, 22, 23, 24, 25)]  # star
+)
+
+_KCORE_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
+      (5, 1),
+      (10, 2), (11, 2), (12, 2), (13, 2), (14, 2), (15, 2),
+      (20, 1), (21, 1), (22, 1), (23, 1), (24, 1), (25, 1)
+    ) AS t(node, core)
+    """
+
+
+@query("q_kcore", tags=("graph", "llm"), oracle=_KCORE_ORACLE)
+def q_kcore(spark, sf_dir):
+    """k-core decomposition through :func:`core_numbers`, hash-checked
+    via the literal-scenario pattern: a graph with textbook core
+    structure (clique 4-core, cycle 2-core, star and pendant 1-core)
+    whose core numbers are the VALUES oracle. The dedup-graph use: core
+    number separates densely inter-duplicated clusters (template farms,
+    mirror sets — high core) from incidental pairwise matches (core 1),
+    a standard pre-filter before survivor selection. Arbitrary-graph
+    correctness is pinned against a pure-python peel reference in
+    tests/test_graph.py."""
+    e = spark.createDataFrame(_KCORE_SCENARIO, "u long, v long").coalesce(1)
+    return core_numbers(e)

@@ -169,3 +169,43 @@ def test_doulion_estimate_tracks_exact(spark):
     # 5552 vs 161700 at sf0.01 — sampling happens BEFORE wedge
     # generation, not after)
     assert row["n_wedges"] < 0.1 * exact_row["n_wedges"]
+
+
+def test_core_numbers_match_python_peel(spark):
+    """core_numbers on a deterministic pseudo-random 60-node graph must
+    equal a pure-python Matula-Beck peel."""
+    from incremental_dagster_delta_spark.queries.graph import core_numbers
+
+    edges = [
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if ((a * 31 + b * 17) % 97) < 9  # ~9% density, deterministic
+    ]
+
+    # python reference: repeatedly strip minimum-degree nodes
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    live = dict(adj)
+    k = 0
+    while live:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in live.items() if len(nb) < k]:
+                # n's core number is the last k it survived
+                expect[n] = k - 1
+                for m in live[n]:
+                    live[m].discard(n)
+                del live[n]
+                changed = True
+        for n in live:
+            expect[n] = k  # survives k so far; overwritten as k grows
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == expect, {n: (got.get(n), expect.get(n)) for n in expect if got.get(n) != expect.get(n)}
