@@ -103,7 +103,6 @@ _R6_FRONT = [
     "q_late_data",
     # re-confirmation sample of round-5 first-checks / fixes
     "q_gram_matrix",
-    "q_media_resize",
     "q_replace_where",
     "q_refresh_overwrite",
     "q_cdc_apply",
@@ -124,6 +123,7 @@ _R6_FRONT = [
     "q_triangle_doulion",
     "q_ngram_novelty",
     "q_kcore",
+    "q_weighted_sample",
 ]
 
 

@@ -386,3 +386,66 @@ def q_group_impute(spark, sf_dir):
             F.round(F.sum(F.coalesce("v", "fill")), 2).cast("double").alias("sum_after"),
         )
     )
+
+
+# --- per-source WEIGHTED sample (Efraimidis-Spirakis A-ES) -------------------
+
+WEIGHTED_K = 15
+
+_WEIGHTED_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(n_chars AS BIGINT) AS weight,
+             ROUND(
+               -ln(GREATEST(
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wres'), 1, 8))
+                   AS BIGINT) / 4294967296.0,
+                 1e-12)) / n_chars,
+               6) AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, weight, CAST(key AS DOUBLE) AS key
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {WEIGHTED_K}
+"""
+
+
+@query("q_weighted_sample", tags=("curation", "llm"), oracle=_WEIGHTED_ORACLE)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, k per source, via
+    Efraimidis-Spirakis exponential keys: each doc draws a deterministic
+    md5 uniform u and is ranked by -ln(u)/w ascending (equivalent to
+    u^(1/w) descending), so P[selected] follows the char-count weight —
+    the size-proportional inspection/eval sample a mixture builder wants
+    (long documents carry more of the token budget and deserve
+    proportional scrutiny). Keys are rounded to 6 dp BEFORE ranking with
+    a doc_id tiebreak (the established cross-engine float device). One
+    shuffle on the group key; the same two-phase top-k shape as the
+    uniform reservoir at 100 TB."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wres"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / float(1 << 32)
+    )
+    key = F.round(-F.log(F.greatest(u, F.lit(1e-12))) / F.col("n_chars"), 6)
+    w = Window.partitionBy("source").orderBy("key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WEIGHTED_K)
+        .select("doc_id", "source", "weight", F.col("key").cast("double").alias("key"))
+    )
