@@ -22,6 +22,18 @@ TIME_GRAINS = {
 }
 
 
+def md5_uniform(*cols: Column) -> Column:
+    """Deterministic uniform draw in [0, 1) both engines compute
+    identically: first 8 hex digits of md5 over the ':'-joined string
+    casts of ``cols``, as a 32-bit fraction. DuckDB replica:
+    ``CAST(('0x' || substr(md5(a || ':' || b ...), 1, 8)) AS BIGINT)
+    / 4294967296.0``. The shared device behind hash-deterministic
+    sampling (DIMSUM gamma, Doulion edges, weighted reservoir) — keep
+    Spark and SQL sides in lockstep when touching this."""
+    joined = F.concat_ws(":", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long") / float(1 << 32)
+
+
 def iso_dow(date_col: Column) -> Column:
     """ISO day-of-week 1=Monday..7=Sunday (Spark dayofweek is 1=Sunday)."""
     return ((F.dayofweek(date_col) + 5) % 7) + 1

@@ -427,15 +427,10 @@ def q_weighted_sample(spark, sf_dir):
     uniform reservoir at 100 TB."""
     from pyspark.sql.window import Window
 
+    from incremental_dagster_delta_spark.functions import md5_uniform
+
     d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wres"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        / float(1 << 32)
-    )
+    u = md5_uniform(F.col("doc_id"), F.lit("wres"))
     key = F.round(-F.log(F.greatest(u, F.lit(1e-12))) / F.col("n_chars"), 6)
     w = Window.partitionBy("source").orderBy("key", "doc_id")
     return (

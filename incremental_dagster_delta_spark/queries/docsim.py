@@ -12,13 +12,15 @@ postings of L2-normalized TF-IDF weights, a term-keyed self-join, one
   the stopword blowup, and a pair similar ONLY through >cap-hot terms is
   exactly the pair a similarity pass should not fire on.
 - **DIMSUM sampling** (``gamma`` set): each posting-pair contribution is
-  kept with probability p = min(1, γ / (‖a‖·‖b‖)) and scaled by 1/p —
-  an unbiased cosine estimator whose shuffle size is dimension-
-  independent: heavy (high-norm) documents are sampled hardest, which
-  is precisely where the quadratic cost lives. Sampling decisions use
-  ``xxhash64(term, doc_a, doc_b)`` instead of a RNG, so runs are
-  reproducible. (Estimator accuracy is pinned in
-  tests/test_docsim.py against the exact path.)
+  kept with probability p = min(1, γ / (‖a‖·‖b‖)) (rounded to 6 dp so
+  both engines agree at the boundary) and scaled by 1/p — an unbiased
+  cosine estimator whose shuffle size is dimension-independent: heavy
+  (high-norm) documents are sampled hardest, which is precisely where
+  the quadratic cost lives. Sampling decisions use the deterministic
+  ``md5_uniform(term, doc_a, doc_b)`` device (functions.md5_uniform)
+  instead of a RNG, so runs are reproducible AND the DuckDB oracle
+  replicates the sampled estimator exactly. (Estimator accuracy is
+  pinned in tests/test_docsim.py against the exact path.)
 
 ``q_doc_similarity`` registers the EXACT path (gamma=None) so the DuckDB
 oracle is a full hash check at the gate scale; the sampled path is the
@@ -29,14 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from incremental_dagster_delta_spark.functions import md5_uniform
 from incremental_dagster_delta_spark.queries.registry import query, t
 
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 TERM_DF_CAP = 256
 COSINE_THRESHOLD = 0.5
-# deterministic-hash sampling resolution (denominator of the uniform)
-_HASH_BUCKETS = 1 << 30
 
 _ORACLE = f"""
 WITH tok AS (
@@ -123,25 +124,7 @@ def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, mat
         p = F.round(
             F.least(F.lit(1.0), F.lit(gamma) / (F.col("a.nrm") * F.col("b.nrm"))), 6
         )
-        unif = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col("a.term"),
-                            F.col("a.doc_id").cast("string"),
-                            F.col("b.doc_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / float(1 << 32)
-        )
+        unif = md5_uniform(F.col("a.term"), F.col("a.doc_id"), F.col("b.doc_id"))
         joined = joined.where(unif < p)
         contrib = contrib / p
     pairs = joined.groupBy(

@@ -596,6 +596,16 @@ _DOULION_ORACLE = f"""
 """
 
 
+def doulion_sampled_edges(spark, sf_dir) -> DataFrame:
+    """The p-sampled co-supplier edge set: keep an edge iff its
+    md5_uniform(u, v, 'tri') draw falls under DOULION_P. Exposed so the
+    plan test drives the REAL product expression (not a hand copy)."""
+    from incremental_dagster_delta_spark.functions import md5_uniform
+
+    e = cosupplier_edges(spark, sf_dir)
+    return e.where(md5_uniform(F.col("u"), F.col("v"), F.lit("tri")) < DOULION_P)
+
+
 @query("q_triangle_doulion", tags=("graph", "llm"), bench=True, oracle=_DOULION_ORACLE)
 def q_triangle_doulion(spark, sf_dir):
     """Doulion triangle estimation (Tsourakakis et al., KDD 2009): keep
@@ -608,25 +618,7 @@ def q_triangle_doulion(spark, sf_dir):
     configuration is the benchmarked one). Accuracy vs the exact count
     is pinned in tests/test_graph.py; the estimate itself is
     hash-checked because the sample is deterministic."""
-    e = cosupplier_edges(spark, sf_dir)
-    unif = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("u").cast("string"), F.col("v").cast("string"), F.lit("tri")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / float(1 << 32)
-    )
-    sampled = e.where(unif < DOULION_P)
-    return triangle_stats(sampled).withColumn(
+    return triangle_stats(doulion_sampled_edges(spark, sf_dir)).withColumn(
         "est_triangles",
         F.round(F.col("n_triangles") * F.lit(_DOULION_SCALE), 4).cast("double"),
     )
@@ -635,19 +627,27 @@ def q_triangle_doulion(spark, sf_dir):
 # --- k-core decomposition (graph hygiene for dedup/link graphs) --------------
 
 
-def k_core_edges(e: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+def k_core_edges(e: DataFrame, k: int, max_iter: int | None = None) -> DataFrame:
     """Edges of the k-core: iteratively drop nodes with degree < k until
     fixpoint (Matula & Beck 1983 peeling, expressed as Spark rounds).
 
     Each round is two shuffles (degree count + semi-join filter) over a
     strictly shrinking edge set; lineage is truncated per round with
     localCheckpoint, the same discipline as connected_components. Round
-    count is bounded by the peel depth (≤ |V| worst case, small in
-    practice: every round removes every currently-under-k node at
-    once)."""
+    count is small in practice (every round removes every
+    currently-under-k node at once) but O(|V|) worst case — a 2-peel of
+    an n-node path takes n/2 rounds — so the safety cap defaults to the
+    TRUE bound (node count + 1), not an arbitrary constant: every
+    non-terminal round removes at least one node, so exceeding the cap
+    can only mean a logic bug, never a legal-but-deep peel."""
     cur = e.select("u", "v").localCheckpoint(eager=True)
     n_cur = cur.count()
-    for _ in range(max_iter):
+    if max_iter is None:
+        n_nodes = (
+            cur.select("u").unionAll(cur.select(F.col("v").alias("u"))).distinct().count()
+        )
+        max_iter = n_nodes + 1
+    for _ in range(max_iter + 1):
         if n_cur == 0:
             return cur
         und = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -673,8 +673,9 @@ def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
     """(node, core) — each node's core number: the largest k for which it
     survives the k-core peel. Computed by ascending-k peeling: the
     (k+1)-peel starts from the k-core's edges (strictly shrinking), so
-    total work is Σ_k rounds_k over ever-smaller graphs."""
-    spark = e.sparkSession
+    total work is Σ_k rounds_k over ever-smaller graphs. Supports core
+    numbers up to and INCLUDING max_k (the loop runs one probe peel at
+    max_k+1 and raises only if that still leaves edges)."""
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -682,10 +683,12 @@ def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
     )
     cores = nodes.select("node", F.lit(0).alias("core"))
     cur = e
-    for k in range(1, max_k + 1):
+    for k in range(1, max_k + 2):
         cur = k_core_edges(cur, k)
         if cur.isEmpty():
             break
+        if k == max_k + 1:
+            raise RuntimeError(f"core_numbers: graph has a core deeper than {max_k}")
         survivors = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -693,8 +696,6 @@ def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
             .select("node", F.lit(k).alias("core"))
         )
         cores = cores.unionAll(survivors)
-    else:
-        raise RuntimeError(f"core_numbers: graph has a core deeper than {max_k}")
     return cores.groupBy("node").agg(F.max("core").cast("long").alias("core"))
 
 

@@ -283,7 +283,7 @@ def _rp_table_sigs(vec: Column) -> Column:
     return F.array(*sigs).alias("sigs")
 
 
-def rp_lsh_topk(spark, e, n_queries: int = N_QUERIES, top_k: int = TOP_K):
+def rp_lsh_topk(e, n_queries: int = N_QUERIES, top_k: int = TOP_K):
     """Random-hyperplane LSH ANN, standard AND-OR construction: LSH_TABLES
     (=16) hash tables of 6 sign bits; a vector is a candidate when it shares a
     bucket with the query in ANY table (P[bit agree] = 1 - θ/π, so the
@@ -379,7 +379,7 @@ def q_cosine_ann_rplsh(spark, sf_dir):
     e = spark.createDataFrame(
         _rplsh_scenario_rows(), "vec_id long, embedding array<double>"
     ).coalesce(1)
-    return rp_lsh_topk(spark, e, n_queries=3, top_k=TOP_K)
+    return rp_lsh_topk(e, n_queries=3, top_k=TOP_K)
 
 
 NEARDUP_COS = 0.999

@@ -134,21 +134,24 @@ def sized_shuffle(
             else:
                 unsized = True
         else:
-            # Remote scheme (s3a://, hdfs://, …): ask the Hadoop FileSystem
-            # for the length rather than silently treating the input as
-            # 0 bytes (which would pin the shuffle to the tiny floor — the
-            # opposite of what a 100 TB input needs).
-            try:
-                jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
-                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                byts += fs.getFileStatus(jpath).getLen()
-            except Exception:
-                unsized = True
+            # Remote scheme (s3a://, hdfs://, …): never stat per file from
+            # the driver (100k files = 100k serial RPCs before the query).
+            unsized = True
     if unsized:
-        # Input bytes could not be fully determined — leave the session
-        # default alone instead of overriding with an under-count.
-        yield
-        return
+        # Fall back to the optimizer's file-index statistics — the scan's
+        # total bytes, already cached by the FileIndex with zero extra
+        # RPCs. If even that is unknown (the ~8 EB "unknown" default or
+        # zero), leave the session default alone rather than override
+        # with an under-count.
+        try:
+            stat = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            stat = 0
+        if 0 < stat < (1 << 50):
+            byts = stat
+        else:
+            yield
+            return
     floor = max(2, spark.sparkContext.defaultParallelism // 4)
     n = max(floor, min(100_000, int(byts * expansion / per_partition_bytes) + 1))
     key = "spark.sql.shuffle.partitions"

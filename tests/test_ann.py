@@ -22,7 +22,7 @@ def _pairs(df):
 def _rp_corpus(spark):
     """Corpus-scale RP-LSH (the qid itself runs the pinned scenario)."""
     emb = fan_out(load_table(spark, SF_DIR, "embeddings"), spark).select("vec_id", "embedding")
-    return rp_lsh_topk(spark, emb)
+    return rp_lsh_topk(emb)
 
 
 def test_ann_recall_bounds(spark):

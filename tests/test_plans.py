@@ -297,29 +297,9 @@ def test_doulion_sampled_edge_plan_filters_before_checkpoint(spark, sf_dir):
     (ExistingRDD), so inspect the sampled-edge subplan directly. The
     runtime consequence (wedge work shrinking ~p²) is asserted in
     tests/test_graph.py."""
-    from incremental_dagster_delta_spark.queries.graph import (
-        DOULION_P,
-        cosupplier_edges,
-    )
+    from incremental_dagster_delta_spark.queries.graph import doulion_sampled_edges
 
-    e = cosupplier_edges(spark, sf_dir)
-    unif = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("u").cast("string"), F.col("v").cast("string"), F.lit("tri")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / float(1 << 32)
-    )
-    plan = _plan(e.where(unif < DOULION_P))
+    plan = _plan(doulion_sampled_edges(spark, sf_dir))
     phys = plan.split("== Physical Plan ==")[1]
     assert "md5" in phys
     assert "CartesianProduct" not in phys
