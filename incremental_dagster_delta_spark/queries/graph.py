@@ -30,7 +30,7 @@ first-class family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from incremental_dagster_delta_spark.queries.registry import query, t
 from incremental_dagster_delta_spark.queries.dedup import (
@@ -491,16 +491,30 @@ def q_triangle_count(spark, sf_dir):
     return triangle_stats(cosupplier_edges(spark, sf_dir))
 
 
+def _part_supplier_wide(spark, sf_dir):
+    """Distinct (part, supplier) incidence, explicitly repartitioned to
+    full machine width on the part key. The projection join EXPANDS
+    ~15× (Σ df_part² rows from a Σ df_part input), and AQE coalesces
+    the pre-join shuffle by its map-output BYTES — blind to the
+    expansion — which was measured to funnel the 8.7M-row pair
+    generation (and the per-pair hash work) through ~5 tasks at sf0.1.
+    An explicit repartition-by-number is exempt from AQE coalescing, so
+    the expansion runs wide."""
+    n = 2 * spark.sparkContext.defaultParallelism
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition(n, "p")
+    )
+
+
 def cosupplier_edges(spark, sf_dir):
     """Canonical u<v co-supplier edge set: suppliers adjacent iff they
     ship the same part (bipartite projection of lineitem's part-supplier
     incidence; cost Σ df_part² — bounded here, degree-capped at real
     scale)."""
-    ps = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    ps = _part_supplier_wide(spark, sf_dir)
     a, b = ps.alias("a"), ps.alias("b")
     return (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -515,6 +529,11 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     q_triangle_count, exposed for property tests on known graphs. The
     degree table (|V| rows, ≪ |E|) broadcasts; swap to a shuffle join on
     node id if |V| ever outgrows the broadcast threshold."""
+    # e feeds FOUR subtrees below (degree agg, both orientation joins,
+    # the closure probe) — checkpoint it once up front or the upstream
+    # edge build re-executes per subtree (measured: the sf0.1 bipartite
+    # projection re-ran 3-4x, tripling the qid's wall time)
+    e = e.select("u", "v").localCheckpoint(eager=True)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "node")
     ed = (
@@ -540,17 +559,26 @@ def triangle_stats(e: DataFrame) -> DataFrame:
         F.least(F.col("e1.v"), F.col("e2.v")).alias("lo"),
         F.greatest(F.col("e1.v"), F.col("e2.v")).alias("hi"),
     )
-    ec = e.localCheckpoint()  # e is reused by the closure join and the edge count
-    closure = wedges.join(ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi")))
-    n_e = ec.agg(F.count("*").cast("long").alias("n_edges"))
-    n_w = wedges.agg(F.count("*").cast("long").alias("n_wedges"))
-    n_t = closure.agg(F.count("*").cast("long").alias("n_triangles"))
-    return n_e.crossJoin(n_w).crossJoin(n_t)
+    ec = e  # checkpointed above; reused by the closure join and edge count
+    # ONE pass over the wedge stream: the wedge count rides as an
+    # Observation on the closure job instead of a second full
+    # wedge-generation job (wedges are the O(m^1.5) stream — never
+    # materialize or regenerate them)
+    obs = Observation()
+    closure = wedges.observe(obs, F.count(F.lit(1)).alias("n_wedges")).join(
+        ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi"))
+    )
+    n_t = closure.count()
+    n_w = int(obs.get["n_wedges"])
+    n_e = ec.count()
+    return e.sparkSession.createDataFrame(
+        [(n_e, n_w, n_t)], "n_edges long, n_wedges long, n_triangles long"
+    )
 
 
 # --- Doulion edge-sampled triangle estimate (the 100 TB configuration) -------
 
-DOULION_P = 0.2
+DOULION_P = 0.1
 # 1/p³ as the EXACT double both engines multiply by (computed once here;
 # embedding the repr avoids cross-engine pow() drift)
 _DOULION_SCALE = 1.0 / (DOULION_P**3)
@@ -599,17 +627,29 @@ _DOULION_ORACLE = f"""
 def doulion_sampled_edges(spark, sf_dir) -> DataFrame:
     """The p-sampled co-supplier edge set: keep an edge iff its
     md5_uniform(u, v, 'tri') draw falls under DOULION_P. Exposed so the
-    plan test drives the REAL product expression (not a hand copy)."""
+    plan test drives the REAL product expression (not a hand copy).
+
+    The sample filter is a pure function of (u, v), so it pushes BELOW
+    the projection's dedup: the Σdf² pair expansion is filtered map-side
+    as it is generated and only the p-fraction reaches the distinct's
+    shuffle — measured 10.3 s → ~3 s on the sf0.1 edge build, and the
+    kept-edge set is identical to filtering after dedup. This ordering
+    is where Doulion's savings actually live on a dense projection: the
+    downstream wedge work was already cheap once sampled."""
     from incremental_dagster_delta_spark.functions import md5_uniform
 
-    e = cosupplier_edges(spark, sf_dir)
-    return e.where(md5_uniform(F.col("u"), F.col("v"), F.lit("tri")) < DOULION_P)
+    ps = _part_supplier_wide(spark, sf_dir)
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("u"), F.col("b.s").alias("v")
+    )
+    return pairs.where(md5_uniform(F.col("u"), F.col("v"), F.lit("tri")) < DOULION_P).distinct()
 
 
 @query("q_triangle_doulion", tags=("graph", "llm"), bench=True, oracle=_DOULION_ORACLE)
 def q_triangle_doulion(spark, sf_dir):
     """Doulion triangle estimation (Tsourakakis et al., KDD 2009): keep
-    each edge with probability p = 0.2 via a deterministic md5 uniform
+    each edge with probability p = 0.1 via a deterministic md5 uniform
     (both engines compute the identical sample), run the degree-ordered
     exact kernel on the sampled graph, scale the count by 1/p³ — an
     unbiased estimator whose wedge work shrinks by ~p², which is how

@@ -149,9 +149,9 @@ def test_triangles_match_bruteforce_random(spark):
 
 
 def test_doulion_estimate_tracks_exact(spark):
-    """Doulion (p=0.2 deterministic md5 sample, ×1/p³) must land near
+    """Doulion (p=0.1 deterministic md5 sample, ×1/p³) must land near
     the exact triangle count on the sf0.01 co-supplier graph — measured
-    9.9% relative error on this fixed corpus (the sample is
+    12.6% relative error on this fixed corpus (the sample is
     deterministic, so this outcome is pinned, with margin for testdata
     regeneration)."""
     from incremental_dagster_delta_spark.queries.graph import (
