@@ -30,8 +30,18 @@ def md5_uniform(*cols: Column) -> Column:
     / 4294967296.0``. The shared device behind hash-deterministic
     sampling (DIMSUM gamma, Doulion edges, weighted reservoir) — keep
     Spark and SQL sides in lockstep when touching this."""
-    joined = F.concat_ws(":", *[c.cast("string") for c in cols])
-    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long") / float(1 << 32)
+    # F.concat (not concat_ws): NULL-propagating, exactly like the SQL
+    # replica's `a || ':' || b` — concat_ws would silently SKIP a null
+    # column, hashing a different string than the oracle and diverging
+    # the two engines' samples on nullable inputs.
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(c.cast("string"))
+    return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 8), 16, 10).cast("long") / float(
+        1 << 32
+    )
 
 
 def iso_dow(date_col: Column) -> Column:

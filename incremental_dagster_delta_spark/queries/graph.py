@@ -30,7 +30,7 @@ first-class family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from incremental_dagster_delta_spark.queries.registry import query, t
 from incremental_dagster_delta_spark.queries.dedup import (
@@ -509,18 +509,23 @@ def _part_supplier_wide(spark, sf_dir):
     )
 
 
+def _cosupplier_pairs(spark, sf_dir):
+    """PRE-distinct canonical u<v pair occurrences from the bipartite
+    projection (one row per shared part) — shared by the exact and
+    Doulion edge builds so their canonicalization can never diverge."""
+    ps = _part_supplier_wide(spark, sf_dir)
+    a, b = ps.alias("a"), ps.alias("b")
+    return a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("u"), F.col("b.s").alias("v")
+    )
+
+
 def cosupplier_edges(spark, sf_dir):
     """Canonical u<v co-supplier edge set: suppliers adjacent iff they
     ship the same part (bipartite projection of lineitem's part-supplier
     incidence; cost Σ df_part² — bounded here, degree-capped at real
     scale)."""
-    ps = _part_supplier_wide(spark, sf_dir)
-    a, b = ps.alias("a"), ps.alias("b")
-    return (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-    )
+    return _cosupplier_pairs(spark, sf_dir).distinct()
 
 
 def triangle_stats(e: DataFrame) -> DataFrame:
@@ -560,16 +565,21 @@ def triangle_stats(e: DataFrame) -> DataFrame:
         F.greatest(F.col("e1.v"), F.col("e2.v")).alias("hi"),
     )
     ec = e  # checkpointed above; reused by the closure join and edge count
-    # ONE pass over the wedge stream: the wedge count rides as an
-    # Observation on the closure job instead of a second full
-    # wedge-generation job (wedges are the O(m^1.5) stream — never
-    # materialize or regenerate them)
-    obs = Observation()
-    closure = wedges.observe(obs, F.count(F.lit(1)).alias("n_wedges")).join(
-        ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi"))
+    # n_wedges comes ANALYTICALLY from the oriented out-degrees —
+    # Σ C(outdeg, 2) is exactly the count the wedge self-join would
+    # produce, computed from the (checkpointed) oriented edge set with
+    # one cheap aggregation: no second wedge-generation pass, and no
+    # Observation accumulator (whose shuffle-map retry semantics could
+    # double-count on a real cluster — n_wedges is an oracle-hash-checked
+    # output column, so it must be deterministic under retries).
+    n_w = int(
+        oriented.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .agg(F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0)).alias("w"))
+        .first()["w"]
     )
+    closure = wedges.join(ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi")))
     n_t = closure.count()
-    n_w = int(obs.get["n_wedges"])
     n_e = ec.count()
     return e.sparkSession.createDataFrame(
         [(n_e, n_w, n_t)], "n_edges long, n_wedges long, n_triangles long"
@@ -638,11 +648,7 @@ def doulion_sampled_edges(spark, sf_dir) -> DataFrame:
     downstream wedge work was already cheap once sampled."""
     from incremental_dagster_delta_spark.functions import md5_uniform
 
-    ps = _part_supplier_wide(spark, sf_dir)
-    a, b = ps.alias("a"), ps.alias("b")
-    pairs = a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))).select(
-        F.col("a.s").alias("u"), F.col("b.s").alias("v")
-    )
+    pairs = _cosupplier_pairs(spark, sf_dir)
     return pairs.where(md5_uniform(F.col("u"), F.col("v"), F.lit("tri")) < DOULION_P).distinct()
 
 
@@ -676,18 +682,16 @@ def k_core_edges(e: DataFrame, k: int, max_iter: int | None = None) -> DataFrame
     localCheckpoint, the same discipline as connected_components. Round
     count is small in practice (every round removes every
     currently-under-k node at once) but O(|V|) worst case — a 2-peel of
-    an n-node path takes n/2 rounds — so the safety cap defaults to the
-    TRUE bound (node count + 1), not an arbitrary constant: every
-    non-terminal round removes at least one node, so exceeding the cap
+    an n-node path takes n/2 rounds — so the safety cap defaults to a
+    TRUE bound (edge count + 1, already computed for the fixpoint
+    check — no extra job), not an arbitrary constant: every
+    non-terminal round removes at least one edge, so exceeding the cap
     can only mean a logic bug, never a legal-but-deep peel."""
     cur = e.select("u", "v").localCheckpoint(eager=True)
     n_cur = cur.count()
     if max_iter is None:
-        n_nodes = (
-            cur.select("u").unionAll(cur.select(F.col("v").alias("u"))).distinct().count()
-        )
-        max_iter = n_nodes + 1
-    for _ in range(max_iter + 1):
+        max_iter = n_cur + 1
+    for _ in range(max_iter):
         if n_cur == 0:
             return cur
         und = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))

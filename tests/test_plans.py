@@ -303,3 +303,8 @@ def test_doulion_sampled_edge_plan_filters_before_checkpoint(spark, sf_dir):
     phys = plan.split("== Physical Plan ==")[1]
     assert "md5" in phys
     assert "CartesianProduct" not in phys
+    # The perf property: the sample Filter sits BELOW the distinct's
+    # aggregate, so only the kept fraction reaches the dedup shuffle.
+    # The plan tree prints top-down, so the dedup HashAggregate must
+    # appear BEFORE the md5 filter line.
+    assert phys.index("HashAggregate") < phys.index("md5"), phys
