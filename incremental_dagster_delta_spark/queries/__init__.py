@@ -105,7 +105,6 @@ _R6_FRONT = [
     "q_gram_matrix",
     "q_replace_where",
     "q_refresh_overwrite",
-    "q_cdc_apply",
     "q_ann_ivf_pq",
     "q_dedup_fuzzy",
     "q_triangle_count",  # cosupplier_edges factored out this round
@@ -124,6 +123,7 @@ _R6_FRONT = [
     "q_ngram_novelty",
     "q_kcore",
     "q_weighted_sample",
+    "q_tokenizer_fertility",
 ]
 
 

@@ -148,13 +148,11 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
-def _encode_oracle(n: int = N_MERGES) -> str:
-    """Encode oracle: reuse the training CTE chain (word carried through
-    every revision), then token-count each document against the FINAL
-    vocab segmentation w{n}."""
-    # Rebuild the training CTE chain (same 3-CTE block as _oracle but
-    # carrying `word` through every revision), then swap the final SELECT
-    # for the encode join.
+def _vocab_cte_chain(n: int = N_MERGES) -> str:
+    """Training CTE chain (same 3-CTE block as _oracle but carrying
+    `word` through every revision) up to the final vocab segmentation
+    and the exploded doc_words table — shared by the encode and
+    fertility oracles so they can never train a different vocab."""
     parts = [
         f"""WITH w0 AS (
       SELECT word,
@@ -192,7 +190,14 @@ def _encode_oracle(n: int = N_MERGES) -> str:
     ),
     doc_words AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
-    )
+    )"""
+
+
+def _encode_oracle(n: int = N_MERGES) -> str:
+    """Encode oracle: reuse the training CTE chain (word carried through
+    every revision), then token-count each document against the FINAL
+    vocab segmentation w{n}."""
+    return _vocab_cte_chain(n) + """
     SELECT d.doc_id,
            CAST(sum(v.n_toks) AS BIGINT) AS n_bpe_tokens,
            CAST(sum(length(d.word) + 1) AS BIGINT) AS n_char_symbols,
@@ -200,6 +205,21 @@ def _encode_oracle(n: int = N_MERGES) -> str:
              AS compression
     FROM doc_words d JOIN vocab v USING (word)
     GROUP BY d.doc_id
+    """
+
+
+def _fertility_oracle(n: int = N_MERGES) -> str:
+    return _vocab_cte_chain(n) + """
+    SELECT doc.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(sum(v.n_toks) / (1.0 * count(*)), 4) AS DOUBLE) AS fertility,
+           CAST(ROUND(sum(length(d.word)) / (1.0 * count(*)), 4) AS DOUBLE)
+             AS avg_word_len
+    FROM doc_words d
+    JOIN vocab v USING (word)
+    JOIN documents doc USING (doc_id)
+    GROUP BY doc.lang
     """
 
 
@@ -231,6 +251,42 @@ def q_bpe_encode(spark, sf_dir):
             F.round(
                 F.sum(F.length("word") + 1) / (1.0 * F.sum("n_toks")), 4
             ).cast("double").alias("compression"),
+        )
+    )
+    return materialize_release(out, vocab)
+
+
+@query("q_tokenizer_fertility", tags=("text", "llm"), oracle=_fertility_oracle())
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the learned BPE vocab:
+    BPE tokens per word (and mean word length) grouped by document
+    language — THE coverage-fairness metric a tokenizer build reports
+    (a language the merges under-serve shows fertility near its
+    character count; well-covered languages sit near 1). Same scale
+    shape as encoding: the corpus pays one explode + a word-keyed join
+    against the |V|-row segmentation table plus a broadcast doc→lang
+    join; the final agg keys on |langs| rows."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    docs = t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(spark, docs)
+    syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+    seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    out = (
+        doc_words.join(seg, "word")
+        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_toks") / (1.0 * F.count("*")), 4)
+            .cast("double")
+            .alias("fertility"),
+            F.round(F.sum(F.length("word")) / (1.0 * F.count("*")), 4)
+            .cast("double")
+            .alias("avg_word_len"),
         )
     )
     return materialize_release(out, vocab)
