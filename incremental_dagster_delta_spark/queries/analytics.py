@@ -597,13 +597,12 @@ def q_auc_eval(spark, sf_dir):
     on both engines (scores are the same sequential-double sums the
     cosine oracles pin).
 
-    Scale shape: ONE global sort (row_number over the score) plus a
-    1-row aggregate — the sort is the irreducible cost of exact AUC and
-    is exactly sortBy at 100 TB; the common approximation (bucketed /
-    trapezoidal over quantized scores) keeps the same surrounding plan
-    with a groupBy replacing the sort."""
-    from pyspark.sql.window import Window
-
+    Scale shape: the global rank comes from :func:`_global_order`
+    (range-repartition + per-partition rank + broadcast offsets), so the
+    sort runs one disjoint range per task — a distributed sortBy, never
+    a single-partition window — followed by a 1-row aggregate. The
+    common approximation (bucketed / trapezoidal over quantized scores)
+    keeps the same surrounding plan with a groupBy replacing the sort."""
     e = t(spark, sf_dir, "embeddings")
     score = F.sqrt(
         F.aggregate(
@@ -615,8 +614,8 @@ def q_auc_eval(spark, sf_dir):
     scored = e.select(
         "vec_id", (F.col("label") == 0).cast("int").alias("pos"), score.alias("score")
     )
-    ranked = scored.select(
-        "pos", F.row_number().over(Window.orderBy("score", "vec_id")).alias("rk")
+    ranked = _global_order(scored, [F.col("score"), F.col("vec_id")]).select(
+        "pos", (F.col("_i") + 1).alias("rk")
     )
     n_pos = F.sum("pos")
     n = F.count("*")
@@ -788,6 +787,28 @@ def _distributed_ntile(df, nt, order_cols, out_name):
     r + 1 + (i - r*(q+1)) // q — identical output to the window ntile for
     any total order, bit-for-bit.
     """
+    positioned = _global_order(df, order_cols)
+    q = F.floor(F.col("_n") / nt)
+    r = F.col("_n") % nt
+    head = r * (q + F.lit(1))
+    i = F.col("_i")
+    bucket = F.when(i < head, F.floor(i / (q + F.lit(1))) + F.lit(1)).otherwise(
+        r + F.lit(1) + F.floor((i - head) / F.greatest(q, F.lit(1)))
+    )
+    return positioned.withColumn(out_name, bucket.cast("long")).drop("_i", "_n")
+
+
+def _global_order(df, order_cols):
+    """df + (_i: exact 0-based global position under ORDER BY order_cols,
+    _n: total row count) without a single-partition sort — the shared
+    primitive behind :func:`_distributed_ntile` and exact global ranks
+    (q_auc_eval). Range-repartition on the sort key (disjoint, ordered
+    ranges — one per task), rank WITHIN each partition, add each
+    partition's broadcast offset. The per-partition sizes are
+    numPartitions scalars, so the running-sum window over them is
+    trivially small. The input is localCheckpointed once so the sampled
+    range boundaries cannot shift between the offsets subtree and the
+    final plan."""
     spark = df.sparkSession
     npart = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
@@ -804,17 +825,10 @@ def _distributed_ntile(df, nt, order_cols, out_name):
         F.sum("_cnt").over(w_all).alias("_n"),
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    q = F.floor(F.col("_n") / nt)
-    r = F.col("_n") % nt
-    head = r * (q + F.lit(1))
-    i = F.row_number().over(w_local) - F.lit(1) + F.col("_off")
-    bucket = F.when(i < head, F.floor(i / (q + F.lit(1))) + F.lit(1)).otherwise(
-        r + F.lit(1) + F.floor((i - head) / F.greatest(q, F.lit(1)))
-    )
     return (
         ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_name, bucket.cast("long"))
-        .drop("_pid", "_off", "_n")
+        .withColumn("_i", F.row_number().over(w_local) - F.lit(1) + F.col("_off"))
+        .drop("_pid", "_off")
     )
 
 
