@@ -263,9 +263,10 @@ def q_tokenizer_fertility(spark, sf_dir):
     language — THE coverage-fairness metric a tokenizer build reports
     (a language the merges under-serve shows fertility near its
     character count; well-covered languages sit near 1). Same scale
-    shape as encoding: the corpus pays one explode + a word-keyed join
-    against the |V|-row segmentation table plus a broadcast doc→lang
-    join; the final agg keys on |langs| rows."""
+    shape as encoding: the corpus pays one explode (lang rides along on
+    each exploded row — no doc-level join back) + a word-keyed join
+    against the |V|-row broadcast segmentation table; the final agg keys
+    on |langs| rows."""
     from incremental_dagster_delta_spark.tables import materialize_release
 
     docs = t(spark, sf_dir, "documents")
@@ -273,10 +274,9 @@ def q_tokenizer_fertility(spark, sf_dir):
     syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
     seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    lang_words = docs.select("lang", F.explode(toks).alias("word"))
     out = (
-        doc_words.join(seg, "word")
-        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        lang_words.join(F.broadcast(seg), "word")
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_words"),
