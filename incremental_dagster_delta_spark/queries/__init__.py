@@ -104,7 +104,6 @@ _R6_FRONT = [
     # re-confirmation sample of round-5 first-checks / fixes
     "q_gram_matrix",
     "q_replace_where",
-    "q_refresh_overwrite",
     "q_ann_ivf_pq",
     "q_dedup_fuzzy",
     "q_triangle_count",  # cosupplier_edges factored out this round
@@ -124,6 +123,7 @@ _R6_FRONT = [
     "q_kcore",
     "q_weighted_sample",
     "q_tokenizer_fertility",
+    "q_mrr_eval",
 ]
 
 

@@ -420,3 +420,90 @@ def q_ndcg_eval(spark, sf_dir):
         F.round(idcg, 6).cast("double").alias("idcg"),
         F.round(dcg / idcg, 6).cast("double").alias("ndcg"),
     )
+
+
+# --- MRR (first-relevant-rank evaluation) ------------------------------------
+
+_MRR_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok
+      WHERE tok IN {_TERMS_IN} GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+      WHERE tok IN {_TERMS_IN} GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf,
+             ROUND(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * ({BM25_K1} + 1.0)
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+               4) AS score
+      FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT tok, tf,
+             row_number() OVER (PARTITION BY tok ORDER BY score DESC, doc_id) AS pos
+      FROM scored
+    )
+    SELECT tok AS query_term,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(min(pos) AS BIGINT) AS first_rel_pos,
+           CAST(ROUND(1.0 / min(pos), 6) AS DOUBLE) AS rr
+    FROM ranked WHERE tf >= 2
+    GROUP BY tok
+"""
+
+
+@query("q_mrr_eval", tags=("retrieval", "analytics", "llm"), oracle=_MRR_ORACLE)
+def q_mrr_eval(spark, sf_dir):
+    """Reciprocal rank of the first STRONGLY relevant document per query
+    term (relevance = the term appears at least twice; the single-match
+    docs that any term query trivially retrieves don't count), under the
+    per-term BM25 ranking — completing the evaluation family: AUC ranks
+    binary labels, NDCG grades an ordering, MRR answers "how deep must a
+    user scroll for a real hit". Ranking uses the ROUNDED per-term score
+    with a doc_id tiebreak (deterministic on both engines); the per-term
+    window ranks |df(term)| rows — bounded by the fixed query set, never
+    corpus-sized."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    matched = tok.where(F.col("tok").isin(*BM25_TERMS))
+    tf = matched.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = matched.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("score").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("pos", F.row_number().over(w))
+    return (
+        ranked.where(F.col("tf") >= 2)
+        .groupBy(F.col("tok").alias("query_term"))
+        .agg(
+            F.count("*").cast("long").alias("n_relevant"),
+            F.min("pos").cast("long").alias("first_rel_pos"),
+            F.round(1.0 / F.min("pos"), 6).cast("double").alias("rr"),
+        )
+    )
