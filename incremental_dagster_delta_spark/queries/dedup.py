@@ -607,6 +607,9 @@ _SIMHASH_SCENARIO = [
 # Hamming 3 from both members of the first dup pair. Docs 3/7 land
 # beyond the budget (short docs — one token flips many bits) and docs
 # 4-6 are unrelated: their absence is part of the pin.
+# IMPLEMENTATION PIN — taken under Spark 4.1.2's xxhash64. A version
+# bump that changes the hash seed/algorithm re-rolls every bit family:
+# a red here after an upgrade is pin drift, not a kernel bug — re-pin.
 _SIMHASH_ORACLE = """
     SELECT * FROM (VALUES
       (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),

@@ -8,18 +8,25 @@ Scale shapes:
 
 - The bigram LM is two grouped counts over the token stream (bigram and
   unigram tables) — both shuffle on token keys with map-side partial
-  aggregation, both bounded by vocabulary size² in the worst case and by
-  the corpus's observed bigram set in practice. Scoring joins each
-  document's bigrams against the count tables: the model tables are the
-  small side at any corpus size where perplexity filtering makes sense
-  (vocab ≪ corpus), so the joins broadcast.
+  aggregation. The unigram table is vocab-bounded, but the BIGRAM table
+  grows with the corpus's observed bigram set (up to vocab² — for web
+  text that is many billions of rows), so the scoring joins are NOT
+  broadcast-safe in general: the plan shuffle-joins the token stream
+  against both count tables on their token keys (sort-merge or shuffled
+  hash, AQE's call), which is the correct 100 TB shape. Only the
+  vocabulary-size scalar `v` broadcasts. Pinned by
+  tests/test_plans.py::test_bigram_scoring_joins_shuffle.
 - Vocabulary coverage broadcasts the top-V vocabulary (V is a constant)
   and computes per-doc OOV fractions map-side — one shuffle for the
   per-doc aggregation.
 
-Both scores use add-one (Laplace) smoothing with EXACT integer counts,
-so the only float surface is the final ln()/division, rounded to 4 dp —
-the established oracle-parity device (see queries/retrieval.py).
+Both scores use add-one (Laplace) smoothing with EXACT integer counts.
+The float surface is ln()/division: each per-bigram log-probability is
+rounded to 8 dp on BOTH engines before the per-doc average (so the
+averaged multiset is identical doubles on both sides and the partial-sum
+order difference between Spark and DuckDB cannot move the mean across
+the final 4-dp rounding boundary) — the established oracle-parity
+device (see queries/retrieval.py).
 """
 
 from __future__ import annotations
@@ -49,7 +56,7 @@ c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
 v AS (SELECT count(DISTINCT term) AS v FROM tok),
 scored AS (
   SELECT big.doc_id,
-         ln((1.0 * c2.c2 + 1) / (c1.c1 + v.v)) AS lp
+         ROUND(ln((1.0 * c2.c2 + 1) / (c1.c1 + v.v)), 8) AS lp
   FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 )
 SELECT doc_id,
@@ -67,9 +74,11 @@ def q_bigram_perplexity(spark, sf_dir):
     (high cross-entropy = unnatural token sequences = boilerplate,
     encoding junk, or off-distribution text). Token stream → bigrams via
     a per-doc lead window (one hash shuffle on doc_id), count tables via
-    map-side-combined grouped counts, then scoring joins. Counts are
-    exact integers; ln() and the per-doc average are the only float
-    surface, rounded to 4 dp."""
+    map-side-combined grouped counts, then scoring joins (shuffle joins
+    on the token keys — the bigram table is corpus-sized, not broadcast
+    material; see the module docstring). Counts are exact integers;
+    each per-bigram ln() rounds to 8 dp before the per-doc average
+    (identical double multisets on both engines), final mean to 4 dp."""
     d = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
@@ -88,7 +97,9 @@ def q_bigram_perplexity(spark, sf_dir):
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            F.log((1.0 * F.col("c2") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+            F.round(
+                F.log((1.0 * F.col("c2") + 1) / (F.col("c1") + F.col("v"))), 8
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -346,6 +346,10 @@ def _rplsh_scenario_rows():
 # exactly its five cluster-mates (ids ≡ query_id mod 4), duplicate-member
 # first at cosine 1.0 — cross-cluster vectors never survive the bucket
 # screen + rerank. Verified stable across repeated runs.
+# IMPLEMENTATION PIN — hyperplanes derive from Spark 4.1.2's murmur3
+# `hash()`; a version bump that changes that hash re-rolls the planes
+# and buckets: a red after an upgrade is pin drift, not a kernel bug —
+# re-pin (the exact-rerank cosines are data properties and stay valid).
 _RPLSH_ORACLE = """
     SELECT * FROM (VALUES
       (CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),

@@ -44,6 +44,11 @@ def approx_distinct_report(df, group_col: str, id_col: str):
 # (verified by recomputing under a 64-way repartition), so the pin is a
 # regression gate on Spark's HLL++ implementation, with the exact counts
 # alongside showing the 2% rsd is honored (view: 4908 vs 5000 = 1.8% low).
+# IMPLEMENTATION PIN — taken under Spark 4.1.2. The 4908/1184 estimates
+# are properties of that build's approx_count_distinct internals, not of
+# the data: a Spark version bump that changes HLL++ register hashing
+# turns this red WITHOUT a behavioral bug. If it reds after an upgrade,
+# re-pin from the new build (exact counts alongside verify the rsd).
 _SKETCH_ORACLE = """
     SELECT * FROM (VALUES
       ('click', CAST(1184 AS BIGINT), CAST(1200 AS BIGINT), CAST(3600 AS BIGINT)),

@@ -308,3 +308,26 @@ def test_doulion_sampled_edge_plan_filters_before_checkpoint(spark, sf_dir):
     # The plan tree prints top-down, so the dedup HashAggregate must
     # appear BEFORE the md5 filter line.
     assert phys.index("HashAggregate") < phys.index("md5"), phys
+
+
+def test_bigram_scoring_joins_shuffle(spark, sf_dir):
+    """The bigram-LM scoring joins (stream ⋈ c2 on (w1,w2), ⋈ c1 on w1)
+    must NOT be hint-forced to broadcast: the bigram count table grows
+    with the observed corpus bigram set (web scale: billions of rows),
+    so the 100 TB-correct plan shuffle-joins on the token keys and lets
+    AQE downgrade to broadcast only when the runtime stats justify it.
+    With auto-broadcast disabled, the only broadcast left must be the
+    vocabulary-size scalar `v` — if an F.broadcast hint ever creeps onto
+    c2/c1 this test sees a second broadcast join survive."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(QUERIES["q_bigram_perplexity"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    phys = plan.split("== Physical Plan ==")[1]
+    # the two count-table joins shuffle (sort-merge under disabled
+    # auto-broadcast); the scalar v crossJoin is the one broadcast
+    assert phys.count("SortMergeJoin") >= 2, phys
+    n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
+    assert n_b == 1, f"expected exactly the scalar-v broadcast, saw {n_b}"
