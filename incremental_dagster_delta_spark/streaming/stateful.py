@@ -167,9 +167,14 @@ def enforce_quota(events: DataFrame, budget: int = 3) -> DataFrame:
     Implemented on ``applyInPandasWithState``; the processor maps 1:1
     onto Spark 4's ``transformWithStateInPandas`` ``ValueState``
     (``handle.getValueState('count', 'n long')`` + the same fold), but
-    this sandbox's TWS python driver worker cannot start — its protobuf
-    dependency is broken (`ImportError: cannot import name 'descriptor'
-    from 'google.protobuf'`) — so the portable API carries the qid."""
+    this sandbox's TWS python driver worker cannot start. Re-probed
+    2026-08-14 on Spark 4.1.2: a minimal StatefulProcessor over a rate
+    source dies with ``TransformWithStateInPySpark driver worker exited
+    unexpectedly (crashed)``; root cause is that ``google.protobuf`` is
+    not installed at all in this environment (``import google`` →
+    ModuleNotFoundError), and TWS's arrow-state protocol requires it
+    (pip installs are prohibited here). The portable API carries the
+    qid; on a cluster with protobuf the TWS twin is a mechanical swap."""
     return events.groupBy("user_id").applyInPandasWithState(
         _quota_fn(budget),
         outputStructType=QUOTA_SCHEMA,
