@@ -56,11 +56,7 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-@query(
-    "q_cosine_topk",
-    tags=("similarity", "llm"),
-    bench=True,
-    oracle=f"""
+_EXACT_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -79,7 +75,14 @@ def cosine(a: Column, b: Column) -> Column:
       FROM scored
     )
     WHERE rk <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "q_cosine_topk",
+    tags=("similarity", "llm"),
+    bench=True,
+    oracle=_EXACT_TOPK_ORACLE,
 )
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the exact-ANN baseline. Queries are
@@ -242,6 +245,56 @@ def q_cosine_ann_ivf(spark, sf_dir):
     from incremental_dagster_delta_spark.tables import materialize_release
 
     return materialize_release(out, assigned)
+
+
+# Recall@k of the IVF shortlist against the exact brute-force top-k —
+# the one number an ANN deployment is judged by (probe more buckets vs
+# scan less corpus is THE IVF dial, and this metric prices it). Both
+# shortlists come from the already-oracled pipelines, so the oracle is a
+# pure composition: the exact CTE and the IVF CTE joined per query.
+_RECALL_ORACLE = f"""
+    WITH exact AS ({_EXACT_TOPK_ORACLE}),
+         approx AS ({_IVF_ORACLE})
+    SELECT exact.query_id,
+           CAST(count(approx.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(ROUND(1.0 * count(approx.neighbor_id) / {TOP_K}, 4) AS DOUBLE)
+             AS recall_at_k
+    FROM exact
+    LEFT JOIN approx
+      ON approx.query_id = exact.query_id
+     AND approx.neighbor_id = exact.neighbor_id
+    GROUP BY exact.query_id
+    """
+
+
+@query("q_recall_at_k", tags=("similarity", "analytics", "llm"), oracle=_RECALL_ORACLE)
+def q_recall_at_k(spark, sf_dir):
+    """Per-query recall@{{TOP_K}} of the IVF ANN shortlist vs the exact
+    brute-force top-k — completes the eval family (AUC/NDCG/MRR/kNN).
+    Runs both already-verified pipelines and left-joins the exact
+    shortlist against the approximate one on (query_id, neighbor_id);
+    the per-query hit count over TOP_K is the recall. All-integer until
+    the final division (rounded 4 dp). Scale shape: both shortlists are
+    |Q|·k rows — the join and aggregation are trivially small regardless
+    of corpus size; the cost lives in the (already scale-shaped) search
+    pipelines. The corpus-level recall floor this metric summarizes is
+    asserted in tests/test_ann.py."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_cosine_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(TOP_K)), 4
+            )
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+    )
 
 
 # OR-construction: candidate if colliding in ANY table; AND within a
