@@ -209,3 +209,49 @@ def test_core_numbers_match_python_peel(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
     assert got == expect, {n: (got.get(n), expect.get(n)) for n in expect if got.get(n) != expect.get(n)}
+
+
+def test_core_numbers_clipped_clips_and_matches_below_cap(spark):
+    """core_numbers_clipped(e, c) == min(true core, c) for every node —
+    the total-variant contract q_kcore_corpus relies on."""
+    from incremental_dagster_delta_spark.queries.graph import (
+        core_numbers,
+        core_numbers_clipped,
+    )
+
+    edges = [
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if ((a * 31 + b * 17) % 97) < 9
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    true_core = {r["node"]: r["core"] for r in core_numbers(df).collect()}
+    for cap in (2, max(true_core.values())):
+        got = {r["node"]: r["core"] for r in core_numbers_clipped(df, cap).collect()}
+        assert got == {n: min(c, cap) for n, c in true_core.items()}
+
+
+def test_kcore_corpus_fixpoint_within_oracle_unroll(spark, sf_dir):
+    """The q_kcore_corpus oracle unrolls _KCORE_CORPUS_ROUNDS peel rounds
+    per k-level; this pins that the REAL ascending peel over the
+    Doulion-sampled co-supplier graph reaches fixpoint within that bound
+    at every level at the gated SF (k_core_edges raises past max_iter),
+    and that the deepest core is within KCORE_CORPUS_CAP (the k=CAP
+    level peels to empty, so nothing clips at the compared scale)."""
+    from incremental_dagster_delta_spark.queries.graph import (
+        _KCORE_CORPUS_ROUNDS,
+        KCORE_CORPUS_CAP,
+        doulion_sampled_edges,
+        k_core_edges,
+    )
+
+    cur = doulion_sampled_edges(spark, sf_dir)
+    for k in range(1, KCORE_CORPUS_CAP + 1):
+        cur = k_core_edges(cur, k, max_iter=_KCORE_CORPUS_ROUNDS)
+        if cur.isEmpty():
+            break
+    assert cur.isEmpty(), (
+        f"core deeper than {KCORE_CORPUS_CAP} at {sf_dir} — clip engaged; "
+        "re-measure the oracle unroll bound"
+    )
