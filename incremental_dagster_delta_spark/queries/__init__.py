@@ -38,6 +38,7 @@ from incremental_dagster_delta_spark.queries import bpe  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import docsim  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import lm  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the

@@ -256,31 +256,22 @@ def q_bpe_encode(spark, sf_dir):
     return materialize_release(out, vocab)
 
 
-@query("q_tokenizer_fertility", tags=("text", "llm"), oracle=_fertility_oracle())
-def q_tokenizer_fertility(spark, sf_dir):
-    """Per-language tokenizer fertility under the learned BPE vocab:
-    BPE tokens per word (and mean word length) grouped by document
-    language — THE coverage-fairness metric a tokenizer build reports
-    (a language the merges under-serve shows fertility near its
-    character count; well-covered languages sit near 1). Same scale
-    shape as encoding: the corpus pays one explode (lang rides along on
-    each exploded row — no doc-level join back) + a word-keyed join
-    against the |V|-row broadcast segmentation table; the final agg keys
-    on |langs| rows."""
-    from incremental_dagster_delta_spark.tables import materialize_release
-
-    docs = t(spark, sf_dir, "documents")
-    _, vocab = learn_bpe(spark, docs)
-    syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
-    seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
+def fertility_by_lang(docs, seg: "DataFrame", tokens_alias: str = "n_bpe_tokens"):
+    """Per-language fertility given ANY (word, n_toks) segmentation
+    table — tokenizer-agnostic (BPE's final merge segmentation or the
+    unigram-LM Viterbi segmentation both plug in; the round-6 verdict's
+    'accept either tokenizer' rewiring). The corpus pays one explode
+    (lang rides along on each exploded row — no doc-level join back) +
+    a word-keyed join against the |V|-row broadcast segmentation table;
+    the final agg keys on |langs| rows."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     lang_words = docs.select("lang", F.explode(toks).alias("word"))
-    out = (
+    return (
         lang_words.join(F.broadcast(seg), "word")
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_toks").cast("long").alias(tokens_alias),
             F.round(F.sum("n_toks") / (1.0 * F.count("*")), 4)
             .cast("double")
             .alias("fertility"),
@@ -289,4 +280,22 @@ def q_tokenizer_fertility(spark, sf_dir):
             .alias("avg_word_len"),
         )
     )
+
+
+@query("q_tokenizer_fertility", tags=("text", "llm"), oracle=_fertility_oracle())
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility under the learned BPE vocab:
+    BPE tokens per word (and mean word length) grouped by document
+    language — THE coverage-fairness metric a tokenizer build reports
+    (a language the merges under-serve shows fertility near its
+    character count; well-covered languages sit near 1). Computation in
+    the tokenizer-agnostic :func:`fertility_by_lang` (shared with
+    q_unigram_fertility)."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    docs = t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(spark, docs)
+    syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+    seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
+    out = fertility_by_lang(docs, seg)
     return materialize_release(out, vocab)
