@@ -29,21 +29,36 @@ transactions:
   commit marker, so renames never collide and both commits land.
 - **same batch id, serialized** (micro-batch replay after restart): the
   second writer observes the commit marker and no-ops — exactly-once.
-- **same batch id, truly concurrent**: out of contract. Spark's
-  streaming checkpoint serializes micro-batch replays, so this cannot
-  arise from the pipeline; a real Delta log would add optimistic
-  concurrency (conflict detection + retry) here, and that is the one
-  semantic this parquet+markers layout does not replicate.
+- **same batch id, truly concurrent**: detected and failed loudly. A
+  per-batch writer lease (unique token file, write → settle → read-back,
+  re-checked as a fence before publish and again before the commit
+  marker) makes one writer raise ``ConcurrentWriterError`` while the
+  survivor publishes exactly once. Spark's streaming checkpoint
+  serializes micro-batch replays, so this case cannot arise from the
+  pipeline; the lease covers out-of-pipeline double-drives. The
+  detection is best-effort — the FileSystem API has no atomic
+  create-exclusive on every store, so an adversarially-timed pair can
+  still slip between fence checks (a real Delta log closes that window
+  with an optimistic-CAS commit); every straightforwardly raced
+  execution fails one writer, never silently doubles. Stale leases
+  (holder crashed) age out after ``lease_ttl_ms``.
 """
 
 from __future__ import annotations
 
 import json
 import posixpath
+import time
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Raised when a second writer races the same ``batch_id`` — the
+    loud-failure half of the concurrent-writer guarantee matrix above."""
 
 
 @contextmanager
@@ -80,11 +95,15 @@ class PartitionedTable:
         path: str,
         partition_cols: list[str],
         fmt: str = "parquet",
+        lease_ttl_ms: int = 300_000,
+        lease_settle_s: float = 0.05,
     ) -> None:
         self.spark = spark
         self.path = path
         self.partition_cols = list(partition_cols)
         self.fmt = fmt
+        self.lease_ttl_ms = lease_ttl_ms
+        self.lease_settle_s = lease_settle_s
 
     # -- writes ------------------------------------------------------------
 
@@ -339,6 +358,12 @@ class PartitionedTable:
 
         A replay from any crash point re-runs 2-5 and converges to exactly
         one copy of the batch.
+
+        A same-batch-id TRULY-CONCURRENT second writer (impossible from
+        the checkpointed pipeline, possible from an out-of-pipeline
+        double-drive) is detected by the per-batch writer lease and
+        fails with :class:`ConcurrentWriterError` before it can publish
+        — see the guarantee matrix in the module docstring.
         """
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
@@ -348,6 +373,71 @@ class PartitionedTable:
         marker = Path(posixpath.join(self.path, "_commits", str(batch_id)))
         if fs.exists(marker):
             return False
+        token = self._acquire_lease(fs, Path, batch_id)
+        try:
+            return self._append_batch_locked(
+                df, batch_id, jvm, fs, Path, root, marker, token
+            )
+        finally:
+            self._release_lease(fs, Path, batch_id, token)
+
+    def _lease_path(self, Path, batch_id: int):
+        return Path(posixpath.join(self.path, "_commits", f"{batch_id}.lease"))
+
+    def _read_lease(self, fs, lease) -> str:
+        stream = fs.open(lease)
+        try:
+            data = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+            return bytes(data).decode("utf-8", errors="replace")
+        finally:
+            stream.close()
+
+    def _acquire_lease(self, fs, Path, batch_id: int) -> str:
+        """Best-effort per-batch mutual exclusion: write a unique token,
+        wait a settle interval, and read back — of N racing writers the
+        last write wins and every other reads a foreign token and raises.
+        A lease older than ``lease_ttl_ms`` belongs to a crashed holder
+        and is taken over (the replay path must never deadlock)."""
+        lease = self._lease_path(Path, batch_id)
+        if fs.exists(lease):
+            age_ms = int(time.time() * 1000) - fs.getFileStatus(lease).getModificationTime()
+            if age_ms < self.lease_ttl_ms:
+                raise ConcurrentWriterError(
+                    f"batch {batch_id}: live writer lease at {lease} "
+                    f"(age {age_ms} ms < ttl {self.lease_ttl_ms} ms)"
+                )
+        token = uuid.uuid4().hex
+        out = fs.create(lease, True)
+        out.write(bytearray(token.encode("utf-8")))
+        out.close()
+        time.sleep(self.lease_settle_s)
+        self._check_lease(fs, Path, batch_id, token)
+        return token
+
+    def _check_lease(self, fs, Path, batch_id: int, token: str) -> None:
+        """Fence: the lease must still carry OUR token."""
+        lease = self._lease_path(Path, batch_id)
+        if not fs.exists(lease) or self._read_lease(fs, lease) != token:
+            raise ConcurrentWriterError(
+                f"batch {batch_id}: writer lease lost to a concurrent writer"
+            )
+
+    def _release_lease(self, fs, Path, batch_id: int, token: str) -> None:
+        lease = self._lease_path(Path, batch_id)
+        try:
+            if fs.exists(lease) and self._read_lease(fs, lease) == token:
+                fs.delete(lease, False)
+        except Exception:  # releasing is best-effort; TTL ages it out
+            pass
+
+    def _append_batch_locked(
+        self, df: DataFrame, batch_id: int, jvm, fs, Path, root, marker, token: str
+    ) -> bool:
         prefix = f"b{batch_id}-"
         if fs.exists(root):
             it = fs.listFiles(root, True)  # recursive
@@ -370,6 +460,9 @@ class PartitionedTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.save(staging)
         self._record_partition_schema(df)
+        # fence: never start publishing if another writer took the lease
+        # while we were staging
+        self._check_lease(fs, Path, batch_id, token)
         staging_path = Path(staging)
         staging_uri = staging_path.toUri().getPath()
         it = fs.listFiles(staging_path, True)
@@ -384,6 +477,9 @@ class PartitionedTable:
             fs.mkdirs(target.getParent())
             fs.rename(p, target)
         fs.delete(staging_path, True)
+        # fence: the commit marker is the visibility point — only the
+        # current lease holder may write it
+        self._check_lease(fs, Path, batch_id, token)
         self._write_marker(fs, marker, {"rows": int(obs.get.get("rows", 0))})
         return True
 
