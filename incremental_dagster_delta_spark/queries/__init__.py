@@ -44,87 +44,78 @@ from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F40
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. After round 5, 18 qids registered after that round's
-# front-50 froze had never been driver-sampled, and 4 qids shipped no
-# oracle at all — round 6 closes both gaps. Front-loads: the 18
-# never-driver-checked qids (all oracle-backed, all green in the local
-# driver-faithful harness), the 4 newly-oracled qids (literal-scenario
-# VALUES oracles landed this round — their only prior rows were
-# `no_oracle` reds), q_cosine_ann_ivf (full DuckDB CTE oracle landed in
-# r5 but its only driver row predates it), changed-code-path
-# re-confirmations (rationale inline), and a re-confirmation sample of
-# the round-5 first-checks. With this list every registered qid has
-# been driver-sampled at least once across rounds 2-6 EXCEPT the
-# round-5 first-checks that rotate out this round — each of those
-# already holds a green r5 row.
+# across rounds. Round 6 left every registered qid driver-green
+# cumulatively; round 7's job (per the r6 verdict) is to convert "green
+# once" into "stays green": (a) first rows for the 4 qids added this
+# round, (b) re-confirms for qids whose code paths changed this round
+# (bpe fertility refactor, lm.py plan-doc/oracle hardening, the
+# append_batch writer lease), (c) re-confirms for qids whose shared
+# kernels churned in r6 AFTER their last row (graph star-contraction /
+# md5-uniform family, last checked r4), and (d) the ENTIRE remaining
+# round-2 cohort — the stalest green rows in the registry (34 qids whose
+# only driver rows predate four rounds of shared-infrastructure change)
+# — plus the oldest r3 multi-hop row. Everything rotating out holds a
+# green r5/r6 row on an unchanged code path.
 # --------------------------------------------------------------------------
-_R6_FRONT = [
-    # 18 registered-after-the-r5-freeze qids — first driver rows
-    "q_topic_terms",
-    "q_knn_eval",
-    "q_exactly_once_publish",
-    "q_schema_evolution",
-    "q_partition_delete",
-    "q_time_travel",
-    "q_lateral_topn",
-    "q_binary_source",
-    "q_quantile_bins",
-    "q_auc_eval",
-    "q_calibration_bins",
-    "q_mutual_info",
-    "q_rfm_features",
-    "q_rolling_median",
-    "q_seasonality_profile",
-    "q_pit_join",
-    "q_quarantine_split",
-    "q_ndcg_eval",
-    # 4 formerly oracle-less qids — literal-scenario oracles this round
-    "q_pca_topk",
-    "q_approx_sketches",
-    "q_dedup_simhash",
-    "q_cosine_ann_rplsh",
-    # oracle landed r5 after its only (r2, no_oracle) driver row
-    "q_cosine_ann_ivf",
-    # changed-code-path re-confirmations: q_dedup_minhash and
-    # q_ngram_jaccard_prefix last earned rows in r2, BEFORE r5 wrapped
-    # them in sized_shuffle — and sized_shuffle's byte-sizing changed
-    # again this round (URI parsing), so all four wrapped qids plus the
-    # two helpers that scope themselves re-confirm; the five streaming
-    # qids re-confirm under the new awaitTermination handling.
-    "q_dedup_minhash",
-    "q_ngram_jaccard_prefix",
-    "q_containment",
+_R7_FRONT = [
+    # (a) new this round — first driver rows
+    "q_recall_at_k",
+    "q_kcore_corpus",
+    "q_unigram_lm",
+    "q_unigram_fertility",
+    # (b) code paths changed this round: fertility_by_lang refactor
+    # (bpe.py), lm.py oracle hardening, append_batch writer lease
+    "q_tokenizer_fertility",
     "q_bpe_encode",
-    "q_ngram_jaccard",
-    "q_doc_similarity",
-    "q_stream_join",
-    "q_stream_dedup",
-    "q_quota_stateful",
-    "q_sessionize_stateful",
-    "q_late_data",
-    # re-confirmation sample of round-5 first-checks / fixes
-    "q_gram_matrix",
-    "q_replace_where",
-    "q_ann_ivf_pq",
-    "q_dedup_fuzzy",
-    "q_triangle_count",  # cosupplier_edges factored out this round
-    "q_cosine_topk",
-    "q_pq_codes",
-    # new this round: DIMSUM-sampled doc similarity (md5-uniform sampling
-    # both engines compute identically), bigram-LM perplexity, vocabulary
-    # coverage, Doulion-sampled triangle estimate, n-gram novelty — first
-    # driver rows. (q_embedding_quantize, q_funnel_multistep, q_pagerank
-    # and q_semdedup rotate out to make room; all hold green r5/r4 rows
-    # and their code paths are unchanged this round.)
-    "q_doc_similarity_gamma",
+    "q_bpe_merges",
     "q_bigram_perplexity",
     "q_vocab_coverage",
-    "q_triangle_doulion",
-    "q_ngram_novelty",
-    "q_kcore",
-    "q_weighted_sample",
-    "q_tokenizer_fertility",
-    "q_mrr_eval",
+    "q_exactly_once_publish",
+    "q_delta_append",
+    # (c) last row r4, shared kernels (star contraction, md5_uniform
+    # consolidation, graph.py churn) changed since
+    "q_dedup_clusters",
+    "q_dedup_survivors",
+    "q_leakage_free_split",
+    "q_dsir_weights",
+    # (d) the full round-2 cohort — stalest green rows in the registry
+    "q_date_format",
+    "q_date_parts",
+    "q_dedup_cluster",
+    "q_dedup_exact",
+    "q_dedup_near_keep",
+    "q_dedup_prefix_key",
+    "q_distinct",
+    "q_doc_fingerprint",
+    "q_embedding_norm",
+    "q_frame_sample",
+    "q_iso_week",
+    "q_lang_id",
+    "q_lit_partition_cols",
+    "q_multimodal_features",
+    "q_new_file_antijoin",
+    "q_offset_slice",
+    "q_pricing_summary",
+    "q_rank_in_group",
+    "q_region_revenue",
+    "q_reverse",
+    "q_rollup_agg",
+    "q_row_construction",
+    "q_semi_join",
+    "q_set_ops",
+    "q_sql_frontend",
+    "q_subword_counts",
+    "q_suffix_filter",
+    "q_text_quality",
+    "q_token_counts",
+    "q_top_orders",
+    "q_topk",
+    "q_window_running",
+    "q_winnow_fingerprint",
+    "q_word_length",
+    # oldest r3 row: the multi-hop DAG (exercises the lease-bearing
+    # table IO end to end)
+    "q_multi_hop",
 ]
 
 
@@ -181,6 +172,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R6_FRONT)
+_rotate(_R7_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]
