@@ -63,11 +63,13 @@ _R7_FRONT = [
     "q_kcore_corpus",
     "q_unigram_lm",
     "q_unigram_fertility",
+    "q_unigram_encode",
     # (b) code paths changed this round: fertility_by_lang refactor
     # (bpe.py), lm.py oracle hardening, append_batch writer lease
+    # (q_bpe_merges stays out: learn_bpe itself is untouched and it
+    # holds a green r6 row)
     "q_tokenizer_fertility",
     "q_bpe_encode",
-    "q_bpe_merges",
     "q_bigram_perplexity",
     "q_vocab_coverage",
     "q_exactly_once_publish",

@@ -324,7 +324,7 @@ def _unigram_fertility_oracle() -> str:
     )
 
 
-@query("q_unigram_lm", tags=("text", "llm"), oracle=_unigram_oracle())
+@query("q_unigram_lm", tags=("text", "llm"), oracle=_unigram_oracle(), bench=True)
 def q_unigram_lm(spark, sf_dir):
     """Train the unigram-LM tokenizer over the documents corpus and
     report the final vocabulary: the top TOP_K pieces by Viterbi usage
@@ -362,4 +362,57 @@ def q_unigram_fertility(spark, sf_dir):
     pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
     seg = segs.select("word", F.size(pieces).cast("long").alias("n_toks"))
     out = fertility_by_lang(docs, seg, tokens_alias="n_unigram_tokens")
+    return materialize_release(out, words)
+
+
+def _unigram_encode_oracle() -> str:
+    return (
+        _train_ctes()
+        + f""", vocab AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(seg, '{SEP}'), x -> x <> '')) AS BIGINT)
+               AS n_toks
+      FROM seg{EM_ITERS}
+    ), doc_words AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(sum(v.n_toks) AS BIGINT) AS n_unigram_tokens,
+           CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(ROUND(sum(length(d.word)) / (1.0 * sum(v.n_toks)), 4) AS DOUBLE)
+             AS compression
+    FROM doc_words d JOIN vocab v USING (word)
+    GROUP BY d.doc_id"""
+    )
+
+
+@query("q_unigram_encode", tags=("text", "llm"), oracle=_unigram_encode_oracle())
+def q_unigram_encode(spark, sf_dir):
+    """Encode the corpus with the trained unigram-LM vocab: per document
+    the Viterbi token count, character count, and compression ratio —
+    the q_bpe_encode twin for the second tokenizer family. Encoding
+    never re-runs EM over the corpus: a word's token count is a pure
+    function of the trained vocab, so the corpus pays ONE explode + a
+    word-keyed join against the |V|-row broadcast segmentation table
+    and one doc-keyed agg — the exact shape tokenizer application has
+    at 100 TB."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    docs = t(spark, sf_dir, "documents")
+    segs, _, words = train_unigram(spark, docs)
+    pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
+    seg = segs.select("word", F.size(pieces).cast("long").alias("n_toks"))
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    out = (
+        doc_words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_unigram_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.round(F.sum(F.length("word")) / (1.0 * F.sum("n_toks")), 4)
+            .cast("double")
+            .alias("compression"),
+        )
+    )
     return materialize_release(out, words)
