@@ -130,10 +130,12 @@ def q_pivot_api(spark, sf_dir):
 )
 def q_tfidf(spark, sf_dir):
     """Smoothed TF-IDF with top-3 terms per document: term frequencies
-    (explode + count), document frequencies (distinct-doc count per
-    token — at 31-token vocab the df table broadcasts), score, per-doc
-    window rank with token tie-break. All aggregations partial-combine
-    before their shuffles."""
+    (explode + count), document frequencies (one row per distinct
+    corpus token — Heaps' law says that grows into the 10^8-10^9 range
+    at 100 TB, so the df join is UNHINTED and AQE broadcasts it only
+    when runtime stats justify it), score, per-doc window rank with
+    token tie-break. All aggregations partial-combine before their
+    shuffles."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -143,7 +145,7 @@ def q_tfidf(spark, sf_dir):
     df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     scored = (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t, "tok")
         .withColumn("tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
@@ -339,8 +341,10 @@ def q_rp_embed(spark, sf_dir):
     column feeds every embedding-keyed operator in the registry (SemDeDup
     cells, LSH bucketing, cosine top-k) on corpora that have no model
     embeddings. Plan shape: tokenize/explode -> per-(doc,tok) count ->
-    broadcast df join -> ONE shuffle on doc_id with 8 parallel
-    conditional sums — identical cost to the TF-IDF query it extends."""
+    UNHINTED df join (the df table has one row per distinct corpus
+    token — Heaps-law-sized at 100 TB, so AQE decides the strategy) ->
+    ONE shuffle on doc_id with 8 parallel conditional sums — identical
+    cost to the TF-IDF query it extends."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -349,7 +353,7 @@ def q_rp_embed(spark, sf_dir):
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df_t), "tok").withColumn(
+    scored = tf.join(df_t, "tok").withColumn(
         "tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
     )
     # ONE md5 per (doc, tok) row; dimension k's Rademacher sign is the

@@ -196,14 +196,17 @@ def _vocab_cte_chain(n: int = N_MERGES) -> str:
 def _encode_oracle(n: int = N_MERGES) -> str:
     """Encode oracle: reuse the training CTE chain (word carried through
     every revision), then token-count each document against the FINAL
-    vocab segmentation w{n}."""
+    vocab segmentation w{n}. OOV words (outside the trained vocab, e.g.
+    containing SEP) fall back to character-level encoding — LEFT JOIN +
+    COALESCE(n_toks, len(word) + 1), mirroring the Spark side."""
     return _vocab_cte_chain(n) + """
     SELECT d.doc_id,
-           CAST(sum(v.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(COALESCE(v.n_toks, length(d.word) + 1)) AS BIGINT) AS n_bpe_tokens,
            CAST(sum(length(d.word) + 1) AS BIGINT) AS n_char_symbols,
-           CAST(ROUND(sum(length(d.word) + 1) / (1.0 * sum(v.n_toks)), 4) AS DOUBLE)
+           CAST(ROUND(sum(length(d.word) + 1)
+                      / (1.0 * sum(COALESCE(v.n_toks, length(d.word) + 1))), 4) AS DOUBLE)
              AS compression
-    FROM doc_words d JOIN vocab v USING (word)
+    FROM doc_words d LEFT JOIN vocab v USING (word)
     GROUP BY d.doc_id
     """
 
@@ -212,15 +215,48 @@ def _fertility_oracle(n: int = N_MERGES) -> str:
     return _vocab_cte_chain(n) + """
     SELECT doc.lang,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(v.n_toks) AS BIGINT) AS n_bpe_tokens,
-           CAST(ROUND(sum(v.n_toks) / (1.0 * count(*)), 4) AS DOUBLE) AS fertility,
+           CAST(sum(COALESCE(v.n_toks, length(d.word) + 1)) AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(sum(COALESCE(v.n_toks, length(d.word) + 1)) / (1.0 * count(*)), 4)
+                AS DOUBLE) AS fertility,
            CAST(ROUND(sum(length(d.word)) / (1.0 * count(*)), 4) AS DOUBLE)
              AS avg_word_len
     FROM doc_words d
-    JOIN vocab v USING (word)
+    LEFT JOIN vocab v USING (word)
     JOIN documents doc USING (doc_id)
     GROUP BY doc.lang
     """
+
+
+def char_fallback_bpe(word_col):
+    """OOV token count for a word outside the trained BPE vocab:
+    character-level encoding — one token per character plus the
+    end-of-word symbol. Matches the untrained-baseline `n_char_symbols`
+    semantics, so an entirely-OOV document has compression exactly 1."""
+    return F.length(word_col) + 1
+
+
+def encode_bpe(docs, seg):
+    """Corpus encode given the trained (word, n_toks) segmentation:
+    one explode + a word-keyed LEFT join against the |distinct words|-row
+    segmentation table + one doc-keyed agg. The seg table grows with
+    the corpus's distinct-word count (Heaps' law: 10^8-10^9 at 100 TB),
+    so the join is deliberately UNHINTED — AQE broadcasts it only when
+    runtime stats justify it (pinned by tests/test_plans.py). Words
+    outside the vocab fall back to character-level encoding."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    n_toks = F.coalesce(F.col("n_toks"), char_fallback_bpe(F.col("word")))
+    return (
+        doc_words.join(seg, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(n_toks).alias("n_bpe_tokens"),
+            F.sum(F.length("word") + 1).alias("n_char_symbols"),
+            F.round(
+                F.sum(F.length("word") + 1) / (1.0 * F.sum(n_toks)), 4
+            ).cast("double").alias("compression"),
+        )
+    )
 
 
 @query("q_bpe_encode", tags=("text", "llm"), oracle=_encode_oracle())
@@ -229,10 +265,8 @@ def q_bpe_encode(spark, sf_dir):
     BPE token count, the character-level symbol count (chars + one
     end-of-word per word — the untrained baseline), and the resulting
     compression ratio. Encoding never re-runs merges over the corpus:
-    a word's token sequence is a pure function of the trained vocab, so
-    the corpus pays ONE explode + word-keyed join against the |V|-row
-    segmentation table (broadcastable at typical vocab sizes) and one
-    doc-keyed agg — the exact shape tokenizer application has at 100 TB.
+    a word's token sequence is a pure function of the trained vocab —
+    see :func:`encode_bpe` for the join shape and OOV fallback.
     ``</w>`` counts as part of the last token of each word (standard)."""
     from incremental_dagster_delta_spark.tables import materialize_release
 
@@ -240,39 +274,32 @@ def q_bpe_encode(spark, sf_dir):
     _, vocab = learn_bpe(spark, docs)
     syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
     seg = vocab.select("word", F.size(syms).cast("long").alias("n_toks"))
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
-    out = (
-        doc_words.join(seg, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_toks").alias("n_bpe_tokens"),
-            F.sum(F.length("word") + 1).alias("n_char_symbols"),
-            F.round(
-                F.sum(F.length("word") + 1) / (1.0 * F.sum("n_toks")), 4
-            ).cast("double").alias("compression"),
-        )
-    )
-    return materialize_release(out, vocab)
+    return materialize_release(encode_bpe(docs, seg), vocab)
 
 
-def fertility_by_lang(docs, seg: "DataFrame", tokens_alias: str = "n_bpe_tokens"):
+def fertility_by_lang(docs, seg: "DataFrame", tokens_alias: str = "n_bpe_tokens",
+                      fallback=char_fallback_bpe):
     """Per-language fertility given ANY (word, n_toks) segmentation
     table — tokenizer-agnostic (BPE's final merge segmentation or the
     unigram-LM Viterbi segmentation both plug in; the round-6 verdict's
     'accept either tokenizer' rewiring). The corpus pays one explode
     (lang rides along on each exploded row — no doc-level join back) +
-    a word-keyed join against the |V|-row broadcast segmentation table;
-    the final agg keys on |langs| rows."""
+    a word-keyed LEFT join against the |distinct words|-row segmentation
+    table; the final agg keys on |langs| rows. The seg table grows with
+    the corpus's distinct-word count (Heaps' law), so the join is
+    UNHINTED — AQE broadcasts only when runtime stats justify it
+    (pinned by tests/test_plans.py). OOV words (outside the trained
+    vocab) take ``fallback(word)`` tokens — character-level encoding."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     lang_words = docs.select("lang", F.explode(toks).alias("word"))
+    n_toks = F.coalesce(F.col("n_toks"), fallback(F.col("word")))
     return (
-        lang_words.join(F.broadcast(seg), "word")
+        lang_words.join(seg, "word", "left")
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_words"),
-            F.sum("n_toks").cast("long").alias(tokens_alias),
-            F.round(F.sum("n_toks") / (1.0 * F.count("*")), 4)
+            F.sum(n_toks).cast("long").alias(tokens_alias),
+            F.round(F.sum(n_toks) / (1.0 * F.count("*")), 4)
             .cast("double")
             .alias("fertility"),
             F.round(F.sum(F.length("word")) / (1.0 * F.count("*")), 4)

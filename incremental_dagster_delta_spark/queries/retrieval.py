@@ -110,17 +110,18 @@ def q_unigram_surprisal(spark, sf_dir):
     """Mean unigram surprisal per document — the cheapest LM-based
     quality score (CCNet uses a real LM; the unigram model is the
     degenerate case with the same plumbing). Two passes over the token
-    explode: corpus vocabulary counts (broadcast — unigram tables are
-    tiny), then a per-doc average of −ln p(token). Map-side join +
-    one groupBy doc_id; no stage touches more than the exploded token
-    stream, which is the same cost as tokenization itself."""
+    explode: corpus vocabulary counts (one row per distinct token —
+    Heaps-law-sized at 100 TB, so the join is UNHINTED and AQE picks
+    broadcast only when runtime stats justify it), then a per-doc
+    average of −ln p(token). One groupBy doc_id; no stage touches more
+    than the exploded token stream, the same cost as tokenization."""
     d = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("total"))
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -168,7 +169,8 @@ def q_surprisal_buckets(spark, sf_dir):
     partition (head/middle/tail by LM perplexity, here the unigram
     proxy): score every doc, ntile(5) within its language, report each
     bucket's doc count and surprisal band. The scoring is the same
-    broadcast-vocab shape as q_unigram_surprisal; the quintile window
+    UNHINTED distinct-token-vocab join as q_unigram_surprisal (Heaps'
+    law rules out a forced broadcast at 100 TB); the quintile window
     shuffles one narrow (lang, surprisal) row per doc. Deterministic
     ntile tie-break on doc_id keeps Spark and DuckDB identical."""
     from pyspark.sql import Window
@@ -179,7 +181,7 @@ def q_surprisal_buckets(spark, sf_dir):
     vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("total"))
     scored = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -294,9 +296,11 @@ def q_pmi_bigrams(spark, sf_dir):
     """Pointwise mutual information of adjacent token pairs — the
     collocation detector (phrases like proper names score high PMI;
     chance co-occurrences of frequent words score ~0). One bigram
-    explode + two count aggs; unigram counts broadcast to the PMI join,
-    so the only wide shuffle keys on the bigram itself. Reported above a
-    min-count floor, as PMI is noise below it."""
+    explode + two count aggs; the unigram count table has one row per
+    distinct corpus token (Heaps-law-sized at 100 TB), so both PMI
+    joins are UNHINTED — the min-count filter shrinks the probe side
+    first and AQE broadcasts only when runtime stats justify it.
+    Reported above a min-count floor, as PMI is noise below it."""
     d = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     wtoks = d.select(toks.alias("toks")).where(F.size("toks") >= 2)
@@ -316,8 +320,8 @@ def q_pmi_bigrams(spark, sf_dir):
     bi_tot = bi_counts.agg(F.sum("bc").alias("bn"))
     return (
         bi_counts.where(F.col("bc") >= PMI_MIN_COUNT)
-        .join(F.broadcast(uni_counts.withColumnsRenamed({"tok": "w1", "c": "c1"})), "w1")
-        .join(F.broadcast(uni_counts.withColumnsRenamed({"tok": "w2", "c": "c2"})), "w2")
+        .join(uni_counts.withColumnsRenamed({"tok": "w1", "c": "c1"}), "w1")
+        .join(uni_counts.withColumnsRenamed({"tok": "w2", "c": "c2"}), "w2")
         .crossJoin(F.broadcast(bi_tot))
         .crossJoin(F.broadcast(uni_tot))
         .select(

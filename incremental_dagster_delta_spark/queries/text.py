@@ -390,9 +390,11 @@ def q_topic_terms(spark, sf_dir):
     within the source × inverse SOURCE frequency, top-{TOPIC_TOP_N} per
     source. The corpus-exploration readout behind mixture debugging
     ("what is source X actually full of?"). Token explode feeds one
-    (source, tok) aggregation; the per-term source-df table and 1-row
-    source count broadcast; ranking is a window over the per-source
-    term lists. Scores round at 6 BEFORE the rank (the ADVICE
+    (source, tok) aggregation; the per-term source-df table has one row
+    per distinct corpus token (Heaps-law-sized at 100 TB) so its join is
+    UNHINTED — AQE broadcasts only when runtime stats justify it; only
+    the 1-row source count is hint-broadcast. Ranking is a window over
+    the per-source term lists. Scores round at 6 BEFORE the rank (the ADVICE
     ntile-boundary rule) with a token tiebreak, so ordering is
     engine-identical."""
     from pyspark.sql.window import Window
@@ -407,7 +409,7 @@ def q_topic_terms(spark, sf_dir):
     sdf = tf.groupBy("tok").agg(F.count("*").alias("df"))
     ns = tf.agg(F.countDistinct("source").alias("n_sources"))
     scored = (
-        tf.join(F.broadcast(sdf), "tok")
+        tf.join(sdf, "tok")
         .crossJoin(F.broadcast(ns))
         .select(
             "source",

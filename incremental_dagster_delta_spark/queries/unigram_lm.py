@@ -26,8 +26,12 @@ float surface is the single ``ln`` per vocab piece before integer
 rounding; its distance from the rounding boundary is measured and
 pinned by tests/test_unigram_lm.py (the q_pca_topk margin device).
 Training words are capped at MAX_WORD_LEN chars (the DP/oracle unroll
-bound) — at every shipped SF the corpus max word length is 8, so
-nothing is excluded at the compared scales.
+bound) — at every shipped SF the corpus max word length is 8 (pinned by
+tests/test_unigram_lm.py), so nothing is excluded from TRAINING at the
+compared scales. Application (encode/fertility) covers every corpus
+word regardless: words outside the trained segmentation fall back to
+character-level encoding (:func:`char_fallback_unigram`), mirrored in
+the oracles via LEFT JOIN + COALESCE.
 
 Oracle — the q_pagerank / q_bpe_merges device: the identical hard-EM
 replayed as unrolled chained CTEs (per EM iteration, one MATERIALIZED
@@ -313,12 +317,13 @@ def _unigram_fertility_oracle() -> str:
     )
     SELECT doc.lang,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(v.n_toks) AS BIGINT) AS n_unigram_tokens,
-           CAST(ROUND(sum(v.n_toks) / (1.0 * count(*)), 4) AS DOUBLE) AS fertility,
+           CAST(sum(COALESCE(v.n_toks, length(d.word))) AS BIGINT) AS n_unigram_tokens,
+           CAST(ROUND(sum(COALESCE(v.n_toks, length(d.word))) / (1.0 * count(*)), 4)
+                AS DOUBLE) AS fertility,
            CAST(ROUND(sum(length(d.word)) / (1.0 * count(*)), 4) AS DOUBLE)
              AS avg_word_len
     FROM doc_words d
-    JOIN vocab v USING (word)
+    LEFT JOIN vocab v USING (word)
     JOIN documents doc USING (doc_id)
     GROUP BY doc.lang"""
     )
@@ -352,8 +357,9 @@ def q_unigram_fertility(spark, sf_dir):
     the second tokenizer family, via the shared
     ``bpe.fertility_by_lang`` helper (the round-6 verdict's 'accept
     either tokenizer' rewiring): any (word, n_toks) segmentation table
-    plugs in. Scale shape: one corpus explode + a broadcast word-keyed
-    join against the |V|-row segmentation + a |langs|-row agg."""
+    plugs in. Scale shape: one corpus explode + an UNHINTED word-keyed
+    join against the |distinct words|-row segmentation + a |langs|-row
+    agg; OOV words take the unigram char-fallback."""
     from incremental_dagster_delta_spark.queries.bpe import fertility_by_lang
     from incremental_dagster_delta_spark.tables import materialize_release
 
@@ -361,7 +367,9 @@ def q_unigram_fertility(spark, sf_dir):
     segs, _, words = train_unigram(spark, docs)
     pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
     seg = segs.select("word", F.size(pieces).cast("long").alias("n_toks"))
-    out = fertility_by_lang(docs, seg, tokens_alias="n_unigram_tokens")
+    out = fertility_by_lang(
+        docs, seg, tokens_alias="n_unigram_tokens", fallback=char_fallback_unigram
+    )
     return materialize_release(out, words)
 
 
@@ -377,12 +385,46 @@ def _unigram_encode_oracle() -> str:
       SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
     )
     SELECT d.doc_id,
-           CAST(sum(v.n_toks) AS BIGINT) AS n_unigram_tokens,
+           CAST(sum(COALESCE(v.n_toks, length(d.word))) AS BIGINT) AS n_unigram_tokens,
            CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
-           CAST(ROUND(sum(length(d.word)) / (1.0 * sum(v.n_toks)), 4) AS DOUBLE)
+           CAST(ROUND(sum(length(d.word))
+                      / (1.0 * sum(COALESCE(v.n_toks, length(d.word)))), 4) AS DOUBLE)
              AS compression
-    FROM doc_words d JOIN vocab v USING (word)
+    FROM doc_words d LEFT JOIN vocab v USING (word)
     GROUP BY d.doc_id"""
+    )
+
+
+def char_fallback_unigram(word_col):
+    """OOV token count for a word outside the trained segmentation
+    (longer than MAX_WORD_LEN or containing SEP — excluded from
+    training): character-level encoding, one token per character —
+    SentencePiece's byte/char-fallback shape. An entirely-OOV document
+    therefore has compression exactly 1."""
+    return F.length(word_col)
+
+
+def encode_unigram(docs, seg):
+    """Corpus encode given the trained (word, n_toks) Viterbi
+    segmentation: one explode + a word-keyed LEFT join against the
+    |distinct words|-row segmentation table + one doc-keyed agg. The
+    seg table grows with the corpus's distinct-word count (Heaps' law:
+    10^8-10^9 rows at 100 TB), so the join is deliberately UNHINTED —
+    AQE broadcasts only when runtime stats justify it (pinned by
+    tests/test_plans.py). OOV words fall back to char-level counts."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
+    n_toks = F.coalesce(F.col("n_toks"), char_fallback_unigram(F.col("word")))
+    return (
+        doc_words.join(seg, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(n_toks).cast("long").alias("n_unigram_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.round(F.sum(F.length("word")) / (1.0 * F.sum(n_toks)), 4)
+            .cast("double")
+            .alias("compression"),
+        )
     )
 
 
@@ -392,27 +434,12 @@ def q_unigram_encode(spark, sf_dir):
     the Viterbi token count, character count, and compression ratio —
     the q_bpe_encode twin for the second tokenizer family. Encoding
     never re-runs EM over the corpus: a word's token count is a pure
-    function of the trained vocab, so the corpus pays ONE explode + a
-    word-keyed join against the |V|-row broadcast segmentation table
-    and one doc-keyed agg — the exact shape tokenizer application has
-    at 100 TB."""
+    function of the trained vocab — see :func:`encode_unigram` for the
+    join shape and OOV char-fallback."""
     from incremental_dagster_delta_spark.tables import materialize_release
 
     docs = t(spark, sf_dir, "documents")
     segs, _, words = train_unigram(spark, docs)
     pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
     seg = segs.select("word", F.size(pieces).cast("long").alias("n_toks"))
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    doc_words = docs.select("doc_id", F.explode(toks).alias("word"))
-    out = (
-        doc_words.join(F.broadcast(seg), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_toks").cast("long").alias("n_unigram_tokens"),
-            F.sum(F.length("word")).cast("long").alias("n_chars"),
-            F.round(F.sum(F.length("word")) / (1.0 * F.sum("n_toks")), 4)
-            .cast("double")
-            .alias("compression"),
-        )
-    )
-    return materialize_release(out, words)
+    return materialize_release(encode_unigram(docs, seg), words)

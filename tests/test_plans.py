@@ -331,3 +331,73 @@ def test_bigram_scoring_joins_shuffle(spark, sf_dir):
     assert phys.count("SortMergeJoin") >= 2, phys
     n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
     assert n_b == 1, f"expected exactly the scalar-v broadcast, saw {n_b}"
+
+
+def _physical_no_autobroadcast(spark, build) -> str:
+    """Physical plan with auto-broadcast disabled: any surviving
+    broadcast join must come from an explicit F.broadcast hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(build())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return plan.split("== Physical Plan ==")[1]
+
+
+def test_tokenizer_seg_joins_shuffle(spark):
+    """The (word, n_toks) segmentation table the tokenizer application
+    paths join against has one row per DISTINCT CORPUS WORD — under
+    Heaps' law 10^8-10^9 rows at 100 TB, not |vocab pieces| — so a
+    forced broadcast OOMs at scale (r7 verdict item 1). With
+    auto-broadcast disabled, the word join must shuffle in all four
+    application paths (encode + fertility for both tokenizer families);
+    AQE may still downgrade to broadcast at runtime when stats justify."""
+    from incremental_dagster_delta_spark.queries.bpe import encode_bpe, fertility_by_lang
+    from incremental_dagster_delta_spark.queries.unigram_lm import (
+        char_fallback_unigram,
+        encode_unigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb"), (2, "de", "bb cc")],
+        "doc_id long, lang string, text string",
+    )
+    seg = spark.createDataFrame([("aa", 1), ("bb", 2)], "word string, n_toks long")
+    builds = {
+        "encode_bpe": lambda: encode_bpe(docs, seg),
+        "encode_unigram": lambda: encode_unigram(docs, seg),
+        "fertility_bpe": lambda: fertility_by_lang(docs, seg),
+        "fertility_unigram": lambda: fertility_by_lang(
+            docs, seg, "n_unigram_tokens", char_fallback_unigram
+        ),
+    }
+    for name, build in builds.items():
+        phys = _physical_no_autobroadcast(spark, build)
+        n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
+        assert n_b == 0, f"{name}: forced broadcast survived\n{phys}"
+        assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys, f"{name}:\n{phys}"
+
+
+@pytest.mark.parametrize(
+    "qid,n_scalar",
+    [
+        ("q_tfidf", 0),
+        ("q_rp_embed", 0),
+        ("q_topic_terms", 1),  # the 1-row source-count scalar
+        ("q_unigram_surprisal", 1),  # the 1-row token-total scalar
+        ("q_surprisal_buckets", 1),  # the 1-row token-total scalar
+        ("q_pmi_bigrams", 2),  # the 1-row bigram/unigram totals
+    ],
+)
+def test_token_df_joins_shuffle(spark, sf_dir, qid, n_scalar):
+    """Per-token document-frequency / unigram-count tables grow with
+    the distinct corpus token set (Heaps' law: 10^8-10^9 at 100 TB) —
+    their joins must not be hint-forced to broadcast (r7 verdict items
+    1/3). With auto-broadcast disabled, the only surviving broadcasts
+    are the 1-row scalar crossJoins, which stay hinted by design."""
+    phys = _physical_no_autobroadcast(spark, lambda: QUERIES[qid].fn(spark, sf_dir))
+    n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
+    assert n_b == n_scalar, (
+        f"{qid}: expected {n_scalar} scalar broadcast(s), saw {n_b}\n{phys}"
+    )

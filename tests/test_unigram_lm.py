@@ -153,3 +153,56 @@ def test_ilogp_is_floor_half_up():
     # the function equals the formula on a few values
     for cnt, total in [(1, 3), (2, 7), (5, 11)]:
         assert _ilogp(cnt, total) == math.floor(math.log(cnt / total) * SCALE + 0.5)
+
+
+def test_encode_char_fallback_oov(spark):
+    """Words outside the trained segmentation must not vanish from the
+    encode/fertility aggregates (r7 verdict item 2): a planted word
+    longer than MAX_WORD_LEN falls back to character-level counts —
+    len(word) tokens for unigram, len(word)+1 (chars + </w>) for BPE.
+    The oracles apply the identical LEFT JOIN + COALESCE fallback."""
+    from incremental_dagster_delta_spark.queries.bpe import (
+        encode_bpe,
+        fertility_by_lang,
+    )
+    from incremental_dagster_delta_spark.queries.unigram_lm import (
+        MAX_WORD_LEN,
+        char_fallback_unigram,
+        encode_unigram,
+    )
+
+    long_word = "x" * (MAX_WORD_LEN + 4)
+    docs = spark.createDataFrame(
+        [(1, "en", f"aa {long_word}")], "doc_id long, lang string, text string"
+    )
+    seg = spark.createDataFrame([("aa", 1)], "word string, n_toks long")
+
+    uni = encode_unigram(docs, seg).collect()[0]
+    assert uni["n_unigram_tokens"] == 1 + len(long_word)
+    assert uni["n_chars"] == 2 + len(long_word)
+
+    bpe_row = encode_bpe(docs, seg).collect()[0]
+    assert bpe_row["n_bpe_tokens"] == 1 + len(long_word) + 1
+    assert bpe_row["n_char_symbols"] == (2 + 1) + (len(long_word) + 1)
+
+    fert = fertility_by_lang(
+        docs, seg, "n_unigram_tokens", char_fallback_unigram
+    ).collect()[0]
+    assert fert["n_words"] == 2
+    assert fert["n_unigram_tokens"] == 1 + len(long_word)
+
+
+def test_corpus_words_within_dp_bound(spark, sf_dir):
+    """Pin that no corpus word exceeds MAX_WORD_LEN at the shipped SFs:
+    the encode/fertility fallback keeps the hash-compared qids correct
+    either way, but a word silently crossing the cap would change which
+    words TRAIN the vocab — this pin makes testdata drift loud."""
+    from incremental_dagster_delta_spark.queries.registry import t
+    from incremental_dagster_delta_spark.queries.unigram_lm import MAX_WORD_LEN
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    mx = docs.select(
+        F.explode(toks).alias("word")
+    ).agg(F.max(F.length("word")).alias("mx")).collect()[0]["mx"]
+    assert mx <= MAX_WORD_LEN, f"corpus max word length {mx} > {MAX_WORD_LEN}"
