@@ -713,13 +713,16 @@ def k_core_edges(e: DataFrame, k: int, max_iter: int | None = None) -> DataFrame
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
 
 
-def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
-    """(node, core) — each node's core number: the largest k for which it
-    survives the k-core peel. Computed by ascending-k peeling: the
-    (k+1)-peel starts from the k-core's edges (strictly shrinking), so
-    total work is Σ_k rounds_k over ever-smaller graphs. Supports core
-    numbers up to and INCLUDING max_k (the loop runs one probe peel at
-    max_k+1 and raises only if that still leaves edges)."""
+def _ascending_core_peel(e: DataFrame, k_max: int) -> tuple[DataFrame, DataFrame]:
+    """The shared ascending-k peel (Matula & Beck 1983) behind
+    :func:`core_numbers` and :func:`core_numbers_clipped` — the two
+    differ only in on-cap behavior (probe-and-raise vs clip), so the
+    peel lives in one place (ADVICE r7). The (k+1)-peel starts from the
+    k-core's edges (strictly shrinking), so total work is Σ_k rounds_k
+    over ever-smaller graphs. Returns ``(cores, remaining)``: the
+    aggregated (node, core) table with cores ≤ k_max, and the edge set
+    surviving the deepest peel (empty iff the graph has no core deeper
+    than k_max)."""
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -727,12 +730,10 @@ def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
     )
     cores = nodes.select("node", F.lit(0).alias("core"))
     cur = e
-    for k in range(1, max_k + 2):
+    for k in range(1, k_max + 1):
         cur = k_core_edges(cur, k)
         if cur.isEmpty():
             break
-        if k == max_k + 1:
-            raise RuntimeError(f"core_numbers: graph has a core deeper than {max_k}")
         survivors = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -740,7 +741,20 @@ def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
             .select("node", F.lit(k).alias("core"))
         )
         cores = cores.unionAll(survivors)
-    return cores.groupBy("node").agg(F.max("core").cast("long").alias("core"))
+    agg = cores.groupBy("node").agg(F.max("core").cast("long").alias("core"))
+    return agg, cur
+
+
+def core_numbers(e: DataFrame, max_k: int = 64) -> DataFrame:
+    """(node, core) — each node's core number: the largest k for which it
+    survives the k-core peel (see :func:`_ascending_core_peel` for the
+    schedule). Supports core numbers up to and INCLUDING max_k: one
+    probe peel at max_k+1 runs on whatever survived the deepest level
+    and raises only if that still leaves edges."""
+    cores, rest = _ascending_core_peel(e, max_k)
+    if not rest.isEmpty() and not k_core_edges(rest, max_k + 1).isEmpty():
+        raise RuntimeError(f"core_numbers: graph has a core deeper than {max_k}")
+    return cores
 
 
 def core_numbers_clipped(e: DataFrame, k_cap: int) -> DataFrame:
@@ -751,25 +765,7 @@ def core_numbers_clipped(e: DataFrame, k_cap: int) -> DataFrame:
     query: the peel cost is bounded by construction at any data scale,
     and for graph-hygiene use (dense-cluster vs incidental-match
     separation) everything above the cap is "dense enough" anyway."""
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    cores = nodes.select("node", F.lit(0).alias("core"))
-    cur = e
-    for k in range(1, k_cap + 1):
-        cur = k_core_edges(cur, k)
-        if cur.isEmpty():
-            break
-        survivors = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .distinct()
-            .select("node", F.lit(k).alias("core"))
-        )
-        cores = cores.unionAll(survivors)
-    return cores.groupBy("node").agg(F.max("core").cast("long").alias("core"))
+    return _ascending_core_peel(e, k_cap)[0]
 
 
 # Corpus-configuration k-core (the round-6 verdict's ask: q_kcore proves

@@ -29,19 +29,26 @@ transactions:
   commit marker, so renames never collide and both commits land.
 - **same batch id, serialized** (micro-batch replay after restart): the
   second writer observes the commit marker and no-ops — exactly-once.
-- **same batch id, truly concurrent**: detected and failed loudly. A
+- **same batch id, truly concurrent**: exactly one writer publishes. A
   per-batch writer lease (unique token file, write → settle → read-back,
   re-checked as a fence before publish and again before the commit
-  marker) makes one writer raise ``ConcurrentWriterError`` while the
-  survivor publishes exactly once. Spark's streaming checkpoint
-  serializes micro-batch replays, so this case cannot arise from the
-  pipeline; the lease covers out-of-pipeline double-drives. The
-  detection is best-effort — the FileSystem API has no atomic
+  marker) serializes the race: a writer that finds a live foreign lease
+  WAITS (bounded by ``lease_ttl_ms``) — if the holder commits, the
+  waiter observes the marker and no-ops; if the holder crashed, the
+  lease ages out and the waiter takes over and replays (streaming
+  restarts within the TTL self-heal instead of crash-looping); writers
+  that race INTO the lease write itself are caught by the token
+  read-back fence and one raises ``ConcurrentWriterError``. The marker
+  is re-checked after lease acquisition, so a writer whose pre-lease
+  marker check raced just ahead of another writer's commit serializes
+  to a no-op rather than re-publishing. Spark's streaming checkpoint
+  serializes micro-batch replays, so the concurrent case cannot arise
+  from the pipeline; the lease covers out-of-pipeline double-drives.
+  The detection is best-effort — the FileSystem API has no atomic
   create-exclusive on every store, so an adversarially-timed pair can
   still slip between fence checks (a real Delta log closes that window
   with an optimistic-CAS commit); every straightforwardly raced
-  execution fails one writer, never silently doubles. Stale leases
-  (holder crashed) age out after ``lease_ttl_ms``.
+  execution publishes the batch exactly once, never silently doubles.
 """
 
 from __future__ import annotations
@@ -373,8 +380,16 @@ class PartitionedTable:
         marker = Path(posixpath.join(self.path, "_commits", str(batch_id)))
         if fs.exists(marker):
             return False
-        token = self._acquire_lease(fs, Path, batch_id)
+        token = self._acquire_lease(fs, Path, batch_id, marker)
+        if token is None:  # committed while we waited on a live lease
+            return False
         try:
+            # Re-check the marker now that WE hold the lease: a writer
+            # whose pre-lease marker check raced just ahead of another
+            # writer's commit must serialize to a no-op here, not
+            # re-publish an already-committed batch (ADVICE r7).
+            if fs.exists(marker):
+                return False
             return self._append_batch_locked(
                 df, batch_id, jvm, fs, Path, root, marker, token
             )
@@ -385,32 +400,44 @@ class PartitionedTable:
         return Path(posixpath.join(self.path, "_commits", f"{batch_id}.lease"))
 
     def _read_lease(self, fs, lease) -> str:
+        # one buffered read via commons-io (on the Hadoop classpath), not
+        # a byte-per-JNI-call loop — three fence checks per append
+        # (ADVICE r7)
+        IOUtils = self.spark._jvm.org.apache.commons.io.IOUtils
         stream = fs.open(lease)
         try:
-            data = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                data.append(b)
-            return bytes(data).decode("utf-8", errors="replace")
+            return bytes(IOUtils.toByteArray(stream)).decode("utf-8", errors="replace")
         finally:
             stream.close()
 
-    def _acquire_lease(self, fs, Path, batch_id: int) -> str:
+    def _acquire_lease(self, fs, Path, batch_id: int, marker=None) -> str | None:
         """Best-effort per-batch mutual exclusion: write a unique token,
         wait a settle interval, and read back — of N racing writers the
         last write wins and every other reads a foreign token and raises.
-        A lease older than ``lease_ttl_ms`` belongs to a crashed holder
-        and is taken over (the replay path must never deadlock)."""
+
+        A live foreign lease is WAITED OUT rather than raised on
+        immediately: after a hard crash mid-append (``finally`` never
+        ran), micro-batch replay on restart must self-heal within
+        ``lease_ttl_ms``, not crash-loop until the lease ages out
+        (ADVICE r7). The wait is bounded — the holder either commits
+        (marker appears → return ``None``, caller no-ops), releases
+        (we take the lease), or crashed (age crosses the TTL and we
+        take over); a holder that outlives the full TTL without any of
+        those raises :class:`ConcurrentWriterError`."""
         lease = self._lease_path(Path, batch_id)
-        if fs.exists(lease):
+        deadline = time.time() + self.lease_ttl_ms / 1000.0
+        while fs.exists(lease):
+            if marker is not None and fs.exists(marker):
+                return None  # holder committed; batch is done
             age_ms = int(time.time() * 1000) - fs.getFileStatus(lease).getModificationTime()
-            if age_ms < self.lease_ttl_ms:
+            if age_ms >= self.lease_ttl_ms:
+                break  # crashed holder: take over
+            if time.time() >= deadline:
                 raise ConcurrentWriterError(
                     f"batch {batch_id}: live writer lease at {lease} "
-                    f"(age {age_ms} ms < ttl {self.lease_ttl_ms} ms)"
+                    f"still held after waiting {self.lease_ttl_ms} ms"
                 )
+            time.sleep(min(max(self.lease_settle_s, 0.02), 1.0))
         token = uuid.uuid4().hex
         out = fs.create(lease, True)
         out.write(bytearray(token.encode("utf-8")))

@@ -8,10 +8,12 @@ delta-rs transactions (delta_io.py:112-116):
   per-batch markers — no shared mutable state);
 - same batch id, serialized writers: the second observes the commit
   marker and no-ops (returns False) — the foreachBatch replay contract;
-- same batch id, truly concurrent writers: the per-batch writer lease
-  fails one writer loudly (ConcurrentWriterError) while the survivor
-  publishes exactly once; stale leases from crashed holders age out
-  after lease_ttl_ms (best-effort detection — see tableio.py's matrix).
+- same batch id, truly concurrent writers: exactly one publishes — a
+  writer that finds a live foreign lease waits (bounded by
+  lease_ttl_ms) and serializes to a no-op once the holder's marker
+  appears, takes over if the holder crashed, or raises
+  ConcurrentWriterError when racing into the lease write itself
+  (best-effort detection — see tableio.py's matrix).
 """
 
 from __future__ import annotations
@@ -153,19 +155,43 @@ def test_stale_lease_is_taken_over(spark, tmp_path):
     assert table.read().count() == 3
 
 
-def test_fresh_foreign_lease_fails_fast(spark, tmp_path):
-    """A live foreign lease (within TTL) must be honored: the second
-    writer raises without writing anything."""
-    from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
+def test_live_foreign_lease_waits_then_takes_over(spark, tmp_path):
+    """A live foreign lease from a crashed holder (finally never ran, so
+    the lease was never released) must not crash-loop the replay: the
+    writer WAITS until the lease ages past lease_ttl_ms, then takes
+    over and commits — streaming restarts within the TTL self-heal
+    (ADVICE r7)."""
+    import time
 
     path = str(tmp_path / "t6")
-    table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=60_000)
+    table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=700, lease_settle_s=0.01)
     commits = tmp_path / "t6" / "_commits"
     commits.mkdir(parents=True)
-    (commits / "4.lease").write_text("other-writer-token")
-    try:
-        table.append_batch(_df(spark, "2024-01-07", 2, 0), 4)
-        raise AssertionError("expected ConcurrentWriterError")
-    except ConcurrentWriterError:
-        pass
-    assert not table.exists() or table.read().count() == 0
+    (commits / "4.lease").write_text("other-writer-token")  # fresh: age ~0
+    t0 = time.time()
+    assert table.append_batch(_df(spark, "2024-01-07", 2, 0), 4) is True
+    waited = time.time() - t0
+    assert waited >= 0.5, f"should have waited out the live lease, waited {waited:.2f}s"
+    assert table.read().count() == 2
+
+
+def test_live_lease_with_marker_is_completed_batch(spark, tmp_path):
+    """A live foreign lease PLUS a present commit marker means the batch
+    already committed (the holder crashed between marker write and lease
+    release, or is about to release): the writer no-ops immediately
+    instead of waiting out the TTL or re-publishing (ADVICE r7)."""
+    import time
+
+    path = str(tmp_path / "t7")
+    first = PartitionedTable(spark, path, ["day"], lease_settle_s=0.01)
+    assert first.append_batch(_df(spark, "2024-01-08", 3, 0), 5) is True
+    # simulate the crashed-after-commit holder: marker exists, lease live
+    commits = tmp_path / "t7" / "_commits"
+    (commits / "5.lease").write_text("crashed-after-commit-token")
+    second = PartitionedTable(spark, path, ["day"], lease_ttl_ms=60_000)
+    t0 = time.time()
+    assert second.append_batch(_df(spark, "2024-01-08", 3, 50), 5) is False
+    assert time.time() - t0 < 5.0, "marker+lease must short-circuit, not wait out TTL"
+    out = first.read()
+    assert out.count() == 3
+    assert {r["id"] for r in out.collect()} == {0, 1, 2}
