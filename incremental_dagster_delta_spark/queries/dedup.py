@@ -1000,3 +1000,159 @@ def q_dedup_fuzzy(spark, sf_dir):
             dist.cast("long").alias("edit_distance"),
         )
     )
+
+
+# --- exact substring (span) dedup --------------------------------------------
+#
+# The one standard LLM dedup family the document-level and line-level
+# operators both miss: cross-document duplicated SPANS — runs of >=
+# SUBSTR_MIN_SPAN consecutive tokens shared verbatim by two documents
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better", the suffix-array ExactSubstr dedup). The suffix-array
+# formulation is inherently sequential; the Spark-first equivalent is
+# positional shingle postings + a gaps-and-islands window:
+#
+#   1. positional K-token shingles (doc_id, pos, shingle) — the
+#      q_ngram_jaccard inverted-index machinery, positions kept;
+#   2. df-cap the postings (drop shingles in > SUBSTR_DF_CAP docs):
+#      bounds the self-join at sum(df^2) by construction, the same
+#      unconditional bound as DF_CAP above. A span consisting ENTIRELY
+#      of ultra-common shingles is the documented trade (boilerplate
+#      that hot is better handled by q_boilerplate_lines);
+#   3. self-join postings on shingle with doc_a < doc_b: one match row
+#      per aligned shingle occurrence;
+#   4. islands: within a (doc_a, doc_b) pair, a shared span is a run of
+#      matches advancing BOTH positions by 1 — i.e. constant diagonal
+#      (pos_a - pos_b) with consecutive pos_a. island = pos_a -
+#      row_number() over (pair, diag | order pos_a) groups each maximal
+#      run; a run of n shingles covers n + K - 1 tokens.
+#
+# At 100 TB: the postings table partitions by shingle hash (the join
+# key), the window partitions by (doc_a, doc_b, diag) — millions of
+# tiny partitions, never a global sort; every stage is bounded by the
+# df cap. No UDFs anywhere.
+
+SUBSTR_K = 5  # positional shingle width (tokens)
+SUBSTR_MIN_SPAN = 8  # minimum duplicated span length (tokens) to report
+SUBSTR_DF_CAP = 64  # drop shingles appearing in more docs (join bound)
+
+_SUBSTR_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ') AS shingle
+      FROM toks, unnest(range(1, len(toks) - {SUBSTR_K} + 2)) r(i)
+      WHERE len(toks) >= {SUBSTR_K}
+    ),
+    cold AS (
+      SELECT p.doc_id, p.pos, p.shingle
+      FROM pos p
+      JOIN (
+        SELECT shingle FROM pos GROUP BY shingle
+        HAVING count(DISTINCT doc_id) <= {SUBSTR_DF_CAP}
+      ) keep USING (shingle)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_b) AS BIGINT) AS start_b,
+           CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS span_tokens
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
+"""
+
+
+def positional_shingles(d: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, shingle) — K-token shingles WITH their 1-based
+    token position (q_ngram_jaccard's :func:`doc_shingles` drops
+    positions and distincts; span detection needs both kept)."""
+    toks = _tokens(F.col("text"))
+    wt = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(F.col("toks"), i, k), " ").alias("shingle"),
+        ),
+    )
+    return wt.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.shingle").alias("shingle")
+    )
+
+
+def substring_spans(
+    spark,
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    min_span: int = SUBSTR_MIN_SPAN,
+    df_cap: int = SUBSTR_DF_CAP,
+) -> DataFrame:
+    """Cross-document duplicated spans ≥ ``min_span`` tokens — see the
+    section comment above for the algorithm and its bounds. Returns
+    (doc_a, doc_b, start_a, start_b, span_tokens), one row per maximal
+    shared run per document pair."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    ps = positional_shingles(docs, k).persist()
+    keep = (
+        ps.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    cold = ps.join(keep, "shingle")
+    m = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    out = (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + (k - 1)).cast("long").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+    return materialize_release(out, ps)
+
+
+@query("q_substring_dedup", tags=("dedup", "llm"), oracle=_SUBSTR_ORACLE)
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring (span) dedup: every maximal run of ≥
+    SUBSTR_MIN_SPAN consecutive tokens shared verbatim across a document
+    pair — the Lee et al. 2021 ExactSubstr family, re-expressed as
+    df-capped positional shingle postings + a gaps-and-islands window
+    (see :func:`substring_spans`). Catches copied passages inside
+    otherwise-distinct documents, which document-level MinHash/SimHash
+    and line-level q_dedup_lines both miss."""
+    return substring_spans(spark, t(spark, sf_dir, "documents"))

@@ -115,3 +115,43 @@ def test_hot_stats_cache_memoizes_and_isolates(spark):
     finally:
         for k in ("t_cold", "t_hot"):
             _HOT_STATS_CACHE.pop(k, None)
+
+
+def test_substring_spans_planted(spark):
+    """Kernel pin for q_substring_dedup on a planted pair: a 9-token
+    verbatim span shared mid-document is found with exact start
+    positions and length; a 7-token shared run (< SUBSTR_MIN_SPAN=8)
+    is not reported."""
+    from incremental_dagster_delta_spark.queries.dedup import (
+        SUBSTR_MIN_SPAN,
+        substring_spans,
+    )
+
+    span9 = "p q r s t u v w x"  # 9 tokens >= MIN_SPAN
+    span7 = "c1 c2 c3 c4 c5 c6 c7"  # 7 tokens < MIN_SPAN
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span9} y z"),
+            (2, f"m n {span9} k"),
+            (3, f"a0 {span7} b0"),
+            (4, f"d0 d1 {span7} e0"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {tuple(r) for r in substring_spans(spark, docs).collect()}
+    assert rows == {(1, 2, 1, 3, 9)}, rows
+    assert SUBSTR_MIN_SPAN == 8  # the planted lengths above assume this
+
+
+def test_substring_spans_repeated_span_two_islands(spark):
+    """A span duplicated TWICE in one document yields one maximal island
+    per alignment (distinct diagonals), not a merged or doubled run."""
+    from incremental_dagster_delta_spark.queries.dedup import substring_spans
+
+    span = "p q r s t u v w"  # 8 tokens == MIN_SPAN
+    docs = spark.createDataFrame(
+        [(1, f"{span} zz1 zz2"), (2, f"aa {span} bb {span}")],
+        "doc_id long, text string",
+    )
+    rows = {tuple(r) for r in substring_spans(spark, docs).collect()}
+    assert rows == {(1, 2, 1, 2, 8), (1, 2, 1, 11, 8)}, rows
