@@ -44,80 +44,77 @@ from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F40
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. Round 6 left every registered qid driver-green
-# cumulatively; round 7's job (per the r6 verdict) is to convert "green
-# once" into "stays green": (a) first rows for the 4 qids added this
-# round, (b) re-confirms for qids whose code paths changed this round
-# (bpe fertility refactor, lm.py plan-doc/oracle hardening, the
-# append_batch writer lease), (c) re-confirms for qids whose shared
-# kernels churned in r6 AFTER their last row (graph star-contraction /
-# md5-uniform family, last checked r4), and (d) the ENTIRE remaining
-# round-2 cohort — the stalest green rows in the registry (34 qids whose
-# only driver rows predate four rounds of shared-infrastructure change)
-# — plus the oldest r3 multi-hop row. Everything rotating out holds a
-# green r5/r6 row on an unchanged code path.
+# across rounds. After r7, the stalest green rows are the 72-qid r3/r4
+# cohort; the r7 verdict's ask is to EMPTY the r3 set this round and
+# finish the r4 remainder in r9. The r8 front is therefore: (a) the new
+# qid, (b) re-confirms for every code path changed this round — the
+# tokenizer OOV-fallback + seg-join unhinting (bpe/unigram encode +
+# fertility), the TF-IDF-class broadcast unhinting (q_tfidf/q_rp_embed/
+# q_topic_terms/q_unigram_surprisal/q_surprisal_buckets/q_pmi_bigrams),
+# the append_batch lease rework (q_delta_append/q_exactly_once_publish/
+# q_multi_hop), and the shared ascending-peel refactor (q_kcore/
+# q_kcore_corpus) — (c) the ENTIRE r3 cohort (34 qids, q_tfidf among
+# them). Both new qids take front slots immediately (the "new qid =
+# next-round debt" rule), which leaves no fill slot — the r4 cohort
+# (q_drip_source and peers) is r9's burn-down per the r7 verdict.
+# Everything rotating out holds a green r5-r7 row on an unchanged code
+# path.
 # --------------------------------------------------------------------------
-_R7_FRONT = [
+_R8_FRONT = [
     # (a) new this round — first driver rows
-    "q_recall_at_k",
-    "q_kcore_corpus",
-    "q_unigram_lm",
-    "q_unigram_fertility",
-    "q_unigram_encode",
-    # (b) code paths changed this round: fertility_by_lang refactor
-    # (bpe.py), lm.py oracle hardening, append_batch writer lease
-    # (q_bpe_merges stays out: learn_bpe itself is untouched and it
-    # holds a green r6 row)
-    "q_tokenizer_fertility",
+    "q_substring_dedup",
+    "q_dup_span_fraction",
+    # (b) code paths changed this round
     "q_bpe_encode",
-    "q_bigram_perplexity",
-    "q_vocab_coverage",
-    "q_exactly_once_publish",
+    "q_tokenizer_fertility",
+    "q_unigram_encode",
+    "q_unigram_fertility",
+    "q_rp_embed",
+    "q_topic_terms",
+    "q_unigram_surprisal",
+    "q_surprisal_buckets",
+    "q_pmi_bigrams",
     "q_delta_append",
-    # (c) last row r4, shared kernels (star contraction, md5_uniform
-    # consolidation, graph.py churn) changed since
-    "q_dedup_clusters",
-    "q_dedup_survivors",
-    "q_leakage_free_split",
-    "q_dsir_weights",
-    # (d) the full round-2 cohort — stalest green rows in the registry
-    "q_date_format",
-    "q_date_parts",
-    "q_dedup_cluster",
-    "q_dedup_exact",
-    "q_dedup_near_keep",
-    "q_dedup_prefix_key",
-    "q_distinct",
-    "q_doc_fingerprint",
-    "q_embedding_norm",
-    "q_frame_sample",
-    "q_iso_week",
-    "q_lang_id",
-    "q_lit_partition_cols",
-    "q_multimodal_features",
-    "q_new_file_antijoin",
-    "q_offset_slice",
-    "q_pricing_summary",
-    "q_rank_in_group",
-    "q_region_revenue",
-    "q_reverse",
-    "q_rollup_agg",
-    "q_row_construction",
-    "q_semi_join",
-    "q_set_ops",
-    "q_sql_frontend",
-    "q_subword_counts",
-    "q_suffix_filter",
-    "q_text_quality",
-    "q_token_counts",
-    "q_top_orders",
-    "q_topk",
-    "q_window_running",
-    "q_winnow_fingerprint",
-    "q_word_length",
-    # oldest r3 row: the multi-hop DAG (exercises the lease-bearing
-    # table IO end to end)
+    "q_exactly_once_publish",
     "q_multi_hop",
+    "q_kcore",
+    "q_kcore_corpus",
+    # (c) the full r3 cohort — stalest rows in the registry (q_tfidf is
+    # also a changed path this round)
+    "q_above_avg_customers",
+    "q_array_funcs",
+    "q_backfill",
+    "q_chunk_docs",
+    "q_csv_source",
+    "q_cube_agg",
+    "q_custdist_outer",
+    "q_excess_shippers",
+    "q_exists_sql",
+    "q_file_listing",
+    "q_grouped_pandas",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_jsonl_source",
+    "q_lead_lag",
+    "q_min_cost_supplier",
+    "q_notin_filter",
+    "q_orc_source",
+    "q_partitioned_write",
+    "q_posexplode",
+    "q_prefilter_semi_join",
+    "q_profit_by_nation_year",
+    "q_promo_ratio",
+    "q_regex_parse",
+    "q_salted_agg",
+    "q_sql_udf",
+    "q_string_funcs",
+    "q_table_diff",
+    "q_tfidf",
+    "q_token_pack",
+    "q_udtf_chunks",
+    "q_unpivot",
+    "q_wholetext_ingest",
+    "q_window_battery",
 ]
 
 
@@ -174,6 +171,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R7_FRONT)
+_rotate(_R8_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -1156,3 +1156,132 @@ def q_substring_dedup(spark, sf_dir):
     otherwise-distinct documents, which document-level MinHash/SimHash
     and line-level q_dedup_lines both miss."""
     return substring_spans(spark, t(spark, sf_dir, "documents"))
+
+
+_DUP_FRACTION_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ') AS shingle
+      FROM toks, unnest(range(1, len(toks) - {SUBSTR_K} + 2)) r(i)
+      WHERE len(toks) >= {SUBSTR_K}
+    ),
+    cold AS (
+      SELECT p.doc_id, p.pos, p.shingle
+      FROM pos p
+      JOIN (
+        SELECT shingle FROM pos GROUP BY shingle
+        HAVING count(DISTINCT doc_id) <= {SUBSTR_DF_CAP}
+      ) keep USING (shingle)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             count(*) + {SUBSTR_K} - 1 AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
+    ),
+    iv AS (
+      SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spans
+      UNION ALL
+      SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spans
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS mn, max(e) AS mx
+      FROM (
+        SELECT doc_id, s, e, sum(brk) OVER (
+          PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM marked
+      ) GROUP BY doc_id, grp
+    ),
+    cov AS (
+      SELECT doc_id, sum(mx - mn + 1) AS dup_tokens FROM merged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(ROUND(COALESCE(c.dup_tokens, 0) / (1.0 * len(t.toks)), 4) AS DOUBLE)
+             AS dup_fraction
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query("q_dup_span_fraction", tags=("dedup", "llm"), oracle=_DUP_FRACTION_ORACLE)
+def q_dup_span_fraction(spark, sf_dir):
+    """Per-document duplicated-token fraction: the share of each
+    document's tokens covered by ANY cross-document duplicated span
+    (≥ SUBSTR_MIN_SPAN tokens) — the corpus-health readout Lee et al.
+    2021 report next to ExactSubstr dedup, and the score a curation
+    pipeline thresholds on ("drop documents that are >50% copied").
+
+    Shape: the :func:`substring_spans` span table (df-cap-bounded, see
+    the section comment above) exploded to per-doc [start, end] token
+    intervals, merged per doc with the classic prefix-max islands
+    window (interval union — overlapping spans from different partners
+    must not double-count a token), then one left join back onto the
+    per-doc token counts so span-free documents report 0. Every window
+    partitions by doc_id; nothing is corpus-global."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    spans = substring_spans(spark, docs)
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens") - 1).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(0)
+    merged = (
+        iv.withColumn("brk", brk)
+        .withColumn("grp", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+    )
+    cov = merged.groupBy("doc_id").agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("dup_tokens"))
+    n_tok = docs.select("doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    return (
+        n_tok.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / (1.0 * F.col("n_tokens")), 4
+            ).cast("double").alias("dup_fraction"),
+        )
+    )

@@ -155,3 +155,32 @@ def test_substring_spans_repeated_span_two_islands(spark):
     )
     rows = {tuple(r) for r in substring_spans(spark, docs).collect()}
     assert rows == {(1, 2, 1, 2, 8), (1, 2, 1, 11, 8)}, rows
+
+
+def test_dup_span_fraction_interval_union(spark, tmp_path):
+    """Overlapping spans from DIFFERENT partner documents must not
+    double-count tokens: doc1 shares tokens 1-9 with doc2 and tokens
+    3-11 with doc3, so its duplicated coverage is the union [1,11] —
+    11 tokens, not 18. A span-free doc reports 0."""
+    import os
+
+    from incremental_dagster_delta_spark.queries.dedup import q_dup_span_fraction
+
+    words = [f"t{i}" for i in range(1, 12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),          # t1..t11
+            (2, " ".join(words[:9])),      # t1..t9  (9-token span with doc1)
+            (3, " ".join(words[2:])),      # t3..t11 (9-token span with doc1)
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8"),  # no shared span
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_dup_span_fraction(spark, sf).collect()}
+    assert (rows[1]["dup_tokens"], rows[1]["n_tokens"]) == (11, 11)
+    assert rows[1]["dup_fraction"] == 1.0
+    assert (rows[2]["dup_tokens"], rows[3]["dup_tokens"]) == (9, 9)
+    assert (rows[4]["dup_tokens"], rows[4]["dup_fraction"]) == (0, 0.0)
