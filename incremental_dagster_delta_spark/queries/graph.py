@@ -499,8 +499,15 @@ def _part_supplier_wide(spark, sf_dir):
     expansion — which was measured to funnel the 8.7M-row pair
     generation (and the per-pair hash work) through ~5 tasks at sf0.1.
     An explicit repartition-by-number is exempt from AQE coalescing, so
-    the expansion runs wide."""
-    n = 2 * spark.sparkContext.defaultParallelism
+    the expansion runs wide.
+
+    Width = 1× defaultParallelism: re-A/B'd round 8 after the r6-tuned
+    2× width drifted above the watch threshold — at sf0.1, medians over
+    two fresh processes were 1×: 4.55/4.79/4.39 s, 2×: 5.70/4.85 s,
+    4×: 6.27 s (docs/SCALE.md). One task per core saturates the machine;
+    extra waves only add scheduling overhead on this expansion size. On
+    a real cluster the same 1×-of-total-cores sizing applies."""
+    n = spark.sparkContext.defaultParallelism
     return (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
