@@ -132,15 +132,21 @@ _R8_FRONT = [
 # --------------------------------------------------------------------------
 # A/B-measured at sf0.1 against the session default (median of 3):
 # q_containment 7.05→2.14 s, q_bpe_encode 4.33→3.24, q_ngram_jaccard_prefix
-# 3.50→3.16, q_dedup_minhash 2.03→1.98. Qids where the scoped count LOST
-# (array-verify or window stages that want full-core parallelism more than
-# low task overhead: q_incremental_dedup 2.58→4.88, q_semdedup,
-# q_boilerplate_lines, q_dedup_lines, q_dedup_embedding) stay unwrapped.
+# 3.50→3.16, q_dedup_minhash 2.03→1.98; round 8: q_substring_dedup
+# 3.04→2.60, q_dup_span_fraction 3.08→2.68 (fan_out on the raw docs was
+# also tried there and LOST, 3.0→4.5 — the family is shuffle-task-
+# overhead bound, not explode-parallelism bound). Qids where the scoped
+# count LOST (array-verify or window stages that want full-core
+# parallelism more than low task overhead: q_incremental_dedup
+# 2.58→4.88, q_semdedup, q_boilerplate_lines, q_dedup_lines,
+# q_dedup_embedding) stay unwrapped.
 _SIZED_SHUFFLE = {
     "q_ngram_jaccard_prefix": "documents",
     "q_dedup_minhash": "documents",
     "q_containment": "documents",
     "q_bpe_encode": "documents",
+    "q_substring_dedup": "documents",
+    "q_dup_span_fraction": "documents",
 }
 
 
