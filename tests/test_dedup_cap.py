@@ -184,3 +184,61 @@ def test_dup_span_fraction_interval_union(spark, tmp_path):
     assert rows[1]["dup_fraction"] == 1.0
     assert (rows[2]["dup_tokens"], rows[3]["dup_tokens"]) == (9, 9)
     assert (rows[4]["dup_tokens"], rows[4]["dup_fraction"]) == (0, 0.0)
+
+
+def _py_spans(docs, k, min_span, df_cap):
+    """Pure-python ExactSubstr reference: positional shingles, df cap,
+    per-(pair, diagonal) consecutive-run islands."""
+    from collections import defaultdict
+
+    postings = defaultdict(list)
+    for d, text in docs:
+        tk = [w for w in text.lower().split(" ") if w]
+        for i in range(len(tk) - k + 1):
+            postings[" ".join(tk[i : i + k])].append((d, i + 1))
+    keep = {sh for sh, ps in postings.items() if len({d for d, _ in ps}) <= df_cap}
+    by_diag = defaultdict(set)
+    for sh in keep:
+        ps = postings[sh]
+        for d1, p1 in ps:
+            for d2, p2 in ps:
+                if d1 < d2:
+                    by_diag[(d1, d2, p1 - p2)].add(p1)
+    out = set()
+    for (a, b, diag), poss in by_diag.items():
+        run = []
+        for p in sorted(poss) + [None]:
+            if run and p != run[-1] + 1:
+                n = len(run)
+                if n + k - 1 >= min_span:
+                    out.add((a, b, run[0], run[0] - diag, n + k - 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+def test_substring_spans_random_property(spark):
+    """substring_spans == the brute-force python reference on random
+    low-alphabet corpora (shared runs arise by chance), across seeds —
+    pins island stitching, diagonal separation, and maximality beyond
+    the planted cases."""
+    import random
+
+    from incremental_dagster_delta_spark.queries.dedup import (
+        SUBSTR_DF_CAP,
+        SUBSTR_K,
+        SUBSTR_MIN_SPAN,
+        substring_spans,
+    )
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(1, 9):
+            n = rng.randint(12, 40)
+            docs.append((d, " ".join(rng.choice("ab") for _ in range(n))))
+        expected = _py_spans(docs, SUBSTR_K, SUBSTR_MIN_SPAN, SUBSTR_DF_CAP)
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {tuple(r) for r in substring_spans(spark, sdf).collect()}
+        assert got == expected, (seed, got ^ expected)
