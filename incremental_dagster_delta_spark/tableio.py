@@ -30,24 +30,24 @@ transactions:
 - **same batch id, serialized** (micro-batch replay after restart): the
   second writer observes the commit marker and no-ops — exactly-once.
 - **same batch id, truly concurrent**: exactly one writer publishes. A
-  per-batch writer lease (unique token file, write → settle → read-back,
-  re-checked as a fence before publish and again before the commit
-  marker) serializes the race: a writer that finds a live foreign lease
-  WAITS (bounded by ``lease_ttl_ms``) — if the holder commits, the
-  waiter observes the marker and no-ops; if the holder crashed, the
-  lease ages out and the waiter takes over and replays (streaming
-  restarts within the TTL self-heal instead of crash-looping); writers
-  that race INTO the lease write itself are caught by the token
-  read-back fence and one raises ``ConcurrentWriterError``. The marker
-  is re-checked after lease acquisition, so a writer whose pre-lease
-  marker check raced just ahead of another writer's commit serializes
-  to a no-op rather than re-publishing. Spark's streaming checkpoint
-  serializes micro-batch replays, so the concurrent case cannot arise
-  from the pipeline; the lease covers out-of-pipeline double-drives.
-  The detection is best-effort — the FileSystem API has no atomic
-  create-exclusive on every store, so an adversarially-timed pair can
-  still slip between fence checks (a real Delta log closes that window
-  with an optimistic-CAS commit); every straightforwardly raced
+  per-batch writer lease decided by lock-file ELECTION (each writer
+  creates its own uniquely-named entrant file — nothing is ever
+  overwritten, so no torn-write state — then after a settle interval
+  the minimal (mtime, token) entrant wins; re-checked as a fence before
+  publish and again before the commit marker) serializes the race:
+  losers WAIT (bounded by ``lease_ttl_ms``) — if the winner commits,
+  the waiter observes the marker and no-ops; if the winner crashed, its
+  entry ages out and the next election takes over and replays
+  (streaming restarts within the TTL self-heal instead of
+  crash-looping). The marker is re-checked after winning, so a writer
+  whose pre-lease marker check raced just ahead of another writer's
+  commit serializes to a no-op rather than re-publishing. Spark's
+  streaming checkpoint serializes micro-batch replays, so the
+  concurrent case cannot arise from the pipeline; the lease covers
+  out-of-pipeline double-drives. The guarantee is best-effort at the
+  margins — the election assumes settle > the store's mtime granularity
+  and fences are re-checked, not CAS'd (a real Delta log closes that
+  window with an optimistic-CAS commit); every straightforwardly raced
   execution publishes the batch exactly once, never silently doubles.
 """
 
@@ -396,69 +396,115 @@ class PartitionedTable:
         finally:
             self._release_lease(fs, Path, batch_id, token)
 
-    def _lease_path(self, Path, batch_id: int):
-        return Path(posixpath.join(self.path, "_commits", f"{batch_id}.lease"))
+    def _lease_dir(self, Path, batch_id: int):
+        return Path(posixpath.join(self.path, "_commits", f"{batch_id}.lease.d"))
 
-    def _read_lease(self, fs, lease) -> str:
-        # one buffered read via commons-io (on the Hadoop classpath), not
-        # a byte-per-JNI-call loop — three fence checks per append
-        # (ADVICE r7)
-        IOUtils = self.spark._jvm.org.apache.commons.io.IOUtils
-        stream = fs.open(lease)
-        try:
-            return bytes(IOUtils.toByteArray(stream)).decode("utf-8", errors="replace")
-        finally:
-            stream.close()
+    def _entrant_path(self, Path, batch_id: int, token: str):
+        return Path(
+            posixpath.join(self.path, "_commits", f"{batch_id}.lease.d", token)
+        )
+
+    def _live_entrants(self, fs, d, keep_token: str | None = None) -> list[tuple[int, str]]:
+        """Sorted (mtime_ms, token) of live entrant files under the lease
+        dir; entries older than ``lease_ttl_ms`` belong to crashed
+        holders and are dropped (and best-effort deleted) on the way.
+        ``keep_token`` exempts the CALLER'S OWN entrant from the TTL: a
+        holder mid-append is alive by definition however long the write
+        takes, and must not age itself out of its own fence check. A
+        foreign writer still ages it out and deletes the file, so a
+        genuine takeover is still observed (token absent) and raises."""
+        if not fs.exists(d):
+            return []
+        out = []
+        now = int(time.time() * 1000)
+        for st in fs.listStatus(d):
+            mod = st.getModificationTime()
+            name = st.getPath().getName()
+            if name != keep_token and now - mod >= self.lease_ttl_ms:
+                try:
+                    fs.delete(st.getPath(), False)
+                except Exception:
+                    pass
+                continue
+            out.append((mod, name))
+        return sorted(out)
 
     def _acquire_lease(self, fs, Path, batch_id: int, marker=None) -> str | None:
-        """Best-effort per-batch mutual exclusion: write a unique token,
-        wait a settle interval, and read back — of N racing writers the
-        last write wins and every other reads a foreign token and raises.
+        """Per-batch mutual exclusion by lock-file ELECTION: each writer
+        creates its own UNIQUE entrant file (never overwriting anything),
+        waits a settle interval, then lists the lease dir — the entrant
+        with the smallest (mtime, token) wins. Unique names make the
+        protocol torn-write-free: the earlier write-token-then-read-back
+        scheme overwrote ONE shared file, and two racing buffered
+        creates (plus the local FS's sidecar .crc) could leave a state
+        matching NEITHER token, killing both writers. An election always
+        has a winner. Correctness needs settle > the FS's mtime
+        granularity (1 ms locally): any entrant arriving after the
+        winner's listing necessarily carries a later mtime and loses.
 
-        A live foreign lease is WAITED OUT rather than raised on
-        immediately: after a hard crash mid-append (``finally`` never
-        ran), micro-batch replay on restart must self-heal within
-        ``lease_ttl_ms``, not crash-loop until the lease ages out
-        (ADVICE r7). The wait is bounded — the holder either commits
-        (marker appears → return ``None``, caller no-ops), releases
-        (we take the lease), or crashed (age crosses the TTL and we
-        take over); a holder that outlives the full TTL without any of
-        those raises :class:`ConcurrentWriterError`."""
-        lease = self._lease_path(Path, batch_id)
+        Losers (and arrivals finding a live foreign entrant) WAIT,
+        bounded by ``lease_ttl_ms``: if the winner commits, the marker
+        appears and we return ``None`` (caller no-ops — serialized
+        exactly-once); if it crashed, its entry ages out and the next
+        election round takes over (micro-batch replay after a hard
+        crash self-heals instead of crash-looping, ADVICE r7); a holder
+        that outlives the full TTL raises
+        :class:`ConcurrentWriterError`."""
+        d = self._lease_dir(Path, batch_id)
         deadline = time.time() + self.lease_ttl_ms / 1000.0
-        while fs.exists(lease):
+        token: str | None = None
+        while True:
             if marker is not None and fs.exists(marker):
+                if token is not None:
+                    self._release_lease(fs, Path, batch_id, token)
                 return None  # holder committed; batch is done
-            age_ms = int(time.time() * 1000) - fs.getFileStatus(lease).getModificationTime()
-            if age_ms >= self.lease_ttl_ms:
-                break  # crashed holder: take over
+            if token is None:
+                token = uuid.uuid4().hex
+                out = fs.create(self._entrant_path(Path, batch_id, token), True)
+                out.write(bytearray(b"1"))
+                out.close()
+                time.sleep(max(self.lease_settle_s, 0.005))
+                continue
+            try:
+                ents = self._live_entrants(fs, d, keep_token=token)
+            except Exception:
+                ents = []  # racing deletes mid-listing: re-check
+            names = [t for _, t in ents]
+            if token not in names:
+                # our entry aged out or was cleaned: delete any remnant
+                # (a leaked earlier entrant would win elections as junk)
+                # and re-enter
+                self._release_lease(fs, Path, batch_id, token)
+                token = None
+                continue
+            if ents[0][1] == token:
+                return token  # we hold the minimal (mtime, token): elected
             if time.time() >= deadline:
+                self._release_lease(fs, Path, batch_id, token)
                 raise ConcurrentWriterError(
-                    f"batch {batch_id}: live writer lease at {lease} "
-                    f"still held after waiting {self.lease_ttl_ms} ms"
+                    f"batch {batch_id}: lease at {d} still held by another "
+                    f"writer after waiting {self.lease_ttl_ms} ms"
                 )
             time.sleep(min(max(self.lease_settle_s, 0.02), 1.0))
-        token = uuid.uuid4().hex
-        out = fs.create(lease, True)
-        out.write(bytearray(token.encode("utf-8")))
-        out.close()
-        time.sleep(self.lease_settle_s)
-        self._check_lease(fs, Path, batch_id, token)
-        return token
 
     def _check_lease(self, fs, Path, batch_id: int, token: str) -> None:
-        """Fence: the lease must still carry OUR token."""
-        lease = self._lease_path(Path, batch_id)
-        if not fs.exists(lease) or self._read_lease(fs, lease) != token:
+        """Fence: we must still be the elected entrant (our file present
+        and minimal). A listing that fails mid-check is a lost fence."""
+        try:
+            ents = self._live_entrants(
+                fs, self._lease_dir(Path, batch_id), keep_token=token
+            )
+            held = bool(ents) and ents[0][1] == token
+        except Exception:
+            held = False
+        if not held:
             raise ConcurrentWriterError(
                 f"batch {batch_id}: writer lease lost to a concurrent writer"
             )
 
     def _release_lease(self, fs, Path, batch_id: int, token: str) -> None:
-        lease = self._lease_path(Path, batch_id)
         try:
-            if fs.exists(lease) and self._read_lease(fs, lease) == token:
-                fs.delete(lease, False)
+            fs.delete(self._entrant_path(Path, batch_id, token), False)
         except Exception:  # releasing is best-effort; TTL ages it out
             pass
 

@@ -134,10 +134,10 @@ def test_same_batch_id_truly_concurrent_one_fails_loudly(spark, tmp_path):
     assert out.count() == expected
     assert out.select("id").distinct().count() == expected
     assert a.batch_metrics()[9]["rows"] == expected
-    # winner released its lease
+    # winner released its lease: no live entrant files remain
     time.sleep(0.1)
-    lease = tmp_path / "t4" / "_commits" / "9.lease"
-    assert not lease.exists()
+    lease_dir = tmp_path / "t4" / "_commits" / "9.lease.d"
+    assert not lease_dir.exists() or not any(lease_dir.iterdir())
 
 
 def test_stale_lease_is_taken_over(spark, tmp_path):
@@ -147,9 +147,9 @@ def test_stale_lease_is_taken_over(spark, tmp_path):
 
     path = str(tmp_path / "t5")
     table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=100, lease_settle_s=0.01)
-    commits = tmp_path / "t5" / "_commits"
-    commits.mkdir(parents=True)
-    (commits / "3.lease").write_text("deadbeef-crashed-holder")
+    entrants = tmp_path / "t5" / "_commits" / "3.lease.d"
+    entrants.mkdir(parents=True)
+    (entrants / "deadbeefcrashedholder").write_text("1")
     time.sleep(0.15)
     assert table.append_batch(_df(spark, "2024-01-06", 3, 0), 3) is True
     assert table.read().count() == 3
@@ -165,9 +165,9 @@ def test_live_foreign_lease_waits_then_takes_over(spark, tmp_path):
 
     path = str(tmp_path / "t6")
     table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=700, lease_settle_s=0.01)
-    commits = tmp_path / "t6" / "_commits"
-    commits.mkdir(parents=True)
-    (commits / "4.lease").write_text("other-writer-token")  # fresh: age ~0
+    entrants = tmp_path / "t6" / "_commits" / "4.lease.d"
+    entrants.mkdir(parents=True)
+    (entrants / "otherwritertoken").write_text("1")  # fresh: age ~0
     t0 = time.time()
     assert table.append_batch(_df(spark, "2024-01-07", 2, 0), 4) is True
     waited = time.time() - t0
@@ -186,8 +186,9 @@ def test_live_lease_with_marker_is_completed_batch(spark, tmp_path):
     first = PartitionedTable(spark, path, ["day"], lease_settle_s=0.01)
     assert first.append_batch(_df(spark, "2024-01-08", 3, 0), 5) is True
     # simulate the crashed-after-commit holder: marker exists, lease live
-    commits = tmp_path / "t7" / "_commits"
-    (commits / "5.lease").write_text("crashed-after-commit-token")
+    entrants = tmp_path / "t7" / "_commits" / "5.lease.d"
+    entrants.mkdir(parents=True, exist_ok=True)
+    (entrants / "crashedaftercommittoken").write_text("1")
     second = PartitionedTable(spark, path, ["day"], lease_ttl_ms=60_000)
     t0 = time.time()
     assert second.append_batch(_df(spark, "2024-01-08", 3, 50), 5) is False
