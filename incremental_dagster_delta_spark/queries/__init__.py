@@ -39,6 +39,7 @@ from incremental_dagster_delta_spark.queries import docsim  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import lm  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import quality_clf  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -53,17 +54,21 @@ from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F40
 # q_topic_terms/q_unigram_surprisal/q_surprisal_buckets/q_pmi_bigrams),
 # the append_batch lease rework (q_delta_append/q_exactly_once_publish/
 # q_multi_hop), and the shared ascending-peel refactor (q_kcore/
-# q_kcore_corpus) — (c) the ENTIRE r3 cohort (34 qids, q_tfidf among
-# them). Both new qids take front slots immediately (the "new qid =
-# next-round debt" rule), which leaves no fill slot — the r4 cohort
-# (q_drip_source and peers) is r9's burn-down per the r7 verdict.
-# Everything rotating out holds a green r5-r7 row on an unchanged code
-# path.
+# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All four
+# new qids take front slots immediately (the "new qid = next-round
+# debt" rule); the trained-classifier pair landed late in the round, so
+# two r3 re-confirms (q_string_funcs, q_array_funcs — pure function
+# batteries on code untouched since r1) were displaced and join the r4
+# cohort (q_drip_source and peers) in r9's burn-down per the r7
+# verdict. Everything else rotating out holds a green r5-r7 row on an
+# unchanged code path.
 # --------------------------------------------------------------------------
 _R8_FRONT = [
     # (a) new this round — first driver rows
     "q_substring_dedup",
     "q_dup_span_fraction",
+    "q_quality_classifier",
+    "q_quality_scores",
     # (b) code paths changed this round
     "q_bpe_encode",
     "q_tokenizer_fertility",
@@ -82,7 +87,6 @@ _R8_FRONT = [
     # (c) the full r3 cohort — stalest rows in the registry (q_tfidf is
     # also a changed path this round)
     "q_above_avg_customers",
-    "q_array_funcs",
     "q_backfill",
     "q_chunk_docs",
     "q_csv_source",
@@ -107,7 +111,6 @@ _R8_FRONT = [
     "q_regex_parse",
     "q_salted_agg",
     "q_sql_udf",
-    "q_string_funcs",
     "q_table_diff",
     "q_tfidf",
     "q_token_pack",

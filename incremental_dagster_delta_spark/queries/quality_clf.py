@@ -1,0 +1,250 @@
+"""Trained quality classifier (SURVEY §7-M11) — a fasttext-shape linear
+model over hashed bag-of-words features, fit from labels, applied as a
+map-only scoring pass.
+
+The model is multinomial Naive Bayes with add-one smoothing: per-bucket
+integer log-odds weights
+
+    w_b   = ilogp(c_b|1 + 1, T_1 + D) − ilogp(c_b|0 + 1, T_0 + D)
+    bias  = ilogp(n_1 + 1, N + 2)     − ilogp(n_0 + 1, N + 2)
+    score = Σ_b x_b · w_b + bias        (exact BIGINT)
+
+over D=256 hashed unigram buckets (first 2 hex nibbles of md5(token) —
+the q_dsir_weights feature device, byte-identical across engines). The
+training labels are the engine's own rule-based stopword-ratio quality
+filter (``RATIO·stop_count ≥ n_tokens``, all-integer, exact): the
+classifier DISTILLS the rule filter into a dense linear scorer, the
+standard bootstrap for corpus quality models (fasttext classifiers
+trained on heuristic labels).
+
+Why a closed-form fit and not gradient descent: full-batch logistic GD
+was prototyped first (the SURVEY M11 sketch) and oscillates around the
+majority class for every (lr, T) with T small enough to unroll in an
+oracle CTE chain — the hashed features are heavily correlated, so both
+plain and diagonally-preconditioned steps overshoot; no setting beat
+the majority baseline within 12 iterations. The NB fit is the same
+model class (linear over hashed counts), trains in ONE pass, beats the
+majority baseline at every shipped SF (test-pinned), and its oracle is
+a plain CTE chain with no unrolling.
+
+Determinism — all sums are exact BIGINTs; the only float surface is the
+single ``ln`` per (bucket, class) before integer rounding
+(``floor(ln(c/t)·1e6 + 0.5)``, the unigram-LM ``_ilogp`` device); its
+distance from the floor boundary is measured and pinned by
+tests/test_quality_clf.py. ``floor(x + 0.5)`` rather than ``round``
+because DuckDB rounds half-away while Python rounds half-even.
+
+Scale shape — training is one corpus tokenize pass feeding two
+map-side-combinable aggregations (per-doc labels, per-(doc,bucket)
+counts), then a D-bounded (257-row) weight table; nothing
+corpus-growing is ever collected or broadcast. Scoring joins postings
+to the weight table — D-bounded BY CONSTRUCTION (≤ 257 rows at any
+corpus size, unlike the distinct-words segmentation tables that must
+NOT be hint-broadcast), so the broadcast hint is safe and keeps scoring
+map-only at 100 TB; the single wide shuffle is the per-doc margin
+groupBy. Reference parity note: the reference repo has no trained
+models (transform.py stops at string ops); this module extends the
+engine's LLM-curation surface per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incremental_dagster_delta_spark.queries.bpe import _TOKS_SQL
+from incremental_dagster_delta_spark.queries.registry import query, t
+
+N_BUCKETS = 256  # 2 hex nibbles of md5(token)
+SCALE = 1_000_000  # integer log-prob scale (shared with unigram_lm)
+STOPWORDS = ("the", "a", "of", "to", "is")  # vocab-appropriate subset
+RATIO = 12  # label: RATIO * stop_count >= n_tokens (integer-exact)
+BIAS_KEY = "zz_bias"  # hex buckets are [0-9a-f]{2}: cannot collide
+
+
+def _toks(docs: DataFrame):
+    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+
+
+def tok_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) — the one corpus tokenize pass."""
+    return docs.select("doc_id", F.explode(_toks(docs)).alias("tok"))
+
+
+def doc_labels(tok: DataFrame) -> DataFrame:
+    """(doc_id, y) — the rule label, all-integer so the boundary is
+    exact in both engines (no float ratio compare)."""
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    return tok.groupBy("doc_id").agg(
+        F.when(
+            RATIO * F.sum(is_stop.cast("long")) >= F.count("*"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("y")
+    )
+
+
+def doc_postings(tok: DataFrame) -> DataFrame:
+    """(doc_id, bucket, x) hashed unigram counts."""
+    bucket = F.substring(F.md5(F.col("tok").cast("binary")), 1, 2)
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+
+
+def _ilogp_col(c, tot):
+    """floor(ln(c/tot)·SCALE + 0.5) as BIGINT — c, tot already floats."""
+    return F.floor(F.log(c / tot) * SCALE + F.lit(0.5)).cast("long")
+
+
+def train_weights(docs: DataFrame) -> DataFrame:
+    """(bucket, weight): the fitted integer log-odds, one row per
+    observed bucket plus the BIAS_KEY row. ≤ N_BUCKETS+1 rows at any
+    corpus size."""
+    tok = tok_table(docs)
+    lab = doc_labels(tok)
+    post = doc_postings(tok)
+    cls = (
+        post.join(lab, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("x")).otherwise(0)).alias("cpos"),
+            F.sum(F.when(F.col("y") == 0, F.col("x")).otherwise(0)).alias("cneg"),
+        )
+    )
+    tot = cls.agg(F.sum("cpos").alias("tpos"), F.sum("cneg").alias("tneg"))
+    w = cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _ilogp_col(F.col("cpos") + 1.0, F.col("tpos") + float(N_BUCKETS))
+            - _ilogp_col(F.col("cneg") + 1.0, F.col("tneg") + float(N_BUCKETS))
+        ).alias("weight"),
+    )
+    nn = lab.agg(
+        F.sum("y").cast("double").alias("npos"),
+        (F.count("*") - F.sum("y")).cast("double").alias("nneg"),
+        F.count("*").cast("double").alias("nd"),
+    )
+    bias = nn.select(
+        F.lit(BIAS_KEY).alias("bucket"),
+        (
+            _ilogp_col(F.col("npos") + 1.0, F.col("nd") + 2.0)
+            - _ilogp_col(F.col("nneg") + 1.0, F.col("nd") + 2.0)
+        ).alias("weight"),
+    )
+    return w.unionAll(bias)
+
+
+def score_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, margin, pred, label): exact integer margin per doc under
+    the trained weights; pred = margin ≥ 0. The weight join is hinted
+    broadcast — legitimately, because the table is D-bounded by
+    construction (contrast bpe.py/unigram_lm.py where the
+    distinct-words segmentation table grows with the corpus and must
+    stay AQE-decided)."""
+    tok = tok_table(docs)
+    lab = doc_labels(tok)
+    post = doc_postings(tok)
+    w = train_weights(docs)
+    bias = w.where(F.col("bucket") == BIAS_KEY).select(
+        F.col("weight").alias("bias_w")
+    )
+    margins = (
+        post.join(F.broadcast(w.where(F.col("bucket") != BIAS_KEY)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("dot"))
+        .crossJoin(F.broadcast(bias))
+        .select("doc_id", (F.col("dot") + F.col("bias_w")).cast("long").alias("margin"))
+    )
+    return margins.join(lab, "doc_id").select(
+        "doc_id",
+        "margin",
+        (F.col("margin") >= 0).alias("pred"),
+        F.col("y").alias("label"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# Shared oracle CTE prefix: tokenize → labels → postings → class counts
+# → fitted weights (incl. bias row).
+_CLF_CTES = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {RATIO} * SUM(CASE WHEN tok IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+                       >= COUNT(*) THEN 1 ELSE 0 END AS y
+      FROM tok GROUP BY doc_id
+    ),
+    post AS (
+      SELECT doc_id, substring(md5(tok), 1, 2) AS bucket, COUNT(*) AS x
+      FROM tok GROUP BY doc_id, substring(md5(tok), 1, 2)
+    ),
+    cls AS (
+      SELECT p.bucket,
+             SUM(CASE WHEN l.y = 1 THEN p.x ELSE 0 END) AS cpos,
+             SUM(CASE WHEN l.y = 0 THEN p.x ELSE 0 END) AS cneg
+      FROM post p JOIN lab l USING (doc_id) GROUP BY p.bucket
+    ),
+    tot AS (SELECT SUM(cpos) AS tpos, SUM(cneg) AS tneg FROM cls),
+    nn AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
+             CAST(COUNT(*) - SUM(y) AS DOUBLE) AS nneg,
+             CAST(COUNT(*) AS DOUBLE) AS nd
+      FROM lab
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR(LN((cpos + 1.0) / (tpos + {N_BUCKETS}.0)) * {SCALE} + 0.5)
+                - FLOOR(LN((cneg + 1.0) / (tneg + {N_BUCKETS}.0)) * {SCALE} + 0.5)
+                AS BIGINT) AS weight
+      FROM cls CROSS JOIN tot
+      UNION ALL
+      SELECT '{BIAS_KEY}',
+             CAST(FLOOR(LN((npos + 1.0) / (nd + 2.0)) * {SCALE} + 0.5)
+                - FLOOR(LN((nneg + 1.0) / (nd + 2.0)) * {SCALE} + 0.5)
+                AS BIGINT)
+      FROM nn
+    )
+"""
+
+
+@query(
+    "q_quality_classifier",
+    tags=("curation", "llm", "trained"),
+    oracle=_CLF_CTES + "\n    SELECT bucket, weight FROM w",
+)
+def q_quality_classifier(spark, sf_dir):
+    """Fit the hashed-linear quality classifier (NB log-odds) from the
+    rule labels: the trained (bucket, weight) table, ≤ 257 rows."""
+    return train_weights(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quality_scores",
+    tags=("curation", "llm", "trained"),
+    oracle=_CLF_CTES
+    + f"""
+    SELECT p.doc_id,
+           CAST(SUM(p.x * w.weight)
+                + (SELECT weight FROM w WHERE bucket = '{BIAS_KEY}') AS BIGINT) AS margin,
+           SUM(p.x * w.weight)
+                + (SELECT weight FROM w WHERE bucket = '{BIAS_KEY}') >= 0 AS pred,
+           CAST(MIN(l.y) AS INT) AS label
+    FROM post p
+    JOIN w ON p.bucket = w.bucket
+    JOIN lab l ON p.doc_id = l.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    """Score every document under the trained classifier: exact integer
+    margin, predicted keep/drop, and the rule label it was trained on.
+    Train + score in one lineage — the weight table is rebuilt by
+    Catalyst from the same postings, and at 100 TB the whole qid is two
+    map-side-combinable aggs plus one broadcast-scored margin groupBy."""
+    return score_docs(t(spark, sf_dir, "documents"))
