@@ -1192,9 +1192,18 @@ _DUP_FRACTION_ORACLE = f"""
       HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
     ),
     iv AS (
-      SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spans
-      UNION ALL
-      SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spans
+      -- DISTINCT is load-bearing: it makes ORDER BY (s, e) a TOTAL
+      -- order inside the two window ops below. With duplicate
+      -- intervals (the same span found via several partners), the
+      -- engine may evaluate marked's prefix-max and merged's running
+      -- sum over DIFFERENT tie orders, splitting one island into two
+      -- groups and double-counting its tokens (observed on DuckDB at
+      -- sf0.001, doc 120: 3 identical [1,75] intervals -> 150/75).
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens - 1 AS e FROM spans
+        UNION ALL
+        SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e FROM spans
+      )
     ),
     marked AS (
       SELECT doc_id, s, e,
@@ -1254,7 +1263,10 @@ def q_dup_span_fraction(spark, sf_dir):
             F.col("start_b").alias("s"),
             (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
         )
-    )
+    ).distinct()  # total (s, e) order for the windows below — see the
+    # oracle's iv CTE: duplicate intervals make the tie order between
+    # the prefix-max and running-sum windows engine-dependent, which
+    # can split an island and double-count its tokens
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s", "e")

@@ -531,19 +531,25 @@ def q_funnel_multistep(spark, sf_dir):
     bench=True,
     oracle="""
     WITH iv AS (
-      SELECT o_custkey AS custkey,
+      SELECT o_custkey AS custkey, o_orderkey AS ok,
              CAST(o_orderdate AS DATE) AS s,
              CAST(o_orderdate AS DATE) + INTERVAL (3 + o_orderkey % 18) DAY AS e
       FROM orders
     ), flagged AS (
-      SELECT custkey, s, e,
-             CASE WHEN s <= MAX(e) OVER (PARTITION BY custkey ORDER BY s, e
+      -- ok is a pure tiebreak: two same-day orders can open IDENTICAL
+      -- intervals, and without a total order the two window ops below
+      -- may see different tie orders (engine-dependent), mis-attaching
+      -- a duplicate row to the neighbouring island (the q_dup_span
+      -- class of bug). With a unique key in the ORDER BY both passes
+      -- see one canonical sequence on every engine.
+      SELECT custkey, ok, s, e,
+             CASE WHEN s <= MAX(e) OVER (PARTITION BY custkey ORDER BY s, e, ok
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 0 ELSE 1 END AS new_island
       FROM iv
     ), grouped AS (
       SELECT custkey, s, e,
-             SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e, ok
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     ), merged AS (
@@ -577,12 +583,15 @@ def q_interval_merge(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     iv = o.select(
         F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("ok"),
         F.col("o_orderdate").cast("date").alias("s"),
         F.date_add(
             F.col("o_orderdate").cast("date"), (F.lit(3) + F.col("o_orderkey") % 18).cast("int")
         ).alias("e"),
     )
-    order_w = Window.partitionBy("custkey").orderBy("s", "e")
+    # ok = unique tiebreak so both window passes share one canonical
+    # order even over duplicate (s, e) intervals — see the oracle note
+    order_w = Window.partitionBy("custkey").orderBy("s", "e", "ok")
     prev_max_e = F.max("e").over(order_w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = iv.withColumn(
         "new_island", F.when(F.col("s") <= prev_max_e, 0).otherwise(1)

@@ -186,6 +186,30 @@ def test_dup_span_fraction_interval_union(spark, tmp_path):
     assert (rows[4]["dup_tokens"], rows[4]["dup_fraction"]) == (0, 0.0)
 
 
+def test_dup_span_fraction_identical_intervals(spark, tmp_path):
+    """Regression (r8, caught by the sf0.001 sweep): a doc fully copied
+    by SEVERAL partners produces identical [1, n] intervals, and with a
+    tie-ambiguous ORDER BY the two gaps-and-islands window passes could
+    disagree on the tie order and split one island into two, reporting
+    dup_fraction 2.0 on a 100%-duplicated doc. The iv DISTINCT makes
+    the order total; coverage must be exactly n, never a multiple."""
+    import os
+
+    from incremental_dagster_delta_spark.queries.dedup import q_dup_span_fraction
+
+    words = " ".join(f"v{i}" for i in range(1, 11))
+    docs = spark.createDataFrame(
+        [(1, words), (2, words), (3, words), (4, words)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_dup_span_fraction(spark, sf).collect()}
+    for d in (1, 2, 3, 4):
+        assert (rows[d]["dup_tokens"], rows[d]["dup_fraction"]) == (10, 1.0), rows[d]
+
+
 def _py_spans(docs, k, min_span, df_cap):
     """Pure-python ExactSubstr reference: positional shingles, df cap,
     per-(pair, diagonal) consecutive-run islands."""
