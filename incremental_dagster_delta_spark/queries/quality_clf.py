@@ -104,8 +104,14 @@ def train_weights(docs: DataFrame) -> DataFrame:
     observed bucket plus the BIAS_KEY row. ≤ N_BUCKETS+1 rows at any
     corpus size."""
     tok = tok_table(docs)
-    lab = doc_labels(tok)
-    post = doc_postings(tok)
+    return _fit(doc_postings(tok), doc_labels(tok))
+
+
+def _fit(post: DataFrame, lab: DataFrame) -> DataFrame:
+    """The NB fit from prepared postings + labels. Factored so
+    :func:`score_docs` feeds the SAME DataFrame instances it scores
+    with — identical subtrees let Spark reuse the postings/labels
+    exchanges instead of re-tokenizing the corpus per consumer."""
     cls = (
         post.join(lab, "doc_id")
         .groupBy("bucket")
@@ -147,7 +153,7 @@ def score_docs(docs: DataFrame) -> DataFrame:
     tok = tok_table(docs)
     lab = doc_labels(tok)
     post = doc_postings(tok)
-    w = train_weights(docs)
+    w = _fit(post, lab)
     bias = w.where(F.col("bucket") == BIAS_KEY).select(
         F.col("weight").alias("bias_w")
     )
@@ -227,6 +233,7 @@ def q_quality_classifier(spark, sf_dir):
 @query(
     "q_quality_scores",
     tags=("curation", "llm", "trained"),
+    bench=True,
     oracle=_CLF_CTES
     + f"""
     SELECT p.doc_id,
@@ -244,7 +251,11 @@ def q_quality_classifier(spark, sf_dir):
 def q_quality_scores(spark, sf_dir):
     """Score every document under the trained classifier: exact integer
     margin, predicted keep/drop, and the rule label it was trained on.
-    Train + score in one lineage — the weight table is rebuilt by
-    Catalyst from the same postings, and at 100 TB the whole qid is two
-    map-side-combinable aggs plus one broadcast-scored margin groupBy."""
+    Train + score run in ONE self-contained lineage here so the oracle
+    gate needs no persisted state; the tokenize subtree therefore feeds
+    both the fit and the scoring branches (Spark may or may not reuse
+    the exchange). A 100 TB deployment splits the steps: persist the
+    ≤257-row weight table from q_quality_classifier once, and scoring
+    becomes a single map-side-combinable pass (postings → broadcast
+    weight join → margin groupBy) over the corpus."""
     return score_docs(t(spark, sf_dir, "documents"))
