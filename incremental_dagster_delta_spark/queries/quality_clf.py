@@ -59,6 +59,8 @@ SCALE = 1_000_000  # integer log-prob scale (shared with unigram_lm)
 STOPWORDS = ("the", "a", "of", "to", "is")  # vocab-appropriate subset
 RATIO = 12  # label: RATIO * stop_count >= n_tokens (integer-exact)
 BIAS_KEY = "zz_bias"  # hex buckets are [0-9a-f]{2}: cannot collide
+TRAIN_PCT = 80  # holdout split: md5(doc_id:salt) % 100 < 80 trains
+SPLIT_SALT = "qclf"  # decorrelates this split from q_hash_split's
 
 
 def _toks(docs: DataFrame):
@@ -259,3 +261,130 @@ def q_quality_scores(spark, sf_dir):
     becomes a single map-side-combinable pass (postings → broadcast
     weight join → margin groupBy) over the corpus."""
     return score_docs(t(spark, sf_dir, "documents"))
+
+
+def _split_draw():
+    """md5(doc_id:salt) % 100 — the q_stratified_sample integer draw
+    (exact on both engines, no float compare at the split boundary)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + SPLIT_SALT))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+_DRAW_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':"
+    + SPLIT_SALT
+    + "'), 1, 8)) AS BIGINT) % 100"
+)
+
+_HOLDOUT_ORACLE = f"""
+    WITH drw AS (SELECT doc_id, {_DRAW_SQL} AS d FROM documents),
+    tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {RATIO} * SUM(CASE WHEN tok IN ({_STOP_IN}) THEN 1 ELSE 0 END)
+                       >= COUNT(*) THEN 1 ELSE 0 END AS y
+      FROM tok GROUP BY doc_id
+    ),
+    post AS (
+      SELECT doc_id, substring(md5(tok), 1, 2) AS bucket, COUNT(*) AS x
+      FROM tok GROUP BY doc_id, substring(md5(tok), 1, 2)
+    ),
+    trl AS (SELECT l.* FROM lab l JOIN drw USING (doc_id) WHERE d < {TRAIN_PCT}),
+    trp AS (SELECT p.* FROM post p JOIN drw USING (doc_id) WHERE d < {TRAIN_PCT}),
+    cls AS (
+      SELECT p.bucket,
+             SUM(CASE WHEN l.y = 1 THEN p.x ELSE 0 END) AS cpos,
+             SUM(CASE WHEN l.y = 0 THEN p.x ELSE 0 END) AS cneg
+      FROM trp p JOIN trl l USING (doc_id) GROUP BY p.bucket
+    ),
+    tot AS (SELECT SUM(cpos) AS tpos, SUM(cneg) AS tneg FROM cls),
+    nn AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
+             CAST(COUNT(*) - SUM(y) AS DOUBLE) AS nneg,
+             CAST(COUNT(*) AS DOUBLE) AS nd
+      FROM trl
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR(LN((cpos + 1.0) / (tpos + {N_BUCKETS}.0)) * {SCALE} + 0.5)
+                - FLOOR(LN((cneg + 1.0) / (tneg + {N_BUCKETS}.0)) * {SCALE} + 0.5)
+                AS BIGINT) AS weight
+      FROM cls CROSS JOIN tot
+    ),
+    bias AS (
+      SELECT CAST(FLOOR(LN((npos + 1.0) / (nd + 2.0)) * {SCALE} + 0.5)
+                - FLOOR(LN((nneg + 1.0) / (nd + 2.0)) * {SCALE} + 0.5)
+                AS BIGINT) AS b
+      FROM nn
+    ),
+    tel AS (SELECT l.* FROM lab l JOIN drw USING (doc_id) WHERE d >= {TRAIN_PCT}),
+    tep AS (SELECT p.* FROM post p JOIN drw USING (doc_id) WHERE d >= {TRAIN_PCT}),
+    m AS (
+      SELECT p.doc_id,
+             SUM(p.x * COALESCE(w.weight, 0)) + (SELECT b FROM bias) AS margin
+      FROM tep p LEFT JOIN w USING (bucket) GROUP BY p.doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM trl) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN m.margin >= 0 AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN m.margin >= 0 AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN m.margin < 0 AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN m.margin < 0 AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM m JOIN tel l USING (doc_id)
+"""
+
+
+@query("q_quality_holdout", tags=("curation", "llm", "trained"), oracle=_HOLDOUT_ORACLE)
+def q_quality_holdout(spark, sf_dir):
+    """Holdout evaluation of the trained classifier: fit on the
+    deterministic 80% hash split, score the held-out 20%, and report
+    the exact confusion matrix (n_train, n_test, tp, fp, fn, tn) — the
+    eval step an honest quality-model pipeline runs before thresholding
+    a corpus, with NO train/test leakage (the md5 doc_id draw is a pure
+    row function, so the same doc lands on the same side on every
+    engine and every rerun). Test-side buckets unseen in training score
+    0 log-odds (LEFT JOIN + COALESCE, mirrored in the oracle). Scale
+    shape is q_quality_scores' plus one map-only split filter."""
+    docs = t(spark, sf_dir, "documents")
+    draw = _split_draw()
+    train = docs.where(draw < TRAIN_PCT)
+    test = docs.where(draw >= TRAIN_PCT)
+    tok_tr = tok_table(train)
+    w = _fit(doc_postings(tok_tr), doc_labels(tok_tr))
+    bias = w.where(F.col("bucket") == BIAS_KEY).select(F.col("weight").alias("bias_w"))
+    w_feats = w.where(F.col("bucket") != BIAS_KEY)
+    tok_te = tok_table(test)
+    lab_te = doc_labels(tok_te)
+    margins = (
+        doc_postings(tok_te)
+        .join(F.broadcast(w_feats), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.coalesce(F.col("weight"), F.lit(0))).alias("dot"))
+        .crossJoin(F.broadcast(bias))
+        .select("doc_id", (F.col("dot") + F.col("bias_w")).alias("margin"))
+    )
+    n_train = train.agg(F.count("*").cast("long").alias("n_train"))
+    return (
+        margins.join(lab_te, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(((F.col("margin") >= 0) & (F.col("y") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("margin") >= 0) & (F.col("y") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("margin") < 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
+            F.sum(((F.col("margin") < 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select("n_train", "n_test", "tp", "fp", "fn", "tn")
+    )

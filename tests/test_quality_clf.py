@@ -152,6 +152,58 @@ def test_ilogp_floor_boundary_margin(spark, sf):
     assert worst > 1e-4, worst
 
 
+def test_holdout_confusion_matches_python_reference(spark, sf_dir):
+    """q_quality_holdout == the same split + fit + scoring in plain
+    Python: exact confusion matrix, no leakage (test docs never touch
+    the fit), unseen-in-training buckets contribute 0 log-odds."""
+    import hashlib
+
+    from incremental_dagster_delta_spark.queries.quality_clf import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        q_quality_holdout,
+    )
+
+    docs, _ = _python_fit(spark, sf_dir)
+
+    def side(doc_id):
+        h = hashlib.md5(f"{doc_id}:{SPLIT_SALT}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < TRAIN_PCT
+
+    train = {d: v for d, v in docs.items() if side(d)}
+    test = {d: v for d, v in docs.items() if not side(d)}
+    cpos, cneg = {}, {}
+    tpos = tneg = npos = 0
+    for d in train.values():
+        npos += d["y"]
+        for b, x in d["f"].items():
+            if d["y"]:
+                cpos[b] = cpos.get(b, 0) + x
+                tpos += x
+            else:
+                cneg[b] = cneg.get(b, 0) + x
+                tneg += x
+    buckets = set(cpos) | set(cneg)
+    w = {
+        b: _ilogp(cpos.get(b, 0) + 1.0, tpos + float(N_BUCKETS))
+        - _ilogp(cneg.get(b, 0) + 1.0, tneg + float(N_BUCKETS))
+        for b in buckets
+    }
+    nd = len(train)
+    bias = _ilogp(npos + 1.0, nd + 2.0) - _ilogp(nd - npos + 1.0, nd + 2.0)
+    tp = fp = fn = tn = 0
+    for d in test.values():
+        m = sum(w.get(b, 0) * x for b, x in d["f"].items()) + bias
+        if m >= 0:
+            tp, fp = tp + (d["y"] == 1), fp + (d["y"] == 0)
+        else:
+            fn, tn = fn + (d["y"] == 1), tn + (d["y"] == 0)
+    row = q_quality_holdout(spark, sf_dir).collect()[0]
+    assert (row["n_train"], row["n_test"]) == (len(train), len(test))
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_test"]
+
+
 def test_score_plan_broadcasts_weights(spark, sf_dir):
     """The weight table is D-bounded by construction (≤ 257 rows at ANY
     corpus size), so its scoring join must be a broadcast — the corpus
