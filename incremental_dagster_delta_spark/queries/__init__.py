@@ -54,13 +54,13 @@ from incremental_dagster_delta_spark.queries import quality_clf  # noqa: E402,F4
 # q_topic_terms/q_unigram_surprisal/q_surprisal_buckets/q_pmi_bigrams),
 # the append_batch lease rework (q_delta_append/q_exactly_once_publish/
 # q_multi_hop), and the shared ascending-peel refactor (q_kcore/
-# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All five
+# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All six
 # new qids take front slots immediately (the "new qid = next-round
-# debt" rule); the trained-classifier trio landed late in the round, so
-# three r3 re-confirms (q_string_funcs, q_array_funcs, q_posexplode —
-# pure function batteries on code untouched since r1) were displaced
-# and join the r4 cohort (q_drip_source and peers) in r9's burn-down
-# per the r7 verdict. Everything else rotating out holds a green r5-r7 row on an
+# debt" rule); the trained-classifier trio and the temperature-mixture
+# qid landed late in the round, so four r3 re-confirms (q_string_funcs,
+# q_array_funcs, q_posexplode, q_regex_parse — pure function batteries
+# on code untouched since r1) were displaced and join the r4 cohort
+# (q_drip_source and peers) in r9's burn-down per the r7 verdict. Everything else rotating out holds a green r5-r7 row on an
 # unchanged code path.
 # --------------------------------------------------------------------------
 _R8_FRONT = [
@@ -70,6 +70,7 @@ _R8_FRONT = [
     "q_quality_classifier",
     "q_quality_scores",
     "q_quality_holdout",
+    "q_mixture_temperature",
     # (b) code paths changed this round
     "q_bpe_encode",
     "q_tokenizer_fertility",
@@ -108,7 +109,6 @@ _R8_FRONT = [
     "q_prefilter_semi_join",
     "q_profit_by_nation_year",
     "q_promo_ratio",
-    "q_regex_parse",
     "q_salted_agg",
     "q_sql_udf",
     "q_table_diff",

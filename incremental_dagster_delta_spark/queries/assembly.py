@@ -150,6 +150,73 @@ def q_mixture_plan(spark, sf_dir):
     )
 
 
+MIX_TEMP_ALPHA = 0.7  # temperature exponent (Conneau & Lample 2019 α)
+
+
+@query(
+    "q_mixture_temperature",
+    tags=("assembly", "llm"),
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, avail_tokens,
+             CAST(avail_tokens AS DOUBLE) / (SELECT SUM(avail_tokens) FROM avail) AS nat,
+             POWER(avail_tokens, {MIX_TEMP_ALPHA})
+               / (SELECT SUM(POWER(avail_tokens, {MIX_TEMP_ALPHA})) FROM avail) AS tmp
+      FROM avail
+    )
+    SELECT source, avail_tokens,
+           CAST(ROUND(nat, 4) AS DOUBLE) AS nat_share,
+           CAST(ROUND(tmp, 4) AS DOUBLE) AS temp_share,
+           CAST(FLOOR(tmp * {_TOKEN_BUDGET} + 0.5) AS BIGINT) AS target_tokens,
+           CAST(ROUND(tmp * {_TOKEN_BUDGET} / avail_tokens, 4) AS DOUBLE) AS epochs
+    FROM p
+    """,
+)
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture rates: sampling shares ∝ (per-source
+    token count)^α with α = 0.7 — the standard upweighting of
+    low-resource sources against the natural distribution (Conneau &
+    Lample 2019; the GPT-3 dataset-weighting shape), reported next to
+    the natural share so the rebalancing is visible, plus the resulting
+    token targets and epoch multipliers under the fixed budget. Same
+    scale shape as q_mixture_plan: one map-side-combinable token-count
+    shuffle to the |sources|-row grain, then broadcast scalar totals —
+    nothing corpus-sized moves. Float surface: POWER(·, 0.7) crosses
+    engines and is rounded to 4 dp on both sides before compare
+    (targets use the floor(x+0.5) device on the raw share)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    avail = (
+        d.select("source", F.size(toks).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("avail_tokens"))
+    )
+    tots = avail.agg(
+        F.sum("avail_tokens").cast("double").alias("tot_nat"),
+        F.sum(F.pow("avail_tokens", F.lit(MIX_TEMP_ALPHA))).alias("tot_tmp"),
+    )
+    p = avail.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "avail_tokens",
+        (F.col("avail_tokens") / F.col("tot_nat")).alias("nat"),
+        (F.pow("avail_tokens", F.lit(MIX_TEMP_ALPHA)) / F.col("tot_tmp")).alias("tmp"),
+    )
+    return p.select(
+        "source",
+        "avail_tokens",
+        F.round("nat", 4).cast("double").alias("nat_share"),
+        F.round("tmp", 4).cast("double").alias("temp_share"),
+        F.floor(F.col("tmp") * _TOKEN_BUDGET + 0.5).cast("long").alias("target_tokens"),
+        F.round(F.col("tmp") * _TOKEN_BUDGET / F.col("avail_tokens"), 4)
+        .cast("double")
+        .alias("epochs"),
+    )
+
+
 # --- sequence-length bucketing ----------------------------------------------
 
 

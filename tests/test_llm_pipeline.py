@@ -192,3 +192,34 @@ def test_class_balance_stable_under_class_growth(spark):
         b = {v for v, l in kept2 if l == lbl}
         assert a == b, f"label {lbl} selection changed when label 0 grew"
     assert len({v for v, l in kept2 if l == 0}) == 10
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark, sf_dir):
+    """α < 1 must pull every source's share toward uniform: sources
+    above the natural share shrink, sources below it grow, shares still
+    sum to 1, and targets sum to the budget (±|sources| rounding)."""
+    from incremental_dagster_delta_spark.queries.assembly import (
+        _TOKEN_BUDGET,
+        q_mixture_temperature,
+    )
+
+    rows = q_mixture_temperature(spark, sf_dir).collect()
+    n = len(rows)
+    uni = 1.0 / n
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["nat_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["target_tokens"] for r in rows) - _TOKEN_BUDGET) <= n
+    moved = 0
+    for r in rows:
+        # strict only when the distance from uniform exceeds the 4 dp
+        # reporting grain — a source sitting ~at uniform may round to
+        # an unchanged share
+        if r["nat_share"] > uni + 2e-3:
+            assert r["temp_share"] < r["nat_share"], r
+            moved += 1
+        elif r["nat_share"] < uni - 2e-3:
+            assert r["temp_share"] > r["nat_share"], r
+            moved += 1
+        else:
+            assert abs(r["temp_share"] - r["nat_share"]) < 2e-3, r
+    assert moved >= 1  # the pin is vacuous if every source is ~uniform
