@@ -54,13 +54,14 @@ from incremental_dagster_delta_spark.queries import quality_clf  # noqa: E402,F4
 # q_topic_terms/q_unigram_surprisal/q_surprisal_buckets/q_pmi_bigrams),
 # the append_batch lease rework (q_delta_append/q_exactly_once_publish/
 # q_multi_hop), and the shared ascending-peel refactor (q_kcore/
-# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All six
+# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All seven
 # new qids take front slots immediately (the "new qid = next-round
-# debt" rule); the trained-classifier trio and the temperature-mixture
-# qid landed late in the round, so four r3 re-confirms (q_string_funcs,
-# q_array_funcs, q_posexplode, q_regex_parse — pure function batteries
-# on code untouched since r1) were displaced and join the r4 cohort
-# (q_drip_source and peers) in r9's burn-down per the r7 verdict. Everything else rotating out holds a green r5-r7 row on an
+# debt" rule); the trained-classifier trio, the temperature-mixture
+# qid, and the Kneser-Ney LM landed late in the round, so five r3
+# re-confirms (q_string_funcs, q_array_funcs, q_posexplode,
+# q_regex_parse, q_unpivot — pure function batteries on code untouched
+# since r1) were displaced and join the r4 cohort (q_drip_source and
+# peers) in r9's burn-down per the r7 verdict. Everything else rotating out holds a green r5-r7 row on an
 # unchanged code path.
 # --------------------------------------------------------------------------
 _R8_FRONT = [
@@ -71,6 +72,7 @@ _R8_FRONT = [
     "q_quality_scores",
     "q_quality_holdout",
     "q_mixture_temperature",
+    "q_kn_perplexity",
     # (b) code paths changed this round
     "q_bpe_encode",
     "q_tokenizer_fertility",
@@ -115,7 +117,6 @@ _R8_FRONT = [
     "q_tfidf",
     "q_token_pack",
     "q_udtf_chunks",
-    "q_unpivot",
     "q_wholetext_ingest",
     "q_window_battery",
 ]

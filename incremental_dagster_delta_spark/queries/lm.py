@@ -165,3 +165,103 @@ def q_vocab_coverage(spark, sf_dir):
             .alias("oov_rate"),
         )
     )
+
+
+# --- interpolated Kneser-Ney ---------------------------------------------
+
+KN_D = 0.75  # absolute discount (exact in binary: 3/4)
+
+_KN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKS_SQL}) AS term,
+         generate_subscripts({_TOKS_SQL}, 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+n1f AS (SELECT w1, count(DISTINCT w2) AS n1f FROM big GROUP BY w1),
+n1p AS (SELECT w2, count(DISTINCT w1) AS n1p FROM big GROUP BY w2),
+nbt AS (SELECT count(*) AS nbt FROM c2),
+scored AS (
+  SELECT big.doc_id,
+         ROUND(ln((c2.c2 - {KN_D}) / c1.c1
+                  + ({KN_D} * n1f.n1f / c1.c1) * (1.0 * n1p.n1p / nbt.nbt)), 8) AS lp
+  FROM big
+  JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  JOIN n1f USING (w1) JOIN n1p USING (w2)
+  CROSS JOIN nbt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(-avg(lp), 4) AS DOUBLE) AS cross_entropy
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("q_kn_perplexity", tags=("text", "llm"), oracle=_KN_ORACLE)
+def q_kn_perplexity(spark, sf_dir):
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (Kneser & Ney 1995; the smoothing KenLM ships and CCNet's
+    filter models actually use — add-one over-penalizes unseen mass,
+    KN redistributes it by CONTINUATION diversity):
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1·) + λ(w1)·P_cont(w2)
+        λ(w1)    = d·N1+(w1·)/c(w1·)
+        P_cont   = N1+(·w2)/N1+(··),     d = 0.75
+
+    Every scored bigram is observed (the model scores its own training
+    corpus), so the discounted term is strictly positive and no unseen-
+    event branch is needed; the interpolation weight still shifts mass
+    toward versatile continuations, which is what separates KN from
+    the add-one twin q_bigram_perplexity.
+
+    Scale shape — identical to the add-one LM and pinned by the same
+    plan test: the bigram count, continuation-fan-out (N1+(w1·)) and
+    continuation-history (N1+(·w2)) tables all grow with the corpus's
+    observed bigram set, so every scoring join SHUFFLES on its token
+    key (two-phase distinct counts are map-side combinable); only the
+    1-row bigram-type total broadcasts. Counts are exact integers; the
+    single ln() rounds to 8 dp before the per-doc average, final mean
+    to 4 dp (the module's established parity device)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("term", 1).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("term").alias("w1"), "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    n1f = big.groupBy("w1").agg(F.countDistinct("w2").alias("n1f"))
+    n1p = big.groupBy("w2").agg(F.countDistinct("w1").alias("n1p"))
+    nbt = c2.agg(F.count("*").alias("nbt"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1f, "w1")
+        .join(n1p, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c2") - KN_D) / F.col("c1")
+                    + (KN_D * F.col("n1f") / F.col("c1"))
+                    * (1.0 * F.col("n1p") / F.col("nbt"))
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 4).cast("double").alias("cross_entropy"),
+    )

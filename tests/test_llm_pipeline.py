@@ -223,3 +223,53 @@ def test_mixture_temperature_flattens_toward_uniform(spark, sf_dir):
         else:
             assert abs(r["temp_share"] - r["nat_share"]) < 2e-3, r
     assert moved >= 1  # the pin is vacuous if every source is ~uniform
+
+
+def test_kn_is_proper_distribution_and_matches_reference(spark, tmp_path):
+    """Interpolated KN must be a PROPER conditional distribution: for
+    every history w1, Σ over the full vocab of
+    (max(c−d,0)/c1 + λ(w1)·P_cont(w2)) is exactly 1 (the discount mass
+    d·N1+(w1·)/c1 is what the interpolation term hands back). Planted
+    corpus where every vocab word occurs as a continuation so
+    Σ P_cont = 1 holds with no boundary cases; also pins the Spark
+    per-doc cross-entropy against the same formulas in plain Python
+    with the identical 8-dp/4-dp rounding."""
+    import math
+    import os
+    from collections import Counter, defaultdict
+
+    from incremental_dagster_delta_spark.queries.lm import KN_D, q_kn_perplexity
+
+    texts = {1: "a b c a b", 2: "b c a c b", 3: "c a a b c"}
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in texts.items()], "doc_id long, text string"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    bigs = {d: list(zip(s.split(), s.split()[1:])) for d, s in texts.items()}
+    allb = [b for bs in bigs.values() for b in bs]
+    c2 = Counter(allb)
+    c1 = Counter(w1 for w1, _ in allb)
+    n1f = {w1: len({b for a, b in c2 if a == w1}) for w1 in c1}
+    n1p = defaultdict(int)
+    for _, w2 in c2:
+        n1p[w2] += 1
+    nbt = len(c2)
+    vocab = sorted({w for s in texts.values() for w in s.split()})
+
+    def p(w1, w2):
+        disc = max(c2.get((w1, w2), 0) - KN_D, 0.0) / c1[w1]
+        lam = KN_D * n1f[w1] / c1[w1]
+        return disc + lam * (n1p[w2] / nbt)
+
+    for w1 in c1:
+        assert abs(sum(p(w1, w2) for w2 in vocab) - 1.0) < 1e-12, w1
+
+    got = {r["doc_id"]: r for r in q_kn_perplexity(spark, sf).collect()}
+    for d, bs in bigs.items():
+        lps = [round(math.log(p(w1, w2)), 8) for w1, w2 in bs]
+        ce = round(-sum(lps) / len(lps), 4)
+        assert got[d]["n_bigrams"] == len(bs)
+        assert got[d]["cross_entropy"] == ce, (d, got[d]["cross_entropy"], ce)

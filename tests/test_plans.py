@@ -333,6 +333,23 @@ def test_bigram_scoring_joins_shuffle(spark, sf_dir):
     assert n_b == 1, f"expected exactly the scalar-v broadcast, saw {n_b}"
 
 
+def test_kn_scoring_joins_shuffle(spark, sf_dir):
+    """The Kneser-Ney twin of test_bigram_scoring_joins_shuffle: all
+    FOUR model tables (c2, c1, the two continuation-count tables) grow
+    with the observed bigram set, so every scoring join must shuffle;
+    only the 1-row bigram-type total broadcasts."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(QUERIES["q_kn_perplexity"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("SortMergeJoin") >= 4, phys
+    n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
+    assert n_b == 1, f"expected exactly the scalar-nbt broadcast, saw {n_b}"
+
+
 def _physical_no_autobroadcast(spark, build) -> str:
     """Physical plan with auto-broadcast disabled: any surviving
     broadcast join must come from an explicit F.broadcast hint."""
