@@ -37,7 +37,12 @@ transactions:
   publish and again before the commit marker) serializes the race:
   losers WAIT (bounded by ``lease_ttl_ms``) — if the winner commits,
   the waiter observes the marker and no-ops; if the winner crashed, its
-  entry ages out and the next election takes over and replays
+  entry ages out and the next election takes over and replays. A LIVE
+  holder is never aged out: it heartbeats a ``<token>.hb`` sidecar
+  between staging and publish and periodically during the rename loop,
+  and liveness is judged on max(entrant, heartbeat) mtime while the
+  election ORDER key stays the immutable entrant mtime — so a slow
+  append longer than the TTL cannot be usurped mid-publish (ADVICE r8)
   (streaming restarts within the TTL self-heal instead of
   crash-looping). The marker is re-checked after winning, so a writer
   whose pre-lease marker check raced just ahead of another writer's
@@ -55,6 +60,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -111,6 +117,9 @@ class PartitionedTable:
         self.fmt = fmt
         self.lease_ttl_ms = lease_ttl_ms
         self.lease_settle_s = lease_settle_s
+        # token → entrant mtime recorded at election win; fences compare
+        # against this settled key rather than current minimality
+        self._won_mtime: dict[str, int] = {}
 
     # -- writes ------------------------------------------------------------
 
@@ -383,6 +392,12 @@ class PartitionedTable:
         token = self._acquire_lease(fs, Path, batch_id, marker)
         if token is None:  # committed while we waited on a live lease
             return False
+        # Heartbeat from election to release on a daemon thread: the
+        # staging write is an opaque blocking JVM call that can exceed
+        # the TTL on its own, so in-line beats between steps are not
+        # enough — a live holder must never be aged out mid-append
+        # (ADVICE r8).
+        stop_beat = self._start_heartbeat(fs, Path, batch_id, token)
         try:
             # Re-check the marker now that WE hold the lease: a writer
             # whose pre-lease marker check raced just ahead of another
@@ -394,6 +409,7 @@ class PartitionedTable:
                 df, batch_id, jvm, fs, Path, root, marker, token
             )
         finally:
+            stop_beat()
             self._release_lease(fs, Path, batch_id, token)
 
     def _lease_dir(self, Path, batch_id: int):
@@ -408,26 +424,84 @@ class PartitionedTable:
         """Sorted (mtime_ms, token) of live entrant files under the lease
         dir; entries older than ``lease_ttl_ms`` belong to crashed
         holders and are dropped (and best-effort deleted) on the way.
-        ``keep_token`` exempts the CALLER'S OWN entrant from the TTL: a
-        holder mid-append is alive by definition however long the write
-        takes, and must not age itself out of its own fence check. A
-        foreign writer still ages it out and deletes the file, so a
-        genuine takeover is still observed (token absent) and raises."""
+
+        Liveness and election ORDER are judged on different clocks: the
+        order key is the entrant file's mtime, which is never rewritten
+        (so the election outcome is stable), while liveness is
+        max(entrant mtime, ``<token>.hb`` heartbeat mtime) — a holder
+        mid-publish refreshes only the sidecar, staying alive without
+        re-entering the election (ADVICE r8: before this split, any
+        append slower than the TTL was deterministically usurped while
+        its renames were still landing). ``keep_token`` additionally
+        exempts the CALLER'S OWN entrant from the TTL as before. Orphan
+        stale heartbeats (entrant already deleted) are swept too."""
         if not fs.exists(d):
             return []
+        entrants: dict[str, tuple[int, object]] = {}
+        beats: dict[str, tuple[int, object]] = {}
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            mod = st.getModificationTime()
+            if name.endswith(".hb"):
+                beats[name[:-3]] = (mod, st.getPath())
+            else:
+                entrants[name] = (mod, st.getPath())
         out = []
         now = int(time.time() * 1000)
-        for st in fs.listStatus(d):
-            mod = st.getModificationTime()
-            name = st.getPath().getName()
-            if name != keep_token and now - mod >= self.lease_ttl_ms:
-                try:
-                    fs.delete(st.getPath(), False)
-                except Exception:
-                    pass
+        for name, (mod, p) in entrants.items():
+            live_mod = max(mod, beats.get(name, (mod, None))[0])
+            if name != keep_token and now - live_mod >= self.lease_ttl_ms:
+                for victim in (p, beats.get(name, (0, None))[1]):
+                    if victim is None:
+                        continue
+                    try:
+                        fs.delete(victim, False)
+                    except Exception:
+                        pass
                 continue
             out.append((mod, name))
+        for name, (mod, p) in beats.items():
+            if name not in entrants and name != keep_token and now - mod >= self.lease_ttl_ms:
+                try:
+                    fs.delete(p, False)
+                except Exception:
+                    pass
         return sorted(out)
+
+    def _start_heartbeat(self, fs, Path, batch_id: int, token: str):
+        """Spawn a daemon thread refreshing the holder's ``.hb`` sidecar
+        every TTL/4 (floored at 10 ms, capped at 30 s) until the
+        returned stop callable is invoked. py4j gives each Python thread
+        its own gateway connection and Hadoop ``FileSystem`` handles are
+        thread-safe, so beating concurrently with the staging write is
+        sound."""
+        stop = threading.Event()
+        period = min(max(self.lease_ttl_ms / 4000.0, 0.01), 30.0)
+
+        def beat() -> None:
+            while not stop.wait(period):
+                self._heartbeat_lease(fs, Path, batch_id, token)
+
+        th = threading.Thread(target=beat, daemon=True, name=f"lease-hb-{batch_id}")
+        th.start()
+
+        def stopper() -> None:
+            stop.set()
+            th.join(timeout=5.0)
+
+        return stopper
+
+    def _heartbeat_lease(self, fs, Path, batch_id: int, token: str) -> None:
+        """Refresh the holder's liveness WITHOUT touching its election
+        key: rewrite the ``<token>.hb`` sidecar (mtime := now). Best
+        effort — a failed beat degrades to the pre-heartbeat behavior,
+        where the fences still catch a takeover."""
+        try:
+            out = fs.create(self._entrant_path(Path, batch_id, token + ".hb"), True)
+            out.write(bytearray(b"1"))
+            out.close()
+        except Exception:
+            pass
 
     def _acquire_lease(self, fs, Path, batch_id: int, marker=None) -> str | None:
         """Per-batch mutual exclusion by lock-file ELECTION: each writer
@@ -460,9 +534,22 @@ class PartitionedTable:
                 return None  # holder committed; batch is done
             if token is None:
                 token = uuid.uuid4().hex
-                out = fs.create(self._entrant_path(Path, batch_id, token), True)
-                out.write(bytearray(b"1"))
-                out.close()
+                try:
+                    out = fs.create(self._entrant_path(Path, batch_id, token), True)
+                    out.write(bytearray(b"1"))
+                    out.close()
+                except Exception:
+                    # transient store failure (or a racing delete of the
+                    # lease dir mid-create): re-enter, bounded by the
+                    # same deadline as any other contested wait
+                    token = None
+                    if time.time() >= deadline:
+                        raise ConcurrentWriterError(
+                            f"batch {batch_id}: could not create a lease "
+                            f"entrant at {d} within {self.lease_ttl_ms} ms"
+                        )
+                    time.sleep(max(self.lease_settle_s, 0.005))
+                    continue
                 time.sleep(max(self.lease_settle_s, 0.005))
                 continue
             try:
@@ -473,11 +560,25 @@ class PartitionedTable:
             if token not in names:
                 # our entry aged out or was cleaned: delete any remnant
                 # (a leaked earlier entrant would win elections as junk)
-                # and re-enter
+                # and re-enter — unless the deadline already passed, in
+                # which case raise here rather than loop unboundedly
+                # (ADVICE r8: with short TTLs two live writers mutually
+                # aging each other's entrants could cycle
+                # create→age-out→recreate forever)
                 self._release_lease(fs, Path, batch_id, token)
                 token = None
+                if time.time() >= deadline:
+                    raise ConcurrentWriterError(
+                        f"batch {batch_id}: lease at {d} still contested "
+                        f"after waiting {self.lease_ttl_ms} ms"
+                    )
                 continue
             if ents[0][1] == token:
+                # elected: remember the winning mtime so fences tolerate
+                # same-millisecond ties (ADVICE r8 — fence against
+                # entrants strictly OLDER than the settled election, not
+                # against current minimality)
+                self._won_mtime[token] = ents[0][0]
                 return token  # we hold the minimal (mtime, token): elected
             if time.time() >= deadline:
                 self._release_lease(fs, Path, batch_id, token)
@@ -488,13 +589,26 @@ class PartitionedTable:
             time.sleep(min(max(self.lease_settle_s, 0.02), 1.0))
 
     def _check_lease(self, fs, Path, batch_id: int, token: str) -> None:
-        """Fence: we must still be the elected entrant (our file present
-        and minimal). A listing that fails mid-check is a lost fence."""
+        """Fence: our entrant must still be present and no live entrant
+        may predate our settled election (mtime strictly below the
+        recorded winning mtime). Judging against the RECORDED win rather
+        than current minimality makes the fence tie-tolerant: an entrant
+        landing in the same millisecond tick as ours but sorting lower
+        by token cannot spuriously dethrone a legitimately settled
+        winner (ADVICE r8). A genuine usurper deletes our entrant on
+        takeover, so it is still observed (token absent → raise). A
+        listing that fails mid-check is a lost fence."""
         try:
             ents = self._live_entrants(
                 fs, self._lease_dir(Path, batch_id), keep_token=token
             )
-            held = bool(ents) and ents[0][1] == token
+            won = self._won_mtime.get(token)
+            if won is None:
+                held = bool(ents) and ents[0][1] == token
+            else:
+                held = any(t == token for _, t in ents) and all(
+                    m >= won for m, _ in ents
+                )
         except Exception:
             held = False
         if not held:
@@ -503,10 +617,12 @@ class PartitionedTable:
             )
 
     def _release_lease(self, fs, Path, batch_id: int, token: str) -> None:
-        try:
-            fs.delete(self._entrant_path(Path, batch_id, token), False)
-        except Exception:  # releasing is best-effort; TTL ages it out
-            pass
+        self._won_mtime.pop(token, None)
+        for name in (token, token + ".hb"):
+            try:
+                fs.delete(self._entrant_path(Path, batch_id, name), False)
+            except Exception:  # releasing is best-effort; TTL ages it out
+                pass
 
     def _append_batch_locked(
         self, df: DataFrame, batch_id: int, jvm, fs, Path, root, marker, token: str
@@ -538,6 +654,7 @@ class PartitionedTable:
         self._check_lease(fs, Path, batch_id, token)
         staging_path = Path(staging)
         staging_uri = staging_path.toUri().getPath()
+        published: set[str] = set()
         it = fs.listFiles(staging_path, True)
         while it.hasNext():
             st = it.next()
@@ -549,7 +666,22 @@ class PartitionedTable:
             target = Path(posixpath.join(self.path, posixpath.dirname(rel), prefix + name))
             fs.mkdirs(target.getParent())
             fs.rename(p, target)
+            published.add(target.toUri().getPath())
         fs.delete(staging_path, True)
+        # defense-in-depth before the visibility point: sweep any
+        # b{batch}- files we did NOT just publish (a usurped writer's
+        # late-landing renames would otherwise ride under our marker as
+        # duplicate rows); published names embed per-writer task UUIDs,
+        # so foreign files are distinguishable from ours. Scoped to the
+        # leaf dirs we published into — a same-batch usurper replays the
+        # same rows, so its files land in the same partitions — keeping
+        # this O(our files), not a second full-table listing (the
+        # full-tree leftover case is already the step-2 cleanup's job).
+        for leaf in {posixpath.dirname(p) for p in published}:
+            for st in fs.listStatus(Path(leaf)):
+                p = st.getPath()
+                if p.getName().startswith(prefix) and p.toUri().getPath() not in published:
+                    fs.delete(p, False)
         # fence: the commit marker is the visibility point — only the
         # current lease holder may write it
         self._check_lease(fs, Path, batch_id, token)

@@ -196,3 +196,173 @@ def test_live_lease_with_marker_is_completed_batch(spark, tmp_path):
     out = first.read()
     assert out.count() == 3
     assert {r["id"] for r in out.collect()} == {0, 1, 2}
+
+
+def _hadoop(spark, path: str):
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, Path
+
+
+def test_heartbeat_keeps_entrant_live_with_old_mtime(spark, tmp_path):
+    """Liveness is max(entrant, .hb sidecar) mtime while the election
+    ORDER key stays the entrant's immutable mtime: an old entrant with a
+    fresh heartbeat survives a foreign listing AND still sorts by its
+    original (oldest-wins) key; without the heartbeat it is aged out
+    (ADVICE r8 — a live-but-slow holder must never be usurped)."""
+    import os
+    import time
+
+    path = str(tmp_path / "hb1")
+    table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=200)
+    d = tmp_path / "hb1" / "_commits" / "7.lease.d"
+    d.mkdir(parents=True)
+    old = time.time() - 10.0  # far past the TTL
+    (d / "aaaaholdertoken").write_text("1")
+    os.utime(d / "aaaaholdertoken", (old, old))
+    (d / "aaaaholdertoken.hb").write_text("1")  # fresh beat
+    (d / "zzzznewcomertoken").write_text("1")  # fresh foreign entrant
+    fs, Path = _hadoop(spark, path)
+    ents = table._live_entrants(fs, table._lease_dir(Path, 7))
+    names = [t for _, t in ents]
+    assert names == ["aaaaholdertoken", "zzzznewcomertoken"], ents
+    assert ents[0][0] == int(old * 1000), "order key must be the entrant mtime"
+    # same state minus the heartbeat: the stale entrant is swept
+    (d / "aaaaholdertoken.hb").unlink()
+    os.utime(d / "aaaaholdertoken", (old, old))
+    ents = table._live_entrants(fs, table._lease_dir(Path, 7))
+    assert [t for _, t in ents] == ["zzzznewcomertoken"], ents
+    assert not (d / "aaaaholdertoken").exists()
+
+
+def test_slow_live_holder_is_not_usurped(spark, tmp_path):
+    """An append that takes LONGER than lease_ttl_ms must not be usurped
+    while still live: the holder's heartbeat thread keeps it alive, so a
+    concurrent same-batch writer waits its full TTL and raises loudly
+    instead of electing itself mid-publish and doubling rows under the
+    marker (ADVICE r8, the medium finding)."""
+    import time
+
+    from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
+
+    path = str(tmp_path / "hb2")
+    slow = PartitionedTable(spark, path, ["day"], lease_ttl_ms=600, lease_settle_s=0.02)
+    fast = PartitionedTable(spark, path, ["day"], lease_ttl_ms=600, lease_settle_s=0.02)
+
+    orig = slow._record_partition_schema
+
+    def slow_schema(df):  # runs inside _append_batch_locked, post-staging
+        time.sleep(1.5)  # > both writers' TTL
+        return orig(df)
+
+    slow._record_partition_schema = slow_schema
+    results: dict[str, object] = {}
+
+    def run_slow():
+        results["slow"] = slow.append_batch(_df(spark, "2024-02-01", 4, 0), 11)
+
+    def run_fast():
+        time.sleep(0.45)  # let the slow writer win the election first
+        try:
+            results["fast"] = fast.append_batch(_df(spark, "2024-02-01", 9, 100), 11)
+        except ConcurrentWriterError as e:
+            results["fast"] = e
+
+    _run_threads([run_slow, run_fast])
+    assert results["slow"] is True, results
+    # the late writer either raised at its deadline (holder still live)
+    # or observed the committed marker and no-op'd — it must NOT publish
+    assert results["fast"] is not True, results
+    out = slow.read().where("day = '2024-02-01'")
+    assert out.count() == 4
+    assert {r["id"] for r in out.collect()} == {0, 1, 2, 3}
+    assert slow.batch_metrics()[11]["rows"] == 4
+
+
+def test_contested_election_raises_at_deadline_not_forever(spark, tmp_path):
+    """The token-absent re-entry branch must respect the deadline: a
+    writer whose entrants keep being deleted by a hostile peer raises
+    ConcurrentWriterError at ~lease_ttl_ms instead of cycling
+    create->age-out->recreate unboundedly (ADVICE r8, low #1)."""
+    import threading as th
+    import time
+
+    from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
+
+    path = str(tmp_path / "hb3")
+    table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=400, lease_settle_s=0.02)
+    d = tmp_path / "hb3" / "_commits" / "13.lease.d"
+    d.mkdir(parents=True)
+    stop = th.Event()
+
+    def hostile():
+        # keep a fresh foreign entrant present and delete everyone else's
+        while not stop.is_set():
+            (d / "aaaaforeign").write_text("1")
+            for f in d.iterdir():
+                # skip dotfiles: deleting Hadoop's in-flight .crc
+                # sidecars crashes the victim's fs.create outright,
+                # which would bypass the loop under test
+                if f.name != "aaaaforeign" and not f.name.startswith("."):
+                    try:
+                        f.unlink()
+                    except OSError:
+                        pass
+            time.sleep(0.01)
+
+    peer = th.Thread(target=hostile, daemon=True)
+    peer.start()
+    result: dict[str, object] = {}
+
+    def run():
+        t0 = time.time()
+        try:
+            table.append_batch(_df(spark, "2024-02-02", 2, 0), 13)
+            result["outcome"] = "published"
+        except ConcurrentWriterError:
+            result["outcome"] = "raised"
+        result["elapsed"] = time.time() - t0
+
+    w = th.Thread(target=run)
+    w.start()
+    w.join(timeout=10.0)
+    stop.set()
+    peer.join(timeout=2.0)
+    assert not w.is_alive(), "writer hung past the deadline (unbounded re-entry loop)"
+    assert result["outcome"] == "raised", result
+    assert result["elapsed"] < 5.0, result
+
+
+def test_fence_tolerates_same_millisecond_tie(spark, tmp_path):
+    """_check_lease fences against entrants strictly OLDER than the
+    recorded election win: a foreign entrant landing in the same mtime
+    tick as the holder's (sorting lower by token) must not spuriously
+    dethrone a settled winner, while a strictly older entrant still
+    does (ADVICE r8, low #3)."""
+    import os
+
+    from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
+
+    path = str(tmp_path / "hb4")
+    table = PartitionedTable(spark, path, ["day"], lease_ttl_ms=60_000, lease_settle_s=0.01)
+    fs, Path = _hadoop(spark, path)
+    token = table._acquire_lease(fs, Path, 17)
+    assert token is not None
+    d = tmp_path / "hb4" / "_commits" / "17.lease.d"
+    own_mtime_s = (d / token).stat().st_mtime
+    # tie: same mtime, lexicographically smaller token
+    (d / ("0" * 32)).write_text("1")
+    os.utime(d / ("0" * 32), (own_mtime_s, own_mtime_s))
+    table._check_lease(fs, Path, 17, token)  # must NOT raise
+    # strictly older entrant: a genuinely earlier winner -> fence fails
+    older = own_mtime_s - 0.005
+    (d / ("1" * 32)).write_text("1")
+    os.utime(d / ("1" * 32), (older, older))
+    try:
+        table._check_lease(fs, Path, 17, token)
+        raised = False
+    except ConcurrentWriterError:
+        raised = True
+    assert raised, "strictly-older entrant must still fail the fence"
+    table._release_lease(fs, Path, 17, token)
