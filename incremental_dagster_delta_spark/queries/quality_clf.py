@@ -151,7 +151,20 @@ def score_docs(docs: DataFrame) -> DataFrame:
     broadcast — legitimately, because the table is D-bounded by
     construction (contrast bpe.py/unigram_lm.py where the
     distinct-words segmentation table grows with the corpus and must
-    stay AQE-decided)."""
+    stay AQE-decided).
+
+    The combined fit+score lineage re-scans the documents parquet per
+    consumer branch (11 scans in the full plan — Spark never
+    materializes shared subtrees). An r9 A/B at sf0.1 (REPS=5 medians,
+    same session, interleaved) measured both persist-based cures WORSE
+    than the re-scans: unpersisted 1.15-1.56 s vs persist(post)+
+    persist(lab)+materialize_release 2.43-2.60 s vs persist(tok) 2.26-
+    3.22 s — the parallel re-tokenize passes are pure whole-stage
+    codegen over a sub-GB parquet, while the persists serialize the DAG
+    behind a block-manager write. The re-scan is a linear constant
+    factor, kept deliberately; the deployment shape at 100 TB persists
+    the ≤257-row weight table from q_quality_classifier once, making
+    scoring ONE corpus pass (see docs/PLANS.md)."""
     tok = tok_table(docs)
     lab = doc_labels(tok)
     post = doc_postings(tok)
@@ -362,7 +375,8 @@ def q_quality_holdout(spark, sf_dir):
     train = docs.where(draw < TRAIN_PCT)
     test = docs.where(draw >= TRAIN_PCT)
     tok_tr = tok_table(train)
-    w = _fit(doc_postings(tok_tr), doc_labels(tok_tr))
+    lab_tr = doc_labels(tok_tr)
+    w = _fit(doc_postings(tok_tr), lab_tr)
     bias = w.where(F.col("bucket") == BIAS_KEY).select(F.col("weight").alias("bias_w"))
     w_feats = w.where(F.col("bucket") != BIAS_KEY)
     tok_te = tok_table(test)
@@ -375,7 +389,11 @@ def q_quality_holdout(spark, sf_dir):
         .crossJoin(F.broadcast(bias))
         .select("doc_id", (F.col("dot") + F.col("bias_w")).alias("margin"))
     )
-    n_train = train.agg(F.count("*").cast("long").alias("n_train"))
+    # n_train counts the LABELLED train set (docs that produced ≥1
+    # token), matching the oracle's trl denominator — counting raw
+    # train-split rows would diverge on an empty/whitespace-only doc
+    # (ADVICE r8, low #2)
+    n_train = lab_tr.agg(F.count("*").cast("long").alias("n_train"))
     return (
         margins.join(lab_te, "doc_id")
         .agg(

@@ -208,8 +208,48 @@ def test_score_plan_broadcasts_weights(spark, sf_dir):
     """The weight table is D-bounded by construction (≤ 257 rows at ANY
     corpus size), so its scoring join must be a broadcast — the corpus
     side never shuffles for the join — and the postings aggregation
-    must partial-aggregate map-side."""
-    plan = str(q_quality_scores(spark, sf_dir)._jdf.queryExecution())
+    must partial-aggregate map-side. ``lazy_plans`` keeps the full
+    logical plan inspectable (score_docs eagerly materializes via
+    ``materialize_release`` since the r9 re-scan cut)."""
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
+    with lazy_plans():
+        plan = str(q_quality_scores(spark, sf_dir)._jdf.queryExecution())
+    spark.catalog.clearCache()
     assert "BroadcastHashJoin" in plan
     physical = plan.split("== Physical Plan ==")[-1]
     assert "partial_count" in physical or "partial_sum" in physical
+
+
+def test_holdout_counts_tokenized_train_docs(spark):
+    """n_train is the LABELLED train-set size: a whitespace-only doc in
+    the train split produces no tokens, so it must not be counted —
+    pinning the Spark query to the oracle's tokenized-doc denominator
+    (ADVICE r8). Built on a tiny in-memory corpus written to parquet so
+    the full qid (including the md5 split) runs unchanged."""
+    import hashlib
+
+    from incremental_dagster_delta_spark.queries.quality_clf import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        q_quality_holdout,
+    )
+
+    def train_side(doc_id: int) -> bool:
+        h = hashlib.md5(f"{doc_id}:{SPLIT_SALT}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < TRAIN_PCT
+
+    # find an id that lands train-side to carry the empty text
+    empty_id = next(i for i in range(1000, 2000) if train_side(i))
+    rows = [(i, "en", f"the tok{i} of words here") for i in range(40)]
+    rows.append((empty_id, "en", "   "))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="qclf_empty_")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = q_quality_holdout(spark, d).collect()[0]
+    n_tokenized_train = sum(1 for i in range(40) if train_side(i))
+    assert row["n_train"] == n_tokenized_train, row
+    assert row["n_test"] == 40 - n_tokenized_train, row
