@@ -40,85 +40,78 @@ from incremental_dagster_delta_spark.queries import linalg  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import lm  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import quality_clf  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import kmeans  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. After r7, the stalest green rows are the 72-qid r3/r4
-# cohort; the r7 verdict's ask is to EMPTY the r3 set this round and
-# finish the r4 remainder in r9. The r8 front is therefore: (a) the new
-# qid, (b) re-confirms for every code path changed this round — the
-# tokenizer OOV-fallback + seg-join unhinting (bpe/unigram encode +
-# fertility), the TF-IDF-class broadcast unhinting (q_tfidf/q_rp_embed/
-# q_topic_terms/q_unigram_surprisal/q_surprisal_buckets/q_pmi_bigrams),
-# the append_batch lease rework (q_delta_append/q_exactly_once_publish/
-# q_multi_hop), and the shared ascending-peel refactor (q_kcore/
-# q_kcore_corpus) — (c) the r3 cohort (q_tfidf among them). All seven
-# new qids take front slots immediately (the "new qid = next-round
-# debt" rule); the trained-classifier trio, the temperature-mixture
-# qid, and the Kneser-Ney LM landed late in the round, so five r3
-# re-confirms (q_string_funcs, q_array_funcs, q_posexplode,
-# q_regex_parse, q_unpivot — pure function batteries on code untouched
-# since r1) were displaced and join the r4 cohort (q_drip_source and
-# peers) in r9's burn-down per the r7 verdict. Everything else rotating out holds a green r5-r7 row on an
-# unchanged code path.
+# across rounds. Round 9 is the final staleness burn-down (r8 verdict ask
+# #1): the ENTIRE remaining r3/r4 cohort — 37 qids last driver-checked in
+# r4 plus the five r3 function batteries displaced late-r8 — fits in one
+# front-50 alongside (a) this round's new qid and (b) re-confirms for
+# every code path changed this round: the append_batch lease-heartbeat
+# rework (q_delta_append / q_exactly_once_publish), the quality-clf
+# n_train denominator fix (the classifier trio), and the ivf_topk
+# factoring for the trained-quantizer swap (q_cosine_ann_ivf /
+# q_recall_at_k). After a green r9 sweep, zero registered qids have a
+# latest driver row older than r5.
 # --------------------------------------------------------------------------
-_R8_FRONT = [
-    # (a) new this round — first driver rows
-    "q_substring_dedup",
-    "q_dup_span_fraction",
+_R9_FRONT = [
+    # (a) new this round — first driver row
+    "q_kmeans_centroids",
+    # (b) code paths changed this round
+    "q_delta_append",
+    "q_exactly_once_publish",
     "q_quality_classifier",
     "q_quality_scores",
     "q_quality_holdout",
-    "q_mixture_temperature",
-    "q_kn_perplexity",
-    # (b) code paths changed this round
-    "q_bpe_encode",
-    "q_tokenizer_fertility",
-    "q_unigram_encode",
-    "q_unigram_fertility",
-    "q_rp_embed",
-    "q_topic_terms",
-    "q_unigram_surprisal",
-    "q_surprisal_buckets",
-    "q_pmi_bigrams",
-    "q_delta_append",
-    "q_exactly_once_publish",
-    "q_multi_hop",
-    "q_kcore",
-    "q_kcore_corpus",
-    # (c) the full r3 cohort — stalest rows in the registry (q_tfidf is
-    # also a changed path this round)
-    "q_above_avg_customers",
-    "q_backfill",
-    "q_chunk_docs",
-    "q_csv_source",
-    "q_cube_agg",
-    "q_custdist_outer",
-    "q_excess_shippers",
-    "q_exists_sql",
-    "q_file_listing",
-    "q_grouped_pandas",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_jsonl_source",
-    "q_lead_lag",
-    "q_min_cost_supplier",
-    "q_notin_filter",
-    "q_orc_source",
-    "q_partitioned_write",
-    "q_prefilter_semi_join",
-    "q_profit_by_nation_year",
-    "q_promo_ratio",
-    "q_salted_agg",
-    "q_sql_udf",
-    "q_table_diff",
-    "q_tfidf",
-    "q_token_pack",
-    "q_udtf_chunks",
-    "q_wholetext_ingest",
-    "q_window_battery",
+    "q_cosine_ann_ivf",
+    "q_recall_at_k",
+    # (c) the five displaced r3 batteries
+    "q_array_funcs",
+    "q_posexplode",
+    "q_regex_parse",
+    "q_string_funcs",
+    "q_unpivot",
+    # (d) the full remaining r4 cohort
+    "q_asof_join",
+    "q_bm25",
+    "q_boilerplate_lines",
+    "q_cohort_retention",
+    "q_corpus_stats",
+    "q_daily_activity_outer",
+    "q_decontaminate",
+    "q_dedup_embedding",
+    "q_dedup_lines",
+    "q_drip_source",
+    "q_funnel_conversion",
+    "q_gap_fill",
+    "q_gopher_rules",
+    "q_histogram",
+    "q_incr_agg_maintain",
+    "q_incremental_dedup",
+    "q_json_extract",
+    "q_listing_accumulate",
+    "q_mixture_plan",
+    "q_partition_discovery",
+    "q_partition_prune",
+    "q_pii_redact",
+    "q_pivot_api",
+    "q_quantiles",
+    "q_range_join",
+    "q_repeated_ngrams",
+    "q_reservoir_per_source",
+    "q_rolling_range_window",
+    "q_scd2_merge",
+    "q_semdedup",
+    "q_seq_len_buckets",
+    "q_session_window",
+    "q_sliding_window",
+    "q_stratified_sample",
+    "q_tumbling_window",
+    "q_upsert_merge",
+    "q_variant_json",
 ]
 
 
@@ -181,6 +174,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R8_FRONT)
+_rotate(_R9_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

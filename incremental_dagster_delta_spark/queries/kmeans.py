@@ -1,0 +1,246 @@
+"""Trained Lloyd's k-means coarse quantizer (r8 verdict ask #2).
+
+The IVF / SemDeDup / PQ family all quantize against a deterministic
+stride-sampled centroid set — the one untrained component left in the
+ANN stack. This module trains the centroids with Lloyd's algorithm and
+exposes them for the IVF pipeline (``similarity.ivf_topk(centroids=...)``).
+
+Determinism — quantized-grid Lloyd's, zero libm surface. Embeddings are
+snapped to an integer grid up front (``floor(x·1000 + 0.5)`` — float→
+double cast and one multiply, IEEE-identical in Spark and DuckDB), so
+
+- every distance is an exact BIGINT (Σ (x−c)², dim 64, |xq| ≤ ~600 →
+  ≤ ~9e7, no overflow), and the argmin + centroid_id tiebreak is exact
+  integer comparison — no cross-engine float boundary anywhere;
+- each round's centroid update re-snaps the per-dimension mean to the
+  same grid: ``floor(Σxq / n + 0.5)``. The sum of integer-valued
+  doubles is exact in ANY accumulation order (< 2^53), and IEEE
+  division + floor are bit-identical across engines — so unlike
+  ``ln``-based scores there is no boundary-margin to measure.
+
+Scale shape — the canonical distributed Lloyd's:
+
+- assignment is MAP-ONLY: the K-row centroid table is collected into a
+  single array-of-structs row and broadcast (K·d ≤ a few thousand ints
+  at any corpus size — bounded by construction, the legitimate
+  broadcast), and each task folds an integer argmin per row with JVM
+  higher-order functions. No shuffle, no N×K row explosion.
+- the update is two map-side-combinable aggregations: posexplode to
+  (centroid, dim) partial sums (the one corpus-wide shuffle, N·d rows
+  combined map-side), then a K-row reassembly. Empty clusters keep
+  their previous centroid (LEFT JOIN + COALESCE, oracle-mirrored).
+- rounds are a fixed T=4 with a per-round ``localCheckpoint`` on the
+  K-row centroid table (the graph.py iteration discipline) — lineage
+  stays O(1) per round and nothing corpus-sized is ever materialized.
+
+Oracle — the q_bpe_merges device: the full training loop unrolled as a
+chained-CTE block per round (assign → per-dim mean → re-snap), bitwise
+the same arithmetic as the Spark path.
+
+Reference parity note: the reference repo (ingest_example/) has no
+vector operators; this extends the engine's ANN surface per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.similarity import IVF_CENTROID_STRIDE
+
+KM_SCALE = 1000  # integer grid: xq = floor(x * KM_SCALE + 0.5)
+KM_STRIDE = IVF_CENTROID_STRIDE  # deterministic init: vec_id % STRIDE == 0
+KM_ROUNDS = 4  # fixed Lloyd's iterations (oracle unrolls the same T)
+
+
+def quantize_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, xq): embeddings snapped to the integer grid."""
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("long"),
+    )
+    return e.select("vec_id", xq.alias("xq"))
+
+
+def _sqdist(a, b):
+    """Σ (a_i − b_i)² as an exact BIGINT fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest_sq(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only integer-argmin assignment (the assign_nearest_centroid
+    shape with exact squared-L2 instead of float cosine): collect the
+    K-row centroid table into ONE array-of-structs row, broadcast, fold
+    the argmin per vector. Ties break to the lower centroid_id, making
+    the fold independent of collect_list order.
+
+    ``vectors``: (vec_id, xq); ``centroids``: (centroid_id, cq).
+    Returns (vec_id, xq, centroid_id, dist).
+    """
+    cent_row = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("centroid_id", "cq")).alias("cents"))
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _sqdist(c["cq"], F.col("xq")).alias("d"), c["centroid_id"].alias("cid")
+        ),
+    )
+    init = F.struct(
+        F.lit(2**62).cast("long").alias("d"), F.lit(-1).cast("long").alias("cid")
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, s: F.when(
+            (s["d"] < acc["d"]) | ((s["d"] == acc["d"]) & (s["cid"] < acc["cid"])), s
+        ).otherwise(acc),
+    )
+    return vectors.crossJoin(cent_row).select(
+        "vec_id", "xq", best["cid"].alias("centroid_id"), best["d"].alias("dist")
+    )
+
+
+def _update_centroids(assigned: DataFrame, old: DataFrame) -> DataFrame:
+    """One Lloyd's update: per-(centroid, dim) integer sums (map-side
+    combined), re-snap the mean to the grid, reassemble the K arrays;
+    empty clusters keep their previous centroid."""
+    sums = (
+        assigned.select("centroid_id", F.posexplode("xq").alias("pos", "v"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    means = (
+        sums.select(
+            "centroid_id",
+            F.struct(
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                .cast("long")
+                .alias("cv"),
+            ).alias("pv"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pv")), lambda s: s["cv"]).alias(
+                "cq_new"
+            )
+        )
+    )
+    return old.join(means, "centroid_id", "left").select(
+        "centroid_id", F.coalesce("cq_new", "cq").alias("cq")
+    )
+
+
+def lloyd_centroids(e: DataFrame, rounds: int = KM_ROUNDS) -> DataFrame:
+    """Train the coarse quantizer: stride-sampled init, ``rounds`` full
+    Lloyd's iterations. Returns (centroid_id, cq) on the integer grid.
+    Each round's K-row result is localCheckpointed — a TRUE bound
+    (K·d ints), keeping per-round lineage O(1)."""
+    vec = quantize_embeddings(e)
+    cents = vec.where(F.col("vec_id") % KM_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+    )
+    for _ in range(rounds):
+        assigned = assign_nearest_sq(vec, cents)
+        cents = _update_centroids(assigned, cents).localCheckpoint(eager=True)
+    return cents
+
+
+def trained_centroids(e: DataFrame, rounds: int = KM_ROUNDS) -> DataFrame:
+    """(centroid_id, ce) with the trained centroids mapped back to
+    doubles — drop-in for the IVF pipeline's stride centroid table
+    (``similarity.ivf_topk(..., centroids=trained_centroids(e))``)."""
+    cents = lloyd_centroids(e, rounds)
+    return cents.select(
+        "centroid_id",
+        F.transform(F.col("cq"), lambda v: v.cast("double") / KM_SCALE).alias("ce"),
+    )
+
+
+_DIST_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+)
+
+
+def _km_oracle(rounds: int = KM_ROUNDS) -> str:
+    """Chained-CTE DuckDB oracle: quantize → stride init → per round
+    (argmin assign with id tiebreak → per-dim mean → grid re-snap with
+    empty-cluster carry) → final assignment stats. Generated
+    programmatically — the SQL is the same 2-CTE block × T."""
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, xq AS cq FROM e WHERE vec_id % {KM_STRIDE} = 0
+    )"""
+    ]
+    for k in range(rounds):
+        d = _DIST_SQL.format(a="e.xq", b="c.cq")
+        parts.append(f""", a{k} AS (
+      SELECT vec_id, xq, cid FROM (
+        SELECT e.vec_id, e.xq, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid) AS rk
+        FROM e CROSS JOIN c{k} c
+      ) WHERE rk = 1
+    ), m{k} AS (
+      SELECT cid, list(cv ORDER BY pos) AS cq FROM (
+        SELECT cid, pos,
+               CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+        FROM (
+          SELECT cid, xq[pos] AS v, pos FROM (
+            SELECT cid, xq, unnest(range(1, len(xq) + 1)) AS pos FROM a{k}
+          )
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    ), c{k + 1} AS (
+      SELECT c.cid, COALESCE(m.cq, c.cq) AS cq
+      FROM c{k} c LEFT JOIN m{k} m USING (cid)
+    )""")
+    d = _DIST_SQL.format(a="e.xq", b="c.cq")
+    parts.append(f""", af AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT e.vec_id, c.cid, {d} AS d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid) AS rk
+        FROM e CROSS JOIN c{rounds} c
+      ) WHERE rk = 1
+    )
+    SELECT c.cid AS centroid_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_assigned,
+           CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia,
+           array_to_string(list_transform(c.cq, x -> CAST(x AS VARCHAR)), ',') AS centroid
+    FROM c{rounds} c
+    LEFT JOIN (SELECT cid, COUNT(*) AS n, SUM(d) AS inertia FROM af GROUP BY cid) s
+      USING (cid)""")
+    return "".join(parts)
+
+
+@query("q_kmeans_centroids", tags=("similarity", "llm", "trained"), oracle=_km_oracle())
+def q_kmeans_centroids(spark, sf_dir):
+    """Train the Lloyd's coarse quantizer on the embeddings table and
+    report, per centroid: the final assignment count, the exact integer
+    inertia (Σ squared grid distance of its members), and the trained
+    centroid itself (comma-joined grid coordinates — arrays serialize
+    per the oracle-parity rules)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(e)
+    final = assign_nearest_sq(quantize_embeddings(e), cents)
+    stats = final.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n"), F.sum("dist").alias("inertia")
+    )
+    return cents.join(stats, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_assigned"),
+        F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+        F.array_join(F.transform("cq", lambda v: v.cast("string")), ",").alias(
+            "centroid"
+        ),
+    )

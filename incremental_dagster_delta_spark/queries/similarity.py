@@ -212,18 +212,29 @@ def q_cosine_ann_ivf(spark, sf_dir):
     the exact baseline is separately floored in tests/test_ann.py. The
     bucket join keys on centroid_id — candidate volume is the probed
     buckets, not N."""
+    return ivf_topk(t(spark, sf_dir, "embeddings"))
+
+
+def ivf_topk(e: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """The full IVF pipeline as a reusable helper (r9: factored so the
+    trained k-means quantizer can be swapped in). ``centroids`` is a
+    (centroid_id, ce) table; None = the default stride sample (the
+    qid's oracle replicates the stride, so the default must stay it).
+    Pass ``kmeans.trained_centroids(e)`` for the trained variant —
+    recall delta pinned in tests/test_ann.py."""
     from pyspark.sql.window import Window
 
-    e = t(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(e).persist()
+    if centroids is None:
+        centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
+    assigned = assign_nearest_centroid(
+        e.select("vec_id", "embedding"), centroids
+    ).persist()
     queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    centroids = F.broadcast(
-        e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-        )
-    )
+    centroids = F.broadcast(centroids)
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
     probes = (
         queries.join(centroids)

@@ -132,3 +132,21 @@ def test_ivf_pq_adc_recall_floor(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, TOP_K + 1)), (q, ranks)
+
+
+def test_trained_centroids_recall_vs_stride(spark):
+    """The r9 trained Lloyd's quantizer, swapped into the IVF pipeline
+    via ivf_topk(centroids=...), must not lose recall vs the stride
+    init it replaces (measured at sf0.01: stride 0.675 → trained 0.725,
+    deterministic — quantized-grid Lloyd's has no random surface)."""
+    from incremental_dagster_delta_spark.queries.kmeans import trained_centroids
+    from incremental_dagster_delta_spark.queries.similarity import ivf_topk
+
+    exact = _pairs(q_cosine_topk(spark, SF_DIR))
+    e = load_table(spark, SF_DIR, "embeddings")
+    stride = _pairs(ivf_topk(e))
+    trained = _pairs(ivf_topk(e, trained_centroids(e)))
+    stride_recall = len(exact & stride) / len(exact)
+    trained_recall = len(exact & trained) / len(exact)
+    assert trained_recall >= 0.65, trained_recall
+    assert trained_recall >= stride_recall, (trained_recall, stride_recall)

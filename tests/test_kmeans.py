@@ -1,0 +1,124 @@
+"""Trained Lloyd's k-means quantizer (queries/kmeans.py): exact
+equivalence against a pure-Python reference (the quantized grid makes
+every intermediate integer-exact, so the comparison is ==, not
+approx), objective improvement over the stride init, and the
+empty-cluster carry rule."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.queries.kmeans import (
+    KM_ROUNDS,
+    KM_SCALE,
+    KM_STRIDE,
+    assign_nearest_sq,
+    lloyd_centroids,
+    q_kmeans_centroids,
+    quantize_embeddings,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _python_lloyd(spark, sf_dir, rounds=KM_ROUNDS):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * KM_SCALE + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    cents = {i: list(v) for i, v in vecs.items() if i % KM_STRIDE == 0}
+
+    def assign():
+        out = {}
+        for vid, x in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(x, cents[cid]))
+                if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(rounds):
+        a = assign()
+        groups = {}
+        for vid, (_, cid) in a.items():
+            groups.setdefault(cid, []).append(vecs[vid])
+        for cid in cents:
+            members = groups.get(cid)
+            if members:
+                n = len(members)
+                cents[cid] = [
+                    math.floor(sum(col) / n + 0.5) for col in zip(*members)
+                ]
+    final = assign()
+    stats = {}
+    for vid, (d, cid) in final.items():
+        n, inertia = stats.get(cid, (0, 0))
+        stats[cid] = (n + 1, inertia + d)
+    return cents, stats
+
+
+def test_kmeans_matches_python_reference(spark, sf_dir):
+    cents, stats = _python_lloyd(spark, sf_dir)
+    got = {r["centroid_id"]: r for r in q_kmeans_centroids(spark, sf_dir).collect()}
+    assert set(got) == set(cents)
+    for cid, c in cents.items():
+        n, inertia = stats.get(cid, (0, 0))
+        assert got[cid]["n_assigned"] == n, cid
+        assert got[cid]["inertia"] == inertia, cid
+        assert got[cid]["centroid"] == ",".join(str(v) for v in c), cid
+
+
+def test_kmeans_training_reduces_inertia(spark, sf_dir):
+    """T rounds of Lloyd's must beat the stride init on the k-means
+    objective (grid snapping breaks the strict per-step monotonicity
+    proof, so the pin is vs the init, with measured headroom)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = quantize_embeddings(e)
+    init = vec.where(F.col("vec_id") % KM_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+    )
+    before = assign_nearest_sq(vec, init).agg(F.sum("dist")).collect()[0][0]
+    after = (
+        assign_nearest_sq(vec, lloyd_centroids(e)).agg(F.sum("dist")).collect()[0][0]
+    )
+    assert after < before, (before, after)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no vectors carries through unchanged
+    (the COALESCE rule, mirrored in the oracle): plant an outlier
+    centroid far from all points."""
+    rows = [(0, [0.1] * 4), (2, [0.5] * 4)] + [
+        (i, [0.1 + 0.001 * i] * 4) for i in range(3, 20)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # stride 2: centroids from vec_id 0 and 2 would both attract points;
+    # instead plant an explicit far-away centroid via a doctored table
+    far = spark.createDataFrame(
+        [(99, [9.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    from incremental_dagster_delta_spark.queries.kmeans import _update_centroids
+
+    vec = quantize_embeddings(e)
+    cents = quantize_embeddings(e.limit(0).union(far)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+    ).union(
+        vec.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+        )
+    )
+    assigned = assign_nearest_sq(vec, cents)
+    # everything lands on centroid 0; 99 is empty
+    assert assigned.where(F.col("centroid_id") == 99).count() == 0
+    new = {r["centroid_id"]: r["cq"] for r in _update_centroids(assigned, cents).collect()}
+    assert new[99] == [9000] * 4, new[99]  # carried unchanged
+    assert new[0] != [100] * 4  # the live centroid moved to the mean
