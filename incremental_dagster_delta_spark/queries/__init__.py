@@ -144,6 +144,10 @@ _SIZED_SHUFFLE = {
     "q_bpe_encode": "documents",
     "q_substring_dedup": "documents",
     "q_dup_span_fraction": "documents",
+    # round 9: the Lloyd's loop is ~25 tiny stages whose cost is task
+    # overhead; sizing from the embeddings bytes (≈8 partitions at
+    # sf0.1) also sets _prepared_vec's split target. A/B in kmeans.py.
+    "q_kmeans_centroids": "embeddings",
 }
 
 

@@ -405,6 +405,14 @@ def test_tokenizer_seg_joins_shuffle(spark):
         ("q_unigram_surprisal", 1),  # the 1-row token-total scalar
         ("q_surprisal_buckets", 1),  # the 1-row token-total scalar
         ("q_pmi_bigrams", 2),  # the 1-row bigram/unigram totals
+        # r8 verdict ask #6 — the KN twin and the holdout postings join:
+        ("q_kn_perplexity", 1),  # 1-row discount/total scalar; all four
+        # corpus-growing model tables (bigram, unigram, n1f/n1p
+        # continuation counts) shuffle-join
+        ("q_quality_holdout", 5),  # 1 D-bounded (≤257-row) weight-table
+        # BHJ + 4 scalar BNLJs (bias, n_train, class totals); the
+        # corpus-growing joins (train postings⨝labels, test
+        # margins⨝labels) all shuffle
     ],
 )
 def test_token_df_joins_shuffle(spark, sf_dir, qid, n_scalar):
@@ -412,7 +420,9 @@ def test_token_df_joins_shuffle(spark, sf_dir, qid, n_scalar):
     the distinct corpus token set (Heaps' law: 10^8-10^9 at 100 TB) —
     their joins must not be hint-forced to broadcast (r7 verdict items
     1/3). With auto-broadcast disabled, the only surviving broadcasts
-    are the 1-row scalar crossJoins, which stay hinted by design."""
+    are the 1-row scalar crossJoins — plus, where noted, a hinted
+    broadcast whose build side is BOUNDED BY CONSTRUCTION (the ≤257-row
+    hashed-bucket weight table), which stays hinted by design."""
     phys = _physical_no_autobroadcast(spark, lambda: QUERIES[qid].fn(spark, sf_dir))
     n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
     assert n_b == n_scalar, (
