@@ -58,12 +58,16 @@ from incremental_dagster_delta_spark.queries import kmeans  # noqa: E402,F401
 # latest driver row older than r5.
 # --------------------------------------------------------------------------
 _R9_FRONT = [
-    # (a) new this round — first driver row
+    # (a) new this round — first driver rows
     "q_kmeans_centroids",
-    # (b) code paths changed this round
+    "q_cosine_ann_ivf_trained",
+    # (b) code paths changed this round (q_quality_classifier's code
+    # ended the round byte-identical to its green r8 row — the scores
+    # persist experiment was reverted — so it yields its slot to the
+    # second new qid; q_quality_scores keeps one as the shared-helper
+    # canary)
     "q_delta_append",
     "q_exactly_once_publish",
-    "q_quality_classifier",
     "q_quality_scores",
     "q_quality_holdout",
     "q_cosine_ann_ivf",
@@ -147,7 +151,9 @@ _SIZED_SHUFFLE = {
     # round 9: the Lloyd's loop is ~25 tiny stages whose cost is task
     # overhead; sizing from the embeddings bytes (≈8 partitions at
     # sf0.1) also sets _prepared_vec's split target. A/B in kmeans.py.
+    # The trained-IVF qid runs the same loop inside.
     "q_kmeans_centroids": "embeddings",
+    "q_cosine_ann_ivf_trained": "embeddings",
 }
 
 

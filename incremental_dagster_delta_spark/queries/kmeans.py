@@ -260,6 +260,98 @@ def _km_oracle(rounds: int = KM_ROUNDS) -> str:
     return "".join(parts)
 
 
+_COS_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /"
+    " (sqrt(list_aggregate(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *"
+    " sqrt(list_aggregate(list_transform({b},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+def _km_cte_chain(rounds: int = KM_ROUNDS) -> str:
+    """The training CTE chain alone (everything up to c{rounds}),
+    reusable as a prefix by composed oracles."""
+    full = _km_oracle(rounds)
+    return full[: full.index(", af AS (")]
+
+
+def _ivf_trained_oracle(rounds: int = KM_ROUNDS) -> str:
+    """The IVF search oracle with the TRAINED centroid table spliced in:
+    the k-means training chain (exact-integer, no float surface) feeds a
+    cents CTE (grid coords / KM_SCALE — IEEE division, bit-identical
+    both engines), then the same assigned → probes → scored → rank
+    replay as similarity._IVF_ORACLE with the same sequential-double
+    cosine the exact-topk oracle proved bit-stable (scores rounded 4 dp,
+    ties broken on ids before rounding)."""
+    from incremental_dagster_delta_spark.queries.similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    cos_assign = _COS_SQL.format(a="c.ce", b="v.embedding")
+    cos_probe = _COS_SQL.format(a="c.ce", b="q.qe")
+    cos_score = _COS_SQL.format(a="p.qe", b="a.embedding")
+    return (
+        _km_cte_chain(rounds)
+        + f""", cents AS (
+      SELECT cid AS centroid_id,
+             list_transform(cq, x -> CAST(x AS DOUBLE) / {KM_SCALE}) AS ce
+      FROM c{rounds}
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos_assign} DESC, c.centroid_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos_probe} DESC, c.centroid_id) AS rk
+        FROM q CROSS JOIN cents c
+      ) WHERE rk <= {NPROBE}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_score} AS cos
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}"""
+    )
+
+
+@query(
+    "q_cosine_ann_ivf_trained",
+    tags=("similarity", "llm", "trained"),
+    oracle=_ivf_trained_oracle(),
+)
+def q_cosine_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k with the TRAINED Lloyd's quantizer end-to-end — the
+    deployment configuration (train once, search many), hash-checked as
+    one lineage: the composed oracle unrolls the k-means training and
+    splices its dequantized centroids into the standard IVF replay.
+    Recall vs both the exact baseline and the stride-init IVF is pinned
+    in tests/test_ann.py (0.675 → 0.725 at sf0.01)."""
+    from incremental_dagster_delta_spark.queries.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, trained_centroids(e))
+
+
 @query("q_kmeans_centroids", tags=("similarity", "llm", "trained"), oracle=_km_oracle())
 def q_kmeans_centroids(spark, sf_dir):
     """Train the Lloyd's coarse quantizer on the embeddings table and
