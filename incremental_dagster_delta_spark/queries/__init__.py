@@ -61,14 +61,14 @@ _R9_FRONT = [
     # (a) new this round — first driver rows
     "q_kmeans_centroids",
     "q_cosine_ann_ivf_trained",
-    # (b) code paths changed this round (q_quality_classifier's code
-    # ended the round byte-identical to its green r8 row — the scores
-    # persist experiment was reverted — so it yields its slot to the
-    # second new qid; q_quality_scores keeps one as the shared-helper
-    # canary)
+    "q_pq_train",
+    # (b) code paths changed this round (q_quality_classifier and
+    # q_quality_scores ended the round byte-identical to their green r8
+    # rows — the scores persist experiment was reverted — so they yield
+    # their slots to the new trained-ANN qids; q_quality_holdout keeps
+    # one for the n_train denominator change)
     "q_delta_append",
     "q_exactly_once_publish",
-    "q_quality_scores",
     "q_quality_holdout",
     "q_cosine_ann_ivf",
     "q_recall_at_k",
@@ -154,6 +154,7 @@ _SIZED_SHUFFLE = {
     # The trained-IVF qid runs the same loop inside.
     "q_kmeans_centroids": "embeddings",
     "q_cosine_ann_ivf_trained": "embeddings",
+    "q_pq_train": "embeddings",
 }
 
 

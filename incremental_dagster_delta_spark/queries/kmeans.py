@@ -20,11 +20,11 @@ double cast and one multiply, IEEE-identical in Spark and DuckDB), so
 
 Scale shape — the canonical distributed Lloyd's:
 
-- assignment is MAP-ONLY: the K-row centroid table is collected into a
-  single array-of-structs row and broadcast (K·d ≤ a few thousand ints
-  at any corpus size — bounded by construction, the legitimate
-  broadcast), and each task folds an integer argmin per row with JVM
-  higher-order functions. No shuffle, no N×K row explosion.
+- assignment is MAP-ONLY: the K-row centroid table is driver-collected
+  (K·d ≤ a few thousand ints at any corpus size — bounded by
+  construction, the legitimate collect) and closed over by an
+  Arrow-batched ``mapInPandas`` kernel doing one exact int64 numpy
+  matmul per batch. No shuffle, no N×K row explosion.
 - the update is two map-side-combinable aggregations: posexplode to
   (centroid, dim) partial sums (the one corpus-wide shuffle, N·d rows
   combined map-side), then a K-row reassembly. Empty clusters keep
@@ -369,6 +369,236 @@ def q_kmeans_centroids(spark, sf_dir):
         F.count("*").cast("long").alias("n"), F.sum("dist").alias("inertia")
     )
     out = cents.join(stats, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_assigned"),
+        F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+        F.array_join(F.transform("cq", lambda v: v.cast("string")), ",").alias(
+            "centroid"
+        ),
+    )
+    return materialize_release(out, vec)
+
+
+# ---------------------------------------------------------------------------
+# Trained product-quantization codebooks (Jégou et al. 2011 train their
+# codebooks with per-subspace k-means; the engine's q_pq_codes /
+# q_ann_ivf_pq use a deterministic stride codebook — this qid adds the
+# real training). Same quantized-grid determinism device as the coarse
+# quantizer: all distances exact BIGINTs, means re-snap to the grid.
+# All M subspaces train TOGETHER in one DataFrame lineage — `sub` rides
+# as a key column through assignment and update, so the per-round cost
+# is one combinable (sub, centroid, dim) shuffle regardless of M.
+# ---------------------------------------------------------------------------
+
+PQT_M = 4  # subspaces (matches vector_compress.PQ_M)
+PQT_SUBDIM = 16  # 64 // PQT_M
+PQT_STRIDE = 25  # deterministic init: vec_id % 25 (vector_compress.PQ_STRIDE)
+
+
+def _sub_vectors(vec: DataFrame) -> DataFrame:
+    """(vec_id, sub, xs): each quantized vector sliced into its M
+    subvectors — a map-only explode to N·M rows."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice("xq", s * PQT_SUBDIM + 1, PQT_SUBDIM).alias("xs"),
+            )
+            for s in range(PQT_M)
+        ]
+    )
+    return vec.select("vec_id", F.explode(subs).alias("e")).select(
+        "vec_id", "e.sub", "e.xs"
+    )
+
+
+def assign_nearest_sub(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-subspace integer-argmin assignment: the (sub, centroid_id,
+    cq) codebook (M·K rows — bounded by construction) is driver-
+    collected and each Arrow batch is scored sub-by-sub with the same
+    exact int64 matmul as :func:`assign_nearest_sq`. Returns
+    (vec_id, sub, xs, centroid_id, dist)."""
+    import numpy as np
+    import pandas as pd
+
+    by_sub: dict[int, tuple] = {}
+    rows = sorted(centroids.collect(), key=lambda r: (r["sub"], r["centroid_id"]))
+    for s in sorted({r["sub"] for r in rows}):
+        srows = [r for r in rows if r["sub"] == s]
+        C = np.array([r["cq"] for r in srows], dtype=np.int64)
+        by_sub[s] = (
+            np.array([r["centroid_id"] for r in srows], dtype=np.int64),
+            C,
+            (C * C).sum(axis=1),
+        )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sub = pdf["sub"].to_numpy()
+            cid = np.empty(len(pdf), dtype=np.int64)
+            dist = np.empty(len(pdf), dtype=np.int64)
+            X = np.array(pdf["xs"].tolist(), dtype=np.int64)
+            for s, (cids, C, c_sq) in by_sub.items():
+                m = sub == s
+                if not m.any():
+                    continue
+                Xs = X[m]
+                d = (Xs * Xs).sum(axis=1, keepdims=True) - 2 * (Xs @ C.T) + c_sq[None, :]
+                j = np.argmin(d, axis=1)
+                cid[m] = cids[j]
+                dist[m] = d[np.arange(len(j)), j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sub": sub,
+                    "xs": pdf["xs"],
+                    "centroid_id": cid,
+                    "dist": dist,
+                }
+            )
+
+    return vectors.select("vec_id", "sub", "xs").mapInPandas(
+        assign, "vec_id long, sub int, xs array<long>, centroid_id long, dist long"
+    )
+
+
+def _update_sub_centroids(assigned: DataFrame, old: DataFrame) -> DataFrame:
+    """One PQ Lloyd's update — :func:`_update_centroids` with ``sub``
+    in every key; empty cells keep their previous centroid."""
+    sums = (
+        assigned.select("sub", "centroid_id", F.posexplode("xs").alias("pos", "v"))
+        .groupBy("sub", "centroid_id", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    means = (
+        sums.select(
+            "sub",
+            "centroid_id",
+            F.struct(
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                .cast("long")
+                .alias("cv"),
+            ).alias("pv"),
+        )
+        .groupBy("sub", "centroid_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pv")), lambda s: s["cv"]).alias(
+                "cq_new"
+            )
+        )
+    )
+    return old.join(means, ["sub", "centroid_id"], "left").select(
+        "sub", "centroid_id", F.coalesce("cq_new", "cq").alias("cq")
+    )
+
+
+def pq_train(e: DataFrame, rounds: int = KM_ROUNDS) -> DataFrame:
+    """Train the M per-subspace codebooks jointly: stride-sampled init
+    per subspace, ``rounds`` Lloyd's iterations with `sub` riding every
+    key. Returns (sub, centroid_id, cq)."""
+    vec = _prepared_vec(e).persist()
+    try:
+        sv = _sub_vectors(vec)
+        cents = sv.where(F.col("vec_id") % PQT_STRIDE == 0).select(
+            "sub", F.col("vec_id").alias("centroid_id"), F.col("xs").alias("cq")
+        )
+        for _ in range(rounds):
+            assigned = assign_nearest_sub(sv, cents)
+            cents = _update_sub_centroids(assigned, cents).localCheckpoint(eager=True)
+        return cents
+    finally:
+        vec.unpersist()
+
+
+def _pq_oracle(rounds: int = KM_ROUNDS) -> str:
+    """The _km_oracle chain with the subspace dimension riding every
+    key: slice → per-(sub) stride init → per round (argmin within sub →
+    per-(sub, dim) mean → grid re-snap with empty-cell carry) → final
+    per-(sub, centroid) stats."""
+    d = _DIST_SQL.format(a="v.xs", b="c.cq")
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), sv AS (
+      SELECT vec_id, s.sub,
+             xq[s.sub * {PQT_SUBDIM} + 1 : s.sub * {PQT_SUBDIM} + {PQT_SUBDIM}] AS xs
+      FROM e CROSS JOIN (SELECT CAST(unnest(range(0, {PQT_M})) AS INTEGER) AS sub) s
+    ), c0 AS (
+      SELECT sub, vec_id AS cid, xs AS cq FROM sv WHERE vec_id % {PQT_STRIDE} = 0
+    )"""
+    ]
+    for k in range(rounds):
+        parts.append(f""", a{k} AS (
+      SELECT vec_id, sub, xs, cid FROM (
+        SELECT v.vec_id, v.sub, v.xs, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY {d} ASC, c.cid) AS rk
+        FROM sv v JOIN c{k} c USING (sub)
+      ) WHERE rk = 1
+    ), m{k} AS (
+      SELECT sub, cid, list(cv ORDER BY pos) AS cq FROM (
+        SELECT sub, cid, pos,
+               CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+        FROM (
+          SELECT sub, cid, xs[pos] AS v, pos FROM (
+            SELECT sub, cid, xs, unnest(range(1, len(xs) + 1)) AS pos FROM a{k}
+          )
+        ) GROUP BY sub, cid, pos
+      ) GROUP BY sub, cid
+    ), c{k + 1} AS (
+      SELECT c.sub, c.cid, COALESCE(m.cq, c.cq) AS cq
+      FROM c{k} c LEFT JOIN m{k} m ON c.sub = m.sub AND c.cid = m.cid
+    )""")
+    parts.append(f""", af AS (
+      SELECT vec_id, sub, cid, d FROM (
+        SELECT v.vec_id, v.sub, c.cid, {d} AS d,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY {d} ASC, c.cid) AS rk
+        FROM sv v JOIN c{rounds} c USING (sub)
+      ) WHERE rk = 1
+    )
+    SELECT c.sub, c.cid AS centroid_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_assigned,
+           CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia,
+           array_to_string(list_transform(c.cq, x -> CAST(x AS VARCHAR)), ',') AS centroid
+    FROM c{rounds} c
+    LEFT JOIN (SELECT sub, cid, COUNT(*) AS n, SUM(d) AS inertia
+               FROM af GROUP BY sub, cid) s
+      ON c.sub = s.sub AND c.cid = s.cid""")
+    return "".join(parts)
+
+
+@query("q_pq_train", tags=("similarity", "llm", "trained"), oracle=_pq_oracle())
+def q_pq_train(spark, sf_dir):
+    """Train the product-quantization codebooks (per-subspace Lloyd's,
+    the actual Jégou et al. 2011 training the stride codebook of
+    q_pq_codes approximates) and report, per (subspace, centroid): the
+    assignment count, exact integer inertia, and the trained centroid
+    on the grid. Total quantization error vs the stride codebook is
+    pinned in tests/test_kmeans.py."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    e = t(spark, sf_dir, "embeddings")
+    vec = _prepared_vec(e).persist()
+    sv = _sub_vectors(vec)
+    cents = sv.where(F.col("vec_id") % PQT_STRIDE == 0).select(
+        "sub", F.col("vec_id").alias("centroid_id"), F.col("xs").alias("cq")
+    )
+    for _ in range(KM_ROUNDS):
+        assigned = assign_nearest_sub(sv, cents)
+        cents = _update_sub_centroids(assigned, cents).localCheckpoint(eager=True)
+    final = assign_nearest_sub(sv, cents)
+    stats = final.groupBy("sub", "centroid_id").agg(
+        F.count("*").cast("long").alias("n"), F.sum("dist").alias("inertia")
+    )
+    out = cents.join(stats, ["sub", "centroid_id"], "left").select(
+        "sub",
         "centroid_id",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_assigned"),
         F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),

@@ -122,3 +122,35 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     new = {r["centroid_id"]: r["cq"] for r in _update_centroids(assigned, cents).collect()}
     assert new[99] == [9000] * 4, new[99]  # carried unchanged
     assert new[0] != [100] * 4  # the live centroid moved to the mean
+
+
+def test_pq_training_reduces_quantization_error(spark, sf_dir):
+    """Trained PQ codebooks must beat the stride init on total
+    quantization error (Σ inertia over all subspaces) — the metric PQ
+    training exists to minimize; and every (sub, centroid) cell of the
+    init must survive into the trained codebook (empty cells carry)."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        PQT_STRIDE,
+        _sub_vectors,
+        assign_nearest_sub,
+        pq_train,
+        q_pq_train,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from incremental_dagster_delta_spark.queries.kmeans import _prepared_vec
+
+    sv = _sub_vectors(_prepared_vec(e))
+    init = sv.where(F.col("vec_id") % PQT_STRIDE == 0).select(
+        "sub", F.col("vec_id").alias("centroid_id"), F.col("xs").alias("cq")
+    )
+    before = assign_nearest_sub(sv, init).agg(F.sum("dist")).collect()[0][0]
+    trained = pq_train(e)
+    after = assign_nearest_sub(sv, trained).agg(F.sum("dist")).collect()[0][0]
+    assert after < before, (before, after)
+    # same cells, every init cell present
+    got = q_pq_train(spark, sf_dir)
+    assert got.count() == init.count()
+    assert got.select("sub").distinct().count() == 4
