@@ -71,7 +71,10 @@ _R9_FRONT = [
     "q_exactly_once_publish",
     "q_quality_holdout",
     "q_cosine_ann_ivf",
-    "q_recall_at_k",
+    # q_ann_ivf_pq re-confirms the ivf_pq_topk factoring; q_recall_at_k
+    # (r6-green, unchanged code) is covered transitively — it composes
+    # q_cosine_topk and q_cosine_ann_ivf, both re-confirmed here
+    "q_ann_ivf_pq",
     # (c) the five displaced r3 batteries
     "q_array_funcs",
     "q_posexplode",

@@ -607,3 +607,32 @@ def q_pq_train(spark, sf_dir):
         ),
     )
     return materialize_release(out, vec)
+
+
+def trained_pq_codebook_row(e: DataFrame) -> DataFrame:
+    """ONE broadcastable codebook row in the ``pq_codebook_row`` shape
+    (columns ``cents0..cents{M-1}`` of (cid, ce) structs) built from
+    TRAINED per-subspace centroids — drop-in for the IVF-PQ ADC
+    pipeline (``vector_compress.ivf_pq_topk(cent_row_fn=...)``). Train
+    on whatever embedding space the caller passes: q_ann_ivf_pq
+    L2-normalizes first, so the grid quantization sees |x| ≤ 1 and the
+    trained centroids dequantize back into the normalized space."""
+    cents = pq_train(e)
+    dq = cents.select(
+        "sub",
+        "centroid_id",
+        F.transform("cq", lambda v: v.cast("double") / KM_SCALE).alias("ce"),
+    )
+    return F.broadcast(
+        dq.agg(
+            *[
+                F.collect_list(
+                    F.when(
+                        F.col("sub") == s,
+                        F.struct(F.col("centroid_id").alias("cid"), F.col("ce")),
+                    )
+                ).alias(f"cents{s}")
+                for s in range(PQT_M)
+            ]
+        )
+    )

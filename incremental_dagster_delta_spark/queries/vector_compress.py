@@ -333,6 +333,17 @@ def q_ann_ivf_pq(spark, sf_dir):
     — same sequential-double folds, same explicit-order ADC sum, same
     (value, id) tiebreaks; recall vs the exact baseline stays floored
     in tests/test_ann.py."""
+    return ivf_pq_topk(t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+
+def ivf_pq_topk(raw, cent_row_fn=None):
+    """The full IVF-PQ ADC pipeline as a reusable helper (r9: factored
+    so trained PQ codebooks can be swapped in). ``cent_row_fn`` maps the
+    L2-NORMALIZED embeddings table to a single-row broadcastable
+    codebook in the :func:`pq_codebook_row` shape; None = the stride
+    codebook (the qid's oracle replicates the stride, so the default
+    must stay it). Pass ``kmeans.trained_pq_codebook_row`` for the
+    trained variant — recall pinned in tests/test_ann.py."""
     from pyspark.sql.window import Window
 
     from incremental_dagster_delta_spark.queries.similarity import (
@@ -345,7 +356,8 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
     from incremental_dagster_delta_spark.tables import materialize_release
 
-    raw = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if cent_row_fn is None:
+        cent_row_fn = pq_codebook_row
     # L2-normalize first: on unit vectors ||a-b||² = 2 - 2·cos, so the
     # ADC's L2 ranking IS the cosine ranking the ground truth uses;
     # encoding the raw (unnormalized) vectors instead collapses recall
@@ -362,7 +374,7 @@ def q_ann_ivf_pq(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double") / nrm).alias("embedding"),
     )
     assigned = ivf_assign(e).persist()  # (vec_id, embedding, centroid_id)
-    cent_row = pq_codebook_row(e)
+    cent_row = cent_row_fn(e)
     codes = pq_encode(assigned.select("vec_id", "embedding"), cent_row)
     indexed = assigned.select("vec_id", "centroid_id").join(codes, "vec_id").persist()
 
