@@ -352,7 +352,12 @@ def q_cosine_ann_ivf_trained(spark, sf_dir):
     return ivf_topk(e, trained_centroids(e))
 
 
-@query("q_kmeans_centroids", tags=("similarity", "llm", "trained"), oracle=_km_oracle())
+@query(
+    "q_kmeans_centroids",
+    tags=("similarity", "llm", "trained"),
+    bench=True,  # r9: the trained-ANN family's headline representative
+    oracle=_km_oracle(),
+)
 def q_kmeans_centroids(spark, sf_dir):
     """Train the Lloyd's coarse quantizer on the embeddings table and
     report, per centroid: the final assignment count, the exact integer
