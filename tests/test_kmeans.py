@@ -154,3 +154,97 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     got = q_pq_train(spark, sf_dir)
     assert got.count() == init.count()
     assert got.select("sub").distinct().count() == 4
+
+
+def test_kmeans_property_random_corpora(spark):
+    """Hypothesis sweep: on random small corpora (varying N, dim,
+    values) the full distributed pipeline (quantize → train → assign →
+    stats) must equal the pure-Python Lloyd's EXACTLY — the quantized
+    grid leaves no tolerance to hide in. Catches batch-boundary,
+    empty-cluster, and tie-break regressions the fixed-corpus test
+    can't reach."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        KM_SCALE,
+        _train,
+        _update_centroids,
+        assign_nearest_sq,
+        quantize_embeddings,
+    )
+
+    STRIDE_P = 5  # property-local stride so tiny corpora still get K>1
+
+    def py_train(vecs, rounds=2):
+        cents = {i: list(v) for i, v in vecs.items() if i % STRIDE_P == 0}
+
+        def assign():
+            out = {}
+            for vid, x in vecs.items():
+                best = None
+                for cid in sorted(cents):
+                    d = sum((a - b) * (a - b) for a, b in zip(x, cents[cid]))
+                    if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                        best = (d, cid)
+                out[vid] = best
+            return out
+
+        for _ in range(rounds):
+            a = assign()
+            groups = {}
+            for vid, (_, cid) in a.items():
+                groups.setdefault(cid, []).append(vecs[vid])
+            for cid in cents:
+                members = groups.get(cid)
+                if members:
+                    n = len(members)
+                    cents[cid] = [
+                        math.floor(sum(col) / n + 0.5) for col in zip(*members)
+                    ]
+        return cents, assign()
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.integers(min_value=3, max_value=8),  # dim
+        st.lists(
+            st.lists(
+                st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+                min_size=8,
+                max_size=8,
+            ),
+            min_size=6,
+            max_size=30,
+        ),
+    )
+    def run(dim, raw_rows):
+        rows = [(i, [float(x) for x in r[:dim]]) for i, r in enumerate(raw_rows)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        vec = quantize_embeddings(e)
+        # python twin quantizes IDENTICALLY from the float32 values
+        import struct as _s
+
+        vecs = {
+            i: [
+                math.floor(_s.unpack("f", _s.pack("f", x))[0] * KM_SCALE + 0.5)
+                for x in emb
+            ]
+            for i, emb in rows
+        }
+        cents = vec.where(F.col("vec_id") % STRIDE_P == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+        )
+        for _ in range(2):
+            assigned = assign_nearest_sq(vec, cents)
+            cents = _update_centroids(assigned, cents).localCheckpoint(eager=True)
+        exp_cents, exp_assign = py_train(vecs)
+        got_cents = {r["centroid_id"]: list(r["cq"]) for r in cents.collect()}
+        assert got_cents == {cid: list(c) for cid, c in exp_cents.items()}
+        got_assign = {
+            r["vec_id"]: (r["dist"], r["centroid_id"])
+            for r in assign_nearest_sq(vec, cents).collect()
+        }
+        assert got_assign == exp_assign
+
+    run()
