@@ -70,10 +70,11 @@ _R9_FRONT = [
     "q_delta_append",
     "q_exactly_once_publish",
     "q_quality_holdout",
-    "q_cosine_ann_ivf",
-    # q_ann_ivf_pq re-confirms the ivf_pq_topk factoring; q_recall_at_k
-    # (r6-green, unchanged code) is covered transitively — it composes
-    # q_cosine_topk and q_cosine_ann_ivf, both re-confirmed here
+    "q_kmeans_maximin",
+    # q_ann_ivf_pq re-confirms the ivf_pq_topk factoring. The other
+    # r6-green ANN qids are covered transitively: q_cosine_ann_ivf's
+    # changed helper (ivf_topk) is exercised by q_cosine_ann_ivf_trained
+    # above, and q_recall_at_k composes q_cosine_topk + q_cosine_ann_ivf
     "q_ann_ivf_pq",
     # (c) the five displaced r3 batteries
     "q_array_funcs",
@@ -158,6 +159,7 @@ _SIZED_SHUFFLE = {
     "q_kmeans_centroids": "embeddings",
     "q_cosine_ann_ivf_trained": "embeddings",
     "q_pq_train": "embeddings",
+    "q_kmeans_maximin": "embeddings",
 }
 
 

@@ -641,3 +641,105 @@ def trained_pq_codebook_row(e: DataFrame) -> DataFrame:
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-first (maximin) seeding — Gonzalez 1985's 2-approximation to
+# k-center, the deterministic cousin of k-means++ (which needs random
+# draws): start from the minimum vec_id, repeatedly add the point whose
+# distance to the chosen set is LARGEST (ties → lower vec_id). On the
+# integer grid every min-distance and every argmax comparison is exact,
+# so the selection trace is bit-reproducible on both engines.
+# ---------------------------------------------------------------------------
+
+KMM_K = 10  # seeds selected (matches the gate-scale stride-K)
+
+
+def maximin_seeds(e: DataFrame, k: int = KMM_K) -> DataFrame:
+    """The farthest-first selection trace: (step, centroid_id, radius)
+    where radius is the maximin distance at selection time (step 0 is
+    the seed row with radius 0). Each step is ONE distributed pass —
+    :func:`assign_nearest_sq` against the chosen set (driver-held,
+    ≤ k·d ints, bounded by construction) followed by an exact integer
+    argmax with the lower-id tiebreak; the Gonzalez radii are
+    non-increasing, which tests/test_kmeans.py pins."""
+    spark = e.sparkSession
+    vec = _prepared_vec(e).persist()
+    try:
+        seed = vec.orderBy("vec_id").limit(1).collect()[0]
+        chosen = [(int(seed["vec_id"]), list(seed["xq"]), 0)]
+        for step in range(1, k):
+            chosen_df = spark.createDataFrame(
+                [(cid, cq) for cid, cq, _ in chosen],
+                "centroid_id long, cq array<bigint>",
+            )
+            best = (
+                assign_nearest_sq(vec, chosen_df)
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("dist").alias("d"),
+                            (-F.col("vec_id")).alias("negid"),
+                            F.col("xq"),
+                        )
+                    ).alias("b")
+                )
+                .collect()[0]["b"]
+            )
+            chosen.append((int(-best["negid"]), list(best["xq"]), int(best["d"])))
+        return spark.createDataFrame(
+            [(s, cid, r) for s, (cid, _, r) in enumerate(chosen)],
+            "step long, centroid_id long, radius long",
+        )
+    finally:
+        vec.unpersist()
+
+
+def _maximin_oracle(k: int = KMM_K) -> str:
+    """Unrolled farthest-first replay: per step, the min distance to the
+    chosen set per point, then the (max distance, min vec_id) winner —
+    the q_bpe_merges ORDER BY ... LIMIT 1 device."""
+    d = _DIST_SQL.format(a="e.xq", b="c.cq")
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ), ch0 AS (
+      SELECT vec_id AS cid, xq AS cq FROM e
+      WHERE vec_id = (SELECT MIN(vec_id) FROM e)
+    )"""
+    ]
+    for s in range(1, k):
+        parts.append(f""", s{s} AS (
+      SELECT vec_id, md FROM (
+        SELECT e.vec_id, MIN({d}) AS md
+        FROM e CROSS JOIN ch{s - 1} c GROUP BY e.vec_id
+      ) ORDER BY md DESC, vec_id LIMIT 1
+    ), ch{s} AS (
+      SELECT cid, cq FROM ch{s - 1}
+      UNION ALL
+      SELECT e.vec_id, e.xq FROM s{s} JOIN e USING (vec_id)
+    )""")
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS step, cid AS centroid_id,"
+        " CAST(0 AS BIGINT) AS radius FROM ch0"
+    ] + [
+        f"SELECT CAST({s} AS BIGINT), vec_id, CAST(md AS BIGINT) FROM s{s}"
+        for s in range(1, k)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query(
+    "q_kmeans_maximin",
+    tags=("similarity", "llm", "trained"),
+    oracle=_maximin_oracle(),
+)
+def q_kmeans_maximin(spark, sf_dir):
+    """Farthest-first (Gonzalez) k-center seeding over the embeddings
+    table: the full selection trace (step, centroid_id, radius) —
+    radius is the 2-approximation certificate (the k-center cost of the
+    chosen set at each step, non-increasing)."""
+    return maximin_seeds(t(spark, sf_dir, "embeddings"))

@@ -248,3 +248,45 @@ def test_kmeans_property_random_corpora(spark):
         assert got_assign == exp_assign
 
     run()
+
+
+def test_maximin_radii_non_increasing_and_matches_python(spark, sf_dir):
+    """The Gonzalez farthest-first trace: radii non-increasing (each
+    added seed can only shrink the k-center cost), seeds distinct, and
+    the whole trace equals a pure-Python replay exactly."""
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        KMM_K,
+        q_kmeans_maximin,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1000 + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    chosen = [min(vecs)]
+    trace = [(0, chosen[0], 0)]
+    for step in range(1, KMM_K):
+        best = None
+        for vid, x in vecs.items():
+            md = min(
+                sum((a - b) * (a - b) for a, b in zip(x, vecs[c])) for c in chosen
+            )
+            if best is None or md > best[1] or (md == best[1] and vid < best[0]):
+                best = (vid, md)
+        chosen.append(best[0])
+        trace.append((step, best[0], best[1]))
+    got = sorted(
+        (r["step"], r["centroid_id"], r["radius"])
+        for r in q_kmeans_maximin(spark, sf_dir).collect()
+    )
+    assert got == trace
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True) or all(
+        radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
+    )
+    assert len({c for _, c, _ in got}) == KMM_K
