@@ -290,3 +290,29 @@ def test_maximin_radii_non_increasing_and_matches_python(spark, sf_dir):
         radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
     )
     assert len({c for _, c, _ in got}) == KMM_K
+
+
+def test_kmeans_round_plan_shape(spark, sf_dir):
+    """One Lloyd's round compiles to the scale shape: exactly ONE
+    Arrow/Python pass (the assign kernel — no per-row UDF, no second
+    corpus pass), a map-side-combined partial→final aggregation for the
+    (centroid, dim) sums, and no cartesian product anywhere."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        KM_STRIDE,
+        _update_centroids,
+        assign_nearest_sq,
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = quantize_embeddings(e)
+    cents = vec.where(F.col("vec_id") % KM_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
+    )
+    upd = _update_centroids(assign_nearest_sq(vec, cents), cents)
+    phys = str(upd._jdf.queryExecution().executedPlan())
+    assert phys.count("MapInPandas") == 1, phys
+    assert "partial_sum" in phys, phys
+    assert "CartesianProduct" not in phys, phys
