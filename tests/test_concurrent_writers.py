@@ -366,3 +366,37 @@ def test_fence_tolerates_same_millisecond_tie(spark, tmp_path):
         raised = True
     assert raised, "strictly-older entrant must still fail the fence"
     table._release_lease(fs, Path, 17, token)
+
+
+def test_four_concurrent_writers_same_batch_exactly_once(spark, tmp_path):
+    """Four truly-concurrent same-batch writers: exactly one publishes,
+    the rest serialize to no-ops or loud failures, and the surviving
+    rows are internally consistent — the guarantee matrix's raced row
+    at higher contention than the pairwise tests (exercises election,
+    fences, heartbeats, and the contested re-entry path together)."""
+    from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
+
+    path = str(tmp_path / "t8")
+    tables = [
+        PartitionedTable(spark, path, ["day"], lease_settle_s=0.05, lease_ttl_ms=20_000)
+        for _ in range(4)
+    ]
+    results: dict[int, object] = {}
+
+    def run(i):
+        try:
+            results[i] = tables[i].append_batch(
+                _df(spark, "2024-03-01", 3 + i, i * 100), 21
+            )
+        except ConcurrentWriterError as e:
+            results[i] = e
+
+    _run_threads([lambda i=i: run(i) for i in range(4)])
+    oks = [i for i, v in results.items() if v is True]
+    assert len(oks) == 1, results
+    winner = oks[0]
+    out = tables[0].read().where("day = '2024-03-01'")
+    expected = 3 + winner
+    assert out.count() == expected
+    assert out.select("id").distinct().count() == expected
+    assert tables[0].batch_metrics()[21]["rows"] == expected
