@@ -295,22 +295,35 @@ def q_semdedup(spark, sf_dir):
     the global exact decision, which matches because identical vectors
     always share a cell (see module docstring for the recall caveat on
     boundary-straddling near-dups)."""
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
+    return semdedup_kept(e)
+
+
+def semdedup_kept(e, centroids=None):
+    """The SemDeDup kernel factored for centroid swapping (r9):
+    ``centroids`` is any (centroid_id, ce) table; None = the stride
+    sample. The KEPT SET is invariant to the quantizer for exact
+    duplicates — identical vectors land in the same cell under any
+    argmin — which tests/test_ann.py pins by running the kernel under
+    both the stride and the trained centroid tables."""
     from incremental_dagster_delta_spark.queries.similarity import (
         IVF_CENTROID_STRIDE,
         assign_nearest_centroid,
         cosine,
     )
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import materialize_release
 
-    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
     dupes = (
         e.where(F.col("vec_id") % 8 == 0)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
     corpus = e.unionByName(dupes)
-    centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-    )
+    if centroids is None:
+        centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+        )
     assigned = assign_nearest_centroid(corpus, centroids).persist()
     dropped = (
         assigned.alias("a")

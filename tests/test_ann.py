@@ -169,3 +169,21 @@ def test_trained_pq_codebooks_recall_vs_stride(spark):
     trained_recall = len(exact & trained) / len(exact)
     assert trained_recall >= 0.5, trained_recall
     assert trained_recall >= stride_recall, (trained_recall, stride_recall)
+
+
+def test_semdedup_kept_set_invariant_to_quantizer(spark):
+    """SemDeDup's kept set must not depend on which coarse quantizer
+    cells the corpus: exact duplicates share a cell under ANY argmin,
+    so the stride and trained centroid tables must produce the same
+    result — the invariance the qid's oracle (a global exact decision)
+    relies on."""
+    from incremental_dagster_delta_spark.queries.assembly import semdedup_kept
+    from incremental_dagster_delta_spark.queries.kmeans import trained_centroids
+
+    e = fan_out(load_table(spark, SF_DIR, "embeddings"), spark).select(
+        "vec_id", "embedding"
+    )
+    stride = {r["vec_id"] for r in semdedup_kept(e).collect()}
+    trained = {r["vec_id"] for r in semdedup_kept(e, trained_centroids(e)).collect()}
+    assert stride == trained
+    assert len(stride) > 0
