@@ -58,24 +58,22 @@ from incremental_dagster_delta_spark.queries import kmeans  # noqa: E402,F401
 # latest driver row older than r5.
 # --------------------------------------------------------------------------
 _R9_FRONT = [
-    # (a) new this round — first driver rows
+    # (a) new this round — first driver rows. New qids outrank
+    # changed-path re-confirms for front slots (a re-confirm candidate
+    # already holds a green driver row from the round it last ran;
+    # a new qid holds none), so the late-r9 additions displaced the
+    # four re-confirm slots the early-round list carried
+    # (q_delta_append / q_exactly_once_publish / q_quality_holdout /
+    # q_ann_ivf_pq — all byte-stable since their green rows except the
+    # r9 lease/denominator changes, which are locally oracle-checked at
+    # sf0.01 + sf0.001 and pinned by tests/test_concurrent_writers.py,
+    # test_quality_clf.py and test_ann.py's factoring-invariance pins).
     "q_kmeans_centroids",
     "q_cosine_ann_ivf_trained",
     "q_pq_train",
-    # (b) code paths changed this round (q_quality_classifier and
-    # q_quality_scores ended the round byte-identical to their green r8
-    # rows — the scores persist experiment was reverted — so they yield
-    # their slots to the new trained-ANN qids; q_quality_holdout keeps
-    # one for the n_train denominator change)
-    "q_delta_append",
-    "q_exactly_once_publish",
-    "q_quality_holdout",
     "q_kmeans_maximin",
-    # q_ann_ivf_pq re-confirms the ivf_pq_topk factoring. The other
-    # r6-green ANN qids are covered transitively: q_cosine_ann_ivf's
-    # changed helper (ivf_topk) is exercised by q_cosine_ann_ivf_trained
-    # above, and q_recall_at_k composes q_cosine_topk + q_cosine_ann_ivf
-    "q_ann_ivf_pq",
+    "q_cms_heavy_hitters",
+    "q_bloom_membership",
     # (c) the five displaced r3 batteries
     "q_array_funcs",
     "q_posexplode",

@@ -12,6 +12,16 @@ used when exact full-shuffle answers stop being affordable at 100 TB.
   bloom aggregate itself is not exposed as a public function in this
   build). The pre-filter only removes rows the join would drop anyway,
   so the result stays exact and oracle-checkable.
+- **Count-min sketch** (`q_cms_heavy_hitters`): the bounded-memory
+  heavy-hitter counter (Cormode & Muthukrishnan 2005). Hash functions
+  are the repo's md5 device, so DuckDB replays the sketch cell-for-cell
+  and the qid is hash-checked, estimates included — unlike HLL there is
+  no engine-internal register layout to pin.
+- **Bloom membership probe** (`q_bloom_membership`): hand-rolled k-hash
+  Bloom filter as plain relational ops — the batch-vs-corpus dedup
+  pre-filter that never re-shuffles the corpus (its whole footprint is a
+  ≤ m-row broadcast bit table). Deterministic md5 bit positions → the
+  false-positive set is data-determined and oracle-checked exactly.
 """
 
 from __future__ import annotations
@@ -106,4 +116,226 @@ def q_prefilter_semi_join(spark, sf_dir):
         pruned.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # hash rows (error probability ~ e^-depth)
+CMS_WIDTH = 1024  # counters per row (overestimate ~ N_tokens / width)
+CMS_TOP_N = 20  # heavy hitters reported
+
+# One md5 draw per (row, token): first 8 hex digits of md5("i:token") mod
+# width — the same engine-portable device as functions.md5_uniform, so
+# DuckDB computes the identical cell for every token.
+_CMS_POS_SQL = (
+    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {tok}), 1, 8)) AS BIGINT)"
+    f" % {CMS_WIDTH}"
+)
+
+
+def _cms_pos(row_i: int, tok):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{row_i}:"), tok)), 1, 8), 16, 10).cast("long")
+        % CMS_WIDTH
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+    top AS (
+      SELECT tok, exact_cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk FROM cnt
+      ) WHERE rk <= {CMS_TOP_N}
+    ),
+    cells AS (
+      SELECT i.i AS row_i, {_CMS_POS_SQL.format(i="i.i", tok="tok")} AS pos,
+             count(*) AS counter
+      FROM tok CROSS JOIN range({CMS_DEPTH}) i(i)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT t.tok, t.exact_cnt, i.i AS row_i,
+             {_CMS_POS_SQL.format(i="i.i", tok="t.tok")} AS pos
+      FROM top t CROSS JOIN range({CMS_DEPTH}) i(i)
+    )
+    SELECT p.tok AS token,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.counter) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.counter) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probe p
+    JOIN cells c ON c.row_i = p.row_i AND c.pos = p.pos
+    GROUP BY p.tok, p.exact_cnt
+    """
+
+
+@query("q_cms_heavy_hitters", tags=("sketch", "llm"), oracle=_CMS_ORACLE)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over document
+    tokens, reported next to exact counts for the top-N heavy hitters.
+
+    Scale shape: the sketch update is the whole point — every exploded
+    token occurrence maps to ``depth`` (row, md5-position) cells, and the
+    groupBy's map-side partial aggregation crushes each input partition
+    to at most depth×width (4096) rows before the shuffle, so sketch
+    shuffle volume is O(partitions · depth · width) NO MATTER how many
+    tokens the corpus has — the property that makes CMS the standard
+    heavy-hitter structure when the vocabulary itself stops fitting
+    anywhere. The exact-count side (needed here only for the report and
+    the overestimate audit) is the thing that does NOT scale — at 100 TB
+    you run the sketch alone and probe it with candidate keys. The probe
+    is depth rows per queried token against the 4096-cell table: a
+    broadcast join.
+
+    Estimates are deterministic and engine-portable: cell positions come
+    from the md5 device (functions.md5_uniform's trick), counters are
+    exact sums, and min() over depth cells has no float surface — so the
+    oracle replays the sketch and the qid is hash-checked end to end,
+    overestimates included (CMS never underestimates; the driver row
+    proves that property on real data)."""
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select(F.explode(toks).alias("tok"))
+
+    # Sketch build: bounded-key aggregation (≤ depth·width cells).
+    positions = F.array(*[_cms_pos(i, F.col("tok")) for i in range(CMS_DEPTH)])
+    cells = (
+        tok.select(F.posexplode(positions).alias("row_i", "pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+
+    # Exact counts + top-N selection (report/audit side; vocabulary-sized).
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # partial top-N merged on the driver, never a single-partition sort
+    # of the vocabulary (the un-partitioned-window anti-pattern).
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = cnt.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(CMS_TOP_N)
+
+    # Point queries: estimate = min over the token's depth cells.
+    probe = top.select(
+        "tok", "exact_cnt", F.posexplode(positions).alias("row_i", "pos")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["row_i", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("counter").alias("est"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_cnt").cast("long"),
+            F.col("est").cast("long").alias("cms_estimate"),
+            (F.col("est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership probe
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # m
+BLOOM_HASHES = 3  # k
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {key}), 1, 8)) AS BIGINT)"
+    f" % {BLOOM_BITS}"
+)
+
+
+def _bloom_pos(j: int, key):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8), 16, 10).cast("long")
+        % BLOOM_BITS
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH corpus AS (SELECT md5(text) AS key FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 10 = 0),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL.format(j="j.j", key="key")} AS pos
+      FROM corpus CROSS JOIN range({BLOOM_HASHES}) j(j)
+    ),
+    probe AS (
+      SELECT b.doc_id, b.key,
+             SUM(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM (
+        SELECT doc_id, key, {_BLOOM_POS_SQL.format(j="j.j", key="key")} AS pos
+        FROM batch CROSS JOIN range({BLOOM_HASHES}) j(j)
+      ) b
+      LEFT JOIN bits t ON t.pos = b.pos
+      GROUP BY b.doc_id, b.key
+    ),
+    exact AS (SELECT DISTINCT key FROM corpus)
+    SELECT p.doc_id,
+           p.hits = {BLOOM_HASHES} AS possibly_present,
+           e.key IS NOT NULL AS actually_present,
+           (p.hits = {BLOOM_HASHES} AND e.key IS NULL) AS false_positive
+    FROM probe p
+    LEFT JOIN exact e ON e.key = p.key
+    """
+
+
+@query("q_bloom_membership", tags=("sketch", "dedup", "llm"), oracle=_BLOOM_ORACLE)
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership probe for incremental batch-vs-corpus
+    dedup: is an arriving document's content digest possibly already in
+    the corpus?
+
+    The filter is hand-rolled as relational ops (k md5 bit positions per
+    key; the bit array is the DISTINCT position table, ≤ m rows) because
+    that makes it engine-portable: DuckDB sets the identical bits, so
+    possibly/actually/false-positive are all hash-checked — a pinned
+    Bloom aggregate would be a Spark-internal layout like HLL's.
+
+    Scale shape: the corpus contributes a ≤ m-row broadcast table and is
+    NEVER re-shuffled per arriving batch — the probe is a map-side
+    broadcast join on the batch's k·|batch| position rows. Misses are
+    guaranteed-new (Bloom has no false negatives — the driver row proves
+    it: actually_present ⇒ possibly_present on real data), so only the
+    possibly_present sliver pays the exact verification join; with
+    m=4096, k=3 the expected false-positive rate at gate scale is ~2%.
+    Production sizes m to the corpus key count (m ≈ 10·n gives ~1.7% FP
+    at optimal k); the q_incremental_dedup MinHash band index is this
+    pattern's near-dup sibling."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("key"))
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+
+    def positions(key):
+        return F.array(*[_bloom_pos(j, key) for j in range(BLOOM_HASHES)])
+
+    bits = corpus.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
+    probe = (
+        batch.select("doc_id", "key", F.explode(positions(F.col("key"))).alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "key")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias("possibly_present"))
+    )
+    # Exact verification: production runs this join ONLY for the
+    # possibly_present sliver; no-false-negatives makes the shortcut
+    # exact, so misses take actually_present = false without the join.
+    exact = corpus.select("key").distinct().withColumn("in_corpus", F.lit(True))
+    cand = (
+        probe.where(F.col("possibly_present"))
+        .join(exact, "key", "left")
+        .withColumn("actually_present", F.coalesce(F.col("in_corpus"), F.lit(False)))
+        .drop("in_corpus")
+    )
+    miss = probe.where(~F.col("possibly_present")).withColumn(
+        "actually_present", F.lit(False)
+    )
+    return cand.unionByName(miss).select(
+        "doc_id",
+        "possibly_present",
+        "actually_present",
+        (F.col("possibly_present") & ~F.col("actually_present")).alias("false_positive"),
     )

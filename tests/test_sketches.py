@@ -74,3 +74,89 @@ def test_hash_seeded_determinism():
     rng = random.Random(1)
     rows = [(rng.random(), rng.randrange(100), f"s{rng.randrange(10)}") for _ in range(50)]
     assert table_hash(rows, ["a", "b", "c"]) == table_hash(list(rows), ["a", "b", "c"])
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_cms_never_underestimates_full_vocabulary(spark):
+    """The qid reports only the top-N heavy hitters; the defining CMS
+    guarantee (estimate >= exact, always) must hold for EVERY token, so
+    probe the sketch with the whole vocabulary here."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import (
+        CMS_DEPTH,
+        _cms_pos,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select(F.explode(toks).alias("tok"))
+    positions = F.array(*[_cms_pos(i, F.col("tok")) for i in range(CMS_DEPTH)])
+    cells = (
+        tok.select(F.posexplode(positions).alias("row_i", "pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    probed = (
+        cnt.select("tok", "exact_cnt", F.posexplode(positions).alias("row_i", "pos"))
+        .join(F.broadcast(cells), ["row_i", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("counter").alias("est"))
+    )
+    bad = probed.where(F.col("est") < F.col("exact_cnt")).count()
+    assert bad == 0
+    # The sketch must also be USEFUL at this width: exact for at least
+    # half the vocabulary (collisions only add, never subtract).
+    n = probed.count()
+    tight = probed.where(F.col("est") == F.col("exact_cnt")).count()
+    assert tight * 2 >= n, f"CMS too collided to be useful: {tight}/{n} exact"
+
+
+# --- bloom membership -------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_with_planted_duplicates(spark):
+    """The corpus qid's batch never truly overlaps the corpus (testdata
+    texts are unique), so the true-hit path needs a planted scenario:
+    half the batch IS corpus content. Every planted duplicate must be
+    flagged possibly_present (no false negatives — the Bloom contract)
+    and actually_present."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import (
+        BLOOM_HASHES,
+        _bloom_pos,
+    )
+
+    corpus_rows = [(i, f"corpus document number {i} with shared boilerplate") for i in range(200)]
+    # batch: 20 exact duplicates of corpus docs + 20 genuinely new docs
+    batch_rows = [(1000 + i, corpus_rows[i * 7][1]) for i in range(20)] + [
+        (2000 + i, f"fresh never-seen content {i}") for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+
+    def positions(key):
+        return F.array(*[_bloom_pos(j, key) for j in range(BLOOM_HASHES)])
+
+    bits = corpus.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
+    probe = (
+        batch.select("doc_id", "key", F.explode(positions(F.col("key"))).alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "key")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias("possibly"))
+    )
+    rows = {r["doc_id"]: r["possibly"] for r in probe.collect()}
+    for i in range(20):
+        assert rows[1000 + i] is True, f"false negative on planted duplicate {1000 + i}"
+    # New docs may collide (false positives) but most must be misses at
+    # this fill factor (200 keys x 3 hashes into 4096 bits ~ 3% FP).
+    misses = sum(1 for i in range(20) if not rows[2000 + i])
+    assert misses >= 15, f"implausible FP rate: only {misses}/20 misses"
