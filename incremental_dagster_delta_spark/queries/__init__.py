@@ -41,6 +41,7 @@ from incremental_dagster_delta_spark.queries import lm  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import unigram_lm  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import quality_clf  # noqa: E402,F401
 from incremental_dagster_delta_spark.queries import kmeans  # noqa: E402,F401
+from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-visibility rotation. The driver's correctness sweep covers the
@@ -74,6 +75,7 @@ _R9_FRONT = [
     "q_kmeans_maximin",
     "q_cms_heavy_hitters",
     "q_bloom_membership",
+    "q_mmr_rerank",
     # (c) the five displaced r3 batteries
     "q_array_funcs",
     "q_posexplode",

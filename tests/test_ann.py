@@ -187,3 +187,106 @@ def test_semdedup_kept_set_invariant_to_quantizer(spark):
     trained = {r["vec_id"] for r in semdedup_kept(e, trained_centroids(e)).collect()}
     assert stride == trained
     assert len(stride) > 0
+
+
+# --- MMR diversity re-ranking ------------------------------------------------
+
+
+def _mmr_python_reference(pair_rows, picks, rel_w=7, div_w=3):
+    """Independent greedy replay from the (integer) pair table."""
+    by_q = {}
+    for r in pair_rows:
+        d = by_q.setdefault(r["query_id"], {"rel": {}, "sim": {}})
+        d["rel"][r["a_id"]] = r["rel_a6"]
+        d["sim"][(r["a_id"], r["b_id"])] = r["sim6"]
+    out = set()
+    for q, d in by_q.items():
+        remaining, selected = set(d["rel"]), []
+        for rank in range(1, picks + 1):
+            if not remaining:
+                break
+            best = max(
+                sorted(remaining),
+                key=lambda c: (
+                    rel_w * d["rel"][c]
+                    - (div_w * max(d["sim"][(c, s)] for s in selected) if selected else 0),
+                    -c,
+                ),
+            )
+            out.add((q, rank, best))
+            selected.append(best)
+            remaining.discard(best)
+    return out
+
+
+def test_mmr_greedy_matches_python_reference(spark):
+    """The applyInPandas greedy must equal an independent python replay
+    of the same integer objective from the same pair table (the cosine
+    arithmetic itself is oracle-checked by the qid)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.mmr import (
+        MMR_CAND_K,
+        MMR_PICKS,
+        mmr_rerank,
+    )
+    from incremental_dagster_delta_spark.queries.similarity import cosine
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        F.round(cosine(F.col("qe"), F.col("embedding")) * 1e6, 0).cast("long").alias("rel6"),
+        F.col("embedding").alias("emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), F.col("nid"))
+    cand = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= MMR_CAND_K).drop("rk")
+
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id")) & (F.col("a.nid") != F.col("b.nid")))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.nid").alias("a_id"),
+            F.col("a.rel6").alias("rel_a6"),
+            F.col("b.nid").alias("b_id"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")) * 1e6, 0).cast("long").alias("sim6"),
+        )
+        .collect()
+    )
+    expected = _mmr_python_reference(pair_rows, MMR_PICKS)
+    got = {
+        (r["query_id"], r["pick_rank"], r["neighbor_id"])
+        for r in mmr_rerank(cand).collect()
+    }
+    assert got == expected
+
+
+def test_mmr_skips_planted_near_duplicate(spark):
+    """Two near-identical top candidates: pure relevance ranks them 1-2;
+    MMR must pick one, then prefer the diverse lower-relevance candidate
+    over the near-duplicate."""
+    from incremental_dagster_delta_spark.queries.mmr import mmr_rerank
+
+    rows = [
+        # (query_id, nid, rel6, emb) — rel6 pre-scaled; sims come from emb
+        (0, 10, 999000, [1.0, 0.0, 0.0]),   # best
+        (0, 11, 998000, [0.999, 0.045, 0.0]),  # near-dup of 10 (cos ~ 0.999)
+        (0, 12, 900000, [0.6, 0.8, 0.0]),   # diverse (cos to 10 = 0.6)
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, nid long, rel6 long, emb array<double>"
+    )
+    picks = [
+        r["neighbor_id"]
+        for r in mmr_rerank(cand, picks=2).orderBy("pick_rank").collect()
+    ]
+    # pick 1 = 10 (max rel). pick 2: nid 11 obj = 7*998000 - 3*999000 ≈ 3.99M;
+    # nid 12 obj = 7*900000 - 3*600000 = 4.5M → diverse candidate wins.
+    assert picks == [10, 12]
