@@ -76,6 +76,7 @@ _R9_FRONT = [
     "q_cms_heavy_hitters",
     "q_bloom_membership",
     "q_mmr_rerank",
+    "q_audio_features",
     # (c) the five displaced r3 batteries
     "q_array_funcs",
     "q_posexplode",

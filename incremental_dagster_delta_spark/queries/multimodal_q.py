@@ -112,3 +112,67 @@ def q_media_resize(spark, sf_dir):
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+# Deterministic PCM synth shared by the Spark scenario and the SQL
+# oracle: s(c, t) = ((c·7919 + t·2641) mod 4001) − 2000 — pure integer
+# arithmetic both engines evaluate identically, int16-range by
+# construction. 6 clips × 2048 samples = 8 full 256-sample frames each.
+AUDIO_CLIPS = 6
+AUDIO_SAMPLES = 2048
+AUDIO_FRAME = 256
+
+_AUDIO_ORACLE = f"""
+    WITH s AS (
+      SELECT c.c AS media_id, t.t AS ti,
+             ((c.c * 7919 + t.t * 2641) % 4001) - 2000 AS v
+      FROM range({AUDIO_CLIPS}) c(c) CROSS JOIN range({AUDIO_SAMPLES}) t(t)
+    ),
+    w AS (
+      SELECT media_id, v, ti // {AUDIO_FRAME} AS frame_idx,
+             lag(v) OVER (PARTITION BY media_id, ti // {AUDIO_FRAME} ORDER BY ti) AS pv
+      FROM s
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM w GROUP BY media_id, frame_idx
+    """
+
+
+@query("q_audio_features", tags=("multimodal", "llm"), oracle=_AUDIO_ORACLE)
+def q_audio_features(spark, sf_dir):
+    """Framed audio features (energy / zero crossings / peak) — the
+    audio leg of the multimodal family, through the REAL plumbing:
+    int16-LE PCM packed into a binary column, decoded and windowed by
+    numpy inside one narrow mapInPandas stage (multimodal.
+    audio_features). The scenario synthesizes 6 clips from the shared
+    integer formula, so the oracle replays the whole DSP in SQL (frame
+    energy as Σv², strict-sign zero crossings via lag within the frame,
+    the window ORDER BY total on the unique sample index) and the qid is
+    hash-checked — every feature is exact integer arithmetic, the same
+    zero-libm-surface rule as the k-means quantized grid. Corpus-scale
+    plumbing over synth_media payloads and the odd-length/partial-frame
+    contract are pinned in tests/test_multimodal.py; like q_media_resize
+    the stage is per-row independent, so the scenario exercises the
+    identical physical plan a media lake would run."""
+    import numpy as np
+
+    from incremental_dagster_delta_spark.multimodal import audio_features
+
+    def pcm(c: int) -> bytes:
+        ts = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+        return ((c * 7919 + ts * 2641) % 4001 - 2000).astype("<i2").tobytes()
+
+    media = spark.createDataFrame(
+        [
+            (c, "audio", pcm(c), {"container": "pcm16le", "declared_size": AUDIO_SAMPLES * 2})
+            for c in range(AUDIO_CLIPS)
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    ).coalesce(1)  # 6 rows; don't spread the literal scenario over 64 tasks
+    return audio_features(media, frame_samples=AUDIO_FRAME)

@@ -124,3 +124,69 @@ def test_arrow_path_matches_pandas_path(spark, sf_dir):
     a = sorted(map(tuple, extract_features(media).collect()))
     b = sorted(map(tuple, extract_features_arrow(media).collect()))
     assert a == b and len(a) > 0
+
+
+# --- audio frame features ----------------------------------------------------
+
+
+def _audio_python_reference(payload: bytes, frame: int):
+    """Loop-and-int reference, independent of the numpy kernel."""
+    import struct
+
+    n = len(payload) // 2 * 2
+    samples = [struct.unpack_from("<h", payload, i)[0] for i in range(0, n, 2)]
+    out = []
+    for f0 in range(0, len(samples), frame):
+        v = samples[f0 : f0 + frame]
+        zc = sum(1 for i in range(1, len(v)) if v[i - 1] * v[i] < 0)
+        out.append(
+            (f0 // frame, len(v), sum(x * x for x in v), zc, max(abs(x) for x in v))
+        )
+    return out
+
+
+def test_audio_kernel_matches_python_reference():
+    """Random payloads incl. odd byte counts and a trailing partial
+    frame; int16 extremes included so the |int16 min| edge is covered."""
+    import random
+
+    from incremental_dagster_delta_spark.multimodal import audio_frame_features_bytes
+
+    rng = random.Random(20260815)
+    cases = [
+        b"",  # no samples -> no frames
+        b"\x01",  # single odd byte dropped -> no frames
+        (-32768).to_bytes(2, "little", signed=True) * 10,  # int16 min peak
+    ]
+    for _ in range(20):
+        n = rng.randrange(0, 900)
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+    for payload in cases:
+        for frame in (7, 64, 256):
+            assert audio_frame_features_bytes(payload, frame) == _audio_python_reference(
+                payload, frame
+            ), (len(payload), frame)
+
+
+def test_audio_corpus_plumbing(media, spark):
+    """The corpus-shaped run (synth_media audio rows as fake PCM) must
+    produce one row per frame with the kernel's exact values — the same
+    end-to-end pin the image path gets from test_features_match_local_hash."""
+    from incremental_dagster_delta_spark.multimodal import (
+        audio_features,
+        audio_frame_features_bytes,
+    )
+
+    rows = audio_features(media, frame_samples=64).collect()
+    local = {}
+    for r in media.where(F.col("kind") == "audio").select("media_id", "payload").collect():
+        for idx, n, ss, zc, pk in audio_frame_features_bytes(bytes(r["payload"]), 64):
+            local[(r["media_id"], idx)] = (n, ss, zc, pk)
+    assert len(rows) == len(local) > 0
+    for r in rows:
+        assert local[(r["media_id"], r["frame_idx"])] == (
+            r["n_samples"],
+            r["sum_sq"],
+            r["zero_crossings"],
+            r["peak"],
+        )
