@@ -428,3 +428,52 @@ def test_token_df_joins_shuffle(spark, sf_dir, qid, n_scalar):
     assert n_b == n_scalar, (
         f"{qid}: expected {n_scalar} scalar broadcast(s), saw {n_b}\n{phys}"
     )
+
+
+def test_bloom_probe_is_broadcast(spark, sf_dir):
+    """q_bloom_membership's contract: the corpus side collapses to the
+    <= m-row bit table and the batch probe joins it BROADCAST — if this
+    regresses to a shuffle join the 'corpus never re-shuffles per batch'
+    scale claim is gone."""
+    from incremental_dagster_delta_spark.queries.sketches import q_bloom_membership
+
+    plan = _plan(q_bloom_membership(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_cms_topn_avoids_global_sort(spark, sf_dir):
+    """The CMS report's top-N cut must compile to TakeOrderedAndProject
+    (per-partition partial top-N), never a single-partition window sort
+    of the vocabulary."""
+    from incremental_dagster_delta_spark.queries.sketches import q_cms_heavy_hitters
+
+    plan = _plan(q_cms_heavy_hitters(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "TakeOrderedAndProject" in phys
+    # the sketch cells join the probe broadcast (4096-row build side)
+    assert "BroadcastHashJoin" in phys
+
+
+def test_cms_sketch_aggregation_is_partial(spark, sf_dir):
+    """The sketch build's whole scale story is the map-side partial
+    aggregate over the bounded (row, pos) key space: the physical plan
+    must show a two-phase HashAggregate (partial_count before the
+    exchange), so each partition ships <= depth x width cells."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import CMS_DEPTH, _cms_pos
+    from incremental_dagster_delta_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select(F.explode(toks).alias("tok"))
+    positions = F.array(*[_cms_pos(i, F.col("tok")) for i in range(CMS_DEPTH)])
+    cells = (
+        tok.select(F.posexplode(positions).alias("row_i", "pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+    phys = _plan(cells).split("== Physical Plan ==")[1]
+    assert "partial_count" in phys, phys
