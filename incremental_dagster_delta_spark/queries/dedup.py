@@ -630,7 +630,9 @@ def q_dedup_simhash(spark, sf_dir):
     aggregation, or the pigeonhole bucketing flips the comparison.
     Corpus-scale recall vs the planted jaccard≥0.9 pairs stays pinned in
     tests/test_ann.py."""
-    docs = spark.createDataFrame(_SIMHASH_SCENARIO, "doc_id long, text string").coalesce(1)
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    docs = literal_df(spark, _SIMHASH_SCENARIO, "doc_id long, text string")
     return simhash_pairs(docs)
 
 

@@ -888,5 +888,7 @@ def q_kcore(spark, sf_dir):
     a standard pre-filter before survivor selection. Arbitrary-graph
     correctness is pinned against a pure-python peel reference in
     tests/test_graph.py."""
-    e = spark.createDataFrame(_KCORE_SCENARIO, "u long, v long").coalesce(1)
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    e = literal_df(spark, _KCORE_SCENARIO, "u long, v long")
     return core_numbers(e)

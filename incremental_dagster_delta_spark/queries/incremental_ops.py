@@ -23,6 +23,7 @@ from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixt
 from incremental_dagster_delta_spark.sources.ingest import read_text_files
 from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline, await_or_raise
 from incremental_dagster_delta_spark.tableio import PartitionedTable
+from incremental_dagster_delta_spark.tables import literal_df
 
 
 def _tmp(tag: str) -> str:
@@ -408,11 +409,11 @@ def q_sessionize_stateful(spark, sf_dir):
         await_or_raise(q, 120)
 
     try:
-        spark.createDataFrame(
-            mk([(1, 0), (1, 5), (1, 8), (1, 30), (1, 32), (2, 0), (2, 9)]), schema
-        ).coalesce(1).write.mode("append").parquet(in_dir)
+        literal_df(
+            spark, mk([(1, 0), (1, 5), (1, 8), (1, 30), (1, 32), (2, 0), (2, 9)]), schema
+        ).write.mode("append").parquet(in_dir)
         run()
-        spark.createDataFrame(mk([(1, 600), (2, 601)]), schema).coalesce(1).write.mode(
+        literal_df(spark, mk([(1, 600), (2, 601)]), schema).write.mode(
             "append"
         ).parquet(in_dir)
         run()
@@ -486,12 +487,12 @@ def q_late_data(spark, sf_dir):
         await_or_raise(q, 120)
 
     try:
-        spark.createDataFrame(mk([5, 20, 65, 130, 185]), schema).coalesce(1).write.mode(
+        literal_df(spark, mk([5, 20, 65, 130, 185]), schema).write.mode(
             "append"
         ).parquet(in_dir)
         run()
         # minute 10 is now > 1h behind the watermark (2h05) → dropped
-        spark.createDataFrame(mk([10, 305]), schema).coalesce(1).write.mode("append").parquet(in_dir)
+        literal_df(spark, mk([10, 305]), schema).write.mode("append").parquet(in_dir)
         run()
         run()  # flush windows finalized by the last watermark advance
         out = (
@@ -613,13 +614,9 @@ def q_quota_stateful(spark, sf_dir):
         await_or_raise(q, 120)
 
     try:
-        spark.createDataFrame(
-            [(1, 10), (1, 11), (2, 20)], schema
-        ).coalesce(1).write.mode("append").parquet(in_dir)
+        literal_df(spark, [(1, 10), (1, 11), (2, 20)], schema).write.mode("append").parquet(in_dir)
         run()
-        spark.createDataFrame(
-            [(1, 12), (1, 13), (1, 14), (2, 21), (2, 22)], schema
-        ).coalesce(1).write.mode("append").parquet(in_dir)
+        literal_df(spark, [(1, 12), (1, 13), (1, 14), (2, 21), (2, 22)], schema).write.mode("append").parquet(in_dir)
         run()
         out = spark.read.schema("user_id long, event_id long, seq long, admitted boolean").parquet(
             out_dir
@@ -702,19 +699,19 @@ def q_stream_join(spark, sf_dir):
         await_or_raise(q, 120)
 
     try:
-        spark.createDataFrame(
-            [(1, m(0)), (2, m(10)), (3, m(20)), (1, m(100))], imp_schema
-        ).coalesce(1).write.mode("append").parquet(imp_dir)
-        spark.createDataFrame([(1, m(15), "c1")], clk_schema).coalesce(1).write.mode(
+        literal_df(
+            spark, [(1, m(0)), (2, m(10)), (3, m(20)), (1, m(100))], imp_schema
+        ).write.mode("append").parquet(imp_dir)
+        literal_df(spark, [(1, m(15), "c1")], clk_schema).write.mode(
             "append"
         ).parquet(clk_dir)
         run()
         # wave 2: c2 must join the WAVE-1 impression at t100 (state carry);
         # c3 is 35 min after ad 2's impression (outside the window); c4's ad
         # never had an impression.
-        spark.createDataFrame(
-            [(1, m(110), "c2"), (2, m(45), "c3"), (4, m(5), "c4")], clk_schema
-        ).coalesce(1).write.mode("append").parquet(clk_dir)
+        literal_df(
+            spark, [(1, m(110), "c2"), (2, m(45), "c3"), (4, m(5), "c4")], clk_schema
+        ).write.mode("append").parquet(clk_dir)
         run()
         run()
         out = (

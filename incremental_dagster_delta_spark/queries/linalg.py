@@ -188,7 +188,7 @@ def q_pca_topk(spark, sf_dir, k: int = 8):
     covariance assembly, or the spectrum post-processing flips the
     comparison. The corpus-scale run of the same kernel is pinned
     against a direct numpy recomputation in tests/test_linalg.py."""
-    emb = spark.createDataFrame(
-        _pca_scenario_rows(), "vec_id long, embedding array<double>"
-    ).coalesce(1)
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    emb = literal_df(spark, _pca_scenario_rows(), "vec_id long, embedding array<double>")
     return pca_topk(spark, emb, k)

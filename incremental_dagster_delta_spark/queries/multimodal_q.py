@@ -95,11 +95,14 @@ def q_media_resize(spark, sf_dir):
         (1, b"spark-graft media fixture " * 37),
         (2, bytes([7]) * 4096),
     ]
-    media = spark.createDataFrame(
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    media = literal_df(
+        spark,
         [(i, "image", p, {"container": "raw", "declared_size": len(p)}) for i, p in payloads],
         "media_id long, kind string, payload binary, "
         "meta struct<container: string, declared_size: long>",
-    ).coalesce(1)  # 3 rows; don't spread the literal scenario over 64 tasks
+    )  # 3 rows in ONE slice — see tables.literal_df for the coalesce(1) trap
     outs = []
     for method in ("nearest", "bilinear"):
         outs.append(
@@ -167,12 +170,15 @@ def q_audio_features(spark, sf_dir):
         ts = np.arange(AUDIO_SAMPLES, dtype=np.int64)
         return ((c * 7919 + ts * 2641) % 4001 - 2000).astype("<i2").tobytes()
 
-    media = spark.createDataFrame(
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    media = literal_df(
+        spark,
         [
             (c, "audio", pcm(c), {"container": "pcm16le", "declared_size": AUDIO_SAMPLES * 2})
             for c in range(AUDIO_CLIPS)
         ],
         "media_id long, kind string, payload binary, "
         "meta struct<container: string, declared_size: long>",
-    ).coalesce(1)  # 6 rows; don't spread the literal scenario over 64 tasks
+    )  # 6 rows in ONE slice — see tables.literal_df for the coalesce(1) trap
     return audio_features(media, frame_samples=AUDIO_FRAME)

@@ -444,9 +444,9 @@ def q_cosine_ann_rplsh(spark, sf_dir):
     equal the VALUES oracle — any drift in the hyperplane derivation, the
     bucketing, or the rerank flips the comparison. Corpus-scale recall vs
     the exact q_cosine_topk baseline stays pinned in tests/test_ann.py."""
-    e = spark.createDataFrame(
-        _rplsh_scenario_rows(), "vec_id long, embedding array<double>"
-    ).coalesce(1)
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    e = literal_df(spark, _rplsh_scenario_rows(), "vec_id long, embedding array<double>")
     return rp_lsh_topk(e, n_queries=3, top_k=TOP_K)
 
 

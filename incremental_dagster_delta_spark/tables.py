@@ -96,6 +96,21 @@ def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
     return df
 
 
+def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Single-partition DataFrame from a small literal row list — the
+    fan_out inverse, for pinned oracle scenarios.
+
+    ``spark.createDataFrame(list)`` parallelizes the pickled rows over
+    defaultParallelism slices, and each slice's iterator is produced by
+    a PYTHON worker round-trip. For a handful of literal rows that shape
+    is pure overhead, and ``.coalesce(1)`` on top is the worst case: the
+    single merged task walks all 32 parent slices SEQUENTIALLY, paying
+    ~150 ms of worker handshake per slice (~5 s measured for a 6-row
+    scenario — vs 0.2 s via this helper). One slice from the start means
+    one python round-trip and a genuinely 1-partition plan."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 @contextmanager
 def sized_shuffle(
     spark: SparkSession,
