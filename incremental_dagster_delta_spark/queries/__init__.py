@@ -153,6 +153,9 @@ _SIZED_SHUFFLE = {
     "q_bpe_encode": "documents",
     "q_substring_dedup": "documents",
     "q_dup_span_fraction": "documents",
+    # round 9 late: the CMS build/exact shuffles are exploded-documents
+    # shaped; A/B at sf0.1: 2.23 → 1.07 s (median of 5).
+    "q_cms_heavy_hitters": "documents",
     # round 9: the Lloyd's loop is ~25 tiny stages whose cost is task
     # overhead; sizing from the embeddings bytes (≈8 partitions at
     # sf0.1) also sets _prepared_vec's split target. A/B in kmeans.py.

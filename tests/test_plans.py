@@ -448,8 +448,10 @@ def test_cms_topn_avoids_global_sort(spark, sf_dir):
     (per-partition partial top-N), never a single-partition window sort
     of the vocabulary."""
     from incremental_dagster_delta_spark.queries.sketches import q_cms_heavy_hitters
+    from incremental_dagster_delta_spark.tables import lazy_plans
 
-    plan = _plan(q_cms_heavy_hitters(spark, sf_dir))
+    with lazy_plans():
+        plan = _plan(q_cms_heavy_hitters(spark, sf_dir))
     phys = plan.split("== Physical Plan ==")[1]
     assert "TakeOrderedAndProject" in phys
     # the sketch cells join the probe broadcast (4096-row build side)
