@@ -143,6 +143,43 @@ def _cms_pos(row_i: int, tok):
     )
 
 
+def cms_positions(tok):
+    """The token's ``depth`` cell coordinates as an array for posexplode."""
+    return F.array(*[_cms_pos(i, tok) for i in range(CMS_DEPTH)])
+
+
+def cms_cells(tok):
+    """Count-min partial cells for one token batch: (row_i, pos, counter).
+
+    Bounded-key aggregation (≤ depth·width rows) whose map-side combine
+    crushes each input partition before the shuffle. MERGEABLE: cells
+    from disjoint batches sum cell-wise to the cells of the union corpus
+    (counters are plain sums), which is what makes the sketch
+    incrementally maintainable — append each micro-batch's partial cells
+    and let :func:`cms_estimates` fold them (pinned with exactly-once
+    replay in tests/test_sketches.py)."""
+    return (
+        tok.select(F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+
+
+def cms_estimates(cells, keys):
+    """Point-query ``keys`` (a DataFrame with a ``tok`` column; other
+    columns ride along) against a cell table that may hold per-batch
+    PARTIALS: cell-wise sum, then the CMS min over each key's depth
+    cells. The merged cell table is ≤ depth·width rows → broadcast
+    probe join."""
+    merged = cells.groupBy("row_i", "pos").agg(F.sum("counter").alias("counter"))
+    probe = keys.select("*", F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
+    return (
+        probe.join(F.broadcast(merged), ["row_i", "pos"])
+        .groupBy(*keys.columns)
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+
+
 _CMS_ORACLE = f"""
     WITH tok AS (
       SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
@@ -206,12 +243,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     tok = d.select(F.explode(toks).alias("tok"))
 
     # Sketch build: bounded-key aggregation (≤ depth·width cells).
-    positions = F.array(*[_cms_pos(i, F.col("tok")) for i in range(CMS_DEPTH)])
-    cells = (
-        tok.select(F.posexplode(positions).alias("row_i", "pos"))
-        .groupBy("row_i", "pos")
-        .agg(F.count("*").alias("counter"))
-    )
+    cells = cms_cells(tok)
 
     # Exact counts + top-N selection (report/audit side; vocabulary-sized).
     # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
@@ -221,19 +253,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
     top = cnt.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(CMS_TOP_N)
 
     # Point queries: estimate = min over the token's depth cells.
-    probe = top.select(
-        "tok", "exact_cnt", F.posexplode(positions).alias("row_i", "pos")
-    )
-    out = (
-        probe.join(F.broadcast(cells), ["row_i", "pos"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("counter").alias("est"))
-        .select(
-            F.col("tok").alias("token"),
-            F.col("exact_cnt").cast("long"),
-            F.col("est").cast("long").alias("cms_estimate"),
-            (F.col("est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
-        )
+    out = cms_estimates(cells, top).select(
+        F.col("tok").alias("token"),
+        F.col("exact_cnt").cast("long"),
+        F.col("cms_estimate").cast("long"),
+        (F.col("cms_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
     )
     # Materialize inside the call so the registry's sized_shuffle scope
     # applies to the token-explode shuffles (A/B at sf0.1: 2.23 → 1.07 s

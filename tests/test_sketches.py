@@ -85,34 +85,66 @@ def test_cms_never_underestimates_full_vocabulary(spark):
     probe the sketch with the whole vocabulary here."""
     from pyspark.sql import functions as F
 
-    from incremental_dagster_delta_spark.queries.sketches import (
-        CMS_DEPTH,
-        _cms_pos,
-    )
+    from incremental_dagster_delta_spark.queries.sketches import cms_cells, cms_estimates
 
     d = load_table(spark, SF_DIR, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select(F.explode(toks).alias("tok"))
-    positions = F.array(*[_cms_pos(i, F.col("tok")) for i in range(CMS_DEPTH)])
-    cells = (
-        tok.select(F.posexplode(positions).alias("row_i", "pos"))
-        .groupBy("row_i", "pos")
-        .agg(F.count("*").alias("counter"))
-    )
     cnt = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
-    probed = (
-        cnt.select("tok", "exact_cnt", F.posexplode(positions).alias("row_i", "pos"))
-        .join(F.broadcast(cells), ["row_i", "pos"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("counter").alias("est"))
-    )
-    bad = probed.where(F.col("est") < F.col("exact_cnt")).count()
+    probed = cms_estimates(cms_cells(tok), cnt)
+    bad = probed.where(F.col("cms_estimate") < F.col("exact_cnt")).count()
     assert bad == 0
     # The sketch must also be USEFUL at this width: exact for at least
     # half the vocabulary (collisions only add, never subtract).
     n = probed.count()
-    tight = probed.where(F.col("est") == F.col("exact_cnt")).count()
+    tight = probed.where(F.col("cms_estimate") == F.col("exact_cnt")).count()
     assert tight * 2 >= n, f"CMS too collided to be useful: {tight}/{n} exact"
+
+
+def test_cms_incremental_maintenance_exactly_once(spark):
+    """The sketch's incremental-by-default configuration: per-batch
+    PARTIAL cells published with tableio's exactly-once append_batch,
+    estimates folded over the appended partials. Two waves + a replayed
+    wave (the foreachBatch at-least-once contract) must equal the
+    one-shot sketch over the union corpus — replay contributes zero."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import cms_cells, cms_estimates
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = tempfile.mkdtemp(prefix="cms_incr_")
+    try:
+        tbl = PartitionedTable(spark, f"{base}/cells", ["row_i"])
+        w1 = ["alpha"] * 5 + ["beta"] * 3 + ["gamma"]
+        w2 = ["alpha"] * 2 + ["delta"] * 4 + ["beta"]
+        tok1 = literal_df(spark, [(w,) for w in w1], "tok string")
+        tok2 = literal_df(spark, [(w,) for w in w2], "tok string")
+        assert tbl.append_batch(cms_cells(tok1), batch_id=0) is True
+        assert tbl.append_batch(cms_cells(tok2), batch_id=1) is True
+        # crash-replay of wave 2: marker exists -> no-op, no double count
+        assert tbl.append_batch(cms_cells(tok2), batch_id=1) is False
+
+        keys = literal_df(
+            spark, [(w,) for w in sorted(set(w1 + w2))], "tok string"
+        )
+        incremental = {
+            r["tok"]: r["cms_estimate"]
+            for r in cms_estimates(tbl.read(), keys).collect()
+        }
+        union_tok = literal_df(spark, [(w,) for w in w1 + w2], "tok string")
+        oneshot = {
+            r["tok"]: r["cms_estimate"]
+            for r in cms_estimates(cms_cells(union_tok), keys).collect()
+        }
+        assert incremental == oneshot
+        exact = {w: (w1 + w2).count(w) for w in set(w1 + w2)}
+        assert all(incremental[w] >= c for w, c in exact.items())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # --- bloom membership -------------------------------------------------------
