@@ -287,6 +287,36 @@ def _bloom_pos(j: int, key):
     )
 
 
+def bloom_bits(keys):
+    """Bloom bit-position table for a key batch: DISTINCT md5 positions,
+    ≤ m rows. MERGEABLE: bit sets from disjoint batches union (distinct
+    of the concatenation) to the union corpus's filter — like
+    :func:`cms_cells` this makes the sketch incrementally maintainable
+    by appending per-batch partials with exactly-once ``append_batch``
+    (pinned in tests/test_sketches.py)."""
+    pos = F.array(*[_bloom_pos(j, F.col("key")) for j in range(BLOOM_HASHES)])
+    return keys.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_possibly(bits, batch):
+    """Probe ``batch`` (a DataFrame with a ``key`` column; other columns
+    ride along) against a bit table that may hold per-batch PARTIALS
+    (duplicates across appends are fine — the probe distincts). Adds a
+    ``possibly_present`` boolean; the ≤ m-row bit set broadcasts, so the
+    probe never shuffles the corpus."""
+    pos = F.array(*[_bloom_pos(j, F.col("key")) for j in range(BLOOM_HASHES)])
+    return (
+        batch.select("*", F.explode(pos).alias("pos"))
+        .join(F.broadcast(bits.distinct().withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy(*batch.columns)
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias(
+                "possibly_present"
+            )
+        )
+    )
+
+
 _BLOOM_ORACLE = f"""
     WITH corpus AS (SELECT md5(text) AS key FROM documents WHERE doc_id % 10 <> 0),
     batch AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 10 = 0),
@@ -340,16 +370,8 @@ def q_bloom_membership(spark, sf_dir):
     corpus = d.where(F.col("doc_id") % 10 != 0)
     batch = d.where(F.col("doc_id") % 10 == 0)
 
-    def positions(key):
-        return F.array(*[_bloom_pos(j, key) for j in range(BLOOM_HASHES)])
-
-    bits = corpus.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
-    probe = (
-        batch.select("doc_id", "key", F.explode(positions(F.col("key"))).alias("pos"))
-        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("doc_id", "key")
-        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias("possibly_present"))
-    )
+    bits = bloom_bits(corpus.select("key"))
+    probe = bloom_possibly(bits, batch.select("doc_id", "key"))
     # Exact verification: production runs this join ONLY for the
     # possibly_present sliver; no-false-negatives makes the shortcut
     # exact, so misses take actually_present = false without the join.

@@ -158,10 +158,7 @@ def test_bloom_no_false_negatives_with_planted_duplicates(spark):
     and actually_present."""
     from pyspark.sql import functions as F
 
-    from incremental_dagster_delta_spark.queries.sketches import (
-        BLOOM_HASHES,
-        _bloom_pos,
-    )
+    from incremental_dagster_delta_spark.queries.sketches import bloom_bits, bloom_possibly
 
     corpus_rows = [(i, f"corpus document number {i} with shared boilerplate") for i in range(200)]
     # batch: 20 exact duplicates of corpus docs + 20 genuinely new docs
@@ -174,21 +171,56 @@ def test_bloom_no_false_negatives_with_planted_duplicates(spark):
     batch = spark.createDataFrame(batch_rows, "doc_id long, text string").select(
         "doc_id", F.md5("text").alias("key")
     )
-
-    def positions(key):
-        return F.array(*[_bloom_pos(j, key) for j in range(BLOOM_HASHES)])
-
-    bits = corpus.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
-    probe = (
-        batch.select("doc_id", "key", F.explode(positions(F.col("key"))).alias("pos"))
-        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("doc_id", "key")
-        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias("possibly"))
-    )
-    rows = {r["doc_id"]: r["possibly"] for r in probe.collect()}
+    probe = bloom_possibly(bloom_bits(corpus.select("key")), batch)
+    rows = {r["doc_id"]: r["possibly_present"] for r in probe.collect()}
     for i in range(20):
         assert rows[1000 + i] is True, f"false negative on planted duplicate {1000 + i}"
     # New docs may collide (false positives) but most must be misses at
     # this fill factor (200 keys x 3 hashes into 4096 bits ~ 3% FP).
     misses = sum(1 for i in range(20) if not rows[2000 + i])
     assert misses >= 15, f"implausible FP rate: only {misses}/20 misses"
+
+
+def test_bloom_incremental_maintenance_exactly_once(spark):
+    """Bit sets are union-mergeable, so the Bloom filter maintains
+    incrementally like the CMS: each batch appends its (distinct-within-
+    batch) bit partials via exactly-once append_batch; the probe
+    distincts across appends. Replay contributes zero, and the folded
+    filter equals the one-shot filter over the union corpus."""
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.queries.sketches import bloom_bits, bloom_possibly
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = tempfile.mkdtemp(prefix="bloom_incr_")
+    try:
+        from pyspark.sql import functions as F
+
+        tbl = PartitionedTable(spark, f"{base}/bits", ["band"])
+        w1 = literal_df(spark, [(f"k{i}",) for i in range(30)], "key string")
+        w2 = literal_df(spark, [(f"k{i}",) for i in range(20, 50)], "key string")
+        band = lambda df: df.withColumn("band", (F.col("pos") % 4).cast("string"))
+        assert tbl.append_batch(band(bloom_bits(w1)), batch_id=0) is True
+        assert tbl.append_batch(band(bloom_bits(w2)), batch_id=1) is True
+        assert tbl.append_batch(band(bloom_bits(w2)), batch_id=1) is False  # replay no-op
+
+        batch = literal_df(
+            spark, [(f"k{i}",) for i in range(45, 60)] + [("never-seen",)], "key string"
+        )
+        incremental = {
+            r["key"]: r["possibly_present"]
+            for r in bloom_possibly(tbl.read().select("pos"), batch).collect()
+        }
+        union_keys = literal_df(spark, [(f"k{i}",) for i in range(50)], "key string")
+        oneshot = {
+            r["key"]: r["possibly_present"]
+            for r in bloom_possibly(bloom_bits(union_keys), batch).collect()
+        }
+        assert incremental == oneshot
+        # no false negatives on the keys genuinely present (45..49)
+        for i in range(45, 50):
+            assert incremental[f"k{i}"] is True
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
