@@ -62,6 +62,19 @@ def mmr_rerank(cand, picks: int = MMR_PICKS, rel_w: int = MMR_REL_W, div_w: int 
         F.col("b.nid").alias("b_id"),
         F.round(cosine(F.col("a.emb"), F.col("b.emb")) * 1e6, 0).cast("long").alias("sim6"),
     )
+    # Partnerless carrier rows (b_id/sim6 NULL): a query whose shortlist
+    # has exactly ONE candidate produces no pair rows, so without these
+    # the group never reaches the greedy and the engine would emit zero
+    # rows where the oracle's s1 still picks the lone candidate —
+    # an engine/oracle divergence (single-candidate pin in test_ann.py).
+    carriers = cand.select(
+        "query_id",
+        F.col("nid").alias("a_id"),
+        F.col("rel6").alias("rel_a6"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("long").alias("sim6"),
+    )
+    pairs = pairs.unionByName(carriers)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -69,7 +82,8 @@ def mmr_rerank(cand, picks: int = MMR_PICKS, rel_w: int = MMR_REL_W, div_w: int 
         sim: dict[tuple[int, int], int] = {}
         for r in pdf.itertuples(index=False):
             rel[int(r.a_id)] = int(r.rel_a6)
-            sim[(int(r.a_id), int(r.b_id))] = int(r.sim6)
+            if not pd.isna(r.b_id):
+                sim[(int(r.a_id), int(r.b_id))] = int(r.sim6)
         remaining = set(rel)
         selected: list[int] = []
         out = []

@@ -127,20 +127,29 @@ CMS_DEPTH = 4  # hash rows (error probability ~ e^-depth)
 CMS_WIDTH = 1024  # counters per row (overestimate ~ N_tokens / width)
 CMS_TOP_N = 20  # heavy hitters reported
 
-# One md5 draw per (row, token): first 8 hex digits of md5("i:token") mod
-# width — the same engine-portable device as functions.md5_uniform, so
-# DuckDB computes the identical cell for every token.
-_CMS_POS_SQL = (
-    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {tok}), 1, 8)) AS BIGINT)"
-    f" % {CMS_WIDTH}"
-)
+# One md5 draw per (row, key): first 8 hex digits of md5("i:key") mod the
+# table size — the same engine-portable device as functions.md5_uniform
+# (whose docstring's keep-in-lockstep warning applies here too), shared
+# by BOTH sketches so a change to the hash lands in exactly one Spark
+# expression and one SQL template.
+
+
+def _md5_pos(i: int, key, modulus: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10).cast("long")
+        % modulus
+    )
+
+
+def _md5_pos_sql(i: str, key: str, modulus: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {key}), 1, 8)) AS BIGINT)"
+        f" % {modulus}"
+    )
 
 
 def _cms_pos(row_i: int, tok):
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{row_i}:"), tok)), 1, 8), 16, 10).cast("long")
-        % CMS_WIDTH
-    )
+    return _md5_pos(row_i, tok, CMS_WIDTH)
 
 
 def cms_positions(tok):
@@ -170,13 +179,18 @@ def cms_estimates(cells, keys):
     columns ride along) against a cell table that may hold per-batch
     PARTIALS: cell-wise sum, then the CMS min over each key's depth
     cells. The merged cell table is ≤ depth·width rows → broadcast
-    probe join."""
+    probe join. LEFT join + coalesce(0): a never-inserted key's cells
+    may be absent from the table, and an absent cell counts as 0 in the
+    min — an inner join would either drop the key from the output or
+    inflate its estimate to the min of only its collided cells,
+    breaking the depth-wise error guarantee (unseen-key pin in
+    tests/test_sketches.py)."""
     merged = cells.groupBy("row_i", "pos").agg(F.sum("counter").alias("counter"))
     probe = keys.select("*", F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
     return (
-        probe.join(F.broadcast(merged), ["row_i", "pos"])
+        probe.join(F.broadcast(merged), ["row_i", "pos"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("counter").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -192,14 +206,14 @@ _CMS_ORACLE = f"""
       ) WHERE rk <= {CMS_TOP_N}
     ),
     cells AS (
-      SELECT i.i AS row_i, {_CMS_POS_SQL.format(i="i.i", tok="tok")} AS pos,
+      SELECT i.i AS row_i, {_md5_pos_sql("i.i", "tok", CMS_WIDTH)} AS pos,
              count(*) AS counter
       FROM tok CROSS JOIN range({CMS_DEPTH}) i(i)
       GROUP BY 1, 2
     ),
     probe AS (
       SELECT t.tok, t.exact_cnt, i.i AS row_i,
-             {_CMS_POS_SQL.format(i="i.i", tok="t.tok")} AS pos
+             {_md5_pos_sql("i.i", "t.tok", CMS_WIDTH)} AS pos
       FROM top t CROSS JOIN range({CMS_DEPTH}) i(i)
     )
     SELECT p.tok AS token,
@@ -274,17 +288,8 @@ def q_cms_heavy_hitters(spark, sf_dir):
 BLOOM_BITS = 4096  # m
 BLOOM_HASHES = 3  # k
 
-_BLOOM_POS_SQL = (
-    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {key}), 1, 8)) AS BIGINT)"
-    f" % {BLOOM_BITS}"
-)
-
-
 def _bloom_pos(j: int, key):
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8), 16, 10).cast("long")
-        % BLOOM_BITS
-    )
+    return _md5_pos(j, key, BLOOM_BITS)
 
 
 def bloom_bits(keys):
@@ -321,14 +326,14 @@ _BLOOM_ORACLE = f"""
     WITH corpus AS (SELECT md5(text) AS key FROM documents WHERE doc_id % 10 <> 0),
     batch AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 10 = 0),
     bits AS (
-      SELECT DISTINCT {_BLOOM_POS_SQL.format(j="j.j", key="key")} AS pos
+      SELECT DISTINCT {_md5_pos_sql("j.j", "key", BLOOM_BITS)} AS pos
       FROM corpus CROSS JOIN range({BLOOM_HASHES}) j(j)
     ),
     probe AS (
       SELECT b.doc_id, b.key,
              SUM(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
       FROM (
-        SELECT doc_id, key, {_BLOOM_POS_SQL.format(j="j.j", key="key")} AS pos
+        SELECT doc_id, key, {_md5_pos_sql("j.j", "key", BLOOM_BITS)} AS pos
         FROM batch CROSS JOIN range({BLOOM_HASHES}) j(j)
       ) b
       LEFT JOIN bits t ON t.pos = b.pos

@@ -290,3 +290,29 @@ def test_mmr_skips_planted_near_duplicate(spark):
     # pick 1 = 10 (max rel). pick 2: nid 11 obj = 7*998000 - 3*999000 ≈ 3.99M;
     # nid 12 obj = 7*900000 - 3*600000 = 4.5M → diverse candidate wins.
     assert picks == [10, 12]
+
+
+def test_mmr_single_candidate_shortlist(spark):
+    """A query whose shortlist has exactly one candidate produces no
+    pair rows; the partnerless carrier rows must still deliver it to
+    the greedy so the engine matches the oracle's s1 (which picks the
+    lone candidate as pick 1)."""
+    from incremental_dagster_delta_spark.queries.mmr import mmr_rerank
+
+    rows = [
+        (0, 10, 950000, [1.0, 0.0]),  # query 0: single candidate
+        (1, 20, 900000, [1.0, 0.0]),  # query 1: normal pair
+        (1, 21, 800000, [0.0, 1.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, nid long, rel6 long, emb array<double>"
+    )
+    got = {
+        (r["query_id"], r["pick_rank"], r["neighbor_id"], r["mmr_obj"])
+        for r in mmr_rerank(cand, picks=2).collect()
+    }
+    assert (0, 1, 10, 7 * 950000) in got  # the lone candidate IS pick 1
+    assert (1, 1, 20, 7 * 900000) in got
+    # query 1 pick 2: sim(20,21)=0 -> obj = 7*800000 - 0
+    assert (1, 2, 21, 7 * 800000) in got
+    assert len(got) == 3  # query 0 has nothing left for pick 2

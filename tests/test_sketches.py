@@ -224,3 +224,20 @@ def test_bloom_incremental_maintenance_exactly_once(spark):
             assert incremental[f"k{i}"] is True
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cms_unseen_key_estimates_zero(spark):
+    """Probing a never-inserted key must return the true CMS min over
+    its cells with absent cells counting as 0 — an inner join would
+    drop the key or inflate the estimate to the min of only its
+    collided cells."""
+    from incremental_dagster_delta_spark.queries.sketches import cms_cells, cms_estimates
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    corpus = literal_df(spark, [("alpha",)] * 3 + [("beta",)], "tok string")
+    keys = literal_df(spark, [("alpha",), ("never-inserted-key",)], "tok string")
+    est = {r["tok"]: r["cms_estimate"] for r in cms_estimates(cms_cells(corpus), keys).collect()}
+    assert est["alpha"] == 3
+    # with 2 keys x 4 positions in 4096 cells a within-probe collision is
+    # implausible; all 4 of the unseen key's cells are absent -> 0
+    assert est["never-inserted-key"] == 0
