@@ -139,8 +139,14 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
-                for i in range(0, max(len(data), 1), frame_bytes):
+                # empty payload -> zero frames, matching the oracle's
+                # range(1, ceil(0/128)+1) = empty (the engine used to emit
+                # one empty frame here — a latent hash divergence on
+                # empty-text documents)
+                for i in range(0, len(data), frame_bytes):
                     chunk = data[i : i + frame_bytes]
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(i // frame_bytes + 1)
@@ -163,7 +169,8 @@ def audio_frame_features_bytes(payload: bytes, frame_samples: int = 256) -> list
     (trailing partial frame kept), and computes per frame: energy
     (Σ s², exact in int64), strict zero crossings (s[i-1]·s[i] < 0 —
     a sample AT zero crosses on neither side), and peak |s|. All-integer
-    outputs, so a SQL oracle can replay the DSP exactly."""
+    outputs, so a SQL oracle can replay the DSP exactly. frame_idx is
+    1-based, matching :func:`sample_frames`' byte-frame indexing."""
     import numpy as np
 
     buf = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2").astype(np.int64)
@@ -172,7 +179,7 @@ def audio_frame_features_bytes(payload: bytes, frame_samples: int = 256) -> list
         v = buf[f : f + frame_samples]
         out.append(
             (
-                f // frame_samples,
+                f // frame_samples + 1,
                 int(v.size),
                 int(np.sum(v * v)),
                 int(np.sum(v[:-1] * v[1:] < 0)),
@@ -269,14 +276,22 @@ def _decode_raw_rgb(payload: bytes) -> "tuple":
 def resize_image_bytes(payload: bytes, width: int, height: int, method: str = "nearest") -> bytes:
     """Single-payload decode → resize → re-encode (raw RGB24 out). Shared
     by the Spark path and tests so both pin identical bytes."""
+    img = None
     if HAS_PIL:  # pragma: no cover - codec absent in this container
         import io
 
         import numpy as np
         from PIL import Image
 
-        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-    else:
+        try:
+            img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            # Not a decodable container (this repo's synthetic payloads
+            # never are) — fall back to the raw-RGB24 contract so the
+            # pinned oracle digests hold whether or not Pillow happens
+            # to be installed.
+            img = None
+    if img is None:
         img, _, _ = _decode_raw_rgb(payload)
     kernel = _resize_bilinear if method == "bilinear" else _resize_nearest
     return kernel(img, height, width).tobytes()

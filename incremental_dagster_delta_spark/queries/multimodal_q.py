@@ -132,7 +132,7 @@ _AUDIO_ORACLE = f"""
       FROM range({AUDIO_CLIPS}) c(c) CROSS JOIN range({AUDIO_SAMPLES}) t(t)
     ),
     w AS (
-      SELECT media_id, v, ti // {AUDIO_FRAME} AS frame_idx,
+      SELECT media_id, v, ti // {AUDIO_FRAME} + 1 AS frame_idx,
              lag(v) OVER (PARTITION BY media_id, ti // {AUDIO_FRAME} ORDER BY ti) AS pv
       FROM s
     )

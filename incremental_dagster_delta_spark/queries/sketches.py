@@ -242,7 +242,12 @@ def q_cms_heavy_hitters(spark, sf_dir):
     the overestimate audit) is the thing that does NOT scale — at 100 TB
     you run the sketch alone and probe it with candidate keys. The probe
     is depth rows per queried token against the 4096-cell table: a
-    broadcast join.
+    broadcast join. The qid tokenizes the corpus twice (cells + exact
+    sides shuffle on different keys, so no exchange reuse); a
+    persist-the-explode cure was A/B'd at sf0.1 (REPS=5 ×2 interleaved:
+    plain 1.17/1.24 vs persist 1.23/1.16) and REJECTED — the cache
+    write cancels the saved re-scan at gate scale, and at corpus scale
+    the exact side is dropped entirely.
 
     Estimates are deterministic and engine-portable: cell positions come
     from the md5 device (functions.md5_uniform's trick), counters are

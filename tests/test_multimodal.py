@@ -140,7 +140,7 @@ def _audio_python_reference(payload: bytes, frame: int):
         v = samples[f0 : f0 + frame]
         zc = sum(1 for i in range(1, len(v)) if v[i - 1] * v[i] < 0)
         out.append(
-            (f0 // frame, len(v), sum(x * x for x in v), zc, max(abs(x) for x in v))
+            (f0 // frame + 1, len(v), sum(x * x for x in v), zc, max(abs(x) for x in v))
         )
     return out
 
@@ -190,3 +190,16 @@ def test_audio_corpus_plumbing(media, spark):
             r["zero_crossings"],
             r["peak"],
         )
+
+
+def test_frame_sample_empty_payload_yields_no_frames(spark):
+    """Empty payload -> zero frames (matching the oracle's empty range);
+    NULL payload rows are skipped rather than crashing the Arrow task."""
+    media = spark.createDataFrame(
+        [(1, "image", b"", None), (2, "image", None, None), (3, "image", b"ab", None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    )
+    rows = sample_frames(media).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert rows[0]["frame_bytes"] == 2
