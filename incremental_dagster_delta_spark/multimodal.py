@@ -207,6 +207,8 @@ def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
                 "media_id", "frame_idx", "n_samples", "sum_sq", "zero_crossings", "peak"
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no frames, not a crash
+                    continue
                 for idx, n, ss, zc, pk in audio_frame_features_bytes(
                     bytes(payload), frame_samples
                 ):

@@ -47,80 +47,70 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. Round 9 is the final staleness burn-down (r8 verdict ask
-# #1): the ENTIRE remaining r3/r4 cohort — 37 qids last driver-checked in
-# r4 plus the five r3 function batteries displaced late-r8 — fits in one
-# front-50 alongside (a) this round's new qid and (b) re-confirms for
-# every code path changed this round: the append_batch lease-heartbeat
-# rework (q_delta_append / q_exactly_once_publish), the quality-clf
-# n_train denominator fix (the classifier trio), and the ivf_topk
-# factoring for the trained-quantizer swap (q_cosine_ann_ivf /
-# q_recall_at_k). After a green r9 sweep, zero registered qids have a
-# latest driver row older than r5.
+# across rounds. Round 11 executes the carried r10 burn-down (r10 stalled
+# with zero rotation): the FULL 32-qid r5 cohort (five rounds without a
+# driver row) plus the 17 oldest r6 qids — q_ndcg_eval / q_mrr_eval taken
+# out of registry order because their plans change this round
+# (_global_order / order-statistic rewrites) — plus q_offset_slice (last
+# r7, same plan sweep). The remaining 26 r6 qids are r12's tail.
 # --------------------------------------------------------------------------
-_R9_FRONT = [
-    # (a) new this round — first driver rows. New qids outrank
-    # changed-path re-confirms for front slots (a re-confirm candidate
-    # already holds a green driver row from the round it last ran;
-    # a new qid holds none), so the late-r9 additions displaced the
-    # four re-confirm slots the early-round list carried
-    # (q_delta_append / q_exactly_once_publish / q_quality_holdout /
-    # q_ann_ivf_pq — all byte-stable since their green rows except the
-    # r9 lease/denominator changes, which are locally oracle-checked at
-    # sf0.01 + sf0.001 and pinned by tests/test_concurrent_writers.py,
-    # test_quality_clf.py and test_ann.py's factoring-invariance pins).
-    "q_kmeans_centroids",
-    "q_cosine_ann_ivf_trained",
-    "q_pq_train",
-    "q_kmeans_maximin",
-    "q_cms_heavy_hitters",
-    "q_bloom_membership",
-    "q_mmr_rerank",
-    "q_audio_features",
-    # (c) the five displaced r3 batteries
-    "q_array_funcs",
-    "q_posexplode",
-    "q_regex_parse",
-    "q_string_funcs",
-    "q_unpivot",
-    # (d) the full remaining r4 cohort
-    "q_asof_join",
-    "q_bm25",
-    "q_boilerplate_lines",
-    "q_cohort_retention",
-    "q_corpus_stats",
-    "q_daily_activity_outer",
-    "q_decontaminate",
-    "q_dedup_embedding",
-    "q_dedup_lines",
-    "q_drip_source",
-    "q_funnel_conversion",
-    "q_gap_fill",
-    "q_gopher_rules",
-    "q_histogram",
-    "q_incr_agg_maintain",
-    "q_incremental_dedup",
-    "q_json_extract",
-    "q_listing_accumulate",
-    "q_mixture_plan",
-    "q_partition_discovery",
-    "q_partition_prune",
-    "q_pii_redact",
-    "q_pivot_api",
-    "q_quantiles",
-    "q_range_join",
-    "q_repeated_ngrams",
-    "q_reservoir_per_source",
-    "q_rolling_range_window",
-    "q_scd2_merge",
-    "q_semdedup",
-    "q_seq_len_buckets",
-    "q_session_window",
-    "q_sliding_window",
-    "q_stratified_sample",
-    "q_tumbling_window",
-    "q_upsert_merge",
-    "q_variant_json",
+_R11_FRONT = [
+    # (a) changed-path this round: the unpartitioned-window scale-killer
+    # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
+    # q_mrr_eval are simultaneously the stalest-r6 priority picks.
+    "q_ndcg_eval",
+    "q_mrr_eval",
+    "q_offset_slice",
+    # (b) the full 32-qid r5 cohort — five rounds without a driver row.
+    "q_pivot_counts",
+    "q_refresh_overwrite",
+    "q_embedding_quantize",
+    "q_winsorize",
+    "q_regression_by_group",
+    "q_kl_drift",
+    "q_cdc_apply",
+    "q_char_entropy",
+    "q_cluster_size_histogram",
+    "q_dup_rate_by_source",
+    "q_column_stats",
+    "q_media_resize",
+    "q_funnel_multistep",
+    "q_bootstrap_ci",
+    "q_bpe_merges",
+    "q_zorder_layout",
+    "q_bucketed_join",
+    "q_embedding_outliers",
+    "q_pagerank",
+    "q_hard_negatives",
+    "q_class_balance",
+    "q_ts_similarity",
+    "q_expectations",
+    "q_mad_outliers",
+    "q_skew_join",
+    "q_ab_test",
+    "q_ts_anomaly",
+    "q_compaction_stats",
+    "q_group_impute",
+    "q_interval_merge",
+    "q_event_transitions",
+    "q_skew_report",
+    # (c) the 15 next-oldest r6 qids in registry order (43 @ r6 after
+    # ndcg/mrr; 28 remain for r12).
+    "q_ngram_jaccard",
+    "q_ngram_jaccard_prefix",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_replace_where",
+    "q_containment",
+    "q_pq_codes",
+    "q_ann_ivf_pq",
+    "q_doc_similarity",
+    "q_gram_matrix",
+    "q_stream_dedup",
+    "q_quota_stateful",
+    "q_sessionize_stateful",
+    "q_late_data",
+    "q_stream_join",
 ]
 
 
@@ -194,6 +184,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R9_FRONT)
+_rotate(_R11_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -541,7 +541,12 @@ class PartitionedTable:
                 except Exception:
                     # transient store failure (or a racing delete of the
                     # lease dir mid-create): re-enter, bounded by the
-                    # same deadline as any other contested wait
+                    # same deadline as any other contested wait. If the
+                    # failure hit AFTER the file landed (write/close),
+                    # the remnant would carry the oldest mtime and win
+                    # every election for a full TTL — sweep it before
+                    # abandoning the token (ADVICE r9 low, fixed r11).
+                    self._release_lease(fs, Path, batch_id, token)
                     token = None
                     if time.time() >= deadline:
                         raise ConcurrentWriterError(
@@ -589,15 +594,20 @@ class PartitionedTable:
             time.sleep(min(max(self.lease_settle_s, 0.02), 1.0))
 
     def _check_lease(self, fs, Path, batch_id: int, token: str) -> None:
-        """Fence: our entrant must still be present and no live entrant
-        may predate our settled election (mtime strictly below the
-        recorded winning mtime). Judging against the RECORDED win rather
-        than current minimality makes the fence tie-tolerant: an entrant
-        landing in the same millisecond tick as ours but sorting lower
-        by token cannot spuriously dethrone a legitimately settled
-        winner (ADVICE r8). A genuine usurper deletes our entrant on
-        takeover, so it is still observed (token absent → raise). A
-        listing that fails mid-check is a lost fence."""
+        """Fence: our entrant must still be present and no live FOREIGN
+        entrant may sort below our settled election key ``(won_mtime,
+        token)``. Judging against the RECORDED win rather than current
+        minimality keeps the fence tie-tolerant in the safe direction
+        only: a foreign entrant in the same mtime tick with a HIGHER
+        token loses its own election (it sees us as minimal), so it may
+        pass; one with the same mtime but a LOWER token would WIN its
+        own election (ties break to the lower token) — tolerating it
+        meant two writers both held the lease whenever store mtime
+        granularity exceeds the settle interval (ADVICE r9 medium,
+        fixed r11: compare full (mtime, token) pairs, not mtime alone).
+        A genuine usurper deletes our entrant on takeover, so it is
+        still observed (token absent → raise). A listing that fails
+        mid-check is a lost fence."""
         try:
             ents = self._live_entrants(
                 fs, self._lease_dir(Path, batch_id), keep_token=token
@@ -607,7 +617,7 @@ class PartitionedTable:
                 held = bool(ents) and ents[0][1] == token
             else:
                 held = any(t == token for _, t in ents) and all(
-                    m >= won for m, _ in ents
+                    (m, tk) >= (won, token) for m, tk in ents if tk != token
                 )
         except Exception:
             held = False

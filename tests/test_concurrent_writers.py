@@ -334,12 +334,15 @@ def test_contested_election_raises_at_deadline_not_forever(spark, tmp_path):
     assert result["elapsed"] < 5.0, result
 
 
-def test_fence_tolerates_same_millisecond_tie(spark, tmp_path):
-    """_check_lease fences against entrants strictly OLDER than the
-    recorded election win: a foreign entrant landing in the same mtime
-    tick as the holder's (sorting lower by token) must not spuriously
-    dethrone a settled winner, while a strictly older entrant still
-    does (ADVICE r8, low #3)."""
+def test_fence_same_millisecond_tie_breaks_by_token(spark, tmp_path):
+    """_check_lease fences on the full (mtime, token) election key: a
+    foreign entrant in the same mtime tick with a HIGHER token loses
+    its own election (it sees the holder as minimal), so it passes the
+    fence — but one with a LOWER token would WIN its own election, so
+    it must dethrone the holder. The earlier mtime-only tolerance let
+    BOTH writers hold the lease whenever store mtime granularity
+    exceeds the settle interval (ADVICE r9 medium, fixed r11). A
+    strictly older entrant still fails the fence as before."""
     import os
 
     from incremental_dagster_delta_spark.tableio import ConcurrentWriterError
@@ -351,10 +354,22 @@ def test_fence_tolerates_same_millisecond_tie(spark, tmp_path):
     assert token is not None
     d = tmp_path / "hb4" / "_commits" / "17.lease.d"
     own_mtime_s = (d / token).stat().st_mtime
-    # tie: same mtime, lexicographically smaller token
+    # tie, HIGHER token: that entrant's own election elects US -> safe,
+    # fence must NOT raise
+    (d / ("f" * 32)).write_text("1")
+    os.utime(d / ("f" * 32), (own_mtime_s, own_mtime_s))
+    table._check_lease(fs, Path, 17, token)  # must NOT raise
+    # tie, LOWER token: that entrant's own election elects ITSELF ->
+    # dual-holder unless the fence dethrones us
     (d / ("0" * 32)).write_text("1")
     os.utime(d / ("0" * 32), (own_mtime_s, own_mtime_s))
-    table._check_lease(fs, Path, 17, token)  # must NOT raise
+    try:
+        table._check_lease(fs, Path, 17, token)
+        raised = False
+    except ConcurrentWriterError:
+        raised = True
+    assert raised, "same-mtime lower-token entrant must dethrone the holder"
+    os.remove(d / ("0" * 32))
     # strictly older entrant: a genuinely earlier winner -> fence fails
     older = own_mtime_s - 0.005
     (d / ("1" * 32)).write_text("1")

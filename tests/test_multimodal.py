@@ -203,3 +203,28 @@ def test_frame_sample_empty_payload_yields_no_frames(spark):
     rows = sample_frames(media).collect()
     assert {r["media_id"] for r in rows} == {3}
     assert rows[0]["frame_bytes"] == 2
+
+
+def test_audio_features_null_and_empty_payload(spark):
+    """audio_features mirrors sample_frames' NULL discipline: a NULL
+    payload yields zero frames instead of killing the Arrow task
+    (ADVICE r9 low, fixed r11); an empty payload yields zero frames; a
+    sub-sample payload (1 byte, dropped as an odd trailing byte) also
+    yields zero frames."""
+    from incremental_dagster_delta_spark.multimodal import audio_features
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", None, None),
+            (2, "audio", b"", None),
+            (3, "audio", b"\x01", None),
+            (4, "audio", b"\x01\x00\xff\xff\x02\x00\xfe\xff", None),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    )
+    rows = audio_features(media, frame_samples=4).collect()
+    assert {r["media_id"] for r in rows} == {4}
+    (r,) = rows
+    # samples 1, -1, 2, -2: energy 1+1+4+4, three strict sign flips, peak 2
+    assert (r["n_samples"], r["sum_sq"], r["zero_crossings"], r["peak"]) == (4, 10, 3, 2)

@@ -479,3 +479,46 @@ def test_cms_sketch_aggregation_is_partial(spark, sf_dir):
     )
     phys = _plan(cells).split("== Physical Plan ==")[1]
     assert "partial_count" in phys, phys
+
+
+def test_ndcg_rankings_are_takeordered(spark, sf_dir):
+    """NDCG@10 consumes positions <= 10 only, so BOTH rankings (by bm25
+    and by relevance) must cut to their top-10 via TakeOrderedAndProject
+    (per-partition partial top-K) BEFORE any window ranks positions —
+    the r9/r10 finding was two unpartitioned row_number windows over the
+    full matched-doc set (a constant fraction of the corpus) in a single
+    task. Any Window left in the plan now ranks a <=10-row frame below a
+    global limit."""
+    from incremental_dagster_delta_spark.queries.retrieval import q_ndcg_eval
+
+    phys = _plan(q_ndcg_eval(spark, sf_dir)).split("== Physical Plan ==")[1]
+    assert phys.count("TakeOrderedAndProject") >= 2, phys
+
+
+def test_mrr_has_no_window(spark, sf_dir):
+    """q_mrr_eval's first_rel_pos is an order-statistic AGGREGATE (count
+    of docs ranked above the best strongly-relevant hit), not a per-term
+    row_number window — a common term made the old window's partition
+    corpus-proportional (hot-key skew in a single task). The plan must
+    contain no Window node at all; the |terms|-row best-hit table joins
+    back as a broadcast."""
+    from incremental_dagster_delta_spark.queries.retrieval import q_mrr_eval
+
+    phys = _plan(q_mrr_eval(spark, sf_dir)).split("== Physical Plan ==")[1]
+    assert "Window" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_offset_slice_rank_is_range_partitioned(spark, sf_dir):
+    """q_offset_slice's global position comes from _global_order:
+    a range repartition on the sort key with per-partition ranks plus
+    broadcast offsets — never an unpartitioned corpus-fed row_number.
+    The range exchange itself hides inside _global_order's
+    localCheckpoint (the scan shows as ExistingRDD), so the observable
+    pin is that the row_number window over the document rows is
+    partitioned by _pid — the only unpartitioned window left is the
+    offsets running-sum over numPartitions scalar counts."""
+    from incremental_dagster_delta_spark.queries.reference_ops import q_offset_slice
+
+    phys = _plan(q_offset_slice(spark, sf_dir)).split("== Physical Plan ==")[1]
+    assert "row_number() windowspecdefinition(_pid#" in phys, phys
