@@ -55,7 +55,11 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # r7, same plan sweep). The remaining 26 r6 qids are r12's tail.
 # --------------------------------------------------------------------------
 _R11_FRONT = [
-    # (a) changed-path this round: the unpartitioned-window scale-killer
+    # (a) new this round — first driver rows (new qids outrank
+    # re-confirms for front slots, as established r9; each new qid
+    # displaces the tail r6 re-confirm it replaced).
+    "q_kmeans_minibatch",
+    # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
     "q_ndcg_eval",
@@ -110,7 +114,6 @@ _R11_FRONT = [
     "q_quota_stateful",
     "q_sessionize_stateful",
     "q_late_data",
-    "q_stream_join",
 ]
 
 
@@ -154,6 +157,9 @@ _SIZED_SHUFFLE = {
     "q_cosine_ann_ivf_trained": "embeddings",
     "q_pq_train": "embeddings",
     "q_kmeans_maximin": "embeddings",
+    # round 11: the mini-batch fold is the same tiny-stage profile as
+    # the trainer it derives from.
+    "q_kmeans_minibatch": "embeddings",
 }
 
 

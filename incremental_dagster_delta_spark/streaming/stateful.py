@@ -168,8 +168,8 @@ def enforce_quota(events: DataFrame, budget: int = 3) -> DataFrame:
     onto Spark 4's ``transformWithStateInPandas`` ``ValueState``
     (``handle.getValueState('count', 'n long')`` + the same fold), but
     this sandbox's TWS python driver worker cannot start. Re-probed
-    2026-08-14, 2026-08-15 (round 8), and again 2026-08-15 round 9
-    (``import google`` still ModuleNotFoundError, no delta jars on the
+    2026-08-14, 2026-08-15 (rounds 8, 9, and 11 — r10 stalled; r11:
+    ``import google`` still ModuleNotFoundError, no delta jars on the
     pyspark classpath, no ``delta`` python package either)
     on Spark 4.1.2: a minimal StatefulProcessor over a rate
     source dies with ``TransformWithStateInPySpark driver worker exited

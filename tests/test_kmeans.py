@@ -316,3 +316,83 @@ def test_kmeans_round_plan_shape(spark, sf_dir):
     assert phys.count("MapInPandas") == 1, phys
     assert "partial_sum" in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def test_minibatch_merge_equals_full_round(spark):
+    """Merge-of-batch-partials == one full-corpus Lloyd's round against
+    the same frozen centroids, bit-exactly — the additivity identity
+    the q_kmeans_minibatch driver hash also pins at gate scale, here on
+    a literal scenario with an empty cluster (centroid 100 attracts
+    nothing) and an uneven 3-way split."""
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        _update_centroids,
+        assign_nearest_sq,
+        batch_partials,
+        merge_partials_update,
+    )
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    rows = [(i, [i * 7 % 13, -(i % 5), i % 3]) for i in range(17)]
+    vec = literal_df(spark, rows, "vec_id long, xq array<long>")
+    cents = literal_df(
+        spark,
+        [(0, [0, 0, 0]), (1, [12, -4, 2]), (100, [999, 999, 999])],
+        "centroid_id long, cq array<long>",
+    )
+    full = {
+        r["centroid_id"]: r["cq"]
+        for r in _update_centroids(assign_nearest_sq(vec, cents), cents).collect()
+    }
+    parts = None
+    for b in range(3):
+        p = batch_partials(vec.where(F.col("vec_id") % 3 == b), cents)
+        parts = p if parts is None else parts.unionByName(p)
+    merged = {
+        r["centroid_id"]: r["cq"] for r in merge_partials_update(parts, cents).collect()
+    }
+    assert merged == full
+    assert merged[100] == [999, 999, 999]  # empty cluster carried
+
+
+def test_minibatch_incremental_maintenance_exactly_once(spark, tmp_path):
+    """The trained quantizer's incremental-by-default configuration:
+    per-batch partials published with tableio's exactly-once
+    append_batch, one update round folded over the stored partial
+    table. Two waves + a replayed wave (the foreachBatch at-least-once
+    contract) must equal the one-shot update over the union corpus —
+    replay contributes zero."""
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        assign_nearest_sq,
+        _update_centroids,
+        batch_partials,
+        merge_partials_update,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    cents = literal_df(
+        spark,
+        [(0, [0, 0]), (1, [50, -50])],
+        "centroid_id long, cq array<long>",
+    )
+    w1 = [(i, [i, -i]) for i in range(8)]
+    w2 = [(i + 8, [60 - i, i - 60]) for i in range(6)]
+    v1 = literal_df(spark, w1, "vec_id long, xq array<long>")
+    v2 = literal_df(spark, w2, "vec_id long, xq array<long>")
+
+    tbl = PartitionedTable(spark, str(tmp_path / "km_partials"), ["centroid_id"])
+    assert tbl.append_batch(batch_partials(v1, cents), batch_id=0) is True
+    assert tbl.append_batch(batch_partials(v2, cents), batch_id=1) is True
+    # crash-replay of wave 2: marker exists -> no-op, no double count
+    assert tbl.append_batch(batch_partials(v2, cents), batch_id=1) is False
+
+    incremental = {
+        r["centroid_id"]: r["cq"]
+        for r in merge_partials_update(tbl.read(), cents).collect()
+    }
+    union = literal_df(spark, w1 + w2, "vec_id long, xq array<long>")
+    oneshot = {
+        r["centroid_id"]: r["cq"]
+        for r in _update_centroids(assign_nearest_sq(union, cents), cents).collect()
+    }
+    assert incremental == oneshot
