@@ -299,6 +299,65 @@ def resize_image_bytes(payload: bytes, width: int, height: int, method: str = "n
     return kernel(img, height, width).tobytes()
 
 
+DHASH_SCHEMA = "media_id long, dhash long"
+DHASH_GRID_W = 9  # 9x8 luma grid -> 8 horizontal gradients x 8 rows = 64 bits
+DHASH_GRID_H = 8
+
+
+def dhash_bytes(payload: bytes) -> int:
+    """64-bit perceptual difference hash (dHash) over the raw-RGB24
+    contract, shared by the Spark path, tests, and the pinned oracle.
+
+    All-integer: decode via :func:`_decode_raw_rgb`, integer luma
+    (299·R + 587·G + 114·B — comparisons between lumas are
+    scale-invariant, so the conventional /1000 is skipped and no
+    division or rounding exists anywhere), nearest-downscale the luma
+    plane to 9×8 with the same integer index maps as
+    :func:`_resize_nearest`, then bit (r·8 + c) = 1 iff
+    luma[r, c] < luma[r, c+1] (strict — equal lumas give 0
+    deterministically). Returned as a SIGNED 64-bit value matching
+    Spark's ``long``. A real deployment swaps the decode for PIL/libav;
+    the grid, luma, and gradient stages are the real thing."""
+    import numpy as np
+
+    img, _, _ = _decode_raw_rgb(payload)
+    luma = (
+        299 * img[:, :, 0].astype(np.int64)
+        + 587 * img[:, :, 1].astype(np.int64)
+        + 114 * img[:, :, 2].astype(np.int64)
+    )
+    grid = _resize_nearest(luma, DHASH_GRID_H, DHASH_GRID_W)
+    bits = grid[:, :-1] < grid[:, 1:]  # 8x8 horizontal gradients
+    v = 0
+    for k, b in enumerate(bits.flatten()):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def dhash_features(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) for every image row — the same single narrow
+    Arrow-batched ``mapInPandas`` stage as the other media transforms:
+    per-row independent, no shuffle, NULL payloads skipped (the
+    sample_frames/audio_features discipline). Feed the result (renamed
+    to the (doc_id, simhash) contract) into ``dedup.hamming_pairs`` for
+    near-duplicate-image candidate pairs without an all-pairs product."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                ids.append(int(mid))
+                hs.append(dhash_bytes(bytes(payload)))
+            yield pd.DataFrame({"media_id": ids, "dhash": hs})
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, schema=DHASH_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int, method: str = "nearest") -> DataFrame:
     """Decode → resize → re-encode each image payload, Arrow-batched.
 

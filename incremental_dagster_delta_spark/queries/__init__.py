@@ -57,8 +57,10 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 _R11_FRONT = [
     # (a) new this round — first driver rows (new qids outrank
     # re-confirms for front slots, as established r9; each new qid
-    # displaces the tail r6 re-confirm it replaced).
+    # displaces the tail r6 re-confirm it replaced — q_stream_join and
+    # q_late_data move to the r12 tail, keeping their green r6 rows).
     "q_kmeans_minibatch",
+    "q_dedup_dhash",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -113,7 +115,6 @@ _R11_FRONT = [
     "q_stream_dedup",
     "q_quota_stateful",
     "q_sessionize_stateful",
-    "q_late_data",
 ]
 
 

@@ -548,9 +548,21 @@ def simhash_pairs(d):
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    # 64 bits split into SIMHASH_BLOCKS near-equal sub-keys.
-    bounds = [round(64 * k / SIMHASH_BLOCKS) for k in range(SIMHASH_BLOCKS + 1)]
-    keys = simhash.select(
+    return hamming_pairs(simhash).orderBy("doc_a", "doc_b")
+
+
+def hamming_pairs(hashes, budget: int = HAMMING_BUDGET, blocks: int = SIMHASH_BLOCKS):
+    """All (doc_a, doc_b, hamming) pairs within Hamming distance
+    ``budget`` over a 64-bit fingerprint table (doc_id, simhash) via
+    the pigeonhole bucket join: any pair within ``budget`` flips
+    agrees exactly on ≥ 1 of ``blocks`` sub-keys (requires
+    budget < blocks), so candidates come from equality joins on the
+    sub-keys — never an all-pairs product — and the exact bit_count
+    check screens them. Shared by the text SimHash family and the
+    perceptual dHash image dedup (r11); see the dial comment above
+    for the bucket-size maths."""
+    bounds = [round(64 * k / blocks) for k in range(blocks + 1)]
+    keys = hashes.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -562,7 +574,7 @@ def simhash_pairs(d):
                         .bitwiseAND(F.lit((1 << (bounds[k + 1] - bounds[k])) - 1))
                         .alias("sub"),
                     )
-                    for k in range(SIMHASH_BLOCKS)
+                    for k in range(blocks)
                 ]
             )
         ).alias("kk"),
@@ -585,9 +597,8 @@ def simhash_pairs(d):
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .where(F.col("hamming") <= HAMMING_BUDGET)
+        .where(F.col("hamming") <= budget)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -182,3 +182,85 @@ def q_audio_features(spark, sf_dir):
         "meta struct<container: string, declared_size: long>",
     )  # 6 rows in ONE slice — see tables.literal_df for the coalesce(1) trap
     return audio_features(media, frame_samples=AUDIO_FRAME)
+
+
+# Perceptual-hash image dedup scenario (r10 verdict ask #5, landed
+# r11). Eight raw-RGB24 payloads through the REAL dHash kernel: a
+# deterministic texture (media 0), its exact duplicate (1), a
+# one-grid-cell patch edit (2, Hamming 1), a two-cell edit (3, Hamming
+# 3 from base / 2 from media 2), a second texture pair (4, 5), a
+# length-changed copy (6 — different decode dims, Hamming 23: length
+# IS content under the raw contract), and a heavy edit (7, Hamming
+# 19). Pinned expected pairs at HAMMING_BUDGET=4 — recomputing them
+# requires the luma/downscale/gradient kernel to be bit-identical, so
+# the oracle IS a kernel regression pin (the q_media_resize device).
+_DHASH_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (0, 2, 1),
+      (0, 3, 3),
+      (1, 2, 1),
+      (1, 3, 3),
+      (2, 3, 2),
+      (4, 5, 0)
+    ) AS t(doc_a, doc_b, hamming)
+    """
+
+DHASH_PAYLOAD_BYTES = 21504  # decode dims 64x148 under the raw contract
+
+
+def _dhash_texture(n: int, seed: int) -> bytes:
+    """Deterministic pseudo-texture with non-trivial luma gradients."""
+    return bytes(((i * 31 + (i // 7) * seed + seed * seed) % 256) for i in range(n))
+
+
+def _dhash_patch(b: bytes, start: int, length: int, delta: int) -> bytes:
+    """Additive byte-patch 'edit' of a raw image region, length-preserving."""
+    arr = bytearray(b)
+    for i in range(start, min(start + length, len(arr))):
+        arr[i] = (arr[i] + delta) % 256
+    return bytes(arr)
+
+
+@query("q_dedup_dhash", tags=("multimodal", "dedup", "llm"), oracle=_DHASH_ORACLE)
+def q_dedup_dhash(spark, sf_dir):
+    """Perceptual near-duplicate IMAGE dedup: 64-bit dHash fingerprints
+    (integer luma → 9×8 nearest-downscale → horizontal gradient signs,
+    multimodal.dhash_bytes — all-integer, zero libm surface) via the
+    same narrow mapInPandas stage as the other media transforms, then
+    candidate pairs within Hamming ≤ 4 through the SAME pigeonhole
+    bucket join the text SimHash family uses (dedup.hamming_pairs —
+    never an all-pairs product, so the shape scales to a media lake:
+    fingerprinting is map-only and bucket sizes bound the join).
+    Patch edits to an image perturb few grid gradients (media 2/3:
+    Hamming 1-3) while different textures, lengths, or heavy edits
+    land far outside the budget — the planted-recall structure the
+    oracle pins. Corpus-shaped plumbing over synth_media is pinned in
+    tests/test_multimodal.py."""
+    from incremental_dagster_delta_spark.multimodal import dhash_features
+    from incremental_dagster_delta_spark.queries.dedup import hamming_pairs
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = _dhash_texture(DHASH_PAYLOAD_BYTES, 3)
+    m1 = _dhash_patch(base, 7160, 24, 120)  # one sampled grid cell
+    m2 = _dhash_patch(m1, 3492, 30, 200)  # + a second cell, another row
+    payloads = [
+        (0, base),
+        (1, base),
+        (2, m1),
+        (3, m2),
+        (4, _dhash_texture(DHASH_PAYLOAD_BYTES, 11)),
+        (5, _dhash_texture(DHASH_PAYLOAD_BYTES, 11)),
+        (6, _dhash_texture(DHASH_PAYLOAD_BYTES + 77, 3)),
+        (7, _dhash_patch(base, 0, 9000, 128)),
+    ]
+    media = literal_df(
+        spark,
+        [(i, "image", p, {"container": "raw", "declared_size": len(p)}) for i, p in payloads],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    )  # 8 rows in ONE slice — see tables.literal_df for the coalesce(1) trap
+    fps = dhash_features(media).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    return hamming_pairs(fps).orderBy("doc_a", "doc_b")

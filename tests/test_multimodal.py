@@ -228,3 +228,74 @@ def test_audio_features_null_and_empty_payload(spark):
     (r,) = rows
     # samples 1, -1, 2, -2: energy 1+1+4+4, three strict sign flips, peak 2
     assert (r["n_samples"], r["sum_sq"], r["zero_crossings"], r["peak"]) == (4, 10, 3, 2)
+
+
+def test_dhash_kernel_properties():
+    """dHash invariants on raw payloads: deterministic, 64-bit signed
+    range, exact-duplicate payloads collide, a one-grid-cell patch edit
+    moves ≤ 2 bits (the two gradients that touch the cell), and the
+    empty payload (all-zero image → no strict gradient anywhere) is 0."""
+    from incremental_dagster_delta_spark.multimodal import dhash_bytes
+    from incremental_dagster_delta_spark.queries.multimodal_q import (
+        _dhash_patch,
+        _dhash_texture,
+    )
+
+    base = _dhash_texture(21504, 3)
+    h = dhash_bytes(base)
+    assert h == dhash_bytes(bytes(base))
+    assert -(1 << 63) <= h < (1 << 63)
+    edited = dhash_bytes(_dhash_patch(base, 7160, 24, 120))
+    assert bin((h ^ edited) & ((1 << 64) - 1)).count("1") <= 2
+    assert dhash_bytes(b"") == 0
+
+
+def test_dhash_corpus_plumbing_and_planted_recall(spark, media):
+    """Corpus-shaped run: synth_media image rows plus PLANTED
+    near-duplicate images (patch edits of real rows) through
+    dhash_features → hamming_pairs. Every planted near-duplicate must
+    be recalled as a pair with its source (the pigeonhole guarantee is
+    exact for Hamming ≤ budget, so recall of planted pairs is 1.0, not
+    probabilistic), and the per-row fingerprints must equal the local
+    kernel exactly."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.multimodal import dhash_bytes, dhash_features
+    from incremental_dagster_delta_spark.queries.dedup import hamming_pairs
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload").collect()
+    assert len(imgs) > 5
+    # plant: byte-0 patch (identity edit? no - +128 on the first 12 bytes)
+    planted_rows = []
+    expected_pairs = set()
+    local = {}
+    for r in imgs:
+        payload = bytes(r["payload"])
+        local[r["media_id"]] = dhash_bytes(payload)
+    for r in imgs[:5]:
+        src = bytes(r["payload"])
+        edit = bytes([(src[0] + 128) % 256]) + src[1:] if len(src) > 1 else src
+        pid = 100000 + r["media_id"]
+        planted_rows.append((pid, "image", edit, None))
+        if bin((local[r["media_id"]] ^ dhash_bytes(edit)) & ((1 << 64) - 1)).count("1") <= 4:
+            expected_pairs.add((r["media_id"], pid))
+        local[pid] = dhash_bytes(edit)
+    planted = literal_df(
+        spark,
+        planted_rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    )
+    allmedia = media.select("media_id", "kind", "payload", "meta").unionByName(planted)
+    fps = dhash_features(allmedia)
+    got_fp = {r["media_id"]: r["dhash"] for r in fps.collect()}
+    assert got_fp == local  # Spark stage == local kernel, bit-exact
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in hamming_pairs(
+            fps.select(F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+        ).collect()
+    }
+    assert expected_pairs, "at least some planted edits must land within budget"
+    assert expected_pairs <= pairs  # planted recall = 1.0 within budget
