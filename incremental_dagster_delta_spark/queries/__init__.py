@@ -57,10 +57,12 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 _R11_FRONT = [
     # (a) new this round — first driver rows (new qids outrank
     # re-confirms for front slots, as established r9; each new qid
-    # displaces the tail r6 re-confirm it replaced — q_stream_join and
-    # q_late_data move to the r12 tail, keeping their green r6 rows).
+    # displaces the tail r6 re-confirm it replaced — q_stream_join,
+    # q_late_data and q_sessionize_stateful move to the r12 tail,
+    # keeping their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
+    "q_bm25_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -100,8 +102,8 @@ _R11_FRONT = [
     "q_interval_merge",
     "q_event_transitions",
     "q_skew_report",
-    # (c) the 15 next-oldest r6 qids in registry order (43 @ r6 after
-    # ndcg/mrr; 28 remain for r12).
+    # (c) the 14 next-oldest r6 qids in registry order (43 @ r6 after
+    # ndcg/mrr; 29 remain for r12).
     "q_ngram_jaccard",
     "q_ngram_jaccard_prefix",
     "q_dedup_minhash",
@@ -114,7 +116,6 @@ _R11_FRONT = [
     "q_gram_matrix",
     "q_stream_dedup",
     "q_quota_stateful",
-    "q_sessionize_stateful",
 ]
 
 

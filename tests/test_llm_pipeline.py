@@ -273,3 +273,52 @@ def test_kn_is_proper_distribution_and_matches_reference(spark, tmp_path):
         ce = round(-sum(lps) / len(lps), 4)
         assert got[d]["n_bigrams"] == len(bs)
         assert got[d]["cross_entropy"] == ce, (d, got[d]["cross_entropy"], ce)
+
+
+def test_bm25_stats_incremental_maintenance_exactly_once(spark):
+    """BM25's corpus statistics (per-term df, document count N, total
+    token count Σdl) are additive over disjoint ingest batches: publish
+    each batch's ≤(|terms|+1)-row partial via exactly-once
+    ``append_batch``, fold with ``merge_bm25_stats``, and the result
+    must equal the one-shot statistics over the union corpus — with a
+    crash-replayed batch (foreachBatch at-least-once) contributing
+    zero. This is the storage seam behind q_bm25_incremental."""
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.queries.retrieval import (
+        bm25_batch_stats,
+        merge_bm25_stats,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = tempfile.mkdtemp(prefix="bm25_incr_")
+    try:
+        tbl = PartitionedTable(spark, f"{base}/stats", ["tok"])
+        d1 = [(1, "dup join window dup"), (2, "alpha beta join")]
+        d2 = [(3, "window window gamma"), (4, "dup delta")]
+        b1 = literal_df(spark, d1, "doc_id long, text string")
+        b2 = literal_df(spark, d2, "doc_id long, text string")
+        assert tbl.append_batch(bm25_batch_stats(b1), batch_id=0) is True
+        assert tbl.append_batch(bm25_batch_stats(b2), batch_id=1) is True
+        # crash-replay of batch 2: marker exists -> no-op, no double count
+        assert tbl.append_batch(bm25_batch_stats(b2), batch_id=1) is False
+
+        fold = {
+            r["tok"]: (r["df"], r["n"], r["sdl"])
+            for r in merge_bm25_stats(tbl.read()).collect()
+        }
+        union = literal_df(spark, d1 + d2, "doc_id long, text string")
+        oneshot = {
+            r["tok"]: (r["df"], r["n"], r["sdl"])
+            for r in merge_bm25_stats(bm25_batch_stats(union)).collect()
+        }
+        assert fold == oneshot
+        # hand-checked ground truth over the 4-doc corpus
+        assert fold["dup"] == (2, 0, 0)
+        assert fold["join"] == (2, 0, 0)
+        assert fold["window"] == (2, 0, 0)
+        assert fold["zz_stats"] == (0, 4, 12)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
