@@ -63,6 +63,7 @@ _R11_FRONT = [
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
+    "q_hll_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -115,7 +116,6 @@ _R11_FRONT = [
     "q_doc_similarity",
     "q_gram_matrix",
     "q_stream_dedup",
-    "q_quota_stateful",
 ]
 
 

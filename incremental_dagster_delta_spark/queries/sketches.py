@@ -401,3 +401,142 @@ def q_bloom_membership(spark, sf_dir):
         "actually_present",
         (F.col("possibly_present") & ~F.col("actually_present")).alias("false_positive"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog with incrementally-maintained registers
+# --------------------------------------------------------------------------
+# q_approx_sketches pins Spark's built-in HLL++ (whose register layout is
+# engine-internal, so only the estimates can be checked). This family
+# hand-rolls the registers on the repo's md5 device so BOTH engines
+# replay them register-for-register — which unlocks the two things the
+# built-in cannot give: a hash-checked oracle over the full sketch
+# state, and INCREMENTAL maintenance. HLL registers merge by elementwise
+# MAX (Flajolet et al. 2007), which is associative, commutative, and
+# IDEMPOTENT — so unlike the additive CMS/Bloom/BM25 partials, a
+# replayed ingest batch is algebraically harmless even WITHOUT the
+# exactly-once marker: the incremental distinct count is at-least-once
+# tolerant by construction (pinned in tests/test_sketches.py).
+#
+# Scale shape: per batch one map-side-combinable (reg → max rho)
+# aggregation crushes every partition to ≤ HLL_M rows before the
+# shuffle; the folded register table is ≤ HLL_M rows regardless of
+# corpus size; the estimator is one pass over ≤ HLL_M rows. Distinct
+# counting at 100 TB without ever shuffling the key set.
+
+HLL_M = 512  # 2^9 registers; rsd ≈ 1.04/√512 ≈ 4.6%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant, m ≥ 128
+_HLL_ALPHA_MM = _HLL_ALPHA * HLL_M * HLL_M  # one float literal for both engines
+
+
+def hll_registers(keys):
+    """HLL register partial for one batch: (reg, rho) with reg the key's
+    md5 register index and rho = 1 + leading zeros of a second 32-bit
+    md5 word, max-reduced per register. ≤ HLL_M rows out regardless of
+    batch size. All-integer/string ops (binary-string scan, no log2
+    float surface), so DuckDB replays registers exactly.
+
+    ``keys`` is a DataFrame with a ``tok`` column; duplicates are fine —
+    HLL is a distinct counter, duplicate keys hit the same register with
+    the same rho and max() absorbs them (that same idempotence is what
+    makes batch replay harmless)."""
+    k = F.col("tok")
+    reg = _md5_pos("hr", k, HLL_M)
+    w_bin = F.lpad(F.conv(F.substring(F.md5(F.concat(F.lit("hw:"), k)), 1, 8), 16, 2), 32, "0")
+    first_one = F.instr(w_bin, "1")
+    rho = F.when(first_one == 0, F.lit(33)).otherwise(first_one)
+    return (
+        keys.select(reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers):
+    """Cardinality estimate from a register table that may hold
+    per-batch PARTIALS: fold by max, then the Flajolet estimator with
+    the linear-counting small-range correction. Float determinism: each
+    2^-rho term is an exact power of two (integer shift then one exact
+    division) and every partial sum is exactly representable (value
+    spread 2^9..2^-33 < 53 bits), so the harmonic sum is bit-identical
+    across engines and orderings; ln() enters only via the
+    small-range branch, rounded to 4 decimals like every float surface
+    in the repo. Returns one row: (hll_estimate double)."""
+    folded = registers.groupBy("reg").agg(F.max("rho").alias("rho"))
+    agg = folded.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), rho)")).alias("s_present"),
+    )
+    s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))  # absent reg ⇒ 2^0
+    v = (F.lit(HLL_M) - F.col("n_present")).cast("double")  # zero registers
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when((raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)).otherwise(
+        raw
+    )
+    return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+_HLL_REG_SQL = f"""
+      SELECT {_md5_pos_sql("'hr'", "tok", HLL_M)} AS reg,
+             MAX(CASE WHEN w = 0 THEN 33
+                      ELSE instr(lpad(bin(w), 32, '0'), '1') END) AS rho
+      FROM (
+        SELECT tok,
+               CAST(('0x' || substr(md5('hw:' || tok), 1, 8)) AS BIGINT) AS w
+        FROM tok
+      )
+      GROUP BY 1
+"""
+
+HLL_BATCHES = 3  # deterministic corpus split for the qid: doc_id % 3
+
+_HLL_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    regs AS ({_HLL_REG_SQL}),
+    folded AS (
+      SELECT COUNT(*) AS n_present,
+             SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << rho)) AS s_present
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE
+               WHEN CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                      / (s_present + ({HLL_M} - n_present)) <= 2.5 * {HLL_M}
+                    AND ({HLL_M} - n_present) > 0
+               THEN {HLL_M} * LN({HLL_M} * CAST(1.0 AS DOUBLE) / ({HLL_M} - n_present))
+               ELSE CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                      / (s_present + ({HLL_M} - n_present))
+             END AS e
+      FROM folded
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT tok) FROM tok) AS BIGINT) AS n_exact,
+           ROUND(e, 4) AS hll_estimate
+    FROM est
+    """
+
+
+@query("q_hll_incremental", tags=("sketch", "llm", "incremental"), oracle=_HLL_ORACLE)
+def q_hll_incremental(spark, sf_dir):
+    """Distinct-vocabulary count under incrementally-maintained HLL
+    registers: the corpus arrives as HLL_BATCHES deterministic ingest
+    batches (doc_id % B), each contributing a ≤ HLL_M-row register
+    partial from its OWN documents only; the estimator folds the
+    partials by elementwise max. The oracle computes the registers over
+    the FULL corpus in one pass, so the driver hash-check pins
+    merge-of-batch-registers ≡ sketch-on-full — the merge proof — plus
+    the exact distinct count alongside auditing the ~4.6% rsd. The
+    at-least-once tolerance (a replayed batch changes nothing, marker
+    or not) is pinned in tests/test_sketches.py."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    parts = None
+    for b in range(HLL_BATCHES):
+        p = hll_registers(tok.where(F.col("doc_id") % HLL_BATCHES == b))
+        parts = p if parts is None else parts.unionByName(p)
+    exact = tok.agg(F.count_distinct("tok").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(hll_estimate(parts)))

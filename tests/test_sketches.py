@@ -241,3 +241,51 @@ def test_cms_unseen_key_estimates_zero(spark):
     # with 2 keys x 4 positions in 4096 cells a within-probe collision is
     # implausible; all 4 of the unseen key's cells are absent -> 0
     assert est["never-inserted-key"] == 0
+
+
+# --- hand-rolled HLL (incremental registers) --------------------------------
+
+
+def test_hll_registers_at_least_once_tolerant(spark):
+    """HLL registers merge by elementwise MAX — idempotent, so the
+    incremental distinct count survives not just a marker-deduped replay
+    (exactly-once) but a duplicate batch appended under a NEW batch_id,
+    the case the commit marker cannot catch. Fold-of-batches must equal
+    the one-shot sketch over the union corpus in all cases."""
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.queries.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = tempfile.mkdtemp(prefix="hll_incr_")
+    try:
+        tbl = PartitionedTable(spark, f"{base}/regs", ["reg"])
+        w1 = [f"tok{i}" for i in range(400)]
+        w2 = [f"tok{i}" for i in range(200, 700)]  # 300-key overlap with w1
+        b1 = literal_df(spark, [(w,) for w in w1], "tok string")
+        b2 = literal_df(spark, [(w,) for w in w2], "tok string")
+        assert tbl.append_batch(hll_registers(b1), batch_id=0) is True
+        assert tbl.append_batch(hll_registers(b2), batch_id=1) is True
+        # marker-level replay: no-op
+        assert tbl.append_batch(hll_registers(b2), batch_id=1) is False
+        est_once = hll_estimate(tbl.read()).first()["hll_estimate"]
+
+        # at-least-once beyond the marker: the same data re-appended as a
+        # "new" batch — max-merge absorbs it, estimate unchanged
+        assert tbl.append_batch(hll_registers(b2), batch_id=2) is True
+        est_dup = hll_estimate(tbl.read()).first()["hll_estimate"]
+        assert est_dup == est_once
+
+        union = literal_df(spark, [(w,) for w in w1 + w2], "tok string")
+        est_full = hll_estimate(hll_registers(union)).first()["hll_estimate"]
+        assert est_once == est_full
+
+        # error-bound audit: 700 true distinct, rsd ≈ 4.6% at m=512
+        assert abs(est_full - 700) / 700 < 0.15, est_full
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
