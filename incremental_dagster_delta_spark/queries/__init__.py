@@ -58,12 +58,13 @@ _R11_FRONT = [
     # (a) new this round — first driver rows (new qids outrank
     # re-confirms for front slots, as established r9; each new qid
     # displaces the tail r6 re-confirm it replaced — q_stream_join,
-    # q_late_data and q_sessionize_stateful move to the r12 tail,
-    # keeping their green r6 rows).
+    # q_late_data, q_sessionize_stateful, q_quota_stateful and
+    # q_stream_dedup move to the r12 tail, keeping their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
     "q_hll_incremental",
+    "q_cc_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -115,7 +116,6 @@ _R11_FRONT = [
     "q_ann_ivf_pq",
     "q_doc_similarity",
     "q_gram_matrix",
-    "q_stream_dedup",
 ]
 
 

@@ -892,3 +892,95 @@ def q_kcore(spark, sf_dir):
 
     e = literal_df(spark, _KCORE_SCENARIO, "u long, v long")
     return core_numbers(e)
+
+
+# --------------------------------------------------------------------------
+# Incremental connected-components maintenance (contract-and-union)
+# --------------------------------------------------------------------------
+# The dedup pair graph GROWS with ingest: each batch contributes new
+# within-batch pairs plus batch-vs-corpus pairs (q_incremental_dedup's
+# probe output). Recomputing components from the full pair list every
+# batch re-shuffles the whole accumulated edge set; the standard
+# incremental scheme instead CONTRACTS the known components to their
+# root ids, runs CC only on the delta, and relabels:
+#
+#   1. rewrite the batch's edges through the current assignment
+#      (endpoint → its component root; unseen node → itself),
+#   2. run star-contraction CC on the rewritten edge set — |E_batch|
+#      edges over {touched roots ∪ new nodes}, corpus-size-INDEPENDENT,
+#   3. fold the resulting root→new-root mapping into the assignment
+#      table with one broadcast join (the mapping is ≤ 2·|E_batch| rows).
+#
+# Component ids stay canonical (smallest member id): every old root is
+# its component's min, so CC over {old roots ∪ new nodes} yields the
+# union component's global min. fold-over-batches ≡ one-shot CC over the
+# union edge list — hash-pinned by q_cc_incremental reusing
+# q_dedup_clusters' full-closure oracle verbatim, and property-pinned
+# against union-find in tests/test_graph.py.
+
+
+def cc_apply_delta(assign: DataFrame, new_edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fold one batch of new edges into a (node, component) assignment.
+
+    ``assign`` may be empty (first batch). Steps 1-2 touch only the
+    batch; step 3 is a single join of the corpus-sized assignment
+    against the ≤ 2·|E_batch|-row merge mapping — broadcastable at any
+    corpus scale, so maintenance cost per batch is O(|E_batch| log
+    |E_batch|) plus one map-only relabel pass."""
+    e = new_edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+    a = assign.select(F.col("node").alias("n"), F.col("component").alias("c"))
+    rewritten = (
+        e.join(a.withColumnRenamed("n", "eu").withColumnRenamed("c", "cu"), "eu", "left")
+        .join(a.withColumnRenamed("n", "ev").withColumnRenamed("c", "cv"), "ev", "left")
+        .select(
+            F.coalesce("cu", "eu").alias("u"),
+            F.coalesce("cv", "ev").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    if rewritten.isEmpty():
+        # every edge collapsed to a self-loop: u==v after rewrite means
+        # both endpoints already share a component (an unseen endpoint
+        # maps to itself and cannot equal an old root it has no edge
+        # history with unless the edge was a literal self-loop), so the
+        # batch merges nothing and introduces no new nodes
+        return assign
+    m = connected_components(rewritten, src="u", dst="v")
+    mapping = m.select(F.col("node").alias("c"), F.col("component").alias("c_new"))
+    updated = (
+        assign.join(F.broadcast(mapping), assign["component"] == mapping["c"], "left")
+        .select("node", F.coalesce("c_new", "component").alias("component"))
+    )
+    fresh = m.join(assign, m["node"] == assign["node"], "left_anti").select(
+        "node", "component"
+    )
+    return updated.unionByName(fresh)
+
+
+@query("q_cc_incremental", tags=("dedup", "graph", "llm", "incremental"), oracle=_CLUSTERS_ORACLE)
+def q_cc_incremental(spark, sf_dir):
+    """Duplicate-cluster maintenance under incremental edge arrival: the
+    exact n-gram-Jaccard pair list lands in three deterministic waves
+    ((doc_a + doc_b) % 3 — each wave mixes fresh nodes with merges of
+    established components), folded through :func:`cc_apply_delta`. The
+    oracle is q_dedup_clusters' full-corpus recursive-CTE closure
+    verbatim, so the driver hash-check pins fold-over-waves ≡
+    one-shot-CC-over-all-edges, component ids included. Scale shape:
+    each wave's CC runs on wave-sized edges only; the corpus-sized
+    assignment is touched once per wave by a broadcast-mapping relabel."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, docs.select("doc_id", "text"), cache_key=sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)  # waves share one pair scan
+    assign = None
+    for w in range(3):
+        wave = pairs.where(F.pmod(F.col("doc_a") + F.col("doc_b"), F.lit(3)) == w)
+        if assign is None:
+            assign = connected_components(wave, src="doc_a", dst="doc_b")
+        else:
+            assign = cc_apply_delta(assign, wave, src="doc_a", dst="doc_b")
+        assign = assign.localCheckpoint(eager=True)  # truncate fold lineage
+    return (
+        docs.select("doc_id")
+        .join(assign.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )

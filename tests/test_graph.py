@@ -255,3 +255,65 @@ def test_kcore_corpus_fixpoint_within_oracle_unroll(spark, sf_dir):
         f"core deeper than {KCORE_CORPUS_CAP} at {sf_dir} — clip engaged; "
         "re-measure the oracle unroll bound"
     )
+
+
+# --- incremental connected components (contract-and-union) -------------------
+
+
+def _fold_waves(spark, waves):
+    from incremental_dagster_delta_spark.queries.graph import cc_apply_delta
+
+    assign = None
+    for wave in waves:
+        df = spark.createDataFrame(wave, "src long, dst long") if wave else (
+            spark.createDataFrame([], "src long, dst long")
+        )
+        if assign is None:
+            assign = connected_components(df)
+        else:
+            assign = cc_apply_delta(assign, df)
+    return {r["node"]: r["component"] for r in assign.collect()}
+
+
+def test_cc_incremental_cross_wave_merge_pin(spark):
+    """Chains built across waves must merge: wave 1 {1-2, 10-11},
+    wave 2 {2-3}, wave 3 {3-10} — one component rooted at the global
+    min, even though no single wave ever sees the whole chain. Wave 3
+    merges two ESTABLISHED components (root-to-root), the case a naive
+    relabel-only scheme gets wrong."""
+    got = _fold_waves(spark, [[(1, 2), (10, 11)], [(2, 3)], [(3, 10)]])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+
+def test_cc_incremental_noop_and_new_node_waves(spark):
+    """A wave whose edges all collapse to self-loops (already-merged
+    endpoints) is a no-op; a wave of brand-new nodes lands as fresh
+    components without touching old labels."""
+    got = _fold_waves(spark, [[(5, 6)], [(5, 6), (6, 5)], [(20, 21)]])
+    assert got == {5: 5, 6: 5, 20: 20, 21: 20}
+
+
+def test_cc_incremental_matches_union_find_on_random_wave_splits(spark):
+    """Property: folding an arbitrary edge list in arbitrary wave splits
+    through cc_apply_delta equals pure-Python union-find over the union
+    edge list — merge-of-deltas ≡ one-shot, any arrival order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=40)
+    edge = st.tuples(node, node).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(edge, min_size=1, max_size=40),
+        st.lists(st.integers(min_value=0, max_value=2), min_size=40, max_size=40),
+    )
+    def prop(edges, wave_of):
+        waves = [[], [], []]
+        for i, e in enumerate(edges):
+            waves[wave_of[i]].append(e)
+        expected = _union_find_reference(edges)
+        got = _fold_waves(spark, waves)
+        assert got == expected, (sorted(got.items()), sorted(expected.items()))
+
+    prop()
