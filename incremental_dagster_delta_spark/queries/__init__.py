@@ -58,13 +58,15 @@ _R11_FRONT = [
     # (a) new this round — first driver rows (new qids outrank
     # re-confirms for front slots, as established r9; each new qid
     # displaces the tail r6 re-confirm it replaced — q_stream_join,
-    # q_late_data, q_sessionize_stateful, q_quota_stateful and
-    # q_stream_dedup move to the r12 tail, keeping their green r6 rows).
+    # q_late_data, q_sessionize_stateful, q_quota_stateful,
+    # q_stream_dedup and q_gram_matrix move to the r12 tail, keeping
+    # their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
     "q_hll_incremental",
     "q_cc_incremental",
+    "q_shot_boundaries",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -104,8 +106,9 @@ _R11_FRONT = [
     "q_interval_merge",
     "q_event_transitions",
     "q_skew_report",
-    # (c) the 14 next-oldest r6 qids in registry order (43 @ r6 after
-    # ndcg/mrr; 29 remain for r12).
+    # (c) the next-oldest r6 qids in registry order, as many as the six
+    # new-qid slots above leave room for; the rest of the r6 cohort
+    # (including the displaced re-confirms named above) is r12's tail.
     "q_ngram_jaccard",
     "q_ngram_jaccard_prefix",
     "q_dedup_minhash",
@@ -115,7 +118,6 @@ _R11_FRONT = [
     "q_pq_codes",
     "q_ann_ivf_pq",
     "q_doc_similarity",
-    "q_gram_matrix",
 ]
 
 

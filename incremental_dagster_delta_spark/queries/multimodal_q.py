@@ -264,3 +264,47 @@ def q_dedup_dhash(spark, sf_dir):
         F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
     )
     return hamming_pairs(fps).orderBy("doc_a", "doc_b")
+
+
+_SHOTS_ORACLE = """
+    WITH frames AS (
+      SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+             substring(text, (CAST(i AS BIGINT) - 1) * 128 + 1, 128) AS chunk
+      FROM documents,
+           UNNEST(range(1, CAST(ceil(length(text) / 128.0) AS BIGINT) + 1)) AS tt(i)
+    ),
+    pairs AS (
+      SELECT a.media_id, a.frame_idx, a.chunk AS cur, b.chunk AS prev,
+             least(length(a.chunk), length(b.chunk)) AS n_aligned
+      FROM frames a
+      JOIN frames b ON a.media_id = b.media_id AND a.frame_idx = b.frame_idx + 1
+    ),
+    sads AS (
+      SELECT media_id, frame_idx, n_aligned,
+             CAST(SUM(ABS(ord(substring(cur, CAST(j AS INTEGER), 1))
+                        - ord(substring(prev, CAST(j AS INTEGER), 1)))) AS BIGINT) AS sad
+      FROM pairs, UNNEST(range(1, n_aligned + 1)) AS uu(j)
+      GROUP BY media_id, frame_idx, n_aligned
+    )
+    SELECT media_id, frame_idx, sad,
+           CAST(n_aligned AS BIGINT) AS n_aligned,
+           sad > 40 * n_aligned AS is_boundary
+    FROM sads
+    """
+
+
+@query("q_shot_boundaries", tags=("multimodal", "llm"), oracle=_SHOTS_ORACLE)
+def q_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection over the fixed-stride frame contract:
+    per-payload frame differencing (sum of per-byte absolute diffs
+    between consecutive frames, boundary when it exceeds the per-byte
+    threshold) inside one map-only Arrow stage — the detector a video
+    curation pipeline runs before per-shot frame sampling. All-integer
+    SAD over the aligned prefix, so the DuckDB oracle replays the diff
+    byte-for-byte over the same chunking as q_frame_sample and the qid
+    is hash-checked end to end. Per-row independent: no shuffle at any
+    corpus scale; a real codec decode slots in front of the same
+    plumbing (payloads here are the raw-byte contract)."""
+    from incremental_dagster_delta_spark.multimodal import shot_boundaries, synth_media
+
+    return shot_boundaries(synth_media(t(spark, sf_dir, "documents")))

@@ -299,3 +299,31 @@ def test_dhash_corpus_plumbing_and_planted_recall(spark, media):
     }
     assert expected_pairs, "at least some planted edits must land within budget"
     assert expected_pairs <= pairs  # planted recall = 1.0 within budget
+
+
+def test_shot_boundaries_planted_cut(spark):
+    """Planted shot cut: two near-identical 4-byte frames followed by a
+    radically different one — the detector must flag exactly the planted
+    cut, compute the SAD the hand calculation gives, keep NULL/empty
+    payloads from crashing the stage, and handle a short trailing frame
+    over the aligned prefix only."""
+    from incremental_dagster_delta_spark.multimodal import shot_boundaries
+
+    #                 frame1          frame2          frame3        tail(2B)
+    p = bytes([10, 20, 30, 40] + [11, 20, 30, 41] + [200, 0, 255, 100] + [201, 1])
+    media = spark.createDataFrame(
+        [(1, "video", p, None), (2, "video", None, None), (3, "video", b"", None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<container: string, declared_size: long>",
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in shot_boundaries(media, frame_bytes=4, threshold=40).collect()
+    }
+    assert set(rows) == {2, 3, 4} and all(r["media_id"] == 1 for r in rows.values())
+    # frame2 vs frame1: |11-10|+0+0+|41-40| = 2 over 4 bytes -> no cut
+    assert (rows[2]["sad"], rows[2]["n_aligned"], rows[2]["is_boundary"]) == (2, 4, False)
+    # frame3 vs frame2: 189+20+225+59 = 493 > 40*4 -> planted cut
+    assert (rows[3]["sad"], rows[3]["n_aligned"], rows[3]["is_boundary"]) == (493, 4, True)
+    # tail vs frame3: aligned prefix 2 bytes, |201-200|+|1-0| = 2 -> no cut
+    assert (rows[4]["sad"], rows[4]["n_aligned"], rows[4]["is_boundary"]) == (2, 2, False)
