@@ -59,14 +59,15 @@ _R11_FRONT = [
     # re-confirms for front slots, as established r9; each new qid
     # displaces the tail r6 re-confirm it replaced — q_stream_join,
     # q_late_data, q_sessionize_stateful, q_quota_stateful,
-    # q_stream_dedup and q_gram_matrix move to the r12 tail, keeping
-    # their green r6 rows).
+    # q_stream_dedup, q_gram_matrix and q_doc_similarity move to the
+    # r12 tail, keeping their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
     "q_hll_incremental",
     "q_cc_incremental",
     "q_shot_boundaries",
+    "q_quantile_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -106,7 +107,7 @@ _R11_FRONT = [
     "q_interval_merge",
     "q_event_transitions",
     "q_skew_report",
-    # (c) the next-oldest r6 qids in registry order, as many as the six
+    # (c) the next-oldest r6 qids in registry order, as many as the
     # new-qid slots above leave room for; the rest of the r6 cohort
     # (including the displaced re-confirms named above) is r12's tail.
     "q_ngram_jaccard",
@@ -117,7 +118,6 @@ _R11_FRONT = [
     "q_containment",
     "q_pq_codes",
     "q_ann_ivf_pq",
-    "q_doc_similarity",
 ]
 
 

@@ -540,3 +540,109 @@ def q_hll_incremental(spark, sf_dir):
         parts = p if parts is None else parts.unionByName(p)
     exact = tok.agg(F.count_distinct("tok").alias("n_exact"))
     return exact.crossJoin(F.broadcast(hll_estimate(parts)))
+
+
+# --------------------------------------------------------------------------
+# Incremental histogram quantiles (fixed-width mergeable histogram)
+# --------------------------------------------------------------------------
+# Exact percentiles need a global sort (or Spark's approx_percentile,
+# whose GK-sketch internals — like HLL++'s registers — can't be replayed
+# by another engine). The scale path a monitoring/curation pipeline
+# actually runs is a FIXED-WIDTH histogram: bin = floor(value / W) needs
+# no global range pass, per-batch (bin → count) partials are plain sums
+# (the CMS additive seam), and the folded table is bounded by the VALUE
+# SPREAD (range/W bins), not the corpus — so quantile estimates over
+# 100 TB cost one map-side-combinable aggregation per batch plus an
+# estimator pass over a few hundred rows. The estimator window below
+# ranks BINS, never rows: its input is spread-bounded by construction
+# (the |V|-bounded-window pattern, cf. unigram_lm's vocab rank).
+
+HIST_BIN_W = 1.0  # fixed bin width; events.value spans ~[0, 500] → ≤ ~500 bins
+QUANTILE_QS = (0.5, 0.9, 0.99)
+HIST_BATCHES = 3  # deterministic corpus split for the qid: event_id % 3
+
+
+def hist_cells(df, col: str = "value"):
+    """Fixed-width histogram partial for one batch: (bin, cnt) with
+    bin = floor(value / W). Additive — cells from disjoint batches sum
+    cell-wise to the union histogram — and map-side combinable, so each
+    input partition crushes to ≤ spread/W rows before the shuffle."""
+    return (
+        df.select(F.floor(F.col(col) / F.lit(HIST_BIN_W)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(cells, qs=QUANTILE_QS):
+    """Interpolated quantile estimates from a cell table that may hold
+    per-batch PARTIALS: fold by sum, cumulate over sorted bins (a
+    spread-bounded window — never corpus rows), locate each q's
+    containing bin and interpolate uniformly within it. All arithmetic
+    is IEEE double over exact integer counts, rounded to 4 decimals —
+    engine-portable, so the estimates themselves are hash-checked."""
+    from pyspark.sql.window import Window
+
+    folded = cells.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    b = folded.select(
+        "bin", "cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before")
+    )
+    tot = folded.agg(F.sum("cnt").alias("n_total"))
+    spark = cells.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.col("q") * F.col("n_total")
+    est = (
+        F.col("bin") * HIST_BIN_W
+        + F.lit(HIST_BIN_W) * (target - F.col("cum_before")) / F.col("cnt")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(qdf),
+            (F.col("cum_before") < target) & (target <= F.col("cum_before") + F.col("cnt")),
+        )
+        .select("q", F.round(est, 4).alias("hist_estimate"), F.col("n_total").cast("long"))
+    )
+
+
+_HIST_ORACLE = f"""
+    WITH cells AS (
+      SELECT CAST(floor(value / {HIST_BIN_W!r}) AS BIGINT) AS bin, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT bin, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM cells
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cells),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+    SELECT q,
+           ROUND(bin * {HIST_BIN_W!r}
+                 + {HIST_BIN_W!r} * (q * n_total - cum_before) / cnt, 4) AS hist_estimate,
+           n_total
+    FROM b CROSS JOIN tot
+    JOIN qs ON cum_before < q * n_total AND q * n_total <= cum_before + cnt
+    """
+
+
+@query("q_quantile_incremental", tags=("sketch", "agg", "incremental"), oracle=_HIST_ORACLE)
+def q_quantile_incremental(spark, sf_dir):
+    """p50/p90/p99 of events.value under incrementally-maintained
+    fixed-width histogram cells: the corpus arrives as HIST_BATCHES
+    deterministic batches (event_id % B), each contributing an additive
+    (bin, cnt) partial; the estimator folds the merged histogram. The
+    oracle builds the histogram over the FULL corpus and replays the
+    same interpolation, so the driver hash-check pins
+    merge-of-batch-histograms ≡ histogram-on-full, estimates included.
+    Accuracy vs the exact sorted percentile (bounded by W/2 per bin
+    uniformity) and the exactly-once publication seam are pinned in
+    tests/test_sketches.py."""
+    e = t(spark, sf_dir, "events")
+    parts = None
+    for b in range(HIST_BATCHES):
+        p = hist_cells(e.where(F.col("event_id") % HIST_BATCHES == b))
+        parts = p if parts is None else parts.unionByName(p)
+    return hist_quantiles(parts)

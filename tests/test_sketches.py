@@ -289,3 +289,49 @@ def test_hll_registers_at_least_once_tolerant(spark):
         assert abs(est_full - 700) / 700 < 0.15, est_full
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- fixed-width histogram quantiles (incremental) ---------------------------
+
+
+def test_hist_quantiles_incremental_exactly_once_and_accuracy(spark, sf_dir):
+    """Histogram cells are additive like CMS cells: two waves + a
+    marker-replayed wave through append_batch must give the same
+    quantile estimates as the one-shot histogram over the union corpus,
+    and each estimate must sit within one bin width of the exact sorted
+    percentile (the uniform-within-bin interpolation bound)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.registry import t
+    from incremental_dagster_delta_spark.queries.sketches import (
+        HIST_BIN_W,
+        hist_cells,
+        hist_quantiles,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+    e = t(spark, sf_dir, "events")
+    w1 = e.where(F.col("event_id") % 2 == 0)
+    w2 = e.where(F.col("event_id") % 2 == 1)
+
+    base = tempfile.mkdtemp(prefix="hist_incr_")
+    try:
+        tbl = PartitionedTable(spark, f"{base}/cells", ["bin"])
+        assert tbl.append_batch(hist_cells(w1), batch_id=0) is True
+        assert tbl.append_batch(hist_cells(w2), batch_id=1) is True
+        assert tbl.append_batch(hist_cells(w2), batch_id=1) is False  # replay no-op
+
+        incr = {r["q"]: r["hist_estimate"] for r in hist_quantiles(tbl.read()).collect()}
+        oneshot = {r["q"]: r["hist_estimate"] for r in hist_quantiles(hist_cells(e)).collect()}
+        assert incr == oneshot
+
+        exact = {
+            q: e.agg(F.percentile("value", F.lit(q))).first()[0] for q in (0.5, 0.9, 0.99)
+        }
+        for q, est in incr.items():
+            assert abs(est - exact[q]) <= HIST_BIN_W, (q, est, exact[q])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
