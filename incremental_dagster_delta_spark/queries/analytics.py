@@ -879,3 +879,126 @@ def q_rfm_features(spark, sf_dir):
     return feats.select(
         "user_id", "recency_days", "frequency", "monetary", "r_quartile", "f_quartile", "m_quartile"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact order statistics by iterative bracket refinement (round 11)
+# --------------------------------------------------------------------------
+
+ORDSTAT_BINS = 1024  # histogram resolution per refinement pass
+ORDSTAT_FINAL_LIMIT = 4096  # bracket size at which we collect and finish
+ORDSTAT_QS = (0.5, 0.9)
+
+
+def exact_order_statistic(df, col: str, rank: int) -> float:
+    """The exact ``rank``-th smallest value (1-based) of ``df[col]``
+    WITHOUT a global sort: iterative histogram refinement (the
+    distributed selection algorithm — Blum et al.'s median-of-medians
+    cousin for clusters). Each pass bins the current bracket into
+    ORDSTAT_BINS equal widths with one map-side-combinable aggregation
+    (≤ BINS rows to the driver), walks the cumulative counts to the
+    containing bin, and narrows the bracket; when the bracket holds
+    ≤ ORDSTAT_FINAL_LIMIT rows they are collected and indexed exactly.
+
+    Scale shape: O(log_BINS(range/resolution)) full scans — 2-3 passes
+    in practice — each a FILTERED scan (min/max pushed to parquet) plus
+    a bounded aggregation; no shuffle wider than BINS rows, no
+    corpus-sized collect ever. The global-sort alternative shuffles the
+    whole column; approx_percentile bounds error but not rank. Every
+    driver-side collect here is ≤ max(BINS, FINAL_LIMIT) rows by
+    construction."""
+    vals = F.col(col)
+    row = df.agg(
+        F.min(vals).alias("lo"), F.max(vals).alias("hi"), F.count(vals).alias("n")
+    ).first()
+    lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
+    if not 1 <= rank <= n:
+        raise ValueError(f"rank {rank} outside [1, {n}]")
+    r_rem = rank
+    for _ in range(64):  # far above log_1024 of any double range
+        in_bracket = df.where((vals >= lo) & (vals <= hi))
+        width = (hi - lo) / ORDSTAT_BINS
+        if width <= 0:  # bracket collapsed to one double value
+            return lo
+        bins = {
+            r["b"]: r["cnt"]
+            for r in in_bracket.select(
+                F.least(
+                    F.floor((vals - F.lit(lo)) / F.lit(width)),
+                    F.lit(ORDSTAT_BINS - 1),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        cum = 0
+        for b in range(ORDSTAT_BINS):
+            cnt = bins.get(b, 0)
+            if cum + cnt >= r_rem:
+                r_rem -= cum
+                blo = lo + b * width
+                bhi = hi if b == ORDSTAT_BINS - 1 else lo + (b + 1) * width
+                if cnt <= ORDSTAT_FINAL_LIMIT:
+                    # final: collect the bin's values (tie-safe — equal
+                    # values are interchangeable at a given rank)
+                    got = sorted(
+                        r[0]
+                        for r in df.where(
+                            (vals >= blo)
+                            & ((vals < bhi) if b < ORDSTAT_BINS - 1 else (vals <= bhi))
+                        )
+                        .select(col)
+                        .collect()
+                    )
+                    return float(got[r_rem - 1])
+                lo, hi = blo, bhi
+                break
+            cum += cnt
+        else:  # pragma: no cover - bins always cover the bracket
+            raise RuntimeError("rank walked past the bracket")
+        # refine candidate values only: select the single column early so
+        # the repeated scans stay column-pruned
+        df = df.where((vals >= lo) & (vals <= hi)).select(col)
+    raise RuntimeError("bracket refinement did not converge")  # pragma: no cover
+
+
+@query(
+    "q_exact_median",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    ranked AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+    SELECT q,
+           CAST(CEIL(q * n) AS BIGINT) AS rank,
+           CAST(r.value AS DOUBLE) AS exact_value
+    FROM qs CROSS JOIN tot
+    JOIN ranked r ON r.rn = CAST(CEIL(q * n) AS BIGINT)
+    """,
+)
+def q_exact_median(spark, sf_dir):
+    """EXACT discrete median and p90 of events.value (the ceil(q·N)-th
+    smallest element) via :func:`exact_order_statistic` — no global
+    sort, no approximation: 2-3 filtered scans with bounded (≤ 1024-row)
+    aggregations each. The oracle ranks the full column and picks the
+    same positions, so the hash-match pins the selection algorithm
+    end to end. Complements q_quantiles (single-pass interpolated,
+    both-engines-builtin) and q_quantile_incremental (mergeable
+    histogram estimate): this is the one that returns a provably exact
+    data element at any scale. Rank arithmetic (ceil(q·N)) runs in IEEE
+    double on both sides — identical bits, identical rank."""
+    import math
+
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    e = t(spark, sf_dir, "events").select("value")
+    n = e.count()
+    rows = []
+    for q in ORDSTAT_QS:
+        rank = int(math.ceil(q * n))
+        v = exact_order_statistic(e, "value", rank)
+        rows.append((float(q), rank, v))
+    return literal_df(rows=rows, schema="q double, rank long, exact_value double", spark=spark)
