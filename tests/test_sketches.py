@@ -335,3 +335,80 @@ def test_hist_quantiles_incremental_exactly_once_and_accuracy(spark, sf_dir):
             assert abs(est - exact[q]) <= HIST_BIN_W, (q, est, exact[q])
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- real-stream maintenance of the sketch seams ------------------------------
+
+
+def test_sketch_seams_maintained_by_real_stream_with_restart(spark, tmp_path):
+    """End-to-end: a real Structured Streaming file source drives BOTH
+    incremental seams through foreachBatch — additive CMS cells via
+    exactly-once append_batch and idempotent-max HLL registers — across
+    a STREAM RESTART (new query, same checkpoint). After all waves, the
+    folded estimates must equal the one-shot sketches over the union of
+    every ingested file. This is the production wiring the simulated
+    replay tests abstract: batch ids come from the checkpoint, not the
+    test."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import (
+        cms_cells,
+        cms_estimates,
+        hll_estimate,
+        hll_registers,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    cms_tbl = PartitionedTable(spark, str(tmp_path / "cms"), ["row_i"])
+    hll_tbl = PartitionedTable(spark, str(tmp_path / "hll"), ["reg"])
+
+    def handle(batch_df, batch_id):
+        tok = batch_df.select("tok")
+        cms_tbl.append_batch(cms_cells(tok), batch_id=batch_id)
+        hll_tbl.append_batch(hll_registers(tok), batch_id=batch_id)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    w1 = ["alpha"] * 6 + ["beta"] * 2 + [f"k{i}" for i in range(50)]
+    w2 = ["alpha"] * 3 + ["gamma"] * 4 + [f"k{i}" for i in range(30, 90)]
+    literal_df(spark, [(w,) for w in w1], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+
+    # restart: second wave arrives, a NEW query resumes from the checkpoint
+    literal_df(spark, [(w,) for w in w2], "tok string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_stream()
+
+    union = literal_df(spark, [(w,) for w in w1 + w2], "tok string")
+    keys = literal_df(spark, [(w,) for w in sorted(set(w1 + w2))], "tok string")
+
+    streamed_cms = {
+        r["tok"]: r["cms_estimate"] for r in cms_estimates(cms_tbl.read(), keys).collect()
+    }
+    oneshot_cms = {
+        r["tok"]: r["cms_estimate"] for r in cms_estimates(cms_cells(union), keys).collect()
+    }
+    assert streamed_cms == oneshot_cms
+
+    streamed_hll = hll_estimate(hll_tbl.read()).first()["hll_estimate"]
+    oneshot_hll = hll_estimate(hll_registers(union)).first()["hll_estimate"]
+    assert streamed_hll == oneshot_hll
+
+    exact = union.agg(F.count_distinct("tok")).first()[0]
+    assert abs(streamed_hll - exact) / exact < 0.2
