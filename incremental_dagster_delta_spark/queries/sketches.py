@@ -646,3 +646,170 @@ def q_quantile_incremental(spark, sf_dir):
         p = hist_cells(e.where(F.col("event_id") % HIST_BATCHES == b))
         parts = p if parts is None else parts.unionByName(p)
     return hist_quantiles(parts)
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sketches: cross-source vocabulary overlap without a join
+# --------------------------------------------------------------------------
+# "How much does source A's vocabulary overlap source B's?" is the
+# question a mixture/dedup planner asks BEFORE paying for any pairwise
+# token join. The k-minimum-values sketch (Bar-Yossef et al. 2002;
+# Beyer et al., SIGMOD 2007) answers it with K·|sources| rows: keep each
+# source's K smallest deterministic token hashes; for a pair, the K
+# smallest of the sketch UNION is itself the union's KMV sketch, and the
+# fraction of those present in both sides estimates Jaccard. Bottom-K is
+# the SELECTION merge algebra (docs/PLANS.md taxonomy #3): idempotent
+# and mergeable, so per-batch sketches fold by re-selection.
+
+KMV_K = 128  # sketch size per source; Jaccard se ≈ 1/√K ≈ 9%
+
+
+def _kmv_hash(tok):
+    """Deterministic 32-bit token draw on the shared md5 device."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit("kmv:"), tok)), 1, 8), 16, 10).cast("long")
+
+
+def kmv_sketches(source_tok, k: int = KMV_K):
+    """Per-source bottom-k sketch: (source, tok, u) keeping each
+    source's k smallest token hashes. Two-phase selection so no task
+    ever holds a source's full vocabulary: phase 1 takes the local
+    bottom-k within (source, u%64) shards — 64 vocabulary-fraction
+    partitions per source instead of one vocabulary-sized one — and
+    phase 2 re-selects over the surviving ≤ 64·k rows per source.
+    Global bottom-k per source is invariant to the sharding, so the
+    single-pass oracle replays it exactly."""
+    from pyspark.sql.window import Window
+
+    u = source_tok.select("source", "tok", _kmv_hash(F.col("tok")).alias("u")).distinct()
+    w1 = Window.partitionBy("source", F.pmod(F.col("u"), F.lit(64))).orderBy("u", "tok")
+    local = u.withColumn("rk", F.row_number().over(w1)).where(F.col("rk") <= k).drop("rk")
+    w2 = Window.partitionBy("source").orderBy("u", "tok")
+    return local.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") <= k).drop("rk")
+
+
+_KMV_ORACLE = f"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT source, tok,
+             CAST(('0x' || substr(md5('kmv:' || tok), 1, 8)) AS BIGINT) AS u
+      FROM st
+    ),
+    sk AS (
+      SELECT source, tok, u FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY u, tok) AS rk
+        FROM hashed
+      ) WHERE rk <= {KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    items AS (
+      SELECT p.sa, p.sb, s.u,
+             MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY u) AS rk FROM items
+    ),
+    kmv AS (
+      SELECT sa, sb,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both,
+             COUNT(*) AS k_eff
+      FROM ranked WHERE rk <= {KMV_K} GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY 1),
+    ex AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT k.sa AS source_a, k.sb AS source_b,
+           ROUND(CAST(k.n_both AS DOUBLE) / k.k_eff, 4) AS kmv_jaccard,
+           ROUND(CAST(COALESCE(e.ni, 0) AS DOUBLE)
+                 / (za.nv + zb.nv - COALESCE(e.ni, 0)), 4) AS exact_jaccard
+    FROM kmv k
+    LEFT JOIN ex e ON e.sa = k.sa AND e.sb = k.sb
+    JOIN sizes za ON za.source = k.sa
+    JOIN sizes zb ON zb.source = k.sb
+    """
+
+
+@query("q_kmv_source_overlap", tags=("sketch", "llm"), oracle=_KMV_ORACLE)
+def q_kmv_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard from KMV bottom-k sketches,
+    reported next to the exact overlap. The sketch side is the 100 TB
+    path: per-source sketches are K rows each (two-phase bottom-k, no
+    vocabulary-sized task), the pair table is |sources|² — never token
+    data — and the estimator is all-integer counting over ≤ K rows per
+    pair, so the estimates hash-match the single-pass oracle exactly.
+    The exact side (a full token self-join) is the audit that does NOT
+    scale and is dropped at corpus scale, CMS-style. Estimator: the K
+    smallest of a sketch union is the union's own KMV sketch; the
+    fraction of those rows present in both sides estimates Jaccard
+    (Beyer et al., SIGMOD 2007), exact when a pair's union vocabulary
+    fits inside K (k_eff denominators on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    st = d.select("source", F.explode(toks).alias("tok")).distinct()
+    sk = kmv_sketches(st)
+
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    items = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "u")
+        .agg(
+            F.max((F.col("source") == F.col("sa")).cast("int")).alias("in_a"),
+            F.max((F.col("source") == F.col("sb")).cast("int")).alias("in_b"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sa", "sb").orderBy("u")  # ≤ 2K rows per pair
+    kmv = (
+        items.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("n_both"),
+            F.count("*").alias("k_eff"),
+        )
+    )
+    # exact audit side (oracle-scale only; dropped at 100 TB)
+    sizes = st.groupBy("source").agg(F.count("*").alias("nv"))
+    ex = (
+        st.alias("x")
+        .join(st.alias("y"), (F.col("x.tok") == F.col("y.tok")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        kmv.join(ex, ["sa", "sb"], "left")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "sa").withColumnRenamed("nv", "na")), "sa")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "sb").withColumnRenamed("nv", "nb")), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(F.col("n_both").cast("double") / F.col("k_eff"), 4).alias("kmv_jaccard"),
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )

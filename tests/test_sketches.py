@@ -412,3 +412,42 @@ def test_sketch_seams_maintained_by_real_stream_with_restart(spark, tmp_path):
 
     exact = union.agg(F.count_distinct("tok")).first()[0]
     assert abs(streamed_hll - exact) / exact < 0.2
+
+
+# --- KMV bottom-k (selection seam) -------------------------------------------
+
+
+def test_kmv_sketch_selection_merge_and_accuracy(spark):
+    """Bottom-k is the selection merge algebra: re-selecting over the
+    union of per-batch sketches equals the sketch of the union corpus
+    (idempotent — a replayed batch changes nothing). And on planted
+    vocabularies with known overlap the KMV Jaccard estimate must land
+    within the ~1/sqrt(K) band."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.sketches import KMV_K, kmv_sketches
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    # two sources, 600-token vocabularies, exactly 300 shared -> J = 1/3
+    a = [f"sh{i}" for i in range(300)] + [f"a{i}" for i in range(300)]
+    b = [f"sh{i}" for i in range(300)] + [f"b{i}" for i in range(300)]
+    rows = [("A", tkn) for tkn in a] + [("B", tkn) for tkn in b]
+    st = literal_df(spark, rows, "source string, tok string")
+
+    # selection merge: sketch(batch1 ∪ batch2) == reselect(sketch(b1) ∪ sketch(b2))
+    b1 = st.where(F.col("tok").startswith("sh"))
+    b2 = st.where(~F.col("tok").startswith("sh"))
+    merged = kmv_sketches(kmv_sketches(b1).unionByName(kmv_sketches(b2)))
+    oneshot = kmv_sketches(st)
+    got_m = sorted(map(tuple, merged.collect()))
+    got_o = sorted(map(tuple, oneshot.collect()))
+    assert got_m == got_o
+    # idempotence: re-selecting a sketch returns itself
+    again = sorted(map(tuple, kmv_sketches(oneshot).collect()))
+    assert again == got_o
+
+    # estimator accuracy: union-sketch intersection fraction ~ 1/3
+    sk = {s: {r["u"] for r in oneshot.where(F.col("source") == s).collect()} for s in "AB"}
+    union_k = sorted(sk["A"] | sk["B"])[:KMV_K]
+    est = sum(1 for u in union_k if u in sk["A"] and u in sk["B"]) / len(union_k)
+    assert abs(est - 1 / 3) < 2.5 / (KMV_K ** 0.5), est
