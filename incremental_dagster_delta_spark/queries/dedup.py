@@ -551,18 +551,12 @@ def simhash_pairs(d):
     return hamming_pairs(simhash).orderBy("doc_a", "doc_b")
 
 
-def hamming_pairs(hashes, budget: int = HAMMING_BUDGET, blocks: int = SIMHASH_BLOCKS):
-    """All (doc_a, doc_b, hamming) pairs within Hamming distance
-    ``budget`` over a 64-bit fingerprint table (doc_id, simhash) via
-    the pigeonhole bucket join: any pair within ``budget`` flips
-    agrees exactly on ≥ 1 of ``blocks`` sub-keys (requires
-    budget < blocks), so candidates come from equality joins on the
-    sub-keys — never an all-pairs product — and the exact bit_count
-    check screens them. Shared by the text SimHash family and the
-    perceptual dHash image dedup (r11); see the dial comment above
-    for the bucket-size maths."""
+def _pigeonhole_keys(hashes, blocks: int):
+    """(doc_id, simhash, slot, sub) pigeonhole sub-keys of a 64-bit
+    fingerprint table: ``blocks`` contiguous bit ranges per fingerprint.
+    Shared by the symmetric pair join and the batch×corpus probe."""
     bounds = [round(64 * k / blocks) for k in range(blocks + 1)]
-    keys = hashes.select(
+    return hashes.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -579,6 +573,56 @@ def hamming_pairs(hashes, budget: int = HAMMING_BUDGET, blocks: int = SIMHASH_BL
             )
         ).alias("kk"),
     ).select("doc_id", "simhash", "kk.slot", "kk.sub")
+
+
+def hamming_probe(
+    corpus_hashes, batch_hashes, budget: int = HAMMING_BUDGET, blocks: int = SIMHASH_BLOCKS
+):
+    """Asymmetric pigeonhole probe: every (batch_id, corpus_id, hamming)
+    pair within ``budget`` between a NEW batch's fingerprints and the
+    accumulated corpus fingerprint index — without ever comparing the
+    corpus to itself or re-fingerprinting it. The corpus key table is
+    precomputed once (blocks rows per fingerprint, appendable
+    incrementally — fingerprints are per-row map work); each batch pays
+    O(batch) key explode plus one bucket-keyed join, independent of
+    corpus growth except via bucket occupancy — the same asymmetry as
+    the MinHash batch probe (q_incremental_dedup). doc_id namespaces
+    must be disjoint between the two sides (enforced by the callers'
+    id offsets)."""
+    ck = _pigeonhole_keys(corpus_hashes, blocks)
+    bk = _pigeonhole_keys(batch_hashes, blocks)
+    cand = (
+        bk.alias("b")
+        .join(
+            ck.alias("c"),
+            (F.col("b.slot") == F.col("c.slot")) & (F.col("b.sub") == F.col("c.sub")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("b.simhash").alias("sim_b"),
+            F.col("c.simhash").alias("sim_c"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_b").bitwiseXOR(F.col("sim_c"))))
+        .where(F.col("hamming") <= budget)
+        .select("batch_id", "corpus_id", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def hamming_pairs(hashes, budget: int = HAMMING_BUDGET, blocks: int = SIMHASH_BLOCKS):
+    """All (doc_a, doc_b, hamming) pairs within Hamming distance
+    ``budget`` over a 64-bit fingerprint table (doc_id, simhash) via
+    the pigeonhole bucket join: any pair within ``budget`` flips
+    agrees exactly on ≥ 1 of ``blocks`` sub-keys (requires
+    budget < blocks), so candidates come from equality joins on the
+    sub-keys — never an all-pairs product — and the exact bit_count
+    check screens them. Shared by the text SimHash family and the
+    perceptual dHash image dedup (r11); see the dial comment above
+    for the bucket-size maths."""
+    keys = _pigeonhole_keys(hashes, blocks)
     cand = (
         keys.alias("a")
         .join(

@@ -308,3 +308,83 @@ def q_shot_boundaries(spark, sf_dir):
     from incremental_dagster_delta_spark.multimodal import shot_boundaries, synth_media
 
     return shot_boundaries(synth_media(t(spark, sf_dir, "documents")))
+
+
+# Pinned probe output for the incremental scenario: the batch's
+# single-cell edit (media 100, patching the SAME sampled grid cell as
+# corpus media 3's second edit) lands within Hamming 1-3 of every base
+# variant — nearest to 3 (which carries that exact cell edit), exactly
+# 0 only never (its other cell differs); the batch's exact texture copy
+# (101) hits 4/5 at Hamming 0; the fresh texture (102) is absent. No
+# corpus×corpus pair appears — the probe's whole point. All-integer
+# kernel → deterministic pin (no engine hash involved, unlike SimHash's
+# xxhash64 pin).
+_DHASH_INCR_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      (100, 1, 2),
+      (100, 2, 3),
+      (100, 3, 1),
+      (101, 4, 0),
+      (101, 5, 0)
+    ) AS t(batch_id, corpus_id, hamming)
+    """
+
+
+@query(
+    "q_dhash_incremental",
+    tags=("multimodal", "dedup", "llm", "incremental"),
+    oracle=_DHASH_INCR_ORACLE,
+)
+def q_dhash_incremental(spark, sf_dir):
+    """Incremental perceptual image dedup — the media twin of
+    q_incremental_dedup: a NEW image batch is fingerprinted (map-only
+    dHash) and probed against the ACCUMULATED corpus fingerprint index
+    through the asymmetric pigeonhole join (dedup.hamming_probe) —
+    batch×corpus only, never corpus×corpus, never re-fingerprinting the
+    index. At a media lake's scale the corpus key table is a
+    precomputed bucketed index that each day's arrivals probe; batch
+    cost is O(batch) map work plus one bucket-keyed join, independent
+    of corpus growth except via bucket occupancy. The scenario plants
+    one single-cell edit (near-dup of the whole base family), one exact
+    texture copy, and one fresh texture; the pinned pairs check recall,
+    Hamming exactness, and the absence of any corpus self-pair."""
+    from incremental_dagster_delta_spark.multimodal import dhash_features
+    from incremental_dagster_delta_spark.queries.dedup import hamming_probe
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    base = _dhash_texture(DHASH_PAYLOAD_BYTES, 3)
+    m1 = _dhash_patch(base, 7160, 24, 120)
+    m2 = _dhash_patch(m1, 3492, 30, 200)
+    corpus_payloads = [
+        (0, base),
+        (1, base),
+        (2, m1),
+        (3, m2),
+        (4, _dhash_texture(DHASH_PAYLOAD_BYTES, 11)),
+        (5, _dhash_texture(DHASH_PAYLOAD_BYTES, 11)),
+        (6, _dhash_texture(DHASH_PAYLOAD_BYTES + 77, 3)),
+        (7, _dhash_patch(base, 0, 9000, 128)),
+    ]
+    batch_payloads = [
+        (100, _dhash_patch(base, 3492, 30, 200)),  # single-cell edit of base
+        (101, _dhash_texture(DHASH_PAYLOAD_BYTES, 11)),  # exact copy of 4/5's texture
+        (102, _dhash_texture(DHASH_PAYLOAD_BYTES, 23)),  # fresh — must not match
+    ]
+
+    def media(rows):
+        return literal_df(
+            spark,
+            [(i, "image", p, {"container": "raw", "declared_size": len(p)}) for i, p in rows],
+            "media_id long, kind string, payload binary, "
+            "meta struct<container: string, declared_size: long>",
+        )
+
+    def fps(m):
+        return dhash_features(m).select(
+            F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+        )
+
+    return hamming_probe(fps(media(corpus_payloads)), fps(media(batch_payloads))).orderBy(
+        "batch_id", "corpus_id"
+    )

@@ -327,3 +327,31 @@ def test_shot_boundaries_planted_cut(spark):
     assert (rows[3]["sad"], rows[3]["n_aligned"], rows[3]["is_boundary"]) == (493, 4, True)
     # tail vs frame3: aligned prefix 2 bytes, |201-200|+|1-0| = 2 -> no cut
     assert (rows[4]["sad"], rows[4]["n_aligned"], rows[4]["is_boundary"]) == (2, 2, False)
+
+
+def test_hamming_probe_equals_filtered_symmetric_pairs(spark):
+    """The asymmetric batch×corpus probe must return exactly the
+    cross-side subset of the symmetric pair join over the union
+    fingerprint table — same candidates, same Hamming values, and
+    never a corpus×corpus or batch×batch pair."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.dedup import hamming_pairs, hamming_probe
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    corpus = [(0, 0x0123456789ABCDEF), (1, 0x0123456789ABCDEE), (2, -0x7FF8123456789ABC)]
+    batch = [(100, 0x0123456789ABCDCF), (101, 0x7EDCBA9876543210)]
+    cdf = literal_df(spark, corpus, "doc_id long, simhash long")
+    bdf = literal_df(spark, batch, "doc_id long, simhash long")
+
+    got = {
+        (r["batch_id"], r["corpus_id"]): r["hamming"]
+        for r in hamming_probe(cdf, bdf).collect()
+    }
+    sym = {
+        (r["doc_b"], r["doc_a"]): r["hamming"]
+        for r in hamming_pairs(cdf.unionByName(bdf)).collect()
+        if r["doc_b"] >= 100 and r["doc_a"] < 100
+    }
+    assert got == sym and got  # non-vacuous: at least one planted hit
+    assert all(b >= 100 and c < 100 for b, c in got)
