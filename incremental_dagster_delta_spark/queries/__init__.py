@@ -48,11 +48,11 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
 # across rounds. Round 11 executes the carried r10 burn-down (r10 stalled
-# with zero rotation): the FULL 32-qid r5 cohort (five rounds without a
-# driver row) plus the 17 oldest r6 qids — q_ndcg_eval / q_mrr_eval taken
-# out of registry order because their plans change this round
-# (_global_order / order-statistic rewrites) — plus q_offset_slice (last
-# r7, same plan sweep). The remaining 26 r6 qids are r12's tail.
+# with zero rotation): the round's 10 NEW qids, the three rewritten-plan
+# qids (q_ndcg_eval / q_mrr_eval / q_offset_slice), the FULL 32-qid r5
+# cohort (five rounds without a driver row), and as many of the oldest
+# r6 qids as the remaining slots hold. The rest of the r6 cohort is
+# r12's tail.
 # --------------------------------------------------------------------------
 _R11_FRONT = [
     # (a) new this round — first driver rows (new qids outrank
