@@ -60,8 +60,8 @@ _R11_FRONT = [
     # displaces the tail r6 re-confirm it replaced — q_stream_join,
     # q_late_data, q_sessionize_stateful, q_quota_stateful,
     # q_stream_dedup, q_gram_matrix, q_doc_similarity, q_ann_ivf_pq,
-    # q_pq_codes and q_containment move to the r12 tail, keeping their
-    # green r6 rows).
+    # q_pq_codes, q_containment and q_replace_where move to the r12
+    # tail, keeping their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
@@ -72,6 +72,7 @@ _R11_FRONT = [
     "q_exact_median",
     "q_kmv_source_overlap",
     "q_dhash_incremental",
+    "q_decayed_counts",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -118,7 +119,6 @@ _R11_FRONT = [
     "q_ngram_jaccard_prefix",
     "q_dedup_minhash",
     "q_cosine_topk",
-    "q_replace_where",
 ]
 
 

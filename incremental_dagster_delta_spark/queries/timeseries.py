@@ -419,3 +419,68 @@ def q_seasonality_profile(spark, sf_dir):
         F.round("mean_n", 4).cast("double").alias("mean_daily_events"),
         F.round(F.col("mean_n") / F.col("grand_mean"), 4).cast("double").alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-decayed counters (round 11)
+# --------------------------------------------------------------------------
+# "What's trending" needs recency weighting, and re-scanning history to
+# re-weight on every refresh defeats incrementality. Fixing the decay
+# REFERENCE INSTANT makes the decayed count a plain additive aggregate:
+# each event contributes exp(-λ · age_at_T_REF) — a constant per event —
+# so per-batch partials fold by sum (the additive seam) and a read at
+# any later instant T rescales the folded total by exp(-λ·(T - T_REF))
+# without touching history. Ages are computed from exact epoch
+# MICROSECOND integers (unix_micros / epoch_us) so both engines see
+# identical doubles before exp().
+
+DECAY_PER_DAY = 0.1  # λ: an event loses ~9.5%/day of its weight
+DECAY_T_REF_US = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC, integer literal
+DECAY_BATCHES = 3
+
+
+def decayed_partials(events: DataFrame) -> DataFrame:
+    """Additive decayed-count partial for one batch: (event_type,
+    n_events, decayed_sum) with each event weighted exp(-λ·age_days) at
+    the fixed reference instant. ≤ |event types| rows out; map-side
+    combinable. Publish with ``append_batch`` for exactly-once folds."""
+    age_days = (F.lit(DECAY_T_REF_US) - F.unix_micros(F.col("ts"))) / F.lit(86400e6)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.exp(-DECAY_PER_DAY * age_days)).alias("decayed_sum"),
+    )
+
+
+@query(
+    "q_decayed_counts",
+    tags=("timeseries", "agg", "incremental"),
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CAST(1 AS BIGINT)) AS BIGINT) AS n_events,
+           ROUND(SUM(EXP(-{DECAY_PER_DAY!r} *
+                 (({DECAY_T_REF_US} - epoch_us(ts)) / 86400e6))), 4) AS decayed_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_decayed_counts(spark, sf_dir):
+    """Recency-weighted event counts under incremental maintenance: the
+    corpus arrives as DECAY_BATCHES deterministic batches (event_id %
+    B), each contributing a ≤|event types|-row additive partial; the
+    report folds them by sum. The oracle recomputes the decayed sums
+    over the FULL corpus, so the driver hash-check pins
+    merge-of-batch-partials ≡ weigh-on-full (exp() evaluated per event
+    on both engines from identical epoch-microsecond ages; sums rounded
+    to 4 like every float surface). Scale shape: B bounded
+    aggregations — decayed trending over 100 TB of history costs one
+    map-side-combinable pass per new batch, and a read at a later
+    instant rescales the folded totals by one constant."""
+    e = t(spark, sf_dir, "events")
+    parts = None
+    for b in range(DECAY_BATCHES):
+        p = decayed_partials(e.where(F.col("event_id") % DECAY_BATCHES == b))
+        parts = p if parts is None else parts.unionByName(p)
+    return parts.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("decayed_sum"), 4).alias("decayed_count"),
+    )
