@@ -48,7 +48,7 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
 # across rounds. Round 11 executes the carried r10 burn-down (r10 stalled
-# with zero rotation): the round's 10 NEW qids, the three rewritten-plan
+# with zero rotation): the round's NEW qids, the three rewritten-plan
 # qids (q_ndcg_eval / q_mrr_eval / q_offset_slice), the FULL 32-qid r5
 # cohort (five rounds without a driver row), and as many of the oldest
 # r6 qids as the remaining slots hold. The rest of the r6 cohort is
@@ -60,8 +60,8 @@ _R11_FRONT = [
     # displaces the tail r6 re-confirm it replaced — q_stream_join,
     # q_late_data, q_sessionize_stateful, q_quota_stateful,
     # q_stream_dedup, q_gram_matrix, q_doc_similarity, q_ann_ivf_pq,
-    # q_pq_codes, q_containment and q_replace_where move to the r12
-    # tail, keeping their green r6 rows).
+    # q_pq_codes, q_containment, q_replace_where and q_cosine_topk move
+    # to the r12 tail, keeping their green r6 rows).
     "q_kmeans_minibatch",
     "q_dedup_dhash",
     "q_bm25_incremental",
@@ -73,6 +73,7 @@ _R11_FRONT = [
     "q_kmv_source_overlap",
     "q_dhash_incremental",
     "q_decayed_counts",
+    "q_coordinated_sample",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.
@@ -118,7 +119,6 @@ _R11_FRONT = [
     "q_ngram_jaccard",
     "q_ngram_jaccard_prefix",
     "q_dedup_minhash",
-    "q_cosine_topk",
 ]
 
 

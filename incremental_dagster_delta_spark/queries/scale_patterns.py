@@ -292,3 +292,87 @@ def q_skew_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Coordinated (join-consistent) sampling (round 11)
+# --------------------------------------------------------------------------
+
+COORD_SAMPLE_P = 0.1  # keep an order (and ALL its line items) w.p. 1/10
+
+
+@query(
+    "q_coordinated_sample",
+    tags=("scale", "sampling", "join"),
+    oracle=f"""
+    WITH keep AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':coord'), 1, 8))
+              AS BIGINT) / 4294967296.0 < {COORD_SAMPLE_P!r}
+    ),
+    sampled AS (
+      SELECT k.o_orderpriority,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+             COUNT(*) AS n_items
+      FROM lineitem l
+      JOIN keep k ON l.l_orderkey = k.o_orderkey
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT o.o_orderpriority,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT s.o_orderpriority,
+           CAST(s.n_items AS BIGINT) AS sampled_items,
+           CAST(ROUND(s.rev, 2) AS DOUBLE) AS sampled_revenue,
+           CAST(ROUND(s.rev / {COORD_SAMPLE_P!r}, 2) AS DOUBLE) AS estimated_revenue,
+           CAST(ROUND(e.rev, 2) AS DOUBLE) AS exact_revenue
+    FROM sampled s JOIN exact e USING (o_orderpriority)
+    """,
+)
+def q_coordinated_sample(spark, sf_dir):
+    """Join-consistent sampling — the debug-at-1% pattern that does NOT
+    break referential integrity: both sides of the orders⨝lineitem join
+    are sampled by the SAME deterministic hash of the JOIN KEY
+    (md5_uniform(o_orderkey) < p), so a kept order arrives with ALL its
+    line items and the sampled join IS a p-sample of the join — unlike
+    independent per-table sampling, where a p² fraction of pairs
+    survives and every per-order aggregate is silently truncated.
+    Estimates scale by 1/p; the exact side rides along as the audit (at
+    100 TB you run only the sampled branch — the filter prunes ~90% of
+    BOTH scans before the join shuffle). Deterministic md5 sampling
+    means the oracle replays the sample row-for-row: sampled, estimated,
+    and exact columns all hash-checked. Sums in DECIMAL, rounded once at
+    the edge (the repo's money discipline)."""
+    from incremental_dagster_delta_spark.functions import md5_uniform
+
+    o = t(spark, sf_dir, "orders")
+    keep = o.where(md5_uniform(F.col("o_orderkey"), F.lit("coord")) < COORD_SAMPLE_P).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    sampled = (
+        li.join(keep, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).alias("rev"), F.count("*").alias("n_items"))
+    )
+    exact = (
+        li.join(o.select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).alias("rev_exact"))
+    )
+    return sampled.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_items").cast("long").alias("sampled_items"),
+        F.round(F.col("rev"), 2).cast("double").alias("sampled_revenue"),
+        F.round(F.col("rev") / COORD_SAMPLE_P, 2).cast("double").alias("estimated_revenue"),
+        F.round(F.col("rev_exact"), 2).cast("double").alias("exact_revenue"),
+    )

@@ -165,3 +165,38 @@ def test_interval_merge_matches_bruteforce(spark):
                 spans.append((s, e))
         want_days = sum((e - s).days for s, e in spans)
         assert got[k] == (len(spans), want_days), k
+
+
+def test_coordinated_sample_preserves_referential_integrity(spark, sf_dir):
+    """Join-consistent sampling must keep EVERY line item of a kept
+    order (per-order aggregates are never truncated) and keep roughly
+    the target fraction of orders; independent per-table sampling at
+    the same rate would keep ~p² of (order, item) pairs instead."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.functions import md5_uniform
+    from incremental_dagster_delta_spark.queries.registry import t
+    from incremental_dagster_delta_spark.queries.scale_patterns import COORD_SAMPLE_P
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    keep = o.where(md5_uniform(F.col("o_orderkey"), F.lit("coord")) < COORD_SAMPLE_P)
+
+    n_orders = o.count()
+    n_keep = keep.count()
+    assert 0 < n_keep < n_orders
+    # rate within 4 sigma of p (Bernoulli on the deterministic hash)
+    sigma = (COORD_SAMPLE_P * (1 - COORD_SAMPLE_P) / n_orders) ** 0.5
+    assert abs(n_keep / n_orders - COORD_SAMPLE_P) < 4 * sigma
+
+    # every kept order carries its FULL item set through the sampled join
+    full = li.groupBy("l_orderkey").agg(F.count("*").alias("n_full"))
+    sampled = (
+        li.join(keep.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    truncated = (
+        sampled.join(full, "l_orderkey").where(F.col("n_sampled") != F.col("n_full")).count()
+    )
+    assert truncated == 0
