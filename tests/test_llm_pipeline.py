@@ -322,3 +322,49 @@ def test_bm25_stats_incremental_maintenance_exactly_once(spark):
         assert fold["zz_stats"] == (0, 4, 12)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bm25_stats_merge_invariant_to_batch_split(spark):
+    """Property: folding bm25_batch_stats over ANY partition of the
+    corpus into batches yields identical statistics — the additivity
+    that makes the maintenance correct under arbitrary ingest
+    batching, not just the qid's doc_id % 3 split."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from incremental_dagster_delta_spark.queries.retrieval import (
+        bm25_batch_stats,
+        merge_bm25_stats,
+    )
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    docs = [
+        (1, "dup join window dup"),
+        (2, "alpha beta join"),
+        (3, "window window gamma"),
+        (4, "dup delta"),
+        (5, "join dup window alpha"),
+        (6, "epsilon zeta"),
+    ]
+
+    def fold(assignment):
+        waves: dict[int, list] = {}
+        for d, w in zip(docs, assignment):
+            waves.setdefault(w, []).append(d)
+        parts = None
+        for rows in waves.values():
+            p = bm25_batch_stats(literal_df(spark, rows, "doc_id long, text string"))
+            parts = p if parts is None else parts.unionByName(p)
+        return {
+            r["tok"]: (r["df"], r["n"], r["sdl"])
+            for r in merge_bm25_stats(parts).collect()
+        }
+
+    oneshot = fold([0] * len(docs))
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.integers(min_value=0, max_value=2), min_size=6, max_size=6))
+    def prop(assignment):
+        assert fold(assignment) == oneshot
+
+    prop()

@@ -58,3 +58,42 @@ def test_ordstat_matches_sorted_on_random_draws(spark):
         h = int(hashlib.md5(f"ordstat:{i}".encode()).hexdigest()[:12], 16)
         vals.append((h % 10_000_000) / 997.0 - 3000.0)
     _check_all_ranks(spark, vals)
+
+
+def test_hist_quantiles_match_python_reference_on_random_draws(spark):
+    """Property: the fixed-width histogram estimator equals a pure-python
+    reimplementation (cumulate bins, interpolate within the containing
+    bin) on pseudo-random multimodal draws — pinning the estimator
+    algebra itself, independent of the DuckDB oracle."""
+    import hashlib
+    import math
+
+    from incremental_dagster_delta_spark.queries.sketches import (
+        HIST_BIN_W,
+        QUANTILE_QS,
+        hist_cells,
+        hist_quantiles,
+    )
+
+    vals = []
+    for i in range(5000):
+        h = int(hashlib.md5(f"hist:{i}".encode()).hexdigest()[:12], 16)
+        vals.append((h % 3_000_000) / 7919.0)  # [0, ~379)
+
+    df = literal_df(spark, [(v,) for v in vals], "value double")
+    got = {r["q"]: r["hist_estimate"] for r in hist_quantiles(hist_cells(df)).collect()}
+
+    bins = {}
+    for v in vals:
+        b = math.floor(v / HIST_BIN_W)
+        bins[b] = bins.get(b, 0) + 1
+    n = len(vals)
+    for q in QUANTILE_QS:
+        target = q * n
+        cum = 0
+        for b in sorted(bins):
+            if cum < target <= cum + bins[b]:
+                expect = round(b * HIST_BIN_W + HIST_BIN_W * (target - cum) / bins[b], 4)
+                break
+            cum += bins[b]
+        assert got[q] == expect, (q, got[q], expect)
