@@ -677,7 +677,12 @@ def kmv_sketches(source_tok, k: int = KMV_K):
     partitions per source instead of one vocabulary-sized one — and
     phase 2 re-selects over the surviving ≤ 64·k rows per source.
     Global bottom-k per source is invariant to the sharding, so the
-    single-pass oracle replays it exactly."""
+    single-pass oracle replays it exactly. (Spark 4 additionally plans
+    each row_number≤k filter as Partial+Final WindowGroupLimit — every
+    input partition is crushed to ≤k rows per group BEFORE its exchange,
+    so per-task state is bounded at both phases even without the
+    sharding; the explicit phase 1 keeps the bound on engines without
+    that optimization.)"""
     from pyspark.sql.window import Window
 
     u = source_tok.select("source", "tok", _kmv_hash(F.col("tok")).alias("u")).distinct()
