@@ -652,3 +652,114 @@ def q_mrr_eval(spark, sf_dir):
             ).cast("double").alias("rr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (round 11 continuation). Hybrid retrieval —
+# fuse a lexical (BM25) ranking with a semantic (embedding-cosine)
+# ranking without score calibration: RRF(d) = Σ_systems 1/(K + rank_s(d))
+# (Cormack/Clarke/Buettcher, SIGIR'09; K=60 is the canonical constant).
+# Rank positions, not raw scores, cross the system boundary, so the two
+# scoring scales never need normalizing — which is why RRF is the
+# default fusion in production hybrid search.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # canonical smoothing constant
+RRF_DEPTH = 50  # ranks fused from each system
+RRF_OUT = 20  # fused results emitted
+RRF_QUERY_VEC = 0  # the semantic query: embeddings row vec_id = 0
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, rk AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM ({_BM25_ORACLE})
+      ) WHERE rk <= {RRF_DEPTH}
+    ), sem AS (
+      SELECT doc_id, rk AS sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 list_aggregate(list_transform(list_zip(q.embedding, e.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+                 (sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+                  sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                 DESC, e.vec_id) AS rk
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}) q
+        WHERE e.vec_id <> {RRF_QUERY_VEC}
+      ) WHERE rk <= {RRF_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             CAST(ROUND(
+               COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + sem.sem_rank), 0.0), 6) AS DOUBLE) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS ork FROM fused
+    ) WHERE ork <= {RRF_OUT}
+    """
+
+
+@query("q_rrf_fusion", tags=("retrieval", "similarity", "llm"), oracle=_rrf_oracle())
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion:
+    the BM25 ranking (q_bm25's aggregation, reused verbatim) and the
+    embedding-cosine ranking against one query vector fuse by
+    RRF = Σ 1/(60 + rank), top-RRF_OUT emitted. Documents and vectors
+    share the id space (TESTDATA.md: doc_id ≡ vec_id where both exist);
+    a doc ranked by only one system contributes only that term — the
+    standard RRF treatment of out-of-depth results (NULL rank on the
+    other side).
+
+    Scale shape: each system's ranking is cut to RRF_DEPTH FIRST via
+    orderBy+limit — TakeOrderedAndProject, the per-partition-heap +
+    single-reduce shape that never materializes a global sort — and
+    ranks are assigned by a window over those ≤RRF_DEPTH rows (bounded
+    by a literal, not the corpus). The fusion join and the final cut
+    touch ≤2·RRF_DEPTH rows. Ranking keys are the ROUNDED scores both
+    systems already hash-match on (bm25 round 4 driver-proven; cosine
+    identical elementwise double ops), tie-broken by doc_id, so both
+    engines rank identically."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import cosine
+
+    # System 1: lexical — q_bm25's (doc_id, bm25), cut then rank.
+    lex_scores = q_bm25(spark, sf_dir)
+    lex_top = lex_scores.orderBy(F.col("bm25").desc(), "doc_id").limit(RRF_DEPTH)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+
+    # System 2: semantic — cosine vs the broadcast 1-row query vector.
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") == RRF_QUERY_VEC).select(F.col("embedding").alias("qe"))
+    )
+    sem_scored = (
+        e.where(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(q)
+        .select(F.col("vec_id").alias("doc_id"), cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    )
+    sem_top = sem_scored.orderBy(F.col("cos").desc(), "doc_id").limit(RRF_DEPTH)
+    w_sem = Window.orderBy(F.col("cos").desc(), "doc_id")
+    sem = sem_top.select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).cast("double").alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_OUT)

@@ -484,3 +484,149 @@ def q_decayed_counts(spark, sf_dir):
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.sum("decayed_sum"), 4).alias("decayed_count"),
     )
+
+
+# --- lag-k autocorrelation ----------------------------------------------------
+#
+# ACF of the daily event-volume series per event type — the first
+# diagnostic a forecasting / seasonality pipeline computes over ingest
+# telemetry (is the series momentum-driven? weekly-periodic? white
+# noise?). Round 11 continuation depth for the timeseries family.
+
+ACF_MAX_LAG = 3
+
+
+@query(
+    "q_autocorrelation",
+    tags=("timeseries", "analytics"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT CAST(unnest(range(1, {ACF_MAX_LAG} + 1)) AS INTEGER) AS lag
+    )
+    SELECT a.event_type, l.lag,
+           COUNT(*) AS n_pairs,
+           CAST(ROUND(corr(a.v, b.v), 4) AS DOUBLE) AS acf
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b
+      ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    GROUP BY a.event_type, l.lag
+    """,
+)
+def q_autocorrelation(spark, sf_dir):
+    """Lag-k autocorrelation (k = 1..ACF_MAX_LAG) of each event type's
+    daily volume series. The corpus collapses to the daily grain FIRST
+    (one map-side-combinable aggregation: |types|x|days| rows — calendar-
+    bounded, never corpus-bounded), so the lag self-join and the Pearson
+    aggregate run over metadata-sized inputs no matter how many raw
+    events feed the grain; the 3-row lag spine broadcasts. That is the
+    100 TB shape: ACF over years of telemetry is one shuffle to the
+    daily grain plus series-sized joins. Pearson via corr() (sample
+    co-moments) on both engines, rounded to 4 (registry float policy);
+    pairs are aligned on exact day arithmetic so n_pairs is integral on
+    both sides."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("v"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("b_type"), F.col("day").alias("b_day"), F.col("v").alias("b_v")
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_type") == F.col("a.event_type"))
+            & (F.col("b_day") == F.date_add(F.col("a.day"), F.col("lag"))),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr(F.col("a.v"), F.col("b_v")), 4).cast("double").alias("acf"),
+        )
+    )
+
+
+# --- CUSUM changepoint detection ----------------------------------------------
+#
+# Page's cumulative-sum statistic: S_t = sum_{i<=t} (x_i - mean). A level
+# shift at day t* makes |S| peak at t*; a stable series keeps S near 0.
+# The argmax-|S| day is the classic single-changepoint estimate (Page
+# 1954; the binary-segmentation primitive). Drift monitors run exactly
+# this over ingest telemetry to localize WHEN a pipeline's volume or
+# value distribution moved, after q_ts_anomaly's z-flags say THAT it
+# moved.
+
+
+@query(
+    "q_cusum_changepoint",
+    tags=("timeseries", "analytics"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, AVG(x) AS mu, COUNT(*) AS n_days FROM daily GROUP BY 1
+    ), cusum AS (
+      SELECT d.event_type, d.day, m.n_days,
+             CAST(ROUND(ABS(SUM(d.x - m.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )), 4) AS DOUBLE) AS abs_s
+      FROM daily d JOIN mu m USING (event_type)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS cp_day, n_days, abs_s AS cusum_stat
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY abs_s DESC, day
+      ) AS rk FROM cusum
+    ) WHERE rk = 1
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """Single-changepoint localization per event type: Page's CUSUM of
+    the daily value total against the series mean, emitting the day
+    where |S_t| peaks (rounded statistic ranks; ties break to the
+    earliest day, so both engines pick identically). Scale shape: the
+    corpus collapses to the daily grain in one map-side-combinable
+    aggregation; the per-type mean is a |types|-row broadcast; the
+    running sum and the argmax windows are partitioned BY SERIES over
+    calendar-bounded (not corpus-bounded) partitions — the same plan
+    sweeps years of 100 TB telemetry because nothing after the first
+    aggregation sees raw events. Multi-changepoint binary segmentation
+    is this operator applied recursively to the two halves."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.round(F.abs(F.sum(F.col("x") - F.col("mu")).over(run)), 4)
+        .cast("double")
+        .alias("abs_s"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.col("abs_s").desc(), F.col("day"))
+    return (
+        cusum.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("cp_day"),
+            "n_days",
+            F.col("abs_s").alias("cusum_stat"),
+        )
+    )

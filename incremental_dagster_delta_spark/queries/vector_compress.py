@@ -456,3 +456,107 @@ def ivf_pq_topk(raw, cent_row_fn=None):
         .orderBy("query_id", "rank")
     )
     return materialize_release(out, assigned, indexed)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (round 11 continuation). MRL-trained
+# embedding models (Kusupati et al., "Matryoshka Representation
+# Learning", NeurIPS 2022) pack coarse-to-fine information into prefix
+# dims, so serving can TRUNCATE vectors — 4× less memory and bandwidth —
+# if retrieval quality holds. The accept/reject gate is exactly this
+# measurement: top-k overlap between the full-dimension ranking and the
+# prefix-truncated ranking, per query. Runs next to the quantizers
+# because truncation is the third leg of the embedding-compression
+# triad (SQ, PQ, MRL-truncation).
+# ---------------------------------------------------------------------------
+
+MAT_DIM = 16  # prefix dims kept (64 → 16 = 4× compression)
+MAT_QUERIES = 8  # vec_id < 8 are the query vectors (similarity.py convention)
+MAT_K = 10  # overlap measured at this depth
+
+
+def _matryoshka_oracle() -> str:
+    def ranked(vec_expr_q: str, vec_expr_e: str, alias: str) -> str:
+        return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip({vec_expr_q}, {vec_expr_e}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+                 (sqrt(list_aggregate(list_transform({vec_expr_q}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+                  sqrt(list_aggregate(list_transform({vec_expr_e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                 DESC, e.vec_id) AS rk
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MAT_QUERIES}) q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rk <= {MAT_K}"""
+
+    return f"""
+    WITH full_k AS ({ranked("q.embedding", "e.embedding", "full")}),
+    trunc_k AS ({ranked(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]", "trunc")})
+    SELECT f.query_id,
+           COUNT(t.neighbor_id) AS n_common,
+           CAST(ROUND(COUNT(t.neighbor_id) / CAST({MAT_K} AS DOUBLE), 4) AS DOUBLE) AS overlap_at_k
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@query("q_matryoshka_eval", tags=("similarity", "llm"), oracle=_matryoshka_oracle())
+def q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-truncation quality gate: for each query vector, the
+    top-MAT_K cosine neighborhood under the FULL 64-dim embedding vs
+    under the first-MAT_DIM prefix, reported as overlap@k. The ranking
+    pass is q_cosine_topk's exact shape twice — broadcast queries,
+    map-only scoring, per-query row_number cut to a LITERAL k (Spark
+    rewrites the rank filter to WindowGroupLimit: each partition keeps
+    a k-row heap per query before the shuffle, so no query ever owns a
+    corpus-sized task) — and the overlap join touches 2·Q·k rows.
+    Truncation itself is F.slice: map-only, no shuffle, the whole point
+    of MRL serving. Ties break on neighbor_id; the overlap COUNT is
+    integer-exact, so the only float surface is the final division."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < MAT_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+
+    def topk(vec_q, vec_e) -> "F.DataFrame":
+        scored = (
+            e.join(q, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(vec_q, vec_e).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= MAT_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = topk(F.col("qe"), F.col("embedding"))
+    trunc_k = topk(F.slice(F.col("qe"), 1, MAT_DIM), F.slice(F.col("embedding"), 1, MAT_DIM))
+    tk = trunc_k.select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    return (
+        full_k.join(
+            tk,
+            (F.col("t_qid") == F.col("query_id")) & (F.col("t_nid") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_nid").alias("n_common"),
+            F.round(F.count("t_nid") / float(MAT_K), 4).cast("double").alias("overlap_at_k"),
+        )
+    )
