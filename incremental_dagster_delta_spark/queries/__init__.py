@@ -76,16 +76,19 @@ _R11_FRONT = [
     "q_coordinated_sample",
     # (a continued) session-2 additions: ACF + CUSUM on the timeseries
     # family, RRF hybrid fusion and matryoshka-truncation eval on the
-    # retrieval/embedding families. These four push the three r6 picks
+    # retrieval/embedding families, and the deletion-vector lifecycle on
+    # the warehouse family. These five push the three r6 picks
     # (q_ngram_jaccard / q_ngram_jaccard_prefix / q_dedup_minhash) and
-    # the LAST r5-cohort entry (q_skew_report, list position 51) past
-    # the driver's 50-row cut — new qids outrank re-confirms (r9
-    # policy), and all four carry sf0.001+sf0.01 parity runs from this
-    # session. q_skew_report heads r12's front.
+    # the LAST TWO r5-cohort entries (q_event_transitions,
+    # q_skew_report — list positions 51-52) past the driver's 50-row
+    # cut — new qids outrank re-confirms (r9 policy), and all five
+    # carry sf0.001+sf0.01 parity runs from this session.
+    # q_event_transitions and q_skew_report head r12's front.
     "q_autocorrelation",
     "q_cusum_changepoint",
     "q_rrf_fusion",
     "q_matryoshka_eval",
+    "q_deletion_vectors",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.

@@ -457,3 +457,71 @@ def q_quarantine_split(spark, sf_dir):
         F.array_join(F.array_sort("_violations"), ",").alias("violations"),
     )
     return good.unionAll(quar).groupBy("stream", "violations").agg(F.count("*").alias("n"))
+
+
+# --- deletion vectors ---------------------------------------------------------
+#
+# Row-level soft deletes without file rewrites: the Delta Lake
+# deletion-vector lifecycle (mark → anti-join read → purge → watermark)
+# over this engine's parquet+marker table layout. The full protocol and
+# crash story live on tableio.DeletionVectors; this qid replays the
+# WHOLE lifecycle deterministically and checks the final served state
+# against the predicate algebra it must equal.
+
+
+@query(
+    "q_deletion_vectors",
+    tags=("sink", "incremental", "warehouse"),
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 3 OR doc_id % 13 = 5)
+    GROUP BY source
+    """,
+)
+def q_deletion_vectors(spark, sf_dir):
+    """Deletion-vector lifecycle end-to-end: load documents into a
+    source-partitioned table, mark doc_id%7 deleted (batch 1) and
+    doc_id%11==3 (batch 2), REPLAY batch 2 (exactly-once marker: no-op)
+    and re-mark batch 1's keys under a fresh id (set union: no-op),
+    PURGE (bakes both into the files, advances the watermark), then
+    mark doc_id%13==5 post-purge (applies via the read anti-join on
+    top of the rewritten files). The served aggregate must equal the
+    oracle's one-shot predicate — deletes compose across marker-replay,
+    set-replay, purge, and post-purge batches exactly like a single
+    DELETE WHERE. Scale: each mark is a keys-only append; the read
+    anti-join's DV side is small until purge folds it (AQE broadcasts
+    it); purge rewrites partitions crash-atomically. Engine seams
+    (crash mid-purge, corrupt watermark, empty batch) are pinned in
+    tests/test_deletion_vectors.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.tableio import DeletionVectors, PartitionedTable
+
+    docs = t(spark, sf_dir, "documents")
+    tdir = tempfile.mkdtemp(prefix="qdv_")
+    try:
+        base = PartitionedTable(spark, os.path.join(tdir, "t"), ["source"])
+        base.append_batch(docs, 0)
+        dv = DeletionVectors(base, "doc_id")
+        dv.mark_deleted(docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), 1)
+        dv.mark_deleted(docs.where(F.col("doc_id") % 11 == 3).select("doc_id"), 2)
+        dv.mark_deleted(docs.where(F.col("doc_id") % 11 == 3).select("doc_id"), 2)  # marker replay
+        dv.mark_deleted(docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), 3)  # set replay
+        dv.purge()
+        dv.mark_deleted(docs.where(F.col("doc_id") % 13 == 5).select("doc_id"), 4)
+        out = (
+            dv.read()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

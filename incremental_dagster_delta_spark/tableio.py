@@ -1076,3 +1076,172 @@ class PartitionedTable:
             return True
         except Exception:
             return False
+
+
+class DeletionVectors:
+    """Delta-Lake-style deletion vectors over a :class:`PartitionedTable`:
+    row-level deletes recorded as a SIDECAR of deleted keys instead of
+    rewriting data files (Delta's DV feature; delta-rs gives the
+    reference this via MERGE/DELETE on the transaction log,
+    ``ingest_example/delta_io.py:112-116``).
+
+    Lifecycle, mirroring Delta's:
+
+    1. :meth:`mark_deleted` publishes one batch of deleted keys into the
+       sidecar table (``<base>/_dv`` — the ``_`` prefix hides it from the
+       base scan's file index, like ``_commits``). Publication rides
+       ``append_batch``'s exactly-once marker, but the algebra is SET
+       UNION — idempotent — so even a duplicate batch under a FRESH
+       batch_id changes nothing (at-least-once tolerant, the
+       q_hll_incremental replay class, stronger than the additive
+       sketches need).
+    2. :meth:`read` serves base MINUS live deleted keys via a left-anti
+       join. No broadcast hint: a fresh DV set is tiny and AQE broadcasts
+       it at runtime; one that grew past the threshold shuffles — which
+       is the signal it is PURGE TIME, exactly Delta's guidance.
+    3. :meth:`purge` physically rewrites each partition without its
+       deleted rows (crash-atomic per partition via
+       ``overwrite_partitions``) and advances the applied-through
+       WATERMARK — DV batches at or below it are baked into the files
+       and stop applying at read; later ``mark_deleted`` batches apply
+       on top. A crash mid-purge is safe in both orders: rewritten
+       partitions + old watermark re-anti-join already-removed keys
+       (no-op), and the watermark only advances after every partition
+       rewrote. An unreadable watermark degrades to 0 — all retained DV
+       batches re-apply, again a no-op on purged files.
+
+    Scale: the sidecar holds keys, not rows — deletes on a 100 TB table
+    cost one tiny append each; reads pay one anti-join against the
+    accumulated keys until a purge folds them into the files. Purge
+    enumerates partitions driver-side (O(partitions) metadata, same as
+    compact()) and rewrites only partitions — Delta's file-level DV
+    granularity would rewrite only FILES; partition scope is this
+    layout's atomic-swap unit.
+    """
+
+    DV_BATCH_COL = "dv_batch"
+
+    def __init__(self, table: PartitionedTable, key_col: str) -> None:
+        self.table = table
+        self.key_col = key_col
+        self.sidecar = PartitionedTable(
+            table.spark, posixpath.join(table.path, "_dv"), [], fmt=table.fmt
+        )
+
+    # -- writes --------------------------------------------------------------
+
+    def mark_deleted(self, keys: DataFrame, batch_id: int) -> bool:
+        """Publish one batch of deleted keys. ``keys`` needs the key
+        column (extra columns dropped; duplicates collapsed). Returns
+        False for an empty batch (the S7 empty-commit guard)."""
+        batch = (
+            keys.select(self.key_col)
+            .distinct()
+            .withColumn(self.DV_BATCH_COL, F.lit(int(batch_id)).cast("long"))
+        )
+        return self.sidecar.append_batch(batch, batch_id)
+
+    # -- watermark -------------------------------------------------------------
+
+    def _watermark_path(self, Path):
+        return Path(posixpath.join(self.table.path, "_dv_applied"))
+
+    def applied_through(self) -> int:
+        """Highest DV batch id already baked into the data files by a
+        purge (0 = none). Unreadable/corrupt marker degrades to 0:
+        every retained batch re-applies, a no-op anti-join on keys the
+        purge already removed."""
+        jvm = self.table.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = self._watermark_path(Path)
+        fs = p.getFileSystem(self.table.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return 0
+        try:
+            stream = fs.open(p)
+            try:
+                raw = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            return int(json.loads(raw)["through"])
+        except Exception:
+            return 0
+
+    def _advance_watermark(self, through: int) -> None:
+        jvm = self.table.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = self._watermark_path(Path)
+        fs = p.getFileSystem(self.table.spark._jsc.hadoopConfiguration())
+        tmp = Path(str(p) + f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(json.dumps({"through": int(through)}).encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(p, False)
+        fs.rename(tmp, p)
+
+    # -- reads -----------------------------------------------------------------
+
+    def _has_dv_rows(self) -> bool:
+        """True iff any committed DV batch wrote rows. An EMPTY
+        mark_deleted commits a 0-row marker (the S7 skip, so its replay
+        is suppressed) but leaves no data file — scanning the sidecar
+        then would fail on schema inference, so this gate reads marker
+        METADATA only."""
+        return any(
+            m.get("rows", 0) for m in self.sidecar.batch_metrics().values()
+        )
+
+    def deleted_keys(self) -> DataFrame:
+        """Distinct keys from DV batches newer than the purge watermark —
+        the set a read must still subtract. Precondition:
+        ``_has_dv_rows()`` (the sidecar has at least one data file)."""
+        side = self.sidecar.read()
+        return (
+            side.where(F.col(self.DV_BATCH_COL) > self.applied_through())
+            .select(self.key_col)
+            .distinct()
+        )
+
+    def read(self, predicate: str | None = None) -> DataFrame:
+        """Base minus live deleted keys. Partition pruning and filter
+        pushdown on ``predicate`` happen on the BASE scan before the
+        anti-join, so a pruned read never pays for untouched data."""
+        base = self.table.read(predicate)
+        if not self._has_dv_rows():
+            return base
+        return base.join(self.deleted_keys(), self.key_col, "left_anti")
+
+    # -- maintenance -------------------------------------------------------------
+
+    def purge(self) -> int:
+        """Bake live DVs into the data files: rewrite every partition
+        without its deleted rows, then advance the watermark to the
+        highest DV batch captured BEFORE the rewrite started (a
+        mark_deleted racing the purge keeps applying at read). Returns
+        the number of partitions rewritten."""
+        committed = self.sidecar.committed_batches()
+        if not committed or not self._has_dv_rows():
+            return 0
+        through = max(committed)
+        dead = self.deleted_keys().localCheckpoint(eager=True)
+        cols = self.table.partition_cols
+        if cols:
+            parts = self.table.read().select(*cols).distinct().collect()
+            scopes = [{c: str(row[c]) for c in cols} for row in parts]
+        else:
+            scopes = [{}]
+        n = 0
+        for scope in scopes:
+            if scope:
+                clean = self.table.read_partition(**scope).join(
+                    dead, self.key_col, "left_anti"
+                )
+                self.table.overwrite_partitions(clean, **scope)
+            else:
+                clean = self.table.read().join(dead, self.key_col, "left_anti")
+                self.table.overwrite_partitions(clean)
+            n += 1
+        self._advance_watermark(through)
+        return n

@@ -1,0 +1,148 @@
+"""Deletion-vector engine seams (tableio.DeletionVectors): the replay
+matrix (marker replay, set replay), purge watermark persistence, corrupt
+watermark degradation, crash-mid-purge convergence, and the empty-batch
+guard. The happy-path lifecycle aggregate is driver-checked by
+q_deletion_vectors' DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.tableio import DeletionVectors, PartitionedTable
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base = PartitionedTable(spark, str(tmp_path / "t"), ["source"])
+    assert base.append_batch(docs, 0)
+    return docs, base, DeletionVectors(base, "doc_id")
+
+
+def _k(docs, mod, eq=0):
+    return docs.where(F.col("doc_id") % mod == eq).select("doc_id")
+
+
+def test_mark_and_read_excludes(spark, loaded):
+    docs, base, dv = loaded
+    n0 = base.read().count()
+    n7 = _k(docs, 7).count()
+    assert dv.mark_deleted(_k(docs, 7), 1)
+    assert dv.read().count() == n0 - n7
+    # base itself untouched — soft delete only
+    assert base.read().count() == n0
+
+
+def test_marker_replay_is_noop(spark, loaded):
+    docs, base, dv = loaded
+    dv.mark_deleted(_k(docs, 7), 1)
+    before = dv.read().count()
+    dv.mark_deleted(_k(docs, 7), 1)  # same batch id: marker suppresses
+    assert dv.read().count() == before
+    assert dv.sidecar.committed_batches() == [1]
+
+
+def test_set_replay_fresh_batch_is_noop(spark, loaded):
+    """Stronger than exactly-once: duplicate keys under a FRESH batch id
+    fold to the same set (at-least-once tolerant, like HLL registers)."""
+    docs, base, dv = loaded
+    dv.mark_deleted(_k(docs, 7), 1)
+    before = dv.read().count()
+    dv.mark_deleted(_k(docs, 7), 2)
+    assert dv.read().count() == before
+
+
+def test_purge_bakes_and_watermark_persists(spark, loaded, tmp_path):
+    docs, base, dv = loaded
+    n0 = base.read().count()
+    n7 = _k(docs, 7).count()
+    dv.mark_deleted(_k(docs, 7), 1)
+    assert dv.purge() > 0
+    # physically removed: the RAW base read no longer has the rows
+    assert base.read().count() == n0 - n7
+    assert dv.applied_through() == 1
+    # post-purge batch applies on top of rewritten files
+    extra = _k(docs, 11, 3).join(_k(docs, 7), "doc_id", "left_anti")
+    dv.mark_deleted(_k(docs, 11, 3), 2)
+    assert dv.read().count() == n0 - n7 - extra.count()
+    # a FRESH handle sees the persisted watermark (metadata on disk)
+    dv2 = DeletionVectors(PartitionedTable(spark, str(tmp_path / "t"), ["source"]), "doc_id")
+    assert dv2.applied_through() == 1
+    assert dv2.read().count() == dv.read().count()
+
+
+def test_corrupt_watermark_degrades_to_reapply(spark, loaded, tmp_path):
+    """An unreadable watermark must degrade to 0 (re-apply everything):
+    purged keys are gone from the files, so re-anti-joining them is a
+    no-op — correctness holds, only the join is wasted."""
+    docs, base, dv = loaded
+    dv.mark_deleted(_k(docs, 7), 1)
+    expect = dv.read().count()
+    dv.purge()
+    with open(str(tmp_path / "t" / "_dv_applied"), "w") as f:
+        f.write("{not json")
+    assert dv.applied_through() == 0
+    assert dv.read().count() == expect
+
+
+def test_crash_mid_purge_converges(spark, loaded, tmp_path, monkeypatch):
+    """Crash AFTER partition rewrites but BEFORE the watermark advance:
+    reads stay correct immediately (stale watermark re-applies removed
+    keys — no-op) and the purge retry completes the protocol."""
+    docs, base, dv = loaded
+    n0 = base.read().count()
+    n7 = _k(docs, 7).count()
+    dv.mark_deleted(_k(docs, 7), 1)
+
+    boom = RuntimeError("crash before watermark")
+    real_advance = DeletionVectors._advance_watermark
+    monkeypatch.setattr(
+        DeletionVectors, "_advance_watermark", lambda self, th: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError):
+        dv.purge()
+    monkeypatch.setattr(DeletionVectors, "_advance_watermark", real_advance)
+
+    # rows already rewritten out; stale watermark re-applies them: no-op
+    assert base.read().count() == n0 - n7
+    assert dv.applied_through() == 0
+    assert dv.read().count() == n0 - n7
+    # retry converges the watermark
+    dv.purge()
+    assert dv.applied_through() == 1
+    assert dv.read().count() == n0 - n7
+
+
+def test_empty_delete_batch_skipped(spark, loaded):
+    """An empty delete batch commits a 0-row marker (so its replay is
+    suppressed, S7 semantics) but must leave reads untouched — and the
+    marker-only sidecar (no data file at all) must not break the read's
+    schema inference (the _has_dv_rows metadata gate)."""
+    docs, base, dv = loaded
+    assert dv.mark_deleted(_k(docs, 7).where(F.lit(False)), 1) is False
+    assert dv.sidecar.committed_batches() == [1]  # marker committed...
+    assert dv.sidecar.batch_metrics()[1]["rows"] == 0  # ...for zero rows
+    assert dv.read().count() == base.read().count()
+    assert dv.purge() == 0  # nothing to bake
+    # a later real batch still applies on top of the empty one
+    dv.mark_deleted(_k(docs, 7), 2)
+    assert dv.read().count() == base.read().count() - _k(docs, 7).count()
+
+
+def test_read_predicate_pushes_to_base(spark, loaded):
+    """The predicate applies on the base scan (pruning/pushdown side),
+    not after the anti-join — and composes with deletes."""
+    docs, base, dv = loaded
+    dv.mark_deleted(_k(docs, 7), 1)
+    one_source = docs.select("source").orderBy("source").limit(1).collect()[0]["source"]
+    got = dv.read(f"source = '{one_source}'")
+    expect = docs.where(
+        (F.col("source") == one_source) & (F.col("doc_id") % 7 != 0)
+    ).count()
+    assert got.count() == expect
+    assert got.select("source").distinct().collect()[0]["source"] == one_source
