@@ -984,3 +984,90 @@ def q_cc_incremental(spark, sf_dir):
         .join(assign.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
     )
+
+
+# --- neighbor-set Jaccard (structural node similarity) -------------------------
+#
+# Which suppliers serve the same customer base? Jaccard over neighbor
+# sets in the customer–supplier bipartite graph — the structural-
+# equivalence signal behind collaborative filtering and source-level
+# "who substitutes for whom" curation. Same wedge algebra as
+# q_triangle_count: candidate pairs come only from co-neighbors, never
+# from all-pairs.
+
+NJ_TOP = 20
+
+
+@query(
+    "q_neighbor_jaccard",
+    tags=("graph", "similarity"),
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT s, COUNT(*) AS d FROM edges GROUP BY s
+    ), inter AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common_customers
+      FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    ), scored AS (
+      SELECT i.s1, i.s2, i.common_customers,
+             CAST(ROUND(i.common_customers /
+               CAST(d1.d + d2.d - i.common_customers AS DOUBLE), 4) AS DOUBLE) AS jaccard
+      FROM inter i JOIN deg d1 ON d1.s = i.s1 JOIN deg d2 ON d2.s = i.s2
+    )
+    SELECT s1, s2, common_customers, jaccard FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard DESC, s1, s2) AS rk FROM scored
+    ) WHERE rk <= {NJ_TOP}
+    """,
+)
+def q_neighbor_jaccard(spark, sf_dir):
+    """Top supplier pairs by customer-set Jaccard. Wedge-generated
+    candidates: the distinct (customer, supplier) edge list self-joins
+    on customer — only pairs sharing ≥1 customer ever materialize, the
+    same never-all-pairs discipline as every dedup family member. The
+    intersection count is one map-combinable aggregation over wedges;
+    degrees are a |suppliers|-row broadcast; the final cut is
+    TakeOrderedAndProject on the ROUNDED score with (s1, s2) tiebreak.
+
+    Scale: wedge volume is Σ_c deg(c)² — bounded by the hub customers.
+    At 100 TB the mitigation is the dedup.py df-cap: drop or sample
+    customers whose degree exceeds a cap before the self-join (a
+    customer connected to everyone certifies no similarity anyway —
+    same argument as stop-shingles). Not applied at test scale where
+    Σdeg² is small; the cap seam is ngram_jaccard_pairs' documented
+    pattern."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select(F.col("c"), F.col("s").alias("s1"))
+    b = edges.select(F.col("c"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("common_customers"))
+    )
+    d1 = F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")))
+    d2 = F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")))
+    scored = (
+        inter.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common_customers",
+            F.round(
+                F.col("common_customers")
+                / (F.col("d1") + F.col("d2") - F.col("common_customers")).cast("double"),
+                4,
+            ).cast("double").alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(NJ_TOP)

@@ -152,3 +152,65 @@ def q_chunk_docs(spark, sf_dir):
             .alias("n_tokens"),
         )
     )
+
+
+# --- recursive CTE ------------------------------------------------------------
+#
+# Spark 4.1 ships WITH RECURSIVE (SPARK-24497): the SQL front-end's
+# iterative closure. The engine executes the recursion as a UnionLoop —
+# each step one join/projection over the previous frontier — which is
+# exactly the contract-and-union shape graph.py builds by hand for
+# connected components; here the SQL planner drives the loop. The
+# hierarchy is arithmetic (parent(n) = n DIV 2, the binary-heap chain),
+# so both engines replay identical integer ops and the recursion depth
+# is log2(max doc_id) ~ 9-13 at test SFs.
+
+
+@query(
+    "q_recursive_cte",
+    tags=("sql", "modern"),
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, cur // 2, depth + 1 FROM anc WHERE cur > 1
+    )
+    SELECT depth, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM anc WHERE cur <= 1
+    GROUP BY depth
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """Recursive-CTE ancestor walk: every document climbs the
+    binary-heap parent chain (parent = id DIV 2) to the root, and the
+    result profiles the hierarchy by depth. Exercises the SQL
+    front-end's WITH RECURSIVE end-to-end on the engine.
+
+    Scale shape: the recursion runs O(log N) UnionLoop steps; each step
+    is a narrow projection+filter over the previous frontier (no join
+    here — the parent is computed, not looked up), so the total work is
+    N·log N rows of arithmetic with every step map-only. A lookup-based
+    hierarchy (parent column in a table) would make each step one
+    hash-join against the broadcast/bucketed parent table — same loop,
+    one join per level, the standard org-chart/BOM closure plan. The
+    DuckDB oracle runs the identical recursion (integer DIV on both
+    engines), so the driver hash-match pins the full closure."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+          UNION ALL
+          SELECT doc_id, cur DIV 2 AS cur, depth + 1 AS depth FROM anc WHERE cur > 1
+        )
+        SELECT depth, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM anc WHERE cur <= 1
+        GROUP BY depth
+        """
+    )
