@@ -78,13 +78,15 @@ _R11_FRONT = [
     # family, RRF hybrid fusion and matryoshka-truncation eval on the
     # retrieval/embedding families, the deletion-vector lifecycle on
     # the warehouse family, the recursive-CTE SQL front-end closure,
-    # and neighbor-Jaccard structural similarity on the graph family.
-    # These seven push the three r6 picks (q_ngram_jaccard /
-    # q_ngram_jaccard_prefix / q_dedup_minhash) and the LAST FOUR
-    # r5-cohort entries (q_group_impute, q_interval_merge,
-    # q_event_transitions, q_skew_report — list positions 51-54) past
+    # neighbor-Jaccard structural similarity on the graph family,
+    # and incremental reservoir maintenance (bounded-selection seam).
+    # These eight push the three r6 picks (q_ngram_jaccard /
+    # q_ngram_jaccard_prefix / q_dedup_minhash) and the LAST FIVE
+    # r5-cohort entries (q_compaction_stats, q_group_impute,
+    # q_interval_merge, q_event_transitions, q_skew_report — list
+    # positions 51-55) past
     # the driver's 50-row cut — new qids outrank re-confirms (r9
-    # policy), and all seven carry sf0.01 parity runs from this
+    # policy), and all eight carry sf0.01 parity runs from this
     # session. The displaced r5 entries head r12's front.
     "q_autocorrelation",
     "q_cusum_changepoint",
@@ -93,6 +95,7 @@ _R11_FRONT = [
     "q_deletion_vectors",
     "q_recursive_cte",
     "q_neighbor_jaccard",
+    "q_reservoir_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.

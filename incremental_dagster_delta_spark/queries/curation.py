@@ -444,3 +444,80 @@ def q_weighted_sample(spark, sf_dir):
         .where(F.col("rk") <= WEIGHTED_K)
         .select("doc_id", "source", "weight", F.col("key").cast("double").alias("key"))
     )
+
+
+# --- incremental reservoir maintenance (bounded-selection seam) ----------------
+#
+# The fourth seam family's storage story, completed: PLANS.md algebra #3
+# (bounded selection) states that merged local top-ks equal the global
+# top-k because the E-S/md5 draw keys are deterministic — this qid runs
+# that fold over deterministic ingest batches and hash-checks it against
+# the one-shot reservoir oracle. The fold DEDUPS before re-selecting, so
+# re-inserting an already-folded batch is a no-op: at-least-once
+# tolerant (the q_hll_incremental replay class), stronger than the
+# additive sketches' exactly-once requirement.
+
+RES_BATCHES = 3  # deterministic corpus split: doc_id % 3
+
+
+def reservoir_partial(docs_batch):
+    """Per-source top-RESERVOIR_K of ONE ingest batch under the md5
+    draw — ≤ K·|sources| rows regardless of batch size (the rank
+    filter rewrites to WindowGroupLimit: per-partition K-row heaps
+    before the shuffle). Because the draw is a pure function of doc_id,
+    every element of the CORPUS top-k is necessarily in its own batch's
+    local top-k — the merge loses nothing."""
+    from pyspark.sql.window import Window
+
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    w = Window.partitionBy("source").orderBy(draw, F.col("doc_id"))
+    return (
+        docs_batch.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_reservoir_incremental",
+    tags=("curation", "incremental", "llm"),
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':res'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def q_reservoir_incremental(spark, sf_dir):
+    """Reservoir sample under incremental maintenance: the corpus
+    arrives as RES_BATCHES deterministic batches, each contributing its
+    ≤K·|sources|-row local reservoir; the serve-side fold dedups and
+    re-selects top-K per source. The oracle recomputes the one-shot
+    reservoir over the FULL corpus, so the driver hash-match IS the
+    merge-equals-full proof for the bounded-selection algebra. Per-batch
+    cost: one bounded window over the batch; the fold's input is
+    B·K·|sources| rows — never corpus-sized. The storage seam
+    (append_batch publication + replay no-op) is pinned in
+    tests/test_reservoir_seam.py."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    parts = None
+    for b in range(RES_BATCHES):
+        p = reservoir_partial(d.where(F.col("doc_id") % RES_BATCHES == b))
+        parts = p if parts is None else parts.unionByName(p)
+    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    w = Window.partitionBy("source").orderBy(draw, F.col("doc_id"))
+    return (
+        parts.distinct()  # idempotent under batch re-insertion
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source")
+    )
