@@ -522,3 +522,71 @@ def test_offset_slice_rank_is_range_partitioned(spark, sf_dir):
 
     phys = _plan(q_offset_slice(spark, sf_dir)).split("== Physical Plan ==")[1]
     assert "row_number() windowspecdefinition(_pid#" in phys, phys
+
+
+# --- round 11 session-2 additions -------------------------------------------
+
+
+def test_rrf_rankings_are_takeordered(spark, sf_dir):
+    """Both fused systems cut to RRF_DEPTH via TakeOrderedAndProject
+    (per-partition heap + single reduce — never a global sort), and the
+    final fused cut is a third TakeOrdered. The rank-assignment windows
+    run over the ≤DEPTH-row cuts, bounded by a literal."""
+    from incremental_dagster_delta_spark.queries.retrieval import q_rrf_fusion
+
+    plan = str(q_rrf_fusion(spark, sf_dir)._jdf.queryExecution())
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_rank_is_window_group_limit(spark, sf_dir):
+    """Both per-query top-k rankings must rewrite the rank filter to
+    WindowGroupLimit: every partition keeps a k-row heap per query
+    BEFORE the shuffle, so no query ever owns a corpus-sized task."""
+    from incremental_dagster_delta_spark.queries.vector_compress import q_matryoshka_eval
+
+    plan = str(q_matryoshka_eval(spark, sf_dir)._jdf.queryExecution())
+    assert plan.count("WindowGroupLimit") >= 2, plan[:500]
+
+
+def test_neighbor_jaccard_degrees_broadcast_topk_no_sort(spark, sf_dir):
+    """The |suppliers|-row degree table broadcasts onto the wedge
+    aggregate (the only SortMergeJoin allowed is the wedge self-join on
+    the shared-customer key) and the final cut avoids a global sort."""
+    from incremental_dagster_delta_spark.queries.graph import q_neighbor_jaccard
+
+    plan = str(q_neighbor_jaccard(spark, sf_dir)._jdf.queryExecution())
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1, "only the wedge self-join may shuffle-sort"
+
+
+def test_autocorrelation_lag_spine_broadcasts(spark, sf_dir):
+    """The 3-row lag spine joins as a broadcast nested loop; the daily
+    self-join hashes on the (type, shifted-day) key. No window at all —
+    ACF is joins + one Pearson aggregate."""
+    from incremental_dagster_delta_spark.queries.timeseries import q_autocorrelation
+
+    plan = str(q_autocorrelation(spark, sf_dir)._jdf.queryExecution())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_runs_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must plan as the UnionLoop iterative closure —
+    O(log N) map-only steps here — not as an unrolled/flattened union."""
+    from incremental_dagster_delta_spark.queries.modern import q_recursive_cte
+
+    plan = str(q_recursive_cte(spark, sf_dir)._jdf.queryExecution())
+    assert "UnionLoop" in plan
+
+
+def test_reservoir_partials_are_window_group_limited(spark, sf_dir):
+    """Every per-batch local reservoir AND the serve-side fold must
+    carry WindowGroupLimit — the bounded-selection seam's 'local top-k
+    is heap-bounded before any shuffle' contract."""
+    from incremental_dagster_delta_spark.queries.curation import q_reservoir_incremental
+
+    plan = str(q_reservoir_incremental(spark, sf_dir)._jdf.queryExecution())
+    assert plan.count("WindowGroupLimit") >= 4, plan[:500]
