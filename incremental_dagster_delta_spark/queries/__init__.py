@@ -80,13 +80,13 @@ _R11_FRONT = [
     # the warehouse family, the recursive-CTE SQL front-end closure,
     # neighbor-Jaccard structural similarity on the graph family,
     # and incremental reservoir maintenance (bounded-selection seam).
-    # These eight push the three r6 picks (q_ngram_jaccard /
-    # q_ngram_jaccard_prefix / q_dedup_minhash) and the LAST FIVE
-    # r5-cohort entries (q_compaction_stats, q_group_impute,
-    # q_interval_merge, q_event_transitions, q_skew_report — list
-    # positions 51-55) past
+    # These nine push the three r6 picks (q_ngram_jaccard /
+    # q_ngram_jaccard_prefix / q_dedup_minhash) and the LAST SIX
+    # r5-cohort entries (q_ts_anomaly, q_compaction_stats,
+    # q_group_impute, q_interval_merge, q_event_transitions,
+    # q_skew_report — list positions 51-56) past
     # the driver's 50-row cut — new qids outrank re-confirms (r9
-    # policy), and all eight carry sf0.01 parity runs from this
+    # policy), and all nine carry sf0.01 parity runs from this
     # session. The displaced r5 entries head r12's front.
     "q_autocorrelation",
     "q_cusum_changepoint",
@@ -96,6 +96,7 @@ _R11_FRONT = [
     "q_recursive_cte",
     "q_neighbor_jaccard",
     "q_reservoir_incremental",
+    "q_semdedup_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer
     # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
     # q_mrr_eval are simultaneously the stalest-r6 priority picks.

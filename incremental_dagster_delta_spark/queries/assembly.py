@@ -338,3 +338,104 @@ def semdedup_kept(e, centroids=None):
     )
     kept = corpus.join(dropped, "vec_id", "left_anti").select("vec_id")
     return materialize_release(kept, assigned)
+
+
+# --- incremental SemDeDup (batch × corpus cell probe) ---------------------------
+#
+# Round 11 continuation: the third near-duplicate family gets its
+# incremental probe, completing the symmetry — MinHash bands
+# (q_incremental_dedup), perceptual dHash (q_dhash_incremental), and
+# now semantic cells. A served corpus is already deduped; each new
+# ingest batch probes ONLY its own cell-mates, defers to the corpus
+# (served rows never retract), and among batch rows keeps the lower id.
+
+SEMDEDUP_INC_MOD = 3  # vec_id % 3 == 0 → the new batch; else corpus
+SEMDEDUP_PLANT = 10  # corpus vec_id % 10 == 1 re-keyed +100000 into the batch
+
+
+@query(
+    "q_semdedup_incremental",
+    tags=("assembly", "dedup", "incremental", "llm"),
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SEMDEDUP_INC_MOD} <> 0
+    ), batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SEMDEDUP_INC_MOD} = 0
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % {SEMDEDUP_INC_MOD} <> 0 AND vec_id % {SEMDEDUP_PLANT} = 1
+    ), pool AS (
+      SELECT vec_id, embedding, TRUE AS in_corpus FROM corpus
+      UNION ALL
+      SELECT vec_id, embedding, FALSE AS in_corpus FROM batch
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM batch a JOIN pool b
+        ON (b.in_corpus OR b.vec_id < a.vec_id)
+      WHERE {_COS_SQL} >= {SEMDEDUP_COS}
+    )
+    SELECT b.vec_id, d.vec_id IS NOT NULL AS is_dup
+    FROM batch b LEFT JOIN dropped d ON d.vec_id = b.vec_id
+    """,
+)
+def q_semdedup_incremental(spark, sf_dir):
+    """SemDeDup under incremental maintenance: the new batch (every
+    third vector, plus re-keyed copies of corpus vectors planted as
+    guaranteed hits) is assigned to the CORPUS-trained quantizer's
+    cells map-only, then probes cell-mates only — corpus rows always
+    win (a served corpus never retracts), batch-internal ties keep the
+    lower id. Emits every batch row with its is_dup verdict.
+
+    The oracle makes the same decision globally (no cells), which
+    matches because duplicates at cos ≥ 0.999 here are exact copies and
+    identical vectors share a cell under ANY argmin (q_semdedup's
+    recall argument, module docstring). Per-batch cost at 100 TB: one
+    broadcast-argmin pass over the batch plus a join that touches only
+    cells containing batch rows — with the corpus index stored
+    cell-partitioned, that is partition pruning, and the corpus is
+    never re-embedded or re-assigned."""
+    from incremental_dagster_delta_spark.queries.similarity import (
+        IVF_CENTROID_STRIDE,
+        assign_nearest_centroid,
+        cosine,
+    )
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.where(F.col("vec_id") % SEMDEDUP_INC_MOD != 0)
+    batch = e.where(F.col("vec_id") % SEMDEDUP_INC_MOD == 0).unionByName(
+        corpus.where(F.col("vec_id") % SEMDEDUP_PLANT == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    centroids = corpus.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    a_corpus = assign_nearest_centroid(corpus, centroids).withColumn(
+        "in_corpus", F.lit(True)
+    )
+    a_batch = assign_nearest_centroid(batch, centroids).withColumn(
+        "in_corpus", F.lit(False)
+    )
+    pool = a_corpus.unionByName(a_batch).persist()
+    probe = a_batch.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_emb"),
+        F.col("centroid_id").alias("x_cell"),
+    )
+    dropped = (
+        probe.join(
+            pool,
+            (F.col("x_cell") == F.col("centroid_id"))
+            & (F.col("in_corpus") | (F.col("vec_id") < F.col("x_id"))),
+        )
+        .where(cosine(F.col("x_emb"), F.col("embedding")) >= SEMDEDUP_COS)
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        batch.select("vec_id")
+        .join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+    return materialize_release(out, pool)

@@ -1148,15 +1148,16 @@ class DeletionVectors:
 
     def applied_through(self) -> int:
         """Highest DV batch id already baked into the data files by a
-        purge (0 = none). Unreadable/corrupt marker degrades to 0:
-        every retained batch re-applies, a no-op anti-join on keys the
-        purge already removed."""
+        purge (-1 = none; batch ids are checkpoint-assigned and START AT
+        0, so 0 cannot mean "nothing applied"). Unreadable/corrupt
+        marker degrades to -1: every retained batch re-applies, a no-op
+        anti-join on keys the purge already removed."""
         jvm = self.table.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         p = self._watermark_path(Path)
         fs = p.getFileSystem(self.table.spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
-            return 0
+            return -1
         try:
             stream = fs.open(p)
             try:
@@ -1165,7 +1166,7 @@ class DeletionVectors:
                 stream.close()
             return int(json.loads(raw)["through"])
         except Exception:
-            return 0
+            return -1
 
     def _advance_watermark(self, through: int) -> None:
         jvm = self.table.spark._jvm

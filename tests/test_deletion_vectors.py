@@ -86,7 +86,7 @@ def test_corrupt_watermark_degrades_to_reapply(spark, loaded, tmp_path):
     dv.purge()
     with open(str(tmp_path / "t" / "_dv_applied"), "w") as f:
         f.write("{not json")
-    assert dv.applied_through() == 0
+    assert dv.applied_through() == -1
     assert dv.read().count() == expect
 
 
@@ -110,7 +110,7 @@ def test_crash_mid_purge_converges(spark, loaded, tmp_path, monkeypatch):
 
     # rows already rewritten out; stale watermark re-applies them: no-op
     assert base.read().count() == n0 - n7
-    assert dv.applied_through() == 0
+    assert dv.applied_through() == -1
     assert dv.read().count() == n0 - n7
     # retry converges the watermark
     dv.purge()
@@ -146,3 +146,51 @@ def test_read_predicate_pushes_to_base(spark, loaded):
     ).count()
     assert got.count() == expect
     assert got.select("source").distinct().collect()[0]["source"] == one_source
+
+
+def test_deletes_maintained_by_real_stream_with_restart(spark, loaded, tmp_path):
+    """Production wiring: delete keys arrive as a Structured Streaming
+    file source and apply through foreachBatch mark_deleted, across a
+    STREAM RESTART (new query, same checkpoint). Checkpoint-assigned
+    batch ids drive the exactly-once markers; the served read must equal
+    base minus the union of every streamed key — and a purge mid-history
+    must not disturb subsequent streamed deletes."""
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    docs, base, dv = loaded
+    in_dir = str(tmp_path / "dv_in")
+    ckpt = str(tmp_path / "dv_ckpt")
+
+    def handle(batch_df, batch_id):
+        dv.mark_deleted(batch_df, batch_id)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    n0 = base.read().count()
+    w1 = [(int(r["doc_id"]),) for r in _k(docs, 7).collect()]
+    literal_df(spark, w1, "doc_id long").coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream()
+    assert dv.read().count() == n0 - len(w1)
+
+    dv.purge()  # bake wave 1; the stream keeps its checkpoint cursor
+
+    # restart: wave 2 arrives, a NEW query resumes from the checkpoint
+    w2 = [
+        (int(r["doc_id"]),)
+        for r in _k(docs, 11, 3).join(_k(docs, 7), "doc_id", "left_anti").collect()
+    ]
+    literal_df(spark, w2, "doc_id long").coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream()
+    assert dv.read().count() == n0 - len(w1) - len(w2)
+    # wave 1 is physically gone, wave 2 still soft
+    assert base.read().count() == n0 - len(w1)
