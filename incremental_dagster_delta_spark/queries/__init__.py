@@ -74,27 +74,24 @@ _R11_FRONT = [
     "q_dhash_incremental",
     "q_decayed_counts",
     "q_coordinated_sample",
-    # (a continued) session-2 additions: ACF + CUSUM on the timeseries
-    # family, RRF hybrid fusion and matryoshka-truncation eval on the
-    # retrieval/embedding families, the deletion-vector lifecycle on
-    # the warehouse family, the recursive-CTE SQL front-end closure,
-    # neighbor-Jaccard structural similarity on the graph family,
-    # and incremental reservoir maintenance (bounded-selection seam).
-    # These nine push the three r6 picks (q_ngram_jaccard /
-    # q_ngram_jaccard_prefix / q_dedup_minhash) and the LAST SIX
-    # r5-cohort entries (q_ts_anomaly, q_compaction_stats,
-    # q_group_impute, q_interval_merge, q_event_transitions,
-    # q_skew_report — list positions 51-56) past
-    # the driver's 50-row cut — new qids outrank re-confirms (r9
-    # policy), and all nine carry sf0.01 parity runs from this
-    # session. The displaced r5 entries head r12's front.
+    # (a continued) session-2 additions. Twelve new qids landed this
+    # session (ACF, CUSUM, RRF fusion, matryoshka eval, deletion
+    # vectors, recursive CTE, neighbor-Jaccard, incremental reservoir,
+    # incremental SemDeDup, Holt smoothing, Pareto frontier, Zipf fit —
+    # all with sf0.001+sf0.01 parity runs); only the EIGHT most
+    # seam-critical take front slots, because every extra new-qid slot
+    # displaces an r5-cohort re-confirm (the round's #1 ask). The other
+    # four (q_neighbor_jaccard, q_holt_smoothing, q_pareto_frontier,
+    # q_zipf_fit) plus the three r6 picks and the displaced r5 tail
+    # (q_compaction_stats, q_group_impute, q_interval_merge,
+    # q_event_transitions, q_skew_report) head r12's front. Net: 27 of
+    # the 32 r5-cohort qids get their overdue driver rows this round.
     "q_autocorrelation",
     "q_cusum_changepoint",
     "q_rrf_fusion",
     "q_matryoshka_eval",
     "q_deletion_vectors",
     "q_recursive_cte",
-    "q_neighbor_jaccard",
     "q_reservoir_incremental",
     "q_semdedup_incremental",
     # (b) changed-path this round: the unpartitioned-window scale-killer

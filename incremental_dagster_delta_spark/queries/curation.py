@@ -521,3 +521,78 @@ def q_reservoir_incremental(spark, sf_dir):
         .where(F.col("rk") <= RESERVOIR_K)
         .select("doc_id", "source")
     )
+
+
+# --- Pareto-frontier (skyline) selection ----------------------------------------
+#
+# Multi-objective curation: when two quality axes trade off (here:
+# document length vs lexical richness), the defensible keep-set is the
+# PARETO FRONTIER — documents no other document beats on both axes
+# (Börzsönyi et al., "The Skyline Operator", ICDE 2001). Both axes are
+# INTEGERS (n_chars, distinct-token count), so dominance has no float
+# boundary and both engines agree exactly.
+
+
+@query(
+    "q_pareto_frontier",
+    tags=("curation", "analytics", "llm"),
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS uniq_tokens
+      FROM documents
+    ), best AS (
+      SELECT n_chars, MAX(uniq_tokens) AS best_uniq FROM m GROUP BY n_chars
+    ), fr AS (
+      SELECT n_chars, best_uniq FROM (
+        SELECT n_chars, best_uniq,
+               MAX(best_uniq) OVER (
+                 ORDER BY n_chars DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM best
+      ) WHERE prev_max IS NULL OR best_uniq > prev_max
+    )
+    SELECT m.doc_id, m.n_chars, m.uniq_tokens
+    FROM m JOIN fr ON m.n_chars = fr.n_chars AND m.uniq_tokens = fr.best_uniq
+    """,
+)
+def q_pareto_frontier(spark, sf_dir):
+    """2-D skyline over (n_chars, distinct tokens): a document survives
+    iff no other document is ≥ on both axes and > on one. The classic
+    sweep: collapse to one best-richness row per distinct length (one
+    map-combinable agg), then a single running-max pass down the
+    length-sorted pair table keeps exactly the strictly-improving
+    staircase; frontier documents re-join on their surviving (length,
+    richness) pair, so ties on BOTH axes all survive (equal-equal is
+    not dominance).
+
+    Scale shape: raw docs are touched twice, both map-only/one-agg; the
+    running-max window runs over ONE ROW PER DISTINCT LENGTH — bounded
+    by the value domain (max doc length), not the corpus. If the domain
+    itself were huge, the same staircase routes through
+    analytics._global_order (range-partitioned rank + broadcast
+    offsets); at document-length domains (≤10⁶) the single-task pass on
+    a metadata-sized table is the cheaper plan."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq_tokens"),
+    )
+    best = m.groupBy("n_chars").agg(F.max("uniq_tokens").alias("best_uniq"))
+    w = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = (
+        best.withColumn("prev_max", F.max("best_uniq").over(w))
+        .where(F.col("prev_max").isNull() | (F.col("best_uniq") > F.col("prev_max")))
+        .select(F.col("n_chars").alias("fr_n"), F.col("best_uniq").alias("fr_uniq"))
+    )
+    return m.join(
+        F.broadcast(fr),
+        (F.col("n_chars") == F.col("fr_n")) & (F.col("uniq_tokens") == F.col("fr_uniq")),
+    ).select("doc_id", "n_chars", "uniq_tokens")

@@ -425,3 +425,63 @@ def q_topic_terms(spark, sf_dir):
         .where(F.col("rank") <= TOPIC_TOP_N)
         .select("source", "tok", F.col("score").cast("double"), F.col("rank").cast("long"))
     )
+
+
+# --- Zipf's-law fit -------------------------------------------------------------
+#
+# Corpus-health diagnostic: natural-language token frequencies follow a
+# power law freq ∝ rank^(-s) with s ≈ 1 (Zipf 1949); a corpus whose
+# fitted exponent sits far from 1 is template spam (flat head, s « 1) or
+# looped boilerplate (cliff, s » 1). The fit is ordinary least squares
+# on (ln rank, ln freq) — regr_slope/intercept/r2 are one-pass
+# map-combinable aggregates on both engines.
+
+
+@query(
+    "q_zipf_fit",
+    tags=("text", "analytics", "llm"),
+    oracle="""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM freq
+    )
+    SELECT COUNT(*) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(ROUND(regr_slope(ln(f), ln(rk)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(regr_intercept(ln(f), ln(rk)), 4) AS DOUBLE) AS zipf_intercept,
+           CAST(ROUND(regr_r2(ln(f), ln(rk)), 4) AS DOUBLE) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the corpus unigram distribution: rank the
+    vocabulary by frequency (tok tiebreak — engine-identical), regress
+    ln freq on ln rank, report slope/intercept/R². One token explode
+    feeds one map-combinable frequency aggregation (hot tokens absorbed
+    map-side); the ranking window runs over ONE ROW PER VOCABULARY TYPE
+    — the unigram-LM vocab-window bound (|V| grows ~heapishly, millions
+    at web scale, never corpus-sized), same as unigram_lm.py:344 — and
+    the regression is a single-pass co-moment aggregate. Double ln()
+    and co-moments on both engines, rounded to 4 (the
+    q_regression_by_group precedent)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = freq.withColumn("rk", F.row_number().over(w))
+    y = F.log(F.col("f").cast("double"))
+    x = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 4).cast("double").alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).cast("double").alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 4).cast("double").alias("r2"),
+    )

@@ -630,3 +630,102 @@ def q_cusum_changepoint(spark, sf_dir):
             F.col("abs_s").alias("cusum_stat"),
         )
     )
+
+
+# --- Holt linear exponential smoothing ------------------------------------------
+#
+# Level+trend recursion l_t = αx_t + (1-α)(l_{t-1}+b_{t-1}),
+# b_t = β(l_t − l_{t-1}) + (1-β)b_{t-1} (Holt 1957) — the forecasting
+# baseline every capacity/volume monitor runs. The recursion is
+# inherently sequential IN TIME but trivially parallel ACROSS series,
+# and both engines now ship recursive CTEs, so the qid runs the
+# IDENTICAL recursion on both sides: the first real analytics consumer
+# of the WITH RECURSIVE primitive q_recursive_cte pins.
+
+HOLT_ALPHA = 0.5  # level gain — exactly representable in binary
+HOLT_BETA = 0.25  # trend gain — exactly representable in binary
+HOLT_H = 7  # forecast horizon (days)
+
+_HOLT_REC = """
+      SELECT d.event_type, d.idx, d.x,
+             {A} * d.x + {IA} * (r.l + r.b) AS l,
+             {B} * ({A} * d.x + {IA} * (r.l + r.b) - r.l) + {IB} * r.b AS b
+      FROM {REC} r JOIN {DAILY} d
+        ON d.event_type = r.event_type AND d.idx = r.idx + 1
+"""
+
+
+@query(
+    "q_holt_smoothing",
+    tags=("timeseries", "analytics"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
+             x
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+        FROM events GROUP BY 1, 2
+      )
+    ), holt AS (
+      SELECT event_type, idx, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM daily WHERE idx = 1
+      UNION ALL
+      {_HOLT_REC.format(A=HOLT_ALPHA, IA=1.0 - HOLT_ALPHA, B=HOLT_BETA, IB=1.0 - HOLT_BETA, REC="holt", DAILY="daily")}
+    )
+    SELECT event_type,
+           CAST(MAX(idx) AS BIGINT) AS n_days,
+           CAST(ROUND(MAX_BY(l, idx), 4) AS DOUBLE) AS level,
+           CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
+           CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
+    FROM holt GROUP BY event_type
+    """,
+)
+def q_holt_smoothing(spark, sf_dir):
+    """Holt's linear smoothing per event type over the daily value
+    series, initialized at (l₁=x₁, b₁=0), reported as the final level,
+    trend, and the h-step-ahead forecast l+h·b. BOTH engines run the
+    textually identical recursive CTE — same join per step, same double
+    arithmetic with exactly-representable gains (0.5, 0.25) — so the
+    rounded outputs hash-match; the only Spark-side difference is DIV
+    vs // style, none here.
+
+    Scale shape: the corpus collapses to the daily grain first
+    (map-combinable aggregation); the recursion runs |days| UnionLoop
+    steps, each ONE hash-join of the |types|-row frontier against the
+    calendar-bounded daily table — sequential in time, parallel across
+    series, never corpus-touching. For |days| in the thousands the same
+    recursion batches per series inside applyInPandas (the q_token_pack
+    sequential-scan idiom); the declarative form here is the parity
+    surface."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    rec = _HOLT_REC.format(
+        A=HOLT_ALPHA, IA=1.0 - HOLT_ALPHA, B=HOLT_BETA, IB=1.0 - HOLT_BETA,
+        REC="holt", DAILY="daily",
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
+                 x
+          FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+            FROM events GROUP BY 1, 2
+          )
+        ), holt AS (
+          SELECT event_type, idx, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM daily WHERE idx = 1
+          UNION ALL
+          {rec}
+        )
+        SELECT event_type,
+               CAST(MAX(idx) AS BIGINT) AS n_days,
+               CAST(ROUND(MAX_BY(l, idx), 4) AS DOUBLE) AS level,
+               CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
+               CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
+        FROM holt GROUP BY event_type
+        """
+    )
