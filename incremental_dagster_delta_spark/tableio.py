@@ -998,6 +998,71 @@ class PartitionedTable:
                 .load(files)
             )
 
+    def restore(self, batch_id: int) -> int:
+        """Roll the table back to exactly its state after ``batch_id``
+        committed — Delta ``RESTORE TABLE ... TO VERSION AS OF`` parity
+        for this layout. Returns the number of rolled-back batches.
+
+        Every published file carries its batch's ``b{id}-`` prefix, so a
+        restore is: delete the data files of batches > ``batch_id``,
+        THEN their commit markers. The order matters for crash safety —
+        files-first means an interruption leaves only GHOST MARKERS
+        whose files are gone: reads are already correct (the rows are
+        gone), and re-running the restore (idempotent) clears the
+        markers. Markers-first would leave orphan data files that
+        ``read()`` still counts. Clearing the markers also re-opens the
+        ids: a stream replaying from an older checkpoint re-publishes
+        the rolled-back batches instead of marker-skipping them — which
+        is exactly what a post-restore replay must do.
+
+        Refuses (ValueError) when a rolled-back batch wrote rows but no
+        ``b{id}-`` file survives — ``compact()`` rewrites files without
+        prefixes, so compaction collapses restore history exactly as it
+        collapses ``read_as_of`` (same contract as Delta OPTIMIZE +
+        VACUUM of old versions). Batches whose marker recorded 0 rows
+        never had files and roll back by marker deletion alone. Like
+        Delta RESTORE, table metadata recorded by later batches (the
+        evolved partition-schema hint) is not rolled back."""
+        committed = set(self.committed_batches())
+        if not any(b <= batch_id for b in committed):
+            raise ValueError(f"no committed batch <= {batch_id} at {self.path}")
+        victims = {b for b in committed if b > batch_id}
+        if not victims:
+            return 0
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        # inventory: which victim batches still have their prefixed files?
+        victim_files: dict[int, list] = {b: [] for b in victims}
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            pth = it.next().getPath()
+            name = pth.getName()
+            if name.startswith("b") and "-" in name:
+                bid = name[1 : name.index("-")]
+                if bid.isdigit() and int(bid) in victims:
+                    victim_files[int(bid)].append(pth)
+        metrics = self.batch_metrics()
+        collapsed = [
+            b
+            for b in sorted(victims)
+            if not victim_files[b] and metrics.get(b, {}).get("rows", 0) > 0
+        ]
+        if collapsed:
+            raise ValueError(
+                f"restore({batch_id}) at {self.path}: batches {collapsed} wrote "
+                "rows but none of their prefixed files survive — history was "
+                "collapsed (compact() rewrites files, like Delta OPTIMIZE + "
+                "VACUUM). Only the current state is restorable."
+            )
+        for b in sorted(victims):
+            for pth in victim_files[b]:
+                fs.delete(pth, False)
+        for b in sorted(victims):
+            fs.delete(Path(posixpath.join(self.path, "_commits", str(b))), False)
+        return len(victims)
+
     def vacuum(self) -> int:
         """Remove files no live read can reach — Delta ``VACUUM`` parity
         for this table layout. Returns the number of files deleted.
