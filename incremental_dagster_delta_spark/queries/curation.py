@@ -596,3 +596,112 @@ def q_pareto_frontier(spark, sf_dir):
         F.broadcast(fr),
         (F.col("n_chars") == F.col("fr_n")) & (F.col("uniq_tokens") == F.col("fr_uniq")),
     ).select("doc_id", "n_chars", "uniq_tokens")
+
+
+# --- two-sample Kolmogorov–Smirnov drift ------------------------------------------
+#
+# Distribution drift per source: the KS statistic
+# D = max_x |ECDF_source(x) − ECDF_rest(x)| of each source's document-
+# length distribution against the rest of the corpus — the
+# nonparametric companion to q_kl_drift's binned KL (KS needs no
+# binning and catches location/scale shifts KL's coarse bins smear).
+# The maximization is EXACT and float-free: the numerator
+# |cum_src·n_rest − cum_rest·n_src| is an integer, so the argmax is an
+# integer comparison and the division happens once, at output.
+
+
+@query(
+    "q_ks_drift",
+    tags=("curation", "analytics", "llm"),
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT v, SUM(cnt) AS tcnt FROM c GROUP BY v
+    ), srcs AS (
+      SELECT source, SUM(cnt) AS n_src FROM c GROUP BY source
+    ), n AS (SELECT SUM(cnt) AS n_all FROM c),
+    grid AS (
+      SELECT s.source, s.n_src, t.v, t.tcnt, COALESCE(c.cnt, 0) AS cnt
+      FROM srcs s CROSS JOIN tot t
+      LEFT JOIN c ON c.source = s.source AND c.v = t.v
+    ), cums AS (
+      SELECT source, n_src, v,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum_src,
+             SUM(tcnt) OVER (PARTITION BY source ORDER BY v) AS cum_all
+      FROM grid
+    ), scored AS (
+      SELECT source, n_src, v,
+             ABS(cum_src * (n.n_all - n_src) - (cum_all - cum_src) * n_src) AS num
+      FROM cums, n
+    )
+    SELECT source,
+           CAST(n_src AS BIGINT) AS n_src,
+           CAST(v AS BIGINT) AS at_value,
+           CAST(ROUND(num / (1.0 * n_src * ((SELECT n_all FROM n) - n_src)), 4) AS DOUBLE) AS ks_stat
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY num DESC, v) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Per-source two-sample KS test of the n_chars distribution vs the
+    corpus complement, reporting the statistic and the length at which
+    the ECDFs diverge most (ties break to the smallest length). Scale
+    shape: the corpus collapses to (source, length) counts in ONE
+    map-combinable aggregation; every later step — the sources×lengths
+    grid, the per-source cumulative windows, the integer argmax — runs
+    on |sources|·|distinct lengths| rows, bounded by the VALUE DOMAIN
+    (max document length), never by corpus size. The ECDF difference is
+    ranked by its exact integer numerator (cum_src·n_rest −
+    cum_rest·n_src), so both engines pick the identical argmax with no
+    float boundary; the one division is at output, rounded 4."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.localCheckpoint(eager=True)  # grid + totals reuse one aggregation
+    tot = c.groupBy("v").agg(F.sum("cnt").alias("tcnt"))
+    srcs = c.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    n_all = c.agg(F.sum("cnt").alias("n_all"))
+    grid = (
+        srcs.crossJoin(F.broadcast(tot))
+        .join(
+            c.select(F.col("source").alias("c_src"), F.col("v").alias("c_v"), "cnt"),
+            (F.col("c_src") == F.col("source")) & (F.col("c_v") == F.col("v")),
+            "left",
+        )
+        .select("source", "n_src", "v", "tcnt", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cums = grid.select(
+        "source",
+        "n_src",
+        "v",
+        F.sum("cnt").over(w).alias("cum_src"),
+        F.sum("tcnt").over(w).alias("cum_all"),
+    )
+    scored = cums.crossJoin(F.broadcast(n_all)).select(
+        "source",
+        "n_src",
+        "v",
+        "n_all",
+        F.abs(
+            F.col("cum_src") * (F.col("n_all") - F.col("n_src"))
+            - (F.col("cum_all") - F.col("cum_src")) * F.col("n_src")
+        ).alias("num"),
+    )
+    pick = Window.partitionBy("source").orderBy(F.col("num").desc(), F.col("v"))
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_src"),
+            F.col("v").cast("long").alias("at_value"),
+            F.round(
+                F.col("num") / (1.0 * F.col("n_src") * (F.col("n_all") - F.col("n_src"))), 4
+            ).cast("double").alias("ks_stat"),
+        )
+    )

@@ -503,6 +503,32 @@ def _matryoshka_oracle() -> str:
     """
 
 
+def _ranked_topk(e, q, vec_q, vec_e, k):
+    """Per-query cosine top-k with ranks (q_cosine_topk's shape): broadcast
+    queries, map-only scoring, row_number cut to the literal k (rewritten
+    to WindowGroupLimit — per-partition k-row heaps before the shuffle).
+    Shared by q_matryoshka_eval (set overlap) and q_rbo_eval (rank-aware
+    overlap)."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import cosine
+
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(vec_q, vec_e).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
 @query("q_matryoshka_eval", tags=("similarity", "llm"), oracle=_matryoshka_oracle())
 def q_matryoshka_eval(spark, sf_dir):
     """Matryoshka-truncation quality gate: for each query vector, the
@@ -516,35 +542,16 @@ def q_matryoshka_eval(spark, sf_dir):
     Truncation itself is F.slice: map-only, no shuffle, the whole point
     of MRL serving. Ties break on neighbor_id; the overlap COUNT is
     integer-exact, so the only float surface is the final division."""
-    from pyspark.sql.window import Window
-
-    from incremental_dagster_delta_spark.queries.similarity import cosine
-
     e = t(spark, sf_dir, "embeddings")
     q = F.broadcast(
         e.where(F.col("vec_id") < MAT_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
     )
-
-    def topk(vec_q, vec_e) -> "F.DataFrame":
-        scored = (
-            e.join(q, F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                cosine(vec_q, vec_e).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= MAT_K)
-            .select("query_id", "neighbor_id")
-        )
-
-    full_k = topk(F.col("qe"), F.col("embedding"))
-    trunc_k = topk(F.slice(F.col("qe"), 1, MAT_DIM), F.slice(F.col("embedding"), 1, MAT_DIM))
+    full_k = _ranked_topk(e, q, F.col("qe"), F.col("embedding"), MAT_K).drop("rk")
+    trunc_k = _ranked_topk(
+        e, q, F.slice(F.col("qe"), 1, MAT_DIM), F.slice(F.col("embedding"), 1, MAT_DIM), MAT_K
+    ).drop("rk")
     tk = trunc_k.select(
         F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
     )
@@ -559,4 +566,101 @@ def q_matryoshka_eval(spark, sf_dir):
             F.count("t_nid").alias("n_common"),
             F.round(F.count("t_nid") / float(MAT_K), 4).cast("double").alias("overlap_at_k"),
         )
+    )
+
+
+# --- rank-biased overlap ----------------------------------------------------------
+#
+# RBO (Webber, Moffat & Zobel, TOIS 2010): top-weighted agreement
+# between two rankings — the metric to report when the POSITIONS of the
+# shared items matter, not just membership (overlap@k treats rank 1 and
+# rank k the same; RBO discounts depth geometrically). Truncated to
+# depth K with no extrapolation: RBO_K = (1-p)·Σ_{d=1..K} p^{d-1}·X_d/d
+# where X_d = |A_1..d ∩ B_1..d|. Regrouped per shared ITEM: an item
+# first counted at depth m = max(rank_A, rank_B) contributes
+# w(m) = (1-p)·Σ_{d=m..K} p^{d-1}/d — a K-entry constant table, embedded
+# as identical decimal literals in BOTH engines so the only cross-engine
+# float surface is a sum of identical doubles.
+
+RBO_P = 0.9  # persistence: top-weightedness dial
+
+
+def _rbo_weights(p: float = RBO_P, k: int = MAT_K) -> list[float]:
+    return [(1 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1)) for m in range(1, k + 1)]
+
+
+def _rbo_oracle() -> str:
+    w = _rbo_weights()
+    cases = " ".join(
+        f"WHEN {m} THEN {w[m - 1]!r}" for m in range(1, MAT_K + 1)
+    )
+    def ranked(vq: str, ve: str) -> str:
+        return f"""
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip({vq}, {ve}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
+                 (sqrt(list_aggregate(list_transform({vq}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+                  sqrt(list_aggregate(list_transform({ve}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                 DESC, e.vec_id) AS rk
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MAT_QUERIES}) q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rk <= {MAT_K}"""
+
+    return f"""
+    WITH full_k AS ({ranked("q.embedding", "e.embedding")}),
+    trunc_k AS ({ranked(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]")}),
+    joined AS (
+      SELECT f.query_id,
+             CASE GREATEST(f.rk, t.rk) {cases} END AS w
+      FROM full_k f JOIN trunc_k t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    ), queries AS (SELECT DISTINCT query_id FROM full_k)
+    SELECT q.query_id,
+           CAST(COUNT(j.w) AS BIGINT) AS n_common,
+           CAST(ROUND(COALESCE(SUM(j.w), 0.0), 4) AS DOUBLE) AS rbo
+    FROM queries q LEFT JOIN joined j ON j.query_id = q.query_id
+    GROUP BY q.query_id
+    """
+
+
+@query("q_rbo_eval", tags=("similarity", "analytics", "llm"), oracle=_rbo_oracle())
+def q_rbo_eval(spark, sf_dir):
+    """Rank-biased overlap between the full-dimension and
+    prefix-truncated cosine rankings — the rank-aware companion to
+    q_matryoshka_eval's set overlap (two rankings can share all k items
+    yet order them oppositely; RBO tells them apart, overlap@k cannot).
+    Both rankings come from the shared _ranked_topk builder
+    (WindowGroupLimit heaps, no corpus-sized task); the per-item weight
+    w(max(rank_A, rank_B)) is a K-entry broadcast of constants computed
+    once and embedded IDENTICALLY in the DuckDB oracle, so the engines
+    sum the same doubles; the join and aggregate touch Q·K rows."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < MAT_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    full_k = _ranked_topk(e, q, F.col("qe"), F.col("embedding"), MAT_K)
+    trunc_k = _ranked_topk(
+        e, q, F.slice(F.col("qe"), 1, MAT_DIM), F.slice(F.col("embedding"), 1, MAT_DIM), MAT_K
+    ).select(
+        F.col("query_id").alias("t_qid"),
+        F.col("neighbor_id").alias("t_nid"),
+        F.col("rk").alias("t_rk"),
+    )
+    w = _rbo_weights()
+    weight = None
+    m = F.greatest(F.col("rk"), F.col("t_rk"))
+    for i in range(MAT_K, 0, -1):
+        weight = F.lit(w[i - 1]) if weight is None else F.when(m == i, F.lit(w[i - 1])).otherwise(weight)
+    joined = full_k.join(
+        trunc_k,
+        (F.col("t_qid") == F.col("query_id")) & (F.col("t_nid") == F.col("neighbor_id")),
+        "left",
+    ).select("query_id", F.when(F.col("t_rk").isNotNull(), weight).alias("w"))
+    return joined.groupBy("query_id").agg(
+        F.count("w").cast("long").alias("n_common"),
+        F.round(F.coalesce(F.sum("w"), F.lit(0.0)), 4).cast("double").alias("rbo"),
     )
