@@ -192,3 +192,112 @@ def q_pca_topk(spark, sf_dir, k: int = 8):
 
     emb = literal_df(spark, _pca_scenario_rows(), "vec_id long, embedding array<double>")
     return pca_topk(spark, emb, k)
+
+
+# --- per-class centroid separation -------------------------------------------------
+#
+# Embedding-space health check before training a classifier or probing
+# clusters: how distinct are the label centroids? Reports each label's
+# centroid cosine to the GLOBAL centroid (near 1 ⇒ the class sits at
+# the corpus center, carrying little signal) and its nearest OTHER
+# centroid (high ⇒ the two classes are entangled — the pair a confusion
+# matrix will flag later, available before any model exists).
+
+
+@query(
+    "q_centroid_separation",
+    tags=("similarity", "analytics", "llm"),
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, AVG(x) AS c FROM comp GROUP BY label, pos
+    ), n AS (
+      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    ), gvec AS (
+      SELECT pos, AVG(x) AS g FROM comp GROUP BY pos
+    ), gcos AS (
+      SELECT c.label,
+             SUM(c.c * g.g) / (sqrt(SUM(c.c * c.c)) * sqrt(SUM(g.g * g.g))) AS cos_g
+      FROM cent c JOIN gvec g USING (pos) GROUP BY c.label
+    ), pair AS (
+      SELECT a.label AS la, b.label AS lb,
+             SUM(a.c * b.c) / (sqrt(SUM(a.c * a.c)) * sqrt(SUM(b.c * b.c))) AS cos_ab
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ), nearest AS (
+      SELECT la AS label, lb AS nearest_label, cos_ab FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY la ORDER BY ROUND(cos_ab, 4) DESC, lb
+        ) AS rk FROM pair
+      ) WHERE rk = 1
+    )
+    SELECT n.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           CAST(ROUND(g.cos_g, 4) AS DOUBLE) AS cos_to_global,
+           ne.nearest_label,
+           CAST(ROUND(ne.cos_ab, 4) AS DOUBLE) AS nearest_cos
+    FROM n JOIN gcos g USING (label) JOIN nearest ne USING (label)
+    """,
+)
+def q_centroid_separation(spark, sf_dir):
+    """Label-centroid geometry report. Scale shape: ONE posexplode pass
+    over the vectors feeds a map-combinable (label, dim) average —
+    |labels|·d rows out regardless of corpus size (the Lloyd's-update
+    bound from kmeans.py); everything after (global centroid, the
+    |labels|² pairwise cosines, the nearest pick) is metadata-sized.
+    Nearest ranks on the ROUNDED cosine with a label tiebreak so both
+    engines pick identically even where centroid cosines differ in the
+    last ulp (avg() accumulation order is engine-specific)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "xr")
+    ).select("label", "pos", F.col("xr").cast("double").alias("x"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cent = cent.localCheckpoint(eager=True)  # reused three times below
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    glob = comp.groupBy("pos").agg(F.avg("x").alias("g"))
+    gcos = (
+        cent.join(glob, "pos")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("g"))
+                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("g") * F.col("g"))))
+            ).alias("cos_g")
+        )
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("pos").alias("pos_b"), F.col("c").alias("cb")
+    )
+    pair = (
+        cent.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label") != F.col("lb")))
+        .groupBy("label", "lb")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("cb"))
+                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb"))))
+            ).alias("cos_ab")
+        )
+    )
+    pick = Window.partitionBy("label").orderBy(F.round("cos_ab", 4).desc(), F.col("lb"))
+    nearest = (
+        pair.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select("label", F.col("lb").alias("nearest_label"), "cos_ab")
+    )
+    return (
+        n.join(gcos, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("long"),
+            F.round("cos_g", 4).cast("double").alias("cos_to_global"),
+            "nearest_label",
+            F.round("cos_ab", 4).cast("double").alias("nearest_cos"),
+        )
+    )
