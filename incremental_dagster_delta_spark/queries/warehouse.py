@@ -525,3 +525,74 @@ def q_deletion_vectors(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+# --- change data feed ------------------------------------------------------------
+#
+# Delta CDF / table_changes parity: the row-level change log between
+# two versions, derived from the layout itself (b{id}- file prefixes =
+# insert versions; DV sidecar batches = delete versions) — no extra
+# write-path cost, exactly like Delta's. The deterministic version
+# script below makes every change event a pure predicate of doc_id, so
+# the DuckDB oracle is the same UNION of predicates.
+
+
+@query(
+    "q_change_data_feed",
+    tags=("sink", "incremental", "warehouse", "cdc"),
+    oracle="""
+    SELECT doc_id, source, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, source, 'delete', 2 FROM documents
+    WHERE doc_id % 7 = 0 AND doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT doc_id, source, 'insert', 3 FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id, source, 'delete', 4 FROM documents
+    WHERE doc_id % 11 = 3 AND NOT (doc_id % 7 = 0 AND doc_id % 3 IN (0, 1))
+    """,
+)
+def q_change_data_feed(spark, sf_dir):
+    """Change feed over a scripted five-version history: inserts at
+    versions 0/1/3 (doc_id % 3 splits), DV deletes at versions 2
+    (doc_id%7) and 4 (doc_id%11==3), one shared version sequence across
+    both ledgers. The feed over (0, 4] must emit v1/v3's inserts and
+    v2/v4's deletes — where v2's deletes cover only rows ALREADY
+    INSERTED (v0∪v1) and v4's exclude rows v2 already deleted (one
+    delete event per row lifetime, at the version where the row
+    existed — the Delta CDF contract). The oracle states each event set
+    as a pure doc_id predicate. Engine seams (collapse refusal, empty
+    windows, version-overlap guard) are pinned in
+    tests/test_change_feed.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.tableio import (
+        DeletionVectors,
+        PartitionedTable,
+        change_feed,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tdir = tempfile.mkdtemp(prefix="qcdf_")
+    try:
+        base = PartitionedTable(spark, os.path.join(tdir, "t"), ["source"])
+        dv = DeletionVectors(base, "doc_id")
+        base.append_batch(docs.where(F.col("doc_id") % 3 == 0), 0)
+        base.append_batch(docs.where(F.col("doc_id") % 3 == 1), 1)
+        # a real CDC source deletes rows that EXIST: v2 marks the %7 keys
+        # already inserted by v0/v1 (marking a not-yet-inserted key would
+        # create a born-dead row — visible in neither read() nor the feed)
+        dv.mark_deleted(
+            docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 != 2)).select("doc_id"), 2
+        )
+        base.append_batch(docs.where(F.col("doc_id") % 3 == 2), 3)
+        dv.mark_deleted(docs.where(F.col("doc_id") % 11 == 3).select("doc_id"), 4)
+        feed = change_feed(base, dv, from_batch=0, to_batch=4)
+        return feed.select(
+            "doc_id", "source", "_change_type", "_commit_version"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

@@ -1311,3 +1311,123 @@ class DeletionVectors:
             n += 1
         self._advance_watermark(through)
         return n
+
+
+def change_feed(
+    table: PartitionedTable,
+    dv: "DeletionVectors | None",
+    from_batch: int,
+    to_batch: int,
+) -> DataFrame:
+    """Row-level change feed between two versions — Delta Lake
+    ``table_changes`` / Change Data Feed parity for this layout
+    (delta-rs exposes the same over the reference's tables). Returns
+    every row inserted or deleted in versions (``from_batch``,
+    ``to_batch``], with ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` columns appended.
+
+    Caller contract: base appends and DV delete batches share ONE
+    monotonic version sequence (the realistic wiring — a single
+    upstream log drives both ledgers), so a version id resolves
+    unambiguously: committed in the base table → an insert version
+    (its rows are exactly the ``b{id}-`` files, no reconstruction
+    needed); committed in the DV sidecar → a delete version (row
+    CONTENT reconstructed from the base snapshot before that version,
+    minus keys already deleted by earlier DV versions — a key deleted
+    twice emits ONE delete event, at the version where the row actually
+    existed, matching Delta CDF).
+
+    Scale: inserts cost one file-list read per version in the window
+    (the files are already change-partitioned by the ``b{id}-``
+    prefix — CDF is free at write time, like Delta's); deletes cost one
+    snapshot read per delete version. History collapse (compact/purge
+    rewrote the prefixed files) raises through ``read_as_of``'s
+    contract rather than returning a silently partial feed."""
+    spark = table.spark
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(table.path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    base_versions = [b for b in table.committed_batches() if from_batch < b <= to_batch]
+    dv_versions = (
+        [b for b in dv.sidecar.committed_batches() if from_batch < b <= to_batch]
+        if dv is not None
+        else []
+    )
+    overlap = set(base_versions) & set(dv_versions)
+    if overlap:
+        raise ValueError(
+            f"versions {sorted(overlap)} committed in BOTH ledgers — the "
+            "change feed needs one shared monotonic version sequence"
+        )
+
+    # inserts: the b{id}- files of each base version in the window
+    files_by_version: dict[int, list[str]] = {b: [] for b in base_versions}
+    if fs.exists(root):
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            name = p.getName()
+            if name.startswith("b") and "-" in name:
+                bid = name[1 : name.index("-")]
+                if bid.isdigit() and int(bid) in files_by_version:
+                    files_by_version[int(bid)].append(p.toString())
+
+    metrics = table.batch_metrics()
+    pieces: list[DataFrame] = []
+    for v in base_versions:
+        if not files_by_version[v]:
+            if metrics.get(v, {}).get("rows", 0) > 0:
+                raise ValueError(
+                    f"change_feed: version {v} wrote rows but its prefixed "
+                    f"files are gone — history was collapsed (compact/purge)"
+                )
+            continue  # empty commit: no change rows
+        with _string_partitions(spark):
+            df = table._restore_partition_types(
+                spark.read.format(table.fmt)
+                .option("basePath", table.path)
+                .load(files_by_version[v])
+            )
+        pieces.append(
+            df.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+
+    for v in dv_versions:
+        prior_base = [b for b in table.committed_batches() if b < v]
+        if not prior_base:
+            continue  # deleting from an empty table: nothing existed
+        snapshot = table.read_as_of(max(prior_base))
+        keys_v = (
+            dv.sidecar.read()
+            .where(F.col(DeletionVectors.DV_BATCH_COL) == v)
+            .select(dv.key_col)
+            .distinct()
+        )
+        earlier = (
+            dv.sidecar.read()
+            .where(F.col(DeletionVectors.DV_BATCH_COL) < v)
+            .select(dv.key_col)
+            .distinct()
+        )
+        gone = (
+            snapshot.join(keys_v, dv.key_col)
+            .join(earlier, dv.key_col, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+        pieces.append(gone)
+
+    if not pieces:
+        schema_src = table.read()
+        return (
+            schema_src.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+            .where(F.lit(False))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
