@@ -74,11 +74,12 @@ _R11_FRONT = [
     "q_dhash_incremental",
     "q_decayed_counts",
     "q_coordinated_sample",
-    # (a continued) session-2 additions. Twelve new qids landed this
+    # (a continued) session-2 additions. Sixteen new qids landed this
     # session (ACF, CUSUM, RRF fusion, matryoshka eval, deletion
     # vectors, recursive CTE, neighbor-Jaccard, incremental reservoir,
-    # incremental SemDeDup, Holt smoothing, Pareto frontier, Zipf fit —
-    # all with sf0.001+sf0.01 parity runs); only the EIGHT most
+    # incremental SemDeDup, Holt smoothing, Pareto frontier, Zipf fit,
+    # RBO, KS drift, centroid separation, change data feed — all with
+    # sf0.001+sf0.01 parity runs); only the EIGHT most
     # seam-critical take front slots, because every extra new-qid slot
     # displaces an r5-cohort re-confirm (the round's #1 ask). The others
     # (q_neighbor_jaccard, q_holt_smoothing, q_pareto_frontier,
