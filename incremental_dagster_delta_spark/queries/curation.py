@@ -705,3 +705,79 @@ def q_ks_drift(spark, sf_dir):
             ).cast("double").alias("ks_stat"),
         )
     )
+
+
+# --- chi-square mix drift -----------------------------------------------------------
+#
+# Completes the drift triad: q_kl_drift (binned KL on values), q_ks_drift
+# (distribution-free KS on a numeric column), and now Pearson's χ² on a
+# CATEGORICAL mix — "did today's event-type composition move off the
+# corpus baseline?", the daily guardrail on ingest composition.
+
+
+@query(
+    "q_chi2_drift",
+    tags=("curation", "analytics"),
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), days AS (
+      SELECT day, SUM(cnt) AS day_n FROM c GROUP BY day
+    ), types AS (
+      SELECT event_type, SUM(cnt) AS type_n FROM c GROUP BY event_type
+    ), n AS (SELECT SUM(cnt) AS n_all FROM c),
+    grid AS (
+      SELECT d.day, d.day_n, ty.event_type,
+             COALESCE(c.cnt, 0) AS obs,
+             d.day_n * ty.type_n / (1.0 * n.n_all) AS exp
+      FROM days d CROSS JOIN types ty CROSS JOIN n
+      LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MAX(day_n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           CAST(ROUND(SUM((obs - exp) * (obs - exp) / exp), 4) AS DOUBLE) AS chi2
+    FROM grid GROUP BY day
+    """,
+)
+def q_chi2_drift(spark, sf_dir):
+    """Per-day Pearson χ² of the event-type mix against the whole-corpus
+    composition (expected = day_total · type_share), zero-observation
+    cells included via the days×types grid. Scale shape: ONE
+    map-combinable aggregation collapses the corpus to (day, type)
+    counts; the day and type margins, the grid (|days|·|types| rows —
+    calendar × enum, metadata-sized), and the χ² fold never touch raw
+    events again. Integer counts make the expected-value arithmetic
+    identical on both engines; the per-day χ² sum is over |types|
+    doubles, rounded 4."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.localCheckpoint(eager=True)  # three margins reuse one aggregation
+    days = c.groupBy("day").agg(F.sum("cnt").alias("day_n"))
+    types = c.groupBy("event_type").agg(F.sum("cnt").alias("type_n"))
+    n = c.agg(F.sum("cnt").alias("n_all"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(n))
+        .join(
+            c.select(F.col("day").alias("c_day"), F.col("event_type").alias("c_ty"), "cnt"),
+            (F.col("c_day") == F.col("day")) & (F.col("c_ty") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            "day",
+            "day_n",
+            F.coalesce("cnt", F.lit(0)).alias("obs"),
+            (F.col("day_n") * F.col("type_n") / (1.0 * F.col("n_all"))).alias("exp"),
+        )
+    )
+    return grid.groupBy("day").agg(
+        F.max("day_n").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")), 4
+        ).cast("double").alias("chi2"),
+    ).select(F.col("day").cast("string"), "n_events", "dof", "chi2")

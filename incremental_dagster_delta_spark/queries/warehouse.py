@@ -596,3 +596,106 @@ def q_change_data_feed(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+# --- bitemporal point-in-time reconstruction -----------------------------------------
+#
+# SCD2 tracks VALID time only; a bitemporal dimension also tracks
+# TRANSACTION time (when the warehouse LEARNED each fact), which is what
+# makes late-arriving corrections auditable: "what did we believe on
+# Feb 28 about the segment effective Jan 1 1996?" differs from "what do
+# we believe now?" exactly when a retro-correction landed in between.
+# The change script is deterministic (keys mod N, literal dates), so
+# both engines replay the identical bitemporal history.
+
+_BITEMPORAL_EVENTS = """
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             '1992-01-01' AS valid_from, '2000-01-10' AS tx_time
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'SEG-A-' || CAST(c_custkey AS VARCHAR),
+             '1995-06-01', '2000-02-15'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'SEG-FIXED-' || CAST(c_custkey AS VARCHAR),
+             '1995-06-01', '2000-03-20'
+      FROM customer WHERE c_custkey % 21 = 0
+"""
+
+# (as-known-at, effective-at) query points: before vs after the
+# retro-correction transaction.
+_BITEMPORAL_POINTS = [("pre_fix", "2000-02-28", "1996-01-01"), ("post_fix", "2000-12-31", "1996-01-01")]
+
+
+def _bitemporal_oracle() -> str:
+    point_sql = []
+    for label, t_known, v_eff in _BITEMPORAL_POINTS:
+        point_sql.append(f"""
+    SELECT '{label}' AS point_label, custkey, segment, valid_from FROM (
+      SELECT custkey, segment, valid_from,
+             row_number() OVER (
+               PARTITION BY custkey ORDER BY valid_from DESC, tx_time DESC
+             ) AS rk
+      FROM ev WHERE tx_time <= '{t_known}' AND valid_from <= '{v_eff}'
+    ) WHERE rk = 1""")
+    return f"WITH ev AS ({_BITEMPORAL_EVENTS})" + " UNION ALL ".join(point_sql)
+
+
+@query("q_bitemporal", tags=("warehouse", "cdc"), oracle=_bitemporal_oracle())
+def q_bitemporal(spark, sf_dir):
+    """Bitemporal point-in-time reads at two (as-known-at, effective-at)
+    coordinates straddling a retro-correction: pre_fix sees SEG-A for
+    every %7 key (the correction hasn't arrived), post_fix sees
+    SEG-FIXED supersede it for %21 keys AT THE SAME valid_from — the
+    tx_time tiebreak inside equal valid periods is precisely what plain
+    SCD2 cannot express. Per query point: filter both time axes, then
+    latest-valid-then-latest-learned wins via one per-key window over
+    ≤3 version rows (bounded by versions per key, never by table size);
+    at 100 TB the dimension shuffles once per point on custkey and the
+    fact side is untouched. The same pattern with the window swapped
+    for a MAX_BY struct aggregate is the map-combinable variant."""
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    ev = (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1992-01-01").alias("valid_from"),
+            F.lit("2000-01-10").alias("tx_time"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 7 == 0).select(
+                F.col("c_custkey").alias("custkey"),
+                F.concat(F.lit("SEG-A-"), F.col("c_custkey").cast("string")).alias("segment"),
+                F.lit("1995-06-01").alias("valid_from"),
+                F.lit("2000-02-15").alias("tx_time"),
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 21 == 0).select(
+                F.col("c_custkey").alias("custkey"),
+                F.concat(F.lit("SEG-FIXED-"), F.col("c_custkey").cast("string")).alias("segment"),
+                F.lit("1995-06-01").alias("valid_from"),
+                F.lit("2000-03-20").alias("tx_time"),
+            )
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("valid_from").desc(), F.col("tx_time").desc()
+    )
+    outs = []
+    for label, t_known, v_eff in _BITEMPORAL_POINTS:
+        point = (
+            ev.where((F.col("tx_time") <= t_known) & (F.col("valid_from") <= v_eff))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(
+                F.lit(label).alias("point_label"), "custkey", "segment", "valid_from"
+            )
+        )
+        outs.append(point)
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
