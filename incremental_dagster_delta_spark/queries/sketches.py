@@ -429,7 +429,7 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant, m ≥ 128
 _HLL_ALPHA_MM = _HLL_ALPHA * HLL_M * HLL_M  # one float literal for both engines
 
 
-def hll_registers(keys):
+def hll_registers(keys, by=()):
     """HLL register partial for one batch: (reg, rho) with reg the key's
     md5 register index and rho = 1 + leading zeros of a second 32-bit
     md5 word, max-reduced per register. ≤ HLL_M rows out regardless of
@@ -439,20 +439,25 @@ def hll_registers(keys):
     ``keys`` is a DataFrame with a ``tok`` column; duplicates are fine —
     HLL is a distinct counter, duplicate keys hit the same register with
     the same rho and max() absorbs them (that same idempotence is what
-    makes batch replay harmless)."""
+    makes batch replay harmless). ``by`` adds grouping columns — one
+    independent ≤ HLL_M-row sketch per group (per-day, per-source…),
+    which is what makes the sketches WINDOW-MERGEABLE: a rolling
+    distinct over any day range is a max-fold of that range's
+    day-sketches (q_rolling_distinct)."""
     k = F.col("tok")
     reg = _md5_pos("hr", k, HLL_M)
     w_bin = F.lpad(F.conv(F.substring(F.md5(F.concat(F.lit("hw:"), k)), 1, 8), 16, 2), 32, "0")
     first_one = F.instr(w_bin, "1")
     rho = F.when(first_one == 0, F.lit(33)).otherwise(first_one)
+    by = list(by)
     return (
-        keys.select(reg.alias("reg"), rho.cast("int").alias("rho"))
-        .groupBy("reg")
+        keys.select(*by, reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy(*by, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_estimate(registers):
+def hll_estimate(registers, by=()):
     """Cardinality estimate from a register table that may hold
     per-batch PARTIALS: fold by max, then the Flajolet estimator with
     the linear-counting small-range correction. Float determinism: each
@@ -461,9 +466,11 @@ def hll_estimate(registers):
     spread 2^9..2^-33 < 53 bits), so the harmonic sum is bit-identical
     across engines and orderings; ln() enters only via the
     small-range branch, rounded to 4 decimals like every float surface
-    in the repo. Returns one row: (hll_estimate double)."""
-    folded = registers.groupBy("reg").agg(F.max("rho").alias("rho"))
-    agg = folded.agg(
+    in the repo. Returns one row per ``by`` group (one row total when
+    ``by`` is empty): (*by, hll_estimate double)."""
+    by = list(by)
+    folded = registers.groupBy(*by, "reg").agg(F.max("rho").alias("rho"))
+    agg = folded.groupBy(*by).agg(
         F.count("*").alias("n_present"),
         F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), rho)")).alias("s_present"),
     )
@@ -473,7 +480,7 @@ def hll_estimate(registers):
     est = F.when((raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)).otherwise(
         raw
     )
-    return agg.select(F.round(est, 4).alias("hll_estimate"))
+    return agg.select(*by, F.round(est, 4).alias("hll_estimate"))
 
 
 _HLL_REG_SQL = f"""
@@ -816,5 +823,109 @@ def q_kmv_source_overlap(spark, sf_dir):
                 / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
                 4,
             ).alias("exact_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct counting via window-mergeable day sketches
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users is THE query exact distinct cannot serve
+# at scale: COUNT(DISTINCT) doesn't decompose over windows, so the exact
+# form re-touches seven days of raw events per output day. Mergeable
+# sketches fix the algebra: ONE pass builds a ≤ HLL_M-row register
+# sketch per day, and any window's distinct count is a max-fold of that
+# window's day-sketches — the raw events are read exactly once, ever.
+# The same fold serves 7-day, 30-day, or month-to-date from the same
+# stored day-sketches (this is how streaming window-distinct dashboards
+# actually work). Exact counts ride along at test scale to audit the
+# ~4.6% rsd.
+
+
+@query(
+    "q_rolling_distinct",
+    tags=("sketch", "timeseries", "incremental", "llm"),
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS tok
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM pairs),
+    win AS (
+      SELECT d.day AS wday, p.tok
+      FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+    ), wtok AS (SELECT DISTINCT wday, tok FROM win),
+    regs AS (
+      SELECT wday, {_md5_pos_sql("'hr'", "tok", HLL_M)} AS reg,
+             MAX(CASE WHEN w = 0 THEN 33
+                      ELSE instr(lpad(bin(w), 32, '0'), '1') END) AS rho
+      FROM (
+        SELECT wday, tok,
+               CAST(('0x' || substr(md5('hw:' || tok), 1, 8)) AS BIGINT) AS w
+        FROM wtok
+      )
+      GROUP BY 1, 2
+    ), folded AS (
+      SELECT wday, COUNT(*) AS n_present,
+             SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << rho)) AS s_present
+      FROM regs GROUP BY wday
+    ), est AS (
+      SELECT wday, CASE
+               WHEN CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                      / (s_present + ({HLL_M} - n_present)) <= 2.5 * {HLL_M}
+                    AND ({HLL_M} - n_present) > 0
+               THEN {HLL_M} * LN({HLL_M} * CAST(1.0 AS DOUBLE) / ({HLL_M} - n_present))
+               ELSE CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                      / (s_present + ({HLL_M} - n_present))
+             END AS e
+      FROM folded
+    ), exact AS (
+      SELECT wday, COUNT(DISTINCT tok) AS n_exact FROM wtok GROUP BY wday
+    )
+    SELECT CAST(x.wday AS VARCHAR) AS day,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           ROUND(e.e, 4) AS hll_estimate
+    FROM exact x JOIN est e ON e.wday = x.wday
+    """,
+)
+def q_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day from window-mergeable HLL
+    day-sketches. Scale shape: raw events collapse ONCE to per-day
+    register sketches (≤ |days|·HLL_M rows — calendar-bounded); the
+    7-day fold joins each output day to its window's sketch rows and
+    max-merges (|days|·7·HLL_M rows of integer max — metadata-sized);
+    the estimator runs per day over ≤ HLL_M rows. COUNT(DISTINCT) can't
+    decompose this way — the exact audit column here re-reads the
+    (day, user) pairs per window, which is exactly the cost the sketch
+    path avoids at 100 TB. The register device is the engine-portable
+    md5 construction q_hll_incremental proved, so the DuckDB oracle
+    replays registers, fold, and estimator bit-for-bit (harmonic sums
+    are exact powers of two)."""
+    e = t(spark, sf_dir, "events")
+    pairs = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("tok"),
+    ).distinct()
+    day_regs = hll_registers(pairs, by=("day",))
+    days = pairs.select("day").distinct()
+    win = days.select(F.col("day").alias("wday")).join(
+        day_regs,
+        (F.col("day") >= F.date_sub(F.col("wday"), 6)) & (F.col("day") <= F.col("wday")),
+    )
+    est = hll_estimate(win.select(F.col("wday"), "reg", "rho"), by=("wday",))
+    wtok = (
+        days.select(F.col("day").alias("wday"))
+        .join(
+            pairs,
+            (F.col("day") >= F.date_sub(F.col("wday"), 6)) & (F.col("day") <= F.col("wday")),
+        )
+        .select("wday", "tok")
+    )
+    exact = wtok.groupBy("wday").agg(F.count_distinct("tok").alias("n_exact"))
+    return (
+        exact.join(est, "wday")
+        .select(
+            F.col("wday").cast("string").alias("day"),
+            F.col("n_exact").cast("long"),
+            "hll_estimate",
         )
     )
