@@ -214,3 +214,49 @@ def q_recursive_cte(spark, sf_dir):
         GROUP BY depth
         """
     )
+
+
+# --- SQL pipe syntax ------------------------------------------------------------
+#
+# Spark 4 ships the SQL pipe operators (|>, SPARK-49555): linear
+# dataflow-ordered SQL — each stage reads top-to-bottom like the
+# DataFrame API while staying pure SQL text. Parity surface: the SAME
+# logical plan must come out of the pipe form as the nested-SELECT form
+# the oracle runs.
+
+
+@query(
+    "q_sql_pipe",
+    tags=("sql", "modern"),
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND l_discount > 0.02
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_sql_pipe(spark, sf_dir):
+    """The TPC-H-ish priority rollup written in Spark 4 pipe syntax:
+    scan |> join |> filter |> aggregate |> filter, one stage per line in
+    dataflow order. The parser desugars to the exact relational algebra
+    of the classic nested form (the DuckDB oracle), so Catalyst sees the
+    same plan — pushdown, broadcast choice, and partial aggregation all
+    apply unchanged; syntax is the only thing under test, which is the
+    point: the front-end guarantees no plan tax."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> JOIN orders ON l_orderkey = o_orderkey
+        |> WHERE o_orderstatus = 'F' AND l_discount > 0.02
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           GROUP BY o_orderpriority
+        |> WHERE n_items > 10
+        """
+    )
