@@ -260,3 +260,120 @@ def q_sql_pipe(spark, sf_dir):
         |> WHERE n_items > 10
         """
     )
+
+
+# --- collation-aware comparison ---------------------------------------------------
+#
+# Spark 4 ships collations (SPARK-46830): comparison/grouping semantics
+# attached to the STRING TYPE instead of wrapping every predicate in
+# lower()/upper() — which pushes down better (a lower(col) = 'x' filter
+# defeats column stats; a collated equality doesn't) and can't be
+# forgotten on one join arm. The qid mixes case deterministically, then
+# groups and filters under UTF8_LCASE; the oracle is the classic
+# lower()-everything form — identical results prove the semantics.
+
+
+@query(
+    "q_collation_group",
+    tags=("sql", "modern"),
+    oracle="""
+    SELECT lower(mixed) AS event_type_ci,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS mixed,
+             value
+      FROM events
+    )
+    WHERE lower(mixed) <> 'error'
+    GROUP BY lower(mixed)
+    """,
+)
+def q_collation_group(spark, sf_dir):
+    """Case-insensitive grouping and filtering via the UTF8_LCASE
+    collation on a deterministically case-mixed column (even event ids
+    uppercased). The grouped representative under a collation is
+    whichever spelling the engine keeps — not deterministic — so the
+    output key is lower()'d on BOTH engines; the collation still does
+    the real work (the GROUP BY and the <> filter run collated, no
+    lower() in the grouping key on the Spark side). Scale note: same
+    one-aggregation plan as any groupBy — collations change comparison
+    semantics, not plan shape; the win at scale is filter pushdown
+    surviving (no function wrapped around the column)."""
+    from incremental_dagster_delta_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT lower(mixed COLLATE UTF8_LCASE) AS event_type_ci,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END AS mixed,
+                 value
+          FROM events
+        )
+        WHERE mixed COLLATE UTF8_LCASE <> 'error'
+        GROUP BY mixed COLLATE UTF8_LCASE
+        """
+    )
+
+
+# --- MAP-type battery -------------------------------------------------------------
+#
+# The MAP column type with its higher-order functions (map_from_entries,
+# map_filter, transform_values, map explode) — the schema shape
+# feature-store rows and sparse per-entity counters actually use. The
+# map is built per user from real aggregates, transformed JVM-side, and
+# exploded back to rows for the (order-insensitive) driver compare;
+# DuckDB builds the same map with map_from_entries and unnests it.
+
+
+@query(
+    "q_map_funcs",
+    tags=("sql", "functions"),
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT user_id,
+             map_from_entries(list_sort(list(
+               {'k': event_type, 'v': cnt}
+             ))) AS counts
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id, u.key AS event_type, u.value * 2 AS doubled
+    FROM m, unnest(map_entries(counts)) AS t(u)
+    WHERE u.value >= 3
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Per-user event-type counters carried as a MAP column: built with
+    map_from_entries over sorted (type, count) structs, thresholded with
+    map_filter, scaled with transform_values — all JVM higher-order
+    functions, zero Python — then exploded back to rows. At scale the
+    map column is the point: one row per ENTITY with a bounded-enum map
+    beats one row per (entity, type) for storage locality and
+    single-pass feature reads; the transforms are map-only. Entry order
+    inside a map is engine-internal, so both engines SORT the entry
+    structs before building and the compare happens on exploded rows."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("event_type"), F.col("cnt"))))
+        ).alias("counts")
+    )
+    kept = m.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("counts", lambda k, v: v >= F.lit(3)),
+            lambda k, v: v * 2,
+        ).alias("counts"),
+    )
+    return kept.select(
+        "user_id", F.explode("counts").alias("event_type", "doubled")
+    )
