@@ -157,7 +157,7 @@ def cms_positions(tok):
     return F.array(*[_cms_pos(i, tok) for i in range(CMS_DEPTH)])
 
 
-def cms_cells(tok):
+def cms_cells(tok, by=()):
     """Count-min partial cells for one token batch: (row_i, pos, counter).
 
     Bounded-key aggregation (≤ depth·width rows) whose map-side combine
@@ -166,10 +166,15 @@ def cms_cells(tok):
     (counters are plain sums), which is what makes the sketch
     incrementally maintainable — append each micro-batch's partial cells
     and let :func:`cms_estimates` fold them (pinned with exactly-once
-    replay in tests/test_sketches.py)."""
+    replay in tests/test_sketches.py). ``by`` adds grouping columns —
+    one independent ≤ depth·width sketch per group, making the cells
+    WINDOW-MERGEABLE along that axis (q_rolling_cms sums day-cells
+    per rolling window, the additive twin of q_rolling_distinct's
+    max-fold)."""
+    by = list(by)
     return (
-        tok.select(F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
-        .groupBy("row_i", "pos")
+        tok.select(*by, F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
+        .groupBy(*by, "row_i", "pos")
         .agg(F.count("*").alias("counter"))
     )
 
@@ -927,5 +932,124 @@ def q_rolling_distinct(spark, sf_dir):
             F.col("wday").cast("string").alias("day"),
             F.col("n_exact").cast("long"),
             "hll_estimate",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling heavy-hitter counts via window-mergeable day cells
+# --------------------------------------------------------------------------
+# The additive twin of q_rolling_distinct: per-day CMS cells SUM over
+# any day window (counters are plain sums), so rolling per-key counts
+# come from one pass over raw events plus a calendar-bounded cell fold —
+# trending/abuse dashboards over arbitrary windows without re-touching
+# history. Probe keys here are the entity ids carried in events.props.
+
+ROLL_CMS_KEYS = tuple(str(k) for k in range(8))  # probed entity ids '0'..'7'
+ROLL_CMS_WIN = 6  # window = day-6 .. day (7 days)
+
+
+@query(
+    "q_rolling_cms",
+    tags=("sketch", "timeseries", "incremental", "llm"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT CAST(ts AS DATE) AS day,
+             json_extract_string(props, '$.k') AS tok
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM tok),
+    cells AS (
+      SELECT day, i.i AS row_i, {_md5_pos_sql("i.i", "tok", CMS_WIDTH)} AS pos,
+             count(*) AS counter
+      FROM tok CROSS JOIN range({CMS_DEPTH}) i(i)
+      GROUP BY 1, 2, 3
+    ), keys AS (
+      SELECT CAST(unnest(range(0, {len(ROLL_CMS_KEYS)})) AS VARCHAR) AS tok
+    ), probe AS (
+      SELECT d.day AS wday, k.tok, i.i AS row_i,
+             {_md5_pos_sql("i.i", "k.tok", CMS_WIDTH)} AS pos
+      FROM days d CROSS JOIN keys k CROSS JOIN range({CMS_DEPTH}) i(i)
+    ), folded AS (
+      SELECT p.wday, p.tok,
+             MIN(COALESCE(s.counter, 0)) AS cms_estimate
+      FROM probe p LEFT JOIN (
+        SELECT d.day AS wday, c.row_i, c.pos, SUM(c.counter) AS counter
+        FROM days d JOIN cells c ON c.day BETWEEN d.day - {ROLL_CMS_WIN} AND d.day
+        GROUP BY 1, 2, 3
+      ) s ON s.wday = p.wday AND s.row_i = p.row_i AND s.pos = p.pos
+      GROUP BY p.wday, p.tok
+    ), exact AS (
+      SELECT d.day AS wday, k.tok,
+             (SELECT COUNT(*) FROM tok t
+              WHERE t.tok = k.tok AND t.day BETWEEN d.day - {ROLL_CMS_WIN} AND d.day
+             ) AS n_exact
+      FROM days d CROSS JOIN keys k
+    )
+    SELECT CAST(f.wday AS VARCHAR) AS day, f.tok AS entity,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(f.cms_estimate AS BIGINT) AS cms_estimate
+    FROM folded f JOIN exact x ON x.wday = f.wday AND x.tok = f.tok
+    """,
+)
+def q_rolling_cms(spark, sf_dir):
+    """Rolling 7-day per-entity event counts from window-mergeable CMS
+    day-cells: raw events collapse ONCE to ≤ depth·width cells per day;
+    each output day SUM-folds its window's cells (|days|·7·depth·width
+    integer adds — calendar-bounded); fixed probe keys take the min over
+    their depth cells, absent cells counting 0 (the unseen-key rule).
+    COUNT over a sliding window decomposes, so exact audit columns are
+    cheap HERE — the sketch's value at 100 TB is serving EVERY key from
+    bounded state and absorbing new days incrementally (the additive
+    seam along the time axis; q_rolling_distinct is the idempotent-max
+    twin). md5 cell device → the DuckDB oracle replays cells, fold, and
+    probe exactly."""
+    e = t(spark, sf_dir, "events")
+    tok = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.get_json_object("props", "$.k").alias("tok"),
+    )
+    day_cells = cms_cells(tok, by=("day",))
+    days = tok.select("day").distinct()
+    win_cells = (
+        days.select(F.col("day").alias("wday"))
+        .join(
+            day_cells,
+            (F.col("day") >= F.date_sub(F.col("wday"), ROLL_CMS_WIN))
+            & (F.col("day") <= F.col("wday")),
+        )
+        .groupBy("wday", "row_i", "pos")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    keys = spark.range(len(ROLL_CMS_KEYS)).select(F.col("id").cast("string").alias("tok"))
+    probe = (
+        days.select(F.col("day").alias("wday"))
+        .crossJoin(F.broadcast(keys))
+        .select("wday", "tok", F.posexplode(cms_positions(F.col("tok"))).alias("row_i", "pos"))
+    )
+    folded = (
+        probe.join(win_cells, ["wday", "row_i", "pos"], "left")
+        .groupBy("wday", "tok")
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        days.select(F.col("day").alias("wday"))
+        .crossJoin(F.broadcast(keys))
+        .join(
+            tok.withColumnRenamed("tok", "t_tok"),
+            (F.col("t_tok") == F.col("tok"))
+            & (F.col("day") >= F.date_sub(F.col("wday"), ROLL_CMS_WIN))
+            & (F.col("day") <= F.col("wday")),
+            "left",
+        )
+        .groupBy("wday", "tok")
+        .agg(F.count("t_tok").alias("n_exact"))
+    )
+    return (
+        folded.join(exact, ["wday", "tok"])
+        .select(
+            F.col("wday").cast("string").alias("day"),
+            F.col("tok").alias("entity"),
+            F.col("n_exact").cast("long"),
+            F.col("cms_estimate").cast("long"),
         )
     )
