@@ -377,3 +377,75 @@ def q_map_funcs(spark, sf_dir):
     return kept.select(
         "user_id", F.explode("counts").alias("event_type", "doubled")
     )
+
+
+# --- generator null semantics --------------------------------------------------
+#
+# explode vs explode_outer is the LEFT JOIN vs INNER JOIN of the
+# generator world: whether a parent row with an EMPTY or NULL array
+# survives the flatten. Pipelines silently lose rows when they pick the
+# wrong one (chunking a corpus with explode drops every empty document
+# from ALL downstream accounting); this battery pins both semantics
+# against DuckDB's plain unnest (inner) and LEFT JOIN LATERAL unnest
+# (outer).
+
+
+@query(
+    "q_generator_nulls",
+    tags=("sql", "functions"),
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN []
+                  WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE list_filter(string_split(lower(text), ' '), x -> x <> '')[1:3]
+             END AS arr
+      FROM documents
+    ),
+    inner_side AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(0 AS BIGINT) AS n_null_elements
+      FROM (SELECT doc_id, unnest(arr) AS el FROM base)
+    ),
+    outer_side AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT b.doc_id) AS n_docs,
+             CAST(SUM(CASE WHEN u.el IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elements
+      FROM base b LEFT JOIN LATERAL (SELECT unnest(b.arr) AS el) u ON TRUE
+    )
+    SELECT 'inner' AS mode, * FROM inner_side
+    UNION ALL
+    SELECT 'outer', * FROM outer_side
+    """,
+)
+def q_generator_nulls(spark, sf_dir):
+    """Flatten-semantics battery over a corpus whose arrays are
+    deterministically EMPTY (doc_id%5), NULL (doc_id%7), or a 3-token
+    prefix: explode (inner — empty/null parents vanish) vs explode_outer
+    (outer — parents survive with one NULL element). The counts differ
+    by exactly the empty+null parent population, which is the row-loss a
+    chunking pipeline built on the wrong generator silently eats. Both
+    generators are narrow map-side operators at any scale — the
+    semantics, not the plan, are under test."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    arr = (
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.slice(toks, 1, 3))
+    )
+    base = d.select("doc_id", arr.alias("arr"))
+    inner = base.select("doc_id", F.explode("arr").alias("el")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.lit(0).cast("long").alias("n_null_elements"),
+    )
+    outer = base.select("doc_id", F.explode_outer("arr").alias("el")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("el").isNull(), 1).otherwise(0)).cast("long").alias("n_null_elements"),
+    )
+    return inner.select(F.lit("inner").alias("mode"), "*").unionByName(
+        outer.select(F.lit("outer").alias("mode"), "*")
+    )
