@@ -194,3 +194,50 @@ def test_deletes_maintained_by_real_stream_with_restart(spark, loaded, tmp_path)
     assert dv.read().count() == n0 - len(w1) - len(w2)
     # wave 1 is physically gone, wave 2 still soft
     assert base.read().count() == n0 - len(w1)
+
+
+def test_concurrent_delete_batches_commute(spark, loaded):
+    """Distinct-id delete batches commute exactly like distinct-id
+    appends (each has its own staging dir, file prefix, and marker), and
+    the set-union algebra makes the ORDER immaterial — serving reads the
+    same survivors either way."""
+    import threading
+
+    docs, base, dv = loaded
+    k7 = [int(r["doc_id"]) for r in _k(docs, 7).collect()]
+    k11 = [int(r["doc_id"]) for r in _k(docs, 11, 3).collect()]
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    errs = []
+
+    def mark(keys, bid):
+        try:
+            dv.mark_deleted(literal_df(spark, [(k,) for k in keys], "doc_id long"), bid)
+        except Exception as ex:  # pragma: no cover - failure surface
+            errs.append(ex)
+
+    t1 = threading.Thread(target=mark, args=(k7, 1))
+    t2 = threading.Thread(target=mark, args=(k11, 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert sorted(dv.sidecar.committed_batches()) == [1, 2]
+    expect = base.read().count() - len(set(k7) | set(k11))
+    assert dv.read().count() == expect
+
+
+def test_restore_refused_after_purge(spark, loaded):
+    """purge() rewrites partitions without batch prefixes — exactly like
+    compact(), it collapses restore history: rolling the BASE back past
+    a purge must refuse loudly (the rolled-back batch wrote rows but its
+    prefixed files are gone), not resurrect a half-history."""
+    docs, base, dv = loaded
+    base.append_batch(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000), 5
+    )
+    dv.mark_deleted(_k(docs, 7), 1)
+    dv.purge()  # rewrites every partition: b0-/b5- prefixes gone
+    with pytest.raises(ValueError, match="collapsed"):
+        base.restore(0)
+    # current state still fully served
+    n7 = _k(docs, 7).count()
+    assert dv.read().count() == 2 * docs.count() - n7
