@@ -699,3 +699,141 @@ def q_bitemporal(spark, sf_dir):
     for p in outs[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- referential-integrity audit ----------------------------------------------------
+#
+# The warehouse expectation no per-table profile can express: do the
+# FOREIGN KEYS actually resolve? Orphan facts inflate joins' null rates
+# silently; orphan dimensions are dead weight. One anti-join per edge,
+# each pushable to a broadcast/semi form — the audit costs one pass per
+# relationship at any scale.
+
+
+@query(
+    "q_fk_audit",
+    tags=("warehouse", "quality"),
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           ) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def q_fk_audit(spark, sf_dir):
+    """Orphan counts along four FK edges of the star schema — each edge
+    one LEFT-ANTI join of child keys against the parent key set. Scale
+    shape: the anti-join's parent side is the key column only (column
+    pruning reaches the scan) and broadcasts for dimension parents; the
+    fact-to-fact edge shuffles once on the key. Zero orphans is the
+    healthy reading at every SF — the check's value is that it STAYS
+    zero as ingest batches, restores, and purges churn the tables."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for label, child, ck, parent, pk in edges:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        row = (
+            c.select(F.col(ck).alias("__ck"))
+            .join(p, F.col("__ck") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_child")))
+            .select(F.lit(label).alias("fk_edge"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- Benford first-digit audit --------------------------------------------------------
+#
+# Naturally-occurring monetary amounts follow Benford's law
+# (P(d) = log10(1 + 1/d)); synthetic, capped, or fabricated figures
+# don't. The classic forensic/data-quality screen: compare the observed
+# first-digit distribution of a money column against the Benford
+# expectation with a chi-square distance. All nine expected shares are
+# embedded as identical decimal literals in both engines.
+
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_case(expr: str) -> str:
+    return "CAST(CASE " + " ".join(
+        f"WHEN {expr} = {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    ) + " END AS DOUBLE)"
+
+
+@query(
+    "q_benford",
+    tags=("quality", "analytics"),
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), n AS (SELECT COUNT(*) AS n_all FROM digits),
+    obs AS (SELECT d, COUNT(*) AS cnt FROM digits GROUP BY d)
+    SELECT o.d AS first_digit,
+           CAST(o.cnt AS BIGINT) AS n_obs,
+           CAST(ROUND(o.cnt / (1.0 * n.n_all), 4) AS DOUBLE) AS p_obs,
+           CAST(ROUND({_benford_case("o.d")}, 4) AS DOUBLE) AS p_benford,
+           CAST(ROUND(
+             (o.cnt - CAST(n.n_all AS DOUBLE) * {_benford_case("o.d")})
+             * (o.cnt - CAST(n.n_all AS DOUBLE) * {_benford_case("o.d")})
+             / (n.n_all * {_benford_case("o.d")}), 4) AS DOUBLE) AS chi2_term
+    FROM obs o, n
+    """,
+)
+def q_benford(spark, sf_dir):
+    """First-digit distribution of order totals vs Benford's law, with
+    each digit's chi-square contribution (sum them for the screen
+    statistic; a digit whose term dominates is where the anomaly
+    lives). First digit extracted from the INTEGER part's decimal
+    string — identical on both engines, no float log in the hot path;
+    the nine Benford shares are shared literals. Scale: one map-side
+    projection to a digit column, one 9-group aggregation, one 1-row
+    broadcast of N — the cheapest audit in the suite."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("n_all"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    p_ben = None
+    for dd in range(9, 0, -1):
+        p = _BENFORD_P[dd]
+        p_ben = F.lit(p) if p_ben is None else F.when(F.col("d") == dd, F.lit(p)).otherwise(p_ben)
+    exp = F.col("n_all") * p_ben
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("cnt").cast("long").alias("n_obs"),
+            F.round(F.col("cnt") / (1.0 * F.col("n_all")), 4).cast("double").alias("p_obs"),
+            F.round(p_ben, 4).cast("double").alias("p_benford"),
+            F.round((F.col("cnt") - exp) * (F.col("cnt") - exp) / exp, 4)
+            .cast("double")
+            .alias("chi2_term"),
+        )
+    )
