@@ -837,3 +837,52 @@ def q_benford(spark, sf_dir):
             .alias("chi2_term"),
         )
     )
+
+
+# --- functional-dependency profiling ---------------------------------------------------
+#
+# Key/dependency DISCOVERY (the profiling dual of q_expectations'
+# assertions): for candidate A → B dependencies, how many A-values map
+# to more than one B? Zero violators means the dependency holds and B
+# can live in A's dimension; a high violator share means the modeling
+# assumption is wrong. One two-level aggregation per pair.
+
+_FD_PAIRS = [
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for table, a, b in _FD_PAIRS:
+        parts.append(f"""
+    SELECT '{table}.{a} -> {b}' AS dependency,
+           CAST(COUNT(*) AS BIGINT) AS n_determinants,
+           CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(MAX(n_b) AS BIGINT) AS max_fanout
+    FROM (SELECT {a}, COUNT(DISTINCT {b}) AS n_b FROM {table} GROUP BY {a})""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q_fd_profile", tags=("warehouse", "quality"), oracle=_fd_oracle())
+def q_fd_profile(spark, sf_dir):
+    """Functional-dependency discovery over three candidate A → B pairs:
+    count determinant values, the violators (A-values seeing >1 distinct
+    B), and the worst fan-out. Scale shape per pair: a (A, B) distinct
+    aggregation (map-side combinable) then a |A|-sized rollup — the
+    standard two-level profile plan; nothing joins, nothing sorts. At
+    100 TB you run this over EVERY plausible pair as one pass each,
+    which is exactly how schema-discovery tools budget it."""
+    out = None
+    for table, a, b in _FD_PAIRS:
+        df = t(spark, sf_dir, table)
+        per_a = df.groupBy(a).agg(F.count_distinct(b).alias("n_b"))
+        row = per_a.agg(
+            F.count(F.lit(1)).cast("long").alias("n_determinants"),
+            F.sum(F.when(F.col("n_b") > 1, 1).otherwise(0)).cast("long").alias("n_violating"),
+            F.max("n_b").cast("long").alias("max_fanout"),
+        ).select(F.lit(f"{table}.{a} -> {b}").alias("dependency"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
