@@ -74,19 +74,23 @@ _R11_FRONT = [
     "q_dhash_incremental",
     "q_decayed_counts",
     "q_coordinated_sample",
-    # (a continued) session-2 additions. Nineteen new qids landed this
+    # (a continued) session-2 additions. Twenty-seven new qids landed this
     # session (ACF, CUSUM, RRF fusion, matryoshka eval, deletion
     # vectors, recursive CTE, neighbor-Jaccard, incremental reservoir,
     # incremental SemDeDup, Holt smoothing, Pareto frontier, Zipf fit,
     # RBO, KS drift, centroid separation, change data feed, chi² mix
-    # drift, bitemporal reads, rolling distinct — all with
+    # drift, bitemporal reads, rolling distinct, rolling CMS, SQL pipe
+    # syntax, collation grouping, MAP battery, generator null
+    # semantics, FK audit, Benford, FD profiling — all with
     # sf0.001+sf0.01 parity runs); only the EIGHT most
     # seam-critical take front slots, because every extra new-qid slot
     # displaces an r5-cohort re-confirm (the round's #1 ask). The others
     # (q_neighbor_jaccard, q_holt_smoothing, q_pareto_frontier,
     # q_zipf_fit, q_rbo_eval, q_ks_drift, q_centroid_separation,
     # q_change_data_feed, q_chi2_drift, q_bitemporal,
-    # q_rolling_distinct) plus the three r6 picks and the displaced r5 tail
+    # q_rolling_distinct, q_rolling_cms, q_sql_pipe, q_collation_group,
+    # q_map_funcs, q_generator_nulls, q_fk_audit, q_benford,
+    # q_fd_profile) plus the three r6 picks and the displaced r5 tail
     # (q_compaction_stats, q_group_impute, q_interval_merge,
     # q_event_transitions, q_skew_report) head r12's front. Net: 27 of
     # the 32 r5-cohort qids get their overdue driver rows this round.
