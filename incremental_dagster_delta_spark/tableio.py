@@ -74,6 +74,13 @@ class ConcurrentWriterError(RuntimeError):
     loud-failure half of the concurrent-writer guarantee matrix above."""
 
 
+class CheckConstraintViolation(RuntimeError):
+    """Raised when a write contains rows that fail a table CHECK
+    constraint — the WHOLE commit is rejected before anything stages
+    (Delta CHECK-constraint semantics: all-or-nothing, never a partial
+    publish of the clean subset)."""
+
+
 @contextmanager
 def _string_partitions(spark: SparkSession):
     """Scope-disable hive partition-value type inference around an eager
@@ -168,6 +175,8 @@ class PartitionedTable:
         empty = df.isEmpty()
         if empty and not scope:
             return False  # empty-commit guard (reference delta_io.py:85-86)
+        if not empty:
+            self._validate_constraints(df)
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -291,12 +300,101 @@ class PartitionedTable:
     def _write(self, df: DataFrame, mode: str) -> bool:
         if df.isEmpty():
             return False
+        self._validate_constraints(df)
         writer = df.write.format(self.fmt).mode(mode)
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.save(self.path)
         self._record_partition_schema(df)
         return True
+
+    # -- CHECK constraints ----------------------------------------------------
+    #
+    # Delta-parity write-path validation (Delta: ALTER TABLE ... ADD
+    # CONSTRAINT ... CHECK): named SQL predicates persisted in a
+    # ``_constraints.json`` sidecar and enforced on EVERY write path
+    # (append, append_batch, overwrite_partitions) before anything
+    # stages. SQL three-valued semantics: a row violates only when the
+    # predicate is FALSE — NULL passes, like SQL CHECK. Validation is
+    # ONE aggregate pass computing every constraint's violation count
+    # (map-side combinable; at 100 TB it rides the same scan the write
+    # itself needs).
+
+    def _constraints_path(self, Path):
+        return Path(posixpath.join(self.path, "_constraints.json"))
+
+    def check_constraints(self) -> dict[str, str]:
+        """Active named CHECK predicates (empty dict when none)."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = self._constraints_path(Path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return {}
+        stream = fs.open(p)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+        return json.loads(raw)
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = self._constraints_path(Path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        tmp = Path(str(p) + f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(json.dumps(cons).encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(p, False)
+        fs.rename(tmp, p)
+
+    def add_check_constraint(self, name: str, predicate_sql: str) -> None:
+        """Register a named CHECK predicate. Like Delta's ADD
+        CONSTRAINT, the EXISTING table data is validated first — a
+        constraint the current rows already violate is refused, so a
+        registered constraint always means "every row ever served
+        passed it"."""
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(Path(self.path)):
+            try:
+                existing = self.read()
+            except Exception:
+                existing = None
+            if existing is not None:
+                self._validate_constraints(existing, {name: predicate_sql})
+        cons = self.check_constraints()
+        cons[name] = predicate_sql
+        self._write_constraints(cons)
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.check_constraints()
+        cons.pop(name, None)
+        self._write_constraints(cons)
+
+    def _validate_constraints(self, df: DataFrame, cons: dict[str, str] | None = None) -> None:
+        cons = self.check_constraints() if cons is None else cons
+        if not cons:
+            return
+        names = list(cons)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"({cons[n]}) IS NOT FALSE"), 0).otherwise(1)
+                ).alias(f"v{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        bad = {n: int(counts[f"v{i}"] or 0) for i, n in enumerate(names) if counts[f"v{i}"]}
+        if bad:
+            raise CheckConstraintViolation(
+                f"write to {self.path} rejected: CHECK constraint violations {bad}"
+            )
 
     # -- partition-column type fidelity -------------------------------------
     #
@@ -389,6 +487,9 @@ class PartitionedTable:
         marker = Path(posixpath.join(self.path, "_commits", str(batch_id)))
         if fs.exists(marker):
             return False
+        # validate BEFORE the lease: a rejected batch must not hold (or
+        # even contend for) the writer election
+        self._validate_constraints(df)
         token = self._acquire_lease(fs, Path, batch_id, marker)
         if token is None:  # committed while we waited on a live lease
             return False
