@@ -1071,3 +1071,64 @@ def q_neighbor_jaccard(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(NJ_TOP)
+
+
+# --- degree assortativity --------------------------------------------------------
+#
+# Newman's r (PRL 2002): Pearson correlation of endpoint degrees over
+# the edge list — do hubs attach to hubs (r > 0, social nets) or to
+# leaves (r < 0, infrastructure/bipartite commerce)? One number that
+# says which scale mitigations (hub caps, salting) the graph will need.
+
+
+@query(
+    "q_degree_assortativity",
+    tags=("graph", "analytics"),
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), dc AS (SELECT c, COUNT(*) AS d FROM edges GROUP BY c),
+    ds AS (SELECT s, COUNT(*) AS d FROM edges GROUP BY s),
+    sided AS (
+      SELECT dc.d AS du, ds.d AS dv
+      FROM edges e JOIN dc ON dc.c = e.c JOIN ds ON ds.s = e.s
+    ), sym AS (
+      SELECT du, dv FROM sided UNION ALL SELECT dv AS du, du AS dv FROM sided
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           CAST(ROUND(corr(CAST(du AS DOUBLE), CAST(dv AS DOUBLE)), 4) AS DOUBLE) AS assortativity
+    FROM sym
+    """,
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the customer–supplier graph: endpoint
+    degrees join onto the distinct edge list (both degree tables are
+    node-sized broadcasts), the edge list symmetrizes (Newman's r is
+    over ordered endpoint pairs), and Pearson corr folds map-side —
+    one pass over edges after two bounded aggregations. The number
+    feeds capacity planning for every other graph operator here: a
+    strongly disassortative graph (hubs-to-leaves, typical for
+    commerce) is exactly where the wedge counts of q_neighbor_jaccard
+    and q_triangle_count need the df-cap seam."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("du"))
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dv"))
+    sided = (
+        edges.join(F.broadcast(dc), "c")
+        .join(F.broadcast(ds), "s")
+        .select(F.col("du").cast("double"), F.col("dv").cast("double"))
+    )
+    sym = sided.unionByName(
+        sided.select(F.col("dv").alias("du"), F.col("du").alias("dv"))
+    )
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(F.corr("du", "dv"), 4).cast("double").alias("assortativity"),
+    )
