@@ -886,3 +886,89 @@ def q_fd_profile(spark, sf_dir):
         ).select(F.lit(f"{table}.{a} -> {b}").alias("dependency"), "*")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- incremental view maintenance with retractions --------------------------------------
+#
+# The fifth merge algebra, closing the PLANS.md taxonomy: SIGNED
+# additive partials. The four existing seams only ever ADD state;
+# deletes forced a full recompute ("min/max merge but don't retract").
+# A change feed fixes that for the linear aggregates: every insert
+# event contributes (+1, +x) and every delete event (−1, −x), so a
+# downstream materialized view folds the SIGNED partials per change
+# version and never re-reads the base table — classic incremental view
+# maintenance (Griffin & Libkin, SIGMOD'95) on the CDF this engine
+# already emits.
+
+
+@query(
+    "q_ivm_retractions",
+    tags=("warehouse", "incremental", "cdc"),
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE (doc_id % 3 = 1 OR doc_id % 3 = 2)
+      AND NOT (doc_id % 7 = 0 AND doc_id % 3 = 1)
+      AND NOT (doc_id % 11 = 3 AND doc_id % 3 IN (1, 2)
+               AND NOT (doc_id % 7 = 0 AND doc_id % 3 = 1))
+    GROUP BY source
+    """,
+)
+def q_ivm_retractions(spark, sf_dir):
+    """A per-source (count, Σchars) materialized view maintained purely
+    from change-feed events across a scripted history — inserts at
+    versions 1 and 3, DV deletes at 2 and 4 — with DELETES RETRACTING:
+    each version's partial is the SIGNED aggregate (±1, ±n_chars) of its
+    change rows, the view is the sum of partials, and groups folding to
+    zero count drop out. The oracle states the equivalent final
+    SELECT's predicate algebra over the base table, so the driver
+    hash-match proves fold-of-signed-partials ≡ query-on-final-state —
+    the IVM correctness property. Scale: each version costs one
+    aggregation over ITS OWN change rows (never the accumulated view,
+    never the base); the fold input is versions·|sources| rows. This is
+    the fifth seam in docs/PLANS.md's taxonomy — signed additive — and
+    it is what turns the DV/CDF machinery into maintained downstream
+    marts."""
+    import os
+    import shutil
+    import tempfile
+
+    from incremental_dagster_delta_spark.tableio import (
+        DeletionVectors,
+        PartitionedTable,
+        change_feed,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tdir = tempfile.mkdtemp(prefix="qivm_")
+    try:
+        base = PartitionedTable(spark, os.path.join(tdir, "t"), ["source"])
+        dv = DeletionVectors(base, "doc_id")
+        base.append_batch(docs.where(F.col("doc_id") % 3 == 1), 1)
+        dv.mark_deleted(
+            docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 == 1)).select("doc_id"),
+            2,
+        )
+        base.append_batch(docs.where(F.col("doc_id") % 3 == 2), 3)
+        dv.mark_deleted(docs.where(F.col("doc_id") % 11 == 3).select("doc_id"), 4)
+        feed = change_feed(base, dv, from_batch=0, to_batch=4)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        # one signed partial per (version, source) — each version touches
+        # only its own change rows
+        partials = feed.groupBy("_commit_version", "source").agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * F.col("n_chars")).alias("dchars"),
+        )
+        view = (
+            partials.groupBy("source")
+            .agg(
+                F.sum("dn").cast("long").alias("n_docs"),
+                F.sum("dchars").cast("long").alias("total_chars"),
+            )
+            .where(F.col("n_docs") > 0)
+        )
+        return view.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
