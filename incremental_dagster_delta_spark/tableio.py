@@ -81,6 +81,42 @@ class CheckConstraintViolation(RuntimeError):
     publish of the clean subset)."""
 
 
+def _hidden_rel(root, p) -> bool:
+    """True when ``p`` sits under any ``_``/``.``-prefixed segment
+    relative to ``root`` — Spark's scan semantics. Such paths are
+    SIDECAR state (``_commits``, ``_staging``, the ``_dv`` deletion-
+    vector table, ``_dv_applied``, ``_constraints.json``, partition-
+    schema hints), never base-table data, so every recursive listing
+    that inventories data files by their ``b{id}-`` prefix must skip
+    them: a nested sidecar's batch ids are an INDEPENDENT sequence and
+    must never be checked against (or deleted under) the base table's
+    committed set (ADVICE r11: vacuum/restore/read_as_of/change_feed)."""
+    rel = posixpath.relpath(p.toUri().getPath(), root.toUri().getPath())
+    return any(seg.startswith(("_", ".")) for seg in rel.split("/"))
+
+
+def _salvage_hidden_root_entries(fs, Path, old_root: str, new_root: str) -> None:
+    """Move every ``_``/``.``-prefixed immediate child of ``old_root``
+    into ``new_root`` (when absent there) during a whole-root swap:
+    commit markers, the ``_dv`` sidecar, its ``_dv_applied`` watermark,
+    ``_constraints.json``, partition-schema hints. Salvaging only
+    ``_commits`` (the pre-r12 behavior) silently destroyed the other
+    sidecars on compact()/whole-table overwrite — CHECK constraints
+    dropped and soft-deleted rows resurrected (ADVICE r11). Idempotent:
+    each entry moves at most once, so any crash point replays safely."""
+    old = Path(old_root)
+    if not fs.exists(old):
+        return
+    for st in fs.listStatus(old):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            continue
+        dst = Path(posixpath.join(new_root, name))
+        if not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            fs.rename(st.getPath(), dst)
+
+
 @contextmanager
 def _string_partitions(spark: SparkSession):
     """Scope-disable hive partition-value type inference around an eager
@@ -272,11 +308,15 @@ class PartitionedTable:
                 if fs.exists(stg):
                     fs.mkdirs(final.getParent())
                     fs.rename(stg, final)
-                    if not leaf:  # whole-table swap: salvage commit markers
-                        old_commits = Path(posixpath.join(pre.toString(), "_commits"))
-                        new_commits = Path(posixpath.join(self.path, "_commits"))
-                        if fs.exists(old_commits) and not fs.exists(new_commits):
-                            fs.rename(old_commits, new_commits)
+                if not leaf:
+                    # whole-table swap: salvage ALL hidden root entries
+                    # (_commits, _dv, _dv_applied, _constraints.json, …),
+                    # not just commit markers — e.g. DeletionVectors.purge()
+                    # on an UNPARTITIONED base routes through this swap and
+                    # must not destroy its own sidecar (ADVICE r11). Runs
+                    # whenever the shadow still exists, so a crash between
+                    # the rename and the salvage replays to completion.
+                    _salvage_hidden_root_entries(fs, Path, pre.toString(), self.path)
             elif fs.exists(final):  # drop
                 fs.mkdirs(pre.getParent())
                 fs.rename(final, pre)
@@ -878,19 +918,19 @@ class PartitionedTable:
         old = self.path.rstrip("/") + ".precompact"
         fs.rename(root, Path(old))
         fs.rename(Path(staging), root)
-        # keep the streaming commit markers: without them a checkpoint
-        # replay after compaction would re-publish already-applied batches
-        old_commits = Path(posixpath.join(old, "_commits"))
-        if fs.exists(old_commits):
-            fs.rename(old_commits, Path(posixpath.join(self.path, "_commits")))
+        # keep ALL hidden root entries: _commits (a checkpoint replay
+        # would re-publish applied batches without them), _dv +
+        # _dv_applied (the rewrite reads the RAW base, which still
+        # contains soft-deleted rows — dropping the sidecar would
+        # resurrect them), _constraints.json, partition-schema hints.
+        _salvage_hidden_root_entries(fs, Path, old, self.path)
         fs.delete(Path(old), True)
         self._record_partition_schema(df)
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not (name.startswith("_") or name.startswith(".")):
+            p = it.next().getPath()
+            if not _hidden_rel(root, p):  # data files only, not sidecars
                 n += 1
         return n
 
@@ -919,10 +959,9 @@ class PartitionedTable:
         old = Path(self.path.rstrip("/") + ".precompact")
         if fs.exists(root):
             if fs.exists(old):  # crash point 3: finish the swap
-                old_commits = Path(posixpath.join(old.toString(), "_commits"))
-                new_commits = Path(posixpath.join(self.path, "_commits"))
-                if fs.exists(old_commits) and not fs.exists(new_commits):
-                    fs.rename(old_commits, new_commits)
+                # salvage every hidden root entry not yet moved — the
+                # same set compact() preserves (_commits, _dv, …)
+                _salvage_hidden_root_entries(fs, Path, old.toString(), self.path)
                 fs.delete(old, True)
             if fs.exists(staging):  # crash point 1: stale staging
                 fs.delete(staging, True)
@@ -1081,6 +1120,8 @@ class PartitionedTable:
         while it.hasNext():
             p = it.next().getPath()
             name = p.getName()
+            if _hidden_rel(root, p):  # never load sidecar (_dv) files
+                continue
             if name.startswith("b") and "-" in name:
                 bid = name[1 : name.index("-")]
                 if bid.isdigit() and int(bid) in wanted:
@@ -1140,6 +1181,11 @@ class PartitionedTable:
         while it.hasNext():
             pth = it.next().getPath()
             name = pth.getName()
+            # a _dv sidecar file whose batch id collides with a victim id
+            # must neither be deleted nor mask the collapsed-history
+            # refusal — sidecar ids are an independent sequence
+            if _hidden_rel(root, pth):
+                continue
             if name.startswith("b") and "-" in name:
                 bid = name[1 : name.index("-")]
                 if bid.isdigit() and int(bid) in victims:
@@ -1214,8 +1260,11 @@ class PartitionedTable:
         while it.hasNext():
             p = it.next().getPath()
             name = p.getName()
-            rel = posixpath.relpath(p.toUri().getPath(), root.toUri().getPath())
-            if rel.startswith(("_commits", "_staging")) or name.startswith(("_", ".")):
+            # skip anything under a hidden segment — a nested sidecar's
+            # (e.g. _dv's) committed files carry batch ids from an
+            # INDEPENDENT sequence and must never be judged orphans
+            # against the base table's committed set (ADVICE r11)
+            if _hidden_rel(root, p):
                 continue
             if name.startswith("b") and "-" in name:
                 bid = name[1 : name.index("-")]
@@ -1470,6 +1519,8 @@ def change_feed(
         while it.hasNext():
             p = it.next().getPath()
             name = p.getName()
+            if _hidden_rel(root, p):  # _dv files are delete, not insert, state
+                continue
             if name.startswith("b") and "-" in name:
                 bid = name[1 : name.index("-")]
                 if bid.isdigit() and int(bid) in files_by_version:
@@ -1491,6 +1542,31 @@ def change_feed(
                 .option("basePath", table.path)
                 .load(files_by_version[v])
             )
+        if dv is not None and dv._has_dv_rows():
+            # Refuse re-insertion under a LIVE tombstone: DV read()
+            # anti-joins all unpurged deleted keys regardless of insert
+            # version, so a key re-inserted at v while an earlier DV
+            # version's tombstone is still live stays hidden from
+            # dv.read() — a feed that emitted this insert would replay
+            # to a state dv.read() does not serve. Re-inserting AFTER a
+            # purge is fine (the watermark retires the tombstone).
+            live_earlier = (
+                dv.sidecar.read()
+                .where(F.col(DeletionVectors.DV_BATCH_COL) < v)
+                .where(F.col(DeletionVectors.DV_BATCH_COL) > dv.applied_through())
+                .select(dv.key_col)
+                .distinct()
+            )
+            clash = (
+                df.select(dv.key_col).join(live_earlier, dv.key_col).limit(1).count()
+            )
+            if clash:
+                raise ValueError(
+                    f"change_feed: insert version {v} republishes a key "
+                    "tombstoned by an earlier live DV version — dv.read() "
+                    "hides that row, so the feed cannot represent it; "
+                    "purge() before re-inserting a deleted key"
+                )
         pieces.append(
             df.withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(v).cast("long"))
