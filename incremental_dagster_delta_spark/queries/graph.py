@@ -997,6 +997,118 @@ def q_cc_incremental(spark, sf_dir):
 
 NJ_TOP = 20
 
+# Wedge-generation degree cap (the dedup.py DF_CAP pattern applied to
+# the bipartite graph): customers connected to more than this many
+# suppliers are HUBS — a hub of degree d alone materializes O(d²) wedge
+# rows, the quadratic hazard at 100× scale. Hubs leave the self-join
+# (candidates come from cold customers only) and exactness is restored
+# by a per-supplier hub-set correction, |hub_nbrs(s1) ∩ hub_nbrs(s2)| —
+# the hub-neighbor arrays are bounded by the hub COUNT (≤ |edges|/cap),
+# not by hub degree. Only pairs whose ENTIRE overlap is hubs are missed
+# (a customer connected to most suppliers certifies no similarity —
+# the stop-shingle argument). Measured on testdata: max customer degree
+# is 67 at sf0.01 and 102 at sf0.1, so the cap is behavior-neutral
+# there and the exact oracle still hash-matches; the capped path is
+# driven by tests/test_graph.py with a synthetic hub.
+NJ_DEG_CAP = 256
+
+# Exact hub statistics per immutable corpus (the _hot_shingles
+# lifecycle: corpus-level metadata, computed once, localCheckpointed).
+_NJ_HUB_CACHE: dict[str, tuple[DataFrame, bool]] = {}
+
+
+def _hub_customers(edges: DataFrame, deg_cap: int, cache_key: str | None):
+    """(hub-customer DataFrame, is-non-empty) — customers with supplier
+    degree > deg_cap, exact, memoized per corpus key."""
+    if cache_key is not None and cache_key in _NJ_HUB_CACHE:
+        return _NJ_HUB_CACHE[cache_key]
+    hubs = (
+        edges.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > deg_cap)
+        .select("c")
+        .localCheckpoint(eager=True)
+    )
+    entry = (hubs, hubs.limit(1).count() > 0)
+    if cache_key is not None:
+        _NJ_HUB_CACHE[cache_key] = entry
+    return entry
+
+
+def neighbor_jaccard_pairs(
+    spark,
+    edges: DataFrame,
+    top_n: int = NJ_TOP,
+    deg_cap: int = NJ_DEG_CAP,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Top supplier pairs by customer-set Jaccard over a (c, s) edge
+    list — the df-capped wedge kernel of q_neighbor_jaccard, exposed so
+    tests can drive the hub-correction path with a synthetic hub
+    (testdata has no customer hotter than the cap)."""
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    hubs, has_hubs = _hub_customers(edges, deg_cap, cache_key)
+    cold = edges.join(F.broadcast(hubs), "c", "left_anti") if has_hubs else edges
+    a = cold.select(F.col("c"), F.col("s").alias("s1"))
+    b = cold.select(F.col("c"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_cold"))
+    )
+    if has_hubs:
+        # Exactness correction: each supplier's HUB-neighbor set is
+        # bounded by the number of hubs (tiny by construction), so the
+        # true intersection is n_cold + |hub_a ∩ hub_b| — narrow rows
+        # throughout, the q_ngram_jaccard hot-set pattern.
+        hub_nbrs = (
+            edges.join(F.broadcast(hubs), "c", "left_semi")
+            .groupBy("s")
+            .agg(F.collect_set("c").alias("hub_c"))
+        )
+        empty = F.array().cast("array<long>")
+        inter = (
+            inter.join(
+                hub_nbrs.withColumnsRenamed({"s": "s1", "hub_c": "hub_1"}), "s1", "left"
+            )
+            .join(
+                hub_nbrs.withColumnsRenamed({"s": "s2", "hub_c": "hub_2"}), "s2", "left"
+            )
+            .withColumn(
+                "common_customers",
+                F.col("n_cold")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("hub_1", empty), F.coalesce("hub_2", empty)
+                    )
+                ),
+            )
+        )
+    else:
+        inter = inter.withColumn("common_customers", F.col("n_cold"))
+    d1 = F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")))
+    d2 = F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")))
+    scored = (
+        inter.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common_customers",
+            F.round(
+                F.col("common_customers")
+                / (F.col("d1") + F.col("d2") - F.col("common_customers")).cast(
+                    "double"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(top_n)
+
 
 @query(
     "q_neighbor_jaccard",
@@ -1024,20 +1136,17 @@ NJ_TOP = 20
 )
 def q_neighbor_jaccard(spark, sf_dir):
     """Top supplier pairs by customer-set Jaccard. Wedge-generated
-    candidates: the distinct (customer, supplier) edge list self-joins
-    on customer — only pairs sharing ≥1 customer ever materialize, the
-    same never-all-pairs discipline as every dedup family member. The
-    intersection count is one map-combinable aggregation over wedges;
-    degrees are a |suppliers|-row broadcast; the final cut is
-    TakeOrderedAndProject on the ROUNDED score with (s1, s2) tiebreak.
-
-    Scale: wedge volume is Σ_c deg(c)² — bounded by the hub customers.
-    At 100 TB the mitigation is the dedup.py df-cap: drop or sample
-    customers whose degree exceeds a cap before the self-join (a
-    customer connected to everyone certifies no similarity anyway —
-    same argument as stop-shingles). Not applied at test scale where
-    Σdeg² is small; the cap seam is ngram_jaccard_pairs' documented
-    pattern."""
+    candidates with a hub cap (see :func:`neighbor_jaccard_pairs`): the
+    distinct (customer, supplier) edge list self-joins on COLD customers
+    only — only pairs sharing ≥1 customer ever materialize, and no hub
+    can contribute O(deg²) wedge rows; hub overlap is restored exactly
+    from bounded per-supplier hub-neighbor sets. The intersection count
+    is one map-combinable aggregation over wedges; degrees are a
+    |suppliers|-row broadcast; the final cut is TakeOrderedAndProject
+    on the ROUNDED score with (s1, s2) tiebreak. Hub statistics are
+    corpus-lifecycle metadata (exact, memoized per sf_dir — the
+    _hot_shingles/ANALYZE discipline), so the steady-state un-skewed
+    plan is the plain wedge self-join."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -1045,32 +1154,7 @@ def q_neighbor_jaccard(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = edges.select(F.col("c"), F.col("s").alias("s1"))
-    b = edges.select(F.col("c"), F.col("s").alias("s2"))
-    inter = (
-        a.join(b, "c")
-        .where(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("common_customers"))
-    )
-    d1 = F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")))
-    d2 = F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")))
-    scored = (
-        inter.join(d1, "s1")
-        .join(d2, "s2")
-        .select(
-            "s1",
-            "s2",
-            "common_customers",
-            F.round(
-                F.col("common_customers")
-                / (F.col("d1") + F.col("d2") - F.col("common_customers")).cast("double"),
-                4,
-            ).cast("double").alias("jaccard"),
-        )
-    )
-    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(NJ_TOP)
+    return neighbor_jaccard_pairs(spark, edges, cache_key=sf_dir)
 
 
 # --- degree assortativity --------------------------------------------------------

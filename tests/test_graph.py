@@ -317,3 +317,75 @@ def test_cc_incremental_matches_union_find_on_random_wave_splits(spark):
         assert got == expected, (sorted(got.items()), sorted(expected.items()))
 
     prop()
+
+
+# --- neighbor-Jaccard hub cap -------------------------------------------------
+
+
+def _nj_brute(edges, top_n=20):
+    """Exact all-wedges reference: jaccard over full neighbor sets."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for c, s in edges:
+        nbrs[s].add(c)
+    rows = []
+    ss = sorted(nbrs)
+    for i, s1 in enumerate(ss):
+        for s2 in ss[i + 1 :]:
+            common = len(nbrs[s1] & nbrs[s2])
+            if common:
+                j = round(common / (len(nbrs[s1]) + len(nbrs[s2]) - common), 4)
+                rows.append((s1, s2, common, j))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_n]
+
+
+def test_neighbor_jaccard_hub_correction_is_exact(spark):
+    """With a hub above the cap, every pair that shares ≥1 COLD customer
+    must score exactly as the uncapped all-wedges computation — the hub
+    overlap is restored from the bounded hub-neighbor sets."""
+    from incremental_dagster_delta_spark.queries.graph import neighbor_jaccard_pairs
+
+    edges = [
+        (1, 101), (1, 102),          # cold c1 → s101, s102
+        (2, 101), (2, 102),          # cold c2
+        (3, 102), (3, 103),          # cold c3
+        (4, 103), (4, 104),          # cold c4
+        (9, 101), (9, 102), (9, 103), (9, 104),  # hub c9 (deg 4 > cap 2)
+    ]
+    df = spark.createDataFrame(edges, "c long, s long")
+    got = [
+        (r["s1"], r["s2"], r["common_customers"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(spark, df, deg_cap=2).collect()
+    ]
+    brute = _nj_brute(edges)
+    # the capped result is exactly the brute-force rows whose pair shares
+    # at least one cold customer (hub-only pairs are the documented miss)
+    expected = []
+    from collections import defaultdict
+
+    cold_nbrs = defaultdict(set)
+    for c, s in edges:
+        if c != 9:
+            cold_nbrs[s].add(c)
+    for s1, s2, cc, j in brute:
+        if cold_nbrs[s1] & cold_nbrs[s2]:
+            expected.append((s1, s2, cc, j))
+    assert got == expected
+    # and the hub genuinely contributes to the exact counts
+    assert any(cc > len(cold_nbrs[s1] & cold_nbrs[s2]) for s1, s2, cc, j in got)
+
+
+def test_neighbor_jaccard_uncapped_when_no_hub(spark):
+    """Without hubs the capped kernel IS the plain wedge self-join and
+    matches brute force on every pair."""
+    from incremental_dagster_delta_spark.queries.graph import neighbor_jaccard_pairs
+
+    edges = [(1, 101), (1, 102), (2, 101), (2, 103), (3, 102), (3, 103)]
+    df = spark.createDataFrame(edges, "c long, s long")
+    got = [
+        (r["s1"], r["s2"], r["common_customers"], r["jaccard"])
+        for r in neighbor_jaccard_pairs(spark, df, deg_cap=2).collect()
+    ]
+    assert got == _nj_brute(edges)

@@ -590,3 +590,29 @@ def test_reservoir_partials_are_window_group_limited(spark, sf_dir):
 
     plan = str(q_reservoir_incremental(spark, sf_dir)._jdf.queryExecution())
     assert plan.count("WindowGroupLimit") >= 4, plan[:500]
+
+
+def test_neighbor_jaccard_hub_cap_in_plan(spark):
+    """The wedge self-join must run on the anti-joined (hub-free) edge
+    list when a hub exists — the Σdeg² bound depends on it — and the
+    hub correction must join the bounded hub-neighbor sets, never
+    re-expand hub wedges."""
+    from incremental_dagster_delta_spark.queries.graph import neighbor_jaccard_pairs
+
+    edges = [(9, s) for s in range(100, 110)] + [(1, 100), (1, 101), (2, 101), (2, 102)]
+    df = spark.createDataFrame(edges, "c long, s long")
+    plan = _plan(neighbor_jaccard_pairs(spark, df, deg_cap=4))
+    # hub exclusion: one LeftAnti against the broadcast hub list
+    assert "LeftAnti" in plan
+    # correction path: the hub-neighbor arrays join in (array_intersect
+    # shows up in the projection), so exactness is restored
+    assert "array_intersect" in plan
+
+
+def test_neighbor_jaccard_steady_state_plan_has_no_cap_stages(spark, sf_dir):
+    """Testdata has no customer above the cap, so the registered qid's
+    plan must be the PLAIN wedge self-join — the cap is corpus-lifecycle
+    metadata, free in the steady state (the _hot_shingles discipline)."""
+    plan = _plan(QUERIES["q_neighbor_jaccard"].fn(spark, sf_dir))
+    assert "LeftAnti" not in plan
+    assert "array_intersect" not in plan
