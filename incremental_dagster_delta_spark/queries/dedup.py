@@ -1354,3 +1354,102 @@ def q_dup_span_fraction(spark, sf_dir):
             ).cast("double").alias("dup_fraction"),
         )
     )
+
+
+# --- URL-canonicalization dedup ----------------------------------------------
+#
+# The CCNet/RefinedWeb/C4 first-stage primitive: web corpora arrive keyed
+# by URL, and the same page surfaces under many raw spellings — scheme
+# and case variants, www prefixes, default ports, trailing slashes,
+# fragments, tracking parameters. Canonicalize, then EXACT-dedup on the
+# canonical key: a pure map-side projection plus one hash aggregation,
+# the cheapest dedup family member and the one that runs first at scale.
+#
+# The documents table has no URL column, so a deterministic messy URL is
+# synthesized per document from (source, doc_id) — same discipline as
+# q_dedup_exact's planted duplicates: collisions (doc_id mod 25 paths — lcm with the 20-source cycle gives ~5 raw variants per page at sf0.01)
+# and every variant class above are planted by construction, making the
+# canonicalization decision non-vacuous and the oracle exact.
+
+# Portability contract for the shared SQL below (runs verbatim in BOTH
+# Spark SQL and DuckDB): backslash-free regexes ([?]/[.] char classes —
+# Spark string literals consume backslashes, DuckDB's don't), and every
+# pattern matches AT MOST ONCE per URL (anchored, or single-occurrence
+# by construction — DuckDB's regexp_replace replaces only the first
+# match where Spark replaces all; per-parameter removal keeps the two
+# engines in lockstep).
+_URL_SQL = """concat(
+  CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END,
+  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+  source, '.example.com',
+  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+  '/Articles/', CAST(doc_id % 25 AS STRING),
+  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN concat('?utm_source=feed&utm_campaign=x&id=', CAST(doc_id % 25 AS STRING))
+       WHEN doc_id % 7 = 1 THEN concat('?id=', CAST(doc_id % 25 AS STRING))
+       ELSE '' END,
+  CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"""
+
+# lowercase → strip scheme → strip www. → strip default port → strip
+# fragment → strip tracking params (content params like id= survive) →
+# mend the query string → strip trailing slash.
+_URL_CANON_STEPS = (
+    ("^https?://", ""),
+    ("^www[.]", ""),
+    (":(80|443)/", "/"),
+    ("#.*$", ""),
+    ("utm_source=[^&#]*", ""),
+    ("utm_campaign=[^&#]*", ""),
+    ("[?]&+", "?"),
+    ("[?&]+$", ""),
+    ("/[?]", "?"),
+    ("/+$", ""),
+)
+
+
+def canonical_url_sql(raw: str) -> str:
+    """The canonicalization chain over any URL-typed SQL expression —
+    identical semantics in Spark SQL and DuckDB (see the portability
+    contract above)."""
+    out = f"lower({raw})"
+    for pat, rep in _URL_CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+@query(
+    "q_url_dedup",
+    tags=("dedup", "llm"),
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT {canonical_url_sql('url')} AS canonical_url,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_dups,
+           COUNT(DISTINCT url) AS n_raw_forms
+    FROM u
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (CCNet/RefinedWeb first stage): group
+    documents by canonical URL, keep the smallest doc_id per group,
+    report only colliding groups. Whole pipeline is two codegen
+    projections (synthesize + canonicalize — zero Python UDFs) and one
+    hash aggregation keyed on the canonical string: map-side combine,
+    no self-join, no index. At 100 TB this is a single shuffle whose
+    key cardinality is the number of distinct pages — the scale path
+    needs nothing beyond AQE; n_raw_forms > 1 groups measure how much
+    work canonicalization saved the downstream content-hash pass."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.select("doc_id", F.expr(_URL_SQL).alias("url"))
+    return (
+        u.select("doc_id", "url", F.expr(canonical_url_sql("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
