@@ -47,106 +47,77 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds. Round 11 executes the carried r10 burn-down (r10 stalled
-# with zero rotation): the round's NEW qids, the three rewritten-plan
-# qids (q_ndcg_eval / q_mrr_eval / q_offset_slice), the FULL 32-qid r5
-# cohort (five rounds without a driver row), and as many of the oldest
-# r6 qids as the remaining slots hold. The rest of the r6 cohort is
-# r12's tail.
+# across rounds, and no row should age past ~6 rounds. Round 12 closes
+# the only coverage gap (VERDICT r11 #1): the 22 r11-session-2 qids that
+# have never had a driver row, plus the five r5-cohort qids and three r6
+# re-confirms the oversized r11 front (58 entries) displaced past slot
+# 50. The rest of the 50 burns down the r6 cohort, VERDICT #5's
+# displaced re-confirm list first. After this round every registry qid
+# has a driver row; 20 r6-aged re-confirms remain for r13
+# (q_dedup_fuzzy, q_dedup_simhash, q_doc_similarity_gamma, q_knn_eval, q_lateral_topn,
+# q_mutual_info, q_ngram_novelty, q_partition_delete, q_pca_topk,
+# q_pit_join, q_quantile_bins, q_quarantine_split, q_rfm_features,
+# q_rolling_median, q_schema_evolution, q_seasonality_profile,
+# q_time_travel, q_triangle_count, q_triangle_doulion,
+# q_weighted_sample).
 # --------------------------------------------------------------------------
-_R11_FRONT = [
-    # (a) new this round — first driver rows (new qids outrank
-    # re-confirms for front slots, as established r9; each new qid
-    # displaces the tail r6 re-confirm it replaced — q_stream_join,
-    # q_late_data, q_sessionize_stateful, q_quota_stateful,
-    # q_stream_dedup, q_gram_matrix, q_doc_similarity, q_ann_ivf_pq,
-    # q_pq_codes, q_containment, q_replace_where and q_cosine_topk move
-    # to the r12 tail, keeping their green r6 rows).
-    "q_kmeans_minibatch",
-    "q_dedup_dhash",
-    "q_bm25_incremental",
-    "q_hll_incremental",
-    "q_cc_incremental",
-    "q_shot_boundaries",
-    "q_quantile_incremental",
-    "q_exact_median",
-    "q_kmv_source_overlap",
-    "q_dhash_incremental",
-    "q_decayed_counts",
-    "q_coordinated_sample",
-    # (a continued) session-2 additions. Twenty-seven new qids landed this
-    # session (ACF, CUSUM, RRF fusion, matryoshka eval, deletion
-    # vectors, recursive CTE, neighbor-Jaccard, incremental reservoir,
-    # incremental SemDeDup, Holt smoothing, Pareto frontier, Zipf fit,
-    # RBO, KS drift, centroid separation, change data feed, chi² mix
-    # drift, bitemporal reads, rolling distinct, rolling CMS, SQL pipe
-    # syntax, collation grouping, MAP battery, generator null
-    # semantics, FK audit, Benford, FD profiling — all with
-    # sf0.001+sf0.01 parity runs); only the EIGHT most
-    # seam-critical take front slots, because every extra new-qid slot
-    # displaces an r5-cohort re-confirm (the round's #1 ask). The others
-    # (q_neighbor_jaccard, q_holt_smoothing, q_pareto_frontier,
-    # q_zipf_fit, q_rbo_eval, q_ks_drift, q_centroid_separation,
-    # q_change_data_feed, q_chi2_drift, q_bitemporal,
-    # q_rolling_distinct, q_rolling_cms, q_sql_pipe, q_collation_group,
-    # q_map_funcs, q_generator_nulls, q_fk_audit, q_benford,
-    # q_fd_profile) plus the three r6 picks and the displaced r5 tail
-    # (q_compaction_stats, q_group_impute, q_interval_merge,
-    # q_event_transitions, q_skew_report) head r12's front. Net: 27 of
-    # the 32 r5-cohort qids get their overdue driver rows this round.
-    "q_autocorrelation",
-    "q_cusum_changepoint",
-    "q_rrf_fusion",
-    "q_matryoshka_eval",
-    "q_deletion_vectors",
-    "q_recursive_cte",
-    "q_reservoir_incremental",
-    "q_semdedup_incremental",
-    # (b) changed-path this round: the unpartitioned-window scale-killer
-    # rewrites (VERDICT r10 "What's wrong" #2/#3/#4). q_ndcg_eval and
-    # q_mrr_eval are simultaneously the stalest-r6 priority picks.
-    "q_ndcg_eval",
-    "q_mrr_eval",
-    "q_offset_slice",
-    # (b) the full 32-qid r5 cohort — five rounds without a driver row.
-    "q_pivot_counts",
-    "q_refresh_overwrite",
-    "q_embedding_quantize",
-    "q_winsorize",
-    "q_regression_by_group",
-    "q_kl_drift",
-    "q_cdc_apply",
-    "q_char_entropy",
-    "q_cluster_size_histogram",
-    "q_dup_rate_by_source",
-    "q_column_stats",
-    "q_media_resize",
-    "q_funnel_multistep",
-    "q_bootstrap_ci",
-    "q_bpe_merges",
-    "q_zorder_layout",
-    "q_bucketed_join",
-    "q_embedding_outliers",
-    "q_pagerank",
-    "q_hard_negatives",
-    "q_class_balance",
-    "q_ts_similarity",
-    "q_expectations",
-    "q_mad_outliers",
-    "q_skew_join",
-    "q_ab_test",
-    "q_ts_anomaly",
+_R12_FRONT = [
+    # (a) new this round — first driver rows
+    "q_url_dedup",
+    "q_domain_filter",
+    # (b) the 22 r11-session-2 qids with no driver row in any round
+    "q_benford",
+    "q_bitemporal",
+    "q_centroid_separation",
+    "q_change_data_feed",
+    "q_chi2_drift",
+    "q_collation_group",
+    "q_degree_assortativity",
+    "q_fd_profile",
+    "q_fk_audit",
+    "q_generator_nulls",
+    "q_holt_batched",
+    "q_holt_smoothing",
+    "q_ivm_retractions",
+    "q_ks_drift",
+    "q_map_funcs",
+    "q_neighbor_jaccard",
+    "q_pareto_frontier",
+    "q_rbo_eval",
+    "q_rolling_cms",
+    "q_rolling_distinct",
+    "q_sql_pipe",
+    "q_zipf_fit",
+    # (c) the five r5-cohort qids displaced past slot 50 by the r11 front
     "q_compaction_stats",
     "q_group_impute",
     "q_interval_merge",
     "q_event_transitions",
     "q_skew_report",
-    # (c) the next-oldest r6 qids in registry order, as many as the
-    # new-qid slots above leave room for; the rest of the r6 cohort
-    # (including the displaced re-confirms named above) is r12's tail.
+    # (d) the three r6 picks the r11 front also displaced
     "q_ngram_jaccard",
     "q_ngram_jaccard_prefix",
     "q_dedup_minhash",
+    # (e) VERDICT #5's r6-tail re-confirms (rows from r06, oldest live)
+    "q_stream_join",
+    "q_late_data",
+    "q_sessionize_stateful",
+    "q_quota_stateful",
+    "q_stream_dedup",
+    "q_gram_matrix",
+    "q_doc_similarity",
+    "q_ann_ivf_pq",
+    "q_pq_codes",
+    "q_containment",
+    "q_replace_where",
+    "q_cosine_topk",
+    # (f) next-oldest r6 qids, filling the front to exactly 50
+    "q_approx_sketches",
+    "q_auc_eval",
+    "q_binary_source",
+    "q_calibration_bins",
+    "q_cosine_ann_ivf",
+    "q_cosine_ann_rplsh",
 ]
 
 
@@ -223,6 +194,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R11_FRONT)
+_rotate(_R12_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

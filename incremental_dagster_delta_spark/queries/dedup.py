@@ -1453,3 +1453,68 @@ def q_url_dedup(spark, sf_dir):
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+# Blocklist rules for q_domain_filter: exact hosts plus suffix rules
+# (the registrable-domain form real lists use — one 'example.org' entry
+# blocks every subdomain). Deterministic; planted so both kinds fire on
+# the synthesized hosts (suffix '7.example.com' catches src7 AND src17).
+_DOMAIN_BLOCKLIST_SQL = """(VALUES
+  ('src3.example.com', 'host'),
+  ('news.internal.example', 'host'),
+  ('7.example.com', 'suffix')) AS bl(pattern, kind)"""
+
+_DOMAIN_MATCH_SQL = (
+    "(kind = 'host' AND host = pattern) "
+    "OR (kind = 'suffix' AND host LIKE concat('%', pattern))"
+)
+
+
+@query(
+    "q_domain_filter",
+    tags=("curation", "llm"),
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id,
+                 regexp_extract({canonical_url_sql('url')}, '^([^/]+)', 1) AS host
+          FROM u),
+    sel AS (
+      SELECT h.doc_id, h.host,
+             MAX(CASE WHEN bl.pattern IS NOT NULL THEN 1 ELSE 0 END) AS blk
+      FROM h LEFT JOIN {_DOMAIN_BLOCKLIST_SQL}
+        ON {_DOMAIN_MATCH_SQL}
+      GROUP BY h.doc_id, h.host
+    )
+    SELECT host, CAST(blk AS BOOLEAN) AS blocked, COUNT(*) AS n_docs
+    FROM sel GROUP BY host, blk
+    """,
+)
+def q_domain_filter(spark, sf_dir):
+    """Domain-blocklist filtering (the C4/RefinedWeb/CCNet crawl-curation
+    stage that runs right after URL canonicalization): extract the host
+    from each document's canonical URL and match it against a blocklist
+    of exact hosts and registrable-domain SUFFIX rules, reporting
+    per-host keep/block document counts.
+
+    Scale shape: the corpus side is a map-only projection
+    (canonicalize + regexp_extract); the blocklist — thousands of rows
+    in practice, never corpus-sized — BROADCASTS, and the suffix rules
+    make the match a BroadcastNestedLoopJoin, which is exactly right:
+    the loop is |docs| × |rules| with the rules in memory, no shuffle
+    of the corpus at any scale. The per-doc MAX() collapse makes a doc
+    matched by several rules count once."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    hosts = d.select(
+        "doc_id",
+        F.regexp_extract(
+            F.expr(canonical_url_sql(_URL_SQL)), "^([^/]+)", 1
+        ).alias("host"),
+    )
+    bl = F.broadcast(spark.sql(f"SELECT * FROM {_DOMAIN_BLOCKLIST_SQL}"))
+    return (
+        hosts.join(bl, F.expr(_DOMAIN_MATCH_SQL), "left")
+        .groupBy("doc_id", "host")
+        .agg(F.max(F.when(F.col("pattern").isNotNull(), 1).otherwise(0)).alias("blk"))
+        .groupBy("host", F.col("blk").cast("boolean").alias("blocked"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

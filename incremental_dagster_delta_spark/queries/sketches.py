@@ -531,7 +531,7 @@ _HLL_ORACLE = f"""
     """
 
 
-@query("q_hll_incremental", tags=("sketch", "llm", "incremental"), oracle=_HLL_ORACLE)
+@query("q_hll_incremental", bench=True, tags=("sketch", "llm", "incremental"), oracle=_HLL_ORACLE)
 def q_hll_incremental(spark, sf_dir):
     """Distinct-vocabulary count under incrementally-maintained HLL
     registers: the corpus arrives as HLL_BATCHES deterministic ingest

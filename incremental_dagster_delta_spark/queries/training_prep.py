@@ -30,7 +30,6 @@ PACK_BUDGET = 256  # tokens per training sequence bin
 
 @query(
     "q_hash_split",
-    bench=True,
     tags=("llm", "sampling"),
     oracle="""
     SELECT split, lang,

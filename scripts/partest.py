@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Parallel test runner: split tests/test_*.py into N duration-balanced
+buckets and run N pytest processes concurrently, one Spark JVM each.
+
+Why not pytest-xdist: the environment ships no xdist (and installs are
+off-limits), but the suite's bottleneck is wall-clock serialization of
+~790 Spark-bound tests behind ONE JVM — the box comfortably runs
+several 8-core Spark sessions side by side (each worker runs in its own
+scratch cwd, so spark-warehouse/ and any cwd-relative state never
+collide; all Spark ports are randomized by default).
+
+Balancing: greedy assignment by recorded per-file durations when
+``.partest_durations.json`` exists (written by this script after every
+full run), else by file size as a first-run proxy.
+
+Usage: python scripts/partest.py [N_WORKERS] [extra pytest args...]
+Exit code: 0 iff every worker passed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTS = os.path.join(REPO, "tests")
+DURATIONS = os.path.join(REPO, ".partest_durations.json")
+
+
+def buckets(n: int) -> list[list[str]]:
+    files = sorted(
+        f for f in os.listdir(TESTS) if f.startswith("test_") and f.endswith(".py")
+    )
+    try:
+        weights = json.load(open(DURATIONS))
+    except Exception:
+        weights = {}
+    cost = {f: weights.get(f, os.path.getsize(os.path.join(TESTS, f)) / 1e4) for f in files}
+    out: list[list[str]] = [[] for _ in range(n)]
+    load = [0.0] * n
+    for f in sorted(files, key=lambda f: -cost[f]):
+        i = load.index(min(load))
+        out[i].append(f)
+        load[i] += cost[f]
+    return [b for b in out if b]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
+    extra = sys.argv[2:] if len(sys.argv) > 1 and sys.argv[1].isdigit() else sys.argv[1:]
+    groups = buckets(n)
+    procs = []
+    t0 = time.time()
+    for i, group in enumerate(groups):
+        cwd = tempfile.mkdtemp(prefix=f"partest{i}_")
+        log = open(os.path.join(cwd, "pytest.log"), "w")
+        cmd = [
+            sys.executable, "-m", "pytest", "-q",
+            *(os.path.join(TESTS, f) for f in group),
+            "--durations=0", "-p", "no:cacheprovider", *extra,
+        ]
+        procs.append((
+            subprocess.Popen(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT),
+            cwd, group, log,
+        ))
+    rc = 0
+    per_file: dict[str, float] = {}
+    for p, cwd, group, log in procs:
+        p.wait()
+        log.close()
+        text = open(os.path.join(cwd, "pytest.log")).read()
+        tail = [ln for ln in text.splitlines() if ln.strip()][-1:]
+        print(f"[worker {cwd}] rc={p.returncode} files={len(group)} :: {tail[0] if tail else ''}")
+        if p.returncode != 0:
+            rc = p.returncode
+            fails = [ln for ln in text.splitlines() if ln.startswith("FAILED") or ln.startswith("ERROR")]
+            print("\n".join(fails[:40]))
+        # fold --durations output into per-file weights for the next run
+        for ln in text.splitlines():
+            parts = ln.split()
+            if len(parts) >= 3 and parts[0].endswith("s") and "::" in parts[-1]:
+                try:
+                    sec = float(parts[0][:-1])
+                except ValueError:
+                    continue
+                fname = os.path.basename(parts[-1].split("::")[0])
+                per_file[fname] = per_file.get(fname, 0.0) + sec
+    if rc == 0 and per_file:
+        json.dump(per_file, open(DURATIONS, "w"), indent=0, sort_keys=True)
+    print(f"partest: {len(groups)} workers, wall {time.time() - t0:.0f}s, rc={rc}")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
