@@ -31,6 +31,13 @@ TESTS = os.path.join(REPO, "tests")
 DURATIONS = os.path.join(REPO, ".partest_durations.json")
 
 
+# Files that accept PARTEST_SHARD=i/n (round-robin parametrize slice).
+# test_oracle.py alone is ~12 min — longer than any balanced bucket —
+# so every worker runs its 1/n slice of it instead of one worker
+# swallowing the whole file.
+SHARDABLE = {"test_oracle.py"}
+
+
 def buckets(n: int) -> list[list[str]]:
     files = sorted(
         f for f in os.listdir(TESTS) if f.startswith("test_") and f.endswith(".py")
@@ -41,12 +48,14 @@ def buckets(n: int) -> list[list[str]]:
         weights = {}
     cost = {f: weights.get(f, os.path.getsize(os.path.join(TESTS, f)) / 1e4) for f in files}
     out: list[list[str]] = [[] for _ in range(n)]
-    load = [0.0] * n
-    for f in sorted(files, key=lambda f: -cost[f]):
+    # every worker carries its shard of each shardable file; seed the
+    # load accordingly so the remaining files balance around it
+    load = [sum(cost[f] for f in SHARDABLE if f in files) / n] * n
+    for f in sorted((f for f in files if f not in SHARDABLE), key=lambda f: -cost[f]):
         i = load.index(min(load))
         out[i].append(f)
         load[i] += cost[f]
-    return [b for b in out if b]
+    return [sorted(SHARDABLE & set(files)) + b for b in out]
 
 
 def main() -> int:
@@ -63,8 +72,14 @@ def main() -> int:
             *(os.path.join(TESTS, f) for f in group),
             "--durations=0", "-p", "no:cacheprovider", *extra,
         ]
+        # Spark's Python WORKER subprocesses import the package by name
+        # (custom DataSource classes, mapInPandas closures); with the
+        # scratch cwd they no longer find it implicitly, so export it.
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["PARTEST_SHARD"] = f"{i}/{len(groups)}"
         procs.append((
-            subprocess.Popen(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT),
+            subprocess.Popen(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT, env=env),
             cwd, group, log,
         ))
     rc = 0

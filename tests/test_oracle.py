@@ -5,6 +5,8 @@ return a stable schema)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from incremental_dagster_delta_spark.oracle import compare_query, duckdb_con
@@ -18,7 +20,20 @@ def con():
     return duckdb_con(SF_DIR)
 
 
-@pytest.mark.parametrize("name", list(QUERIES))
+def _shard(names: list[str]) -> list[str]:
+    """Optional round-robin shard for parallel runners: PARTEST_SHARD=i/n
+    keeps every n-th qid starting at i. This file alone is ~12 min of the
+    suite — one worker per file cannot go below it, so scripts/partest.py
+    spreads it across all workers via this hook. Unset (the normal
+    single-process run and the per-qid -k selections) keeps everything."""
+    spec = os.environ.get("PARTEST_SHARD")
+    if not spec:
+        return names
+    i, n = (int(x) for x in spec.split("/"))
+    return names[i::n]
+
+
+@pytest.mark.parametrize("name", _shard(list(QUERIES)))
 def test_query_matches_oracle(spark, con, name):
     spec = QUERIES[name]
     r = compare_query(spark, con, name, spec, SF_DIR)

@@ -616,3 +616,12 @@ def test_neighbor_jaccard_steady_state_plan_has_no_cap_stages(spark, sf_dir):
     plan = _plan(QUERIES["q_neighbor_jaccard"].fn(spark, sf_dir))
     assert "LeftAnti" not in plan
     assert "array_intersect" not in plan
+
+
+def test_domain_filter_blocklist_broadcasts(spark, sf_dir):
+    """The suffix rules force a nested-loop match, which is only
+    acceptable because the RULES side broadcasts — the corpus side must
+    never shuffle for the match."""
+    plan = _plan(QUERIES["q_domain_filter"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
