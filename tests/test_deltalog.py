@@ -1,0 +1,185 @@
+"""Delta transaction-log export: spec-structure pins and replay
+round-trips (PROTOCOL.md of delta-io/delta). No Delta reader ships in
+this environment (docs/SCALE.md probes), so correctness is pinned the
+way a reader would consume the bytes: replay add/remove by path and
+load exactly that file set."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+
+from incremental_dagster_delta_spark.deltalog import (
+    DeltaLogExporter,
+    read_delta_log,
+    replay_file_set,
+)
+from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+SCHEMA = "k long, payload string, day string"
+
+
+def _mk(spark, path):
+    t = PartitionedTable(spark, str(path), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-01")],
+            SCHEMA,
+        ),
+        0,
+    )
+    return t
+
+
+def _log_lines(path, version):
+    with open(os.path.join(str(path), "_delta_log", f"{version:020d}.json")) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def test_version0_structure_matches_protocol_spec(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    assert DeltaLogExporter(t).export() == 0
+
+    lines = _log_lines(tmp_path / "t", 0)
+    kinds = [next(iter(ln)) for ln in lines]
+    assert kinds[0] == "commitInfo"
+    assert kinds[1] == "protocol" and kinds[2] == "metaData"
+    assert set(kinds[3:]) == {"add"}
+
+    proto = lines[1]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    meta = lines[2]["metaData"]
+    assert set(meta) == {
+        "id", "format", "schemaString", "partitionColumns", "configuration", "createdTime",
+    }
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == ["day"]
+    schema = json.loads(meta["schemaString"])  # Spark struct JSON per spec
+    assert schema["type"] == "struct"
+    assert {f["name"] for f in schema["fields"]} == {"k", "payload", "day"}
+
+    for ln in lines[3:]:
+        add = ln["add"]
+        assert set(add) >= {"path", "partitionValues", "size", "modificationTime", "dataChange"}
+        assert add["dataChange"] is True
+        assert add["partitionValues"] == {"day": add["path"].split("/")[0].split("=", 1)[1]}
+        assert isinstance(add["partitionValues"]["day"], str)  # string map per spec
+        assert json.loads(add["stats"])["numRecords"] >= 1
+
+
+def test_export_is_idempotent_and_replay_matches_live(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    assert ex.export() == -1  # no change → no version
+
+    replay = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    import glob
+
+    live = {
+        os.path.relpath(p, str(tmp_path / "t"))
+        for p in glob.glob(str(tmp_path / "t" / "day=*" / "b*"))
+    }
+    assert set(replay) == live
+
+    total = sum(json.loads(a["stats"])["numRecords"] for a in replay.values())
+    assert total == t.read().count() == 3
+
+
+def test_append_then_export_appends_one_add_version(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    ex.export()
+    t.append_batch(spark.createDataFrame([(4, "d", "2024-01-03")], SCHEMA), 1)
+    assert ex.export() == 1
+
+    lines = _log_lines(tmp_path / "t", 1)
+    kinds = [next(iter(ln)) for ln in lines]
+    assert kinds.count("protocol") == 0 and kinds.count("metaData") == 0
+    adds = [ln["add"] for ln in lines if "add" in ln]
+    assert len(adds) == 1 and adds[0]["path"].startswith("day=2024-01-03/b1-")
+    assert not any("remove" in ln for ln in lines)
+
+
+def test_partition_delete_then_export_emits_removes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    ex.export()
+    t.delete_partitions(day="2024-01-02")
+    assert ex.export(operation="DELETE") == 1
+    lines = _log_lines(tmp_path / "t", 1)
+    removes = [ln["remove"] for ln in lines if "remove" in ln]
+    assert len(removes) == 1 and removes[0]["path"].startswith("day=2024-01-02/")
+    assert removes[0]["dataChange"] is True and "deletionTimestamp" in removes[0]
+    assert set(replay_file_set(str(tmp_path / "t" / "_delta_log"))) == {
+        os.path.relpath(p, str(tmp_path / "t"))
+        for p in __import__("glob").glob(str(tmp_path / "t" / "day=*" / "b*"))
+    }
+
+
+def test_compaction_rewrite_exports_removes_plus_adds(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append_batch(spark.createDataFrame([(4, "d", "2024-01-01")], SCHEMA), 1)
+    ex = DeltaLogExporter(t)
+    ex.export()
+    before = set(replay_file_set(str(tmp_path / "t" / "_delta_log")))
+    t.compact()
+    v = ex.export(operation="OPTIMIZE")
+    assert v == 1
+    lines = _log_lines(tmp_path / "t", 1)
+    assert any("remove" in ln for ln in lines) and any("add" in ln for ln in lines)
+    # the rewritten files fully replace the prefixed originals, and the
+    # snapshot a reader replays still serves every row
+    replay = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    assert set(replay).isdisjoint(before)
+    via_log = read_delta_log(t)
+    assert sorted(r["k"] for r in via_log.collect()) == [1, 2, 3, 4]
+
+
+def test_read_through_log_matches_table_read(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append_batch(spark.createDataFrame([(4, "d", "2024-01-03")], SCHEMA), 1)
+    DeltaLogExporter(t).export()
+    via_log = read_delta_log(t)
+    assert sorted(r["k"] for r in via_log.collect()) == [1, 2, 3, 4]
+    assert set(via_log.columns) == set(t.read().columns)
+
+
+def test_log_survives_table_maintenance(spark, tmp_path):
+    """_delta_log is a hidden root entry: vacuum must not touch it and
+    the overwrite/compact salvage must carry it across swaps."""
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    ex.export()
+    assert t.vacuum() == 0
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, "z", "2024-01-01")], SCHEMA), day="2024-01-01"
+    )
+    assert os.path.isdir(str(tmp_path / "t" / "_delta_log"))
+    v = ex.export(operation="WRITE")
+    assert v == 1
+    # the rewritten partition's unprefixed files are live table state:
+    # the exported snapshot must keep serving BOTH partitions
+    replay = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    assert {p.split("/")[0] for p in replay} == {"day=2024-01-01", "day=2024-01-02"}
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [2, 9]
+
+
+def test_uncommitted_partial_publish_never_exported(spark, tmp_path):
+    """A b{id}- file whose batch has no commit marker (crashed writer)
+    is not table state: vacuum reclaims it and the export must not
+    describe it to a foreign reader."""
+    import glob
+
+    t = _mk(spark, tmp_path / "t")
+    src = glob.glob(str(tmp_path / "t" / "day=*" / "b0-*.parquet"))[0]
+    orphan = os.path.join(os.path.dirname(src), "b9-" + os.path.basename(src).split("-", 1)[1])
+    open(orphan, "wb").write(open(src, "rb").read())
+    assert DeltaLogExporter(t).export() == 0
+    replay = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    assert not any("b9-" in p for p in replay)
+    total = sum(json.loads(a["stats"])["numRecords"] for a in replay.values())
+    assert total == 3  # committed rows only
