@@ -94,6 +94,7 @@ class IngestPipeline:
         tables_root: str,
         derive_backwards: bool = True,
         expectations: dict[str, str] | None = None,
+        export_delta_log: bool = False,
     ) -> None:
         """``derive_backwards=False`` skips the in-batch backwards hop so
         the cascade topology (``run_backwards_cascade``) can own it.
@@ -103,12 +104,22 @@ class IngestPipeline:
         failing rows divert to a ``quarantine`` table (tagged with the
         violated rule names) instead of ``processed`` — the Dagster
         asset-check gate, evaluated in the same micro-batch pass with no
-        extra scan."""
+        extra scan.
+
+        ``export_delta_log=True`` appends one ``_delta_log`` version per
+        output table after every micro-batch that changed it (see
+        :mod:`incremental_dagster_delta_spark.deltalog`), so foreign
+        Delta readers track the pipeline's outputs commit by commit —
+        the interop the reference gets from writing real Delta. The
+        export is a driver-side metadata diff (O(files)); a crash-replay
+        of an already-applied batch diffs to nothing and writes no
+        version, preserving exactly-once in the log too."""
         self.spark = spark
         self.ingest_root = ingest_root
         self.tables_root = tables_root
         self.derive_backwards = derive_backwards
         self.expectations = expectations
+        self.export_delta_log = export_delta_log
         self.quarantine = PartitionedTable(
             spark, os.path.join(tables_root, "quarantine", "v1"), ["day"]
         )
@@ -121,6 +132,21 @@ class IngestPipeline:
         self.backwards = PartitionedTable(
             spark, os.path.join(tables_root, "backwards", "v1"), BACKWARDS_PARTITIONS
         )
+        self._exporters: dict[str, object] = {}
+
+    def _export_logs(self) -> None:
+        """One incremental `_delta_log` version per changed output table."""
+        if not self.export_delta_log:
+            return
+        from incremental_dagster_delta_spark.deltalog import DeltaLogExporter
+
+        for table in (self.processed, self.backwards, self.listing, self.quarantine):
+            if not table.exists():
+                continue
+            ex = self._exporters.get(table.path)
+            if ex is None:
+                ex = self._exporters[table.path] = DeltaLogExporter(table)
+            ex.export(operation="STREAMING UPDATE")
 
     # -- incremental (streaming) -------------------------------------------
 
@@ -155,6 +181,7 @@ class IngestPipeline:
             if self.derive_backwards:
                 self.backwards.append_batch(to_backwards(proc), batch_id)
             self.listing.append_batch(batch_df.select("filename", "day").repartition("day"), batch_id)
+            self._export_logs()
         finally:
             batch_df.unpersist()
 
@@ -238,3 +265,4 @@ class IngestPipeline:
         self.listing.overwrite_partitions(
             files.select("filename", "day").repartition("day"), day=day
         )
+        self._export_logs()

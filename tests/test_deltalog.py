@@ -183,3 +183,35 @@ def test_uncommitted_partial_publish_never_exported(spark, tmp_path):
     assert not any("b9-" in p for p in replay)
     total = sum(json.loads(a["stats"])["numRecords"] for a in replay.values())
     assert total == 3  # committed rows only
+
+
+def test_pipeline_exports_log_per_microbatch(spark, tmp_path):
+    """export_delta_log=True keeps a foreign-readable snapshot current
+    across waves, and a no-new-files run appends no version."""
+    from incremental_dagster_delta_spark.deltalog import _existing_versions
+    from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
+    from incremental_dagster_delta_spark.streaming.pipeline import IngestPipeline
+
+    ingest, tables = str(tmp_path / "ingest"), str(tmp_path / "tables")
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=6, wave=0)
+    pipe = IngestPipeline(spark, ingest, tables, export_delta_log=True)
+    pipe.run_incremental()
+
+    log_dir = os.path.join(tables, "processed", "v1", "_delta_log")
+    v0 = _existing_versions(log_dir)
+    assert v0 == [0]
+    assert sorted(
+        r["word"] for r in read_delta_log(pipe.processed).collect()
+    ) == sorted(r["word"] for r in pipe.processed.read().collect())
+
+    # second wave → one more version; replayed snapshot keeps pace
+    generate_ingest_fixture(ingest, days=["2024-03-27"], files_per_day_per_wave=4, wave=1)
+    pipe.run_incremental()
+    assert _existing_versions(log_dir) == [0, 1]
+    assert read_delta_log(pipe.processed).count() == pipe.processed.read().count() == 10
+
+    # no new files → no new version anywhere
+    pipe.run_incremental()
+    assert _existing_versions(log_dir) == [0, 1]
+    back_log = os.path.join(tables, "backwards", "v1", "_delta_log")
+    assert len(_existing_versions(back_log)) == 2
