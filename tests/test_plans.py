@@ -625,3 +625,12 @@ def test_domain_filter_blocklist_broadcasts(spark, sf_dir):
     plan = _plan(QUERIES["q_domain_filter"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_prunes_to_two_columns(spark, sf_dir):
+    """The synthesized-URL projection must not drag the documents text
+    column through the scan — ReadSchema stays (doc_id, source)."""
+    plan = _plan(QUERIES["q_url_dedup"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
