@@ -1377,7 +1377,12 @@ def q_dup_span_fraction(spark, sf_dir):
 # pattern matches AT MOST ONCE per URL (anchored, or single-occurrence
 # by construction — DuckDB's regexp_replace replaces only the first
 # match where Spark replaces all; per-parameter removal keeps the two
-# engines in lockstep).
+# engines in lockstep). Boundary, found by the hypothesis sweep in
+# tests/test_url_canon_props.py and pinned there: a REPEATED tracking
+# key (utm_source=a&utm_source=b) breaks the at-most-once premise and
+# the engines diverge — each tracking key at most once per URL is the
+# supported domain (true of real tracking params and of the planted
+# construction).
 _URL_SQL = """concat(
   CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END,
   CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
