@@ -119,16 +119,53 @@ def _live_files(table: PartitionedTable) -> dict[str, dict]:
     return out
 
 
-def _num_records(table_path: str, rel: str) -> int | None:
-    """numRecords from the parquet footer — local filesystems only
-    (metadata read, no row scan); None when unreachable."""
+def _file_stats(table_path: str, rel: str) -> dict | None:
+    """Delta per-file stats from the parquet footer (metadata only, no
+    row scan): numRecords plus minValues/maxValues/nullCount per leaf
+    column — the fields Delta's data skipping reads. Row-group stats
+    fold with min-of-mins / max-of-maxes / sum-of-null-counts. Columns
+    without usable stats (e.g. a row group withholding min/max) are
+    omitted from the maps, which per spec means "no skipping on this
+    column", never wrong skipping. Local filesystems only; None when
+    the footer is unreachable."""
     local = os.path.join(table_path.removeprefix("file:"), rel)
     if not os.path.exists(local):
         return None
     try:
         import pyarrow.parquet as pq
 
-        return int(pq.ParquetFile(local).metadata.num_rows)
+        meta = pq.ParquetFile(local).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nulls: dict[str, int] = {}
+        dropped: set[str] = set()
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaf — out of scope
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max or name in dropped:
+                    dropped.add(name)
+                    mins.pop(name, None), maxs.pop(name, None), nulls.pop(name, None)
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        dropped.add(name)
+                        continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+        stats: dict = {"numRecords": int(meta.num_rows)}
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = maxs
+            stats["nullCount"] = nulls
+        return stats
     except Exception:
         return None
 
@@ -162,22 +199,53 @@ def replay_file_set(log_dir: str) -> dict[str, dict]:
     return state
 
 
-def read_delta_log(table: PartitionedTable) -> DataFrame:
+def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
+    """Data skipping from log stats, exactly as Delta readers do it:
+    keep a file unless its [minValues, maxValues] interval for
+    ``column`` provably misses [lo, hi]. Files without stats for the
+    column are always kept (skipping must never be wrong). Driver-side
+    metadata only — at 100 TB this prunes the FILE LIST before a single
+    scan task launches, the log's whole point over directory listing."""
+    kept: dict[str, dict] = {}
+    for rel, add in replay_file_set(log_dir).items():
+        stats = json.loads(add["stats"]) if "stats" in add else {}
+        mn = stats.get("minValues", {}).get(column)
+        mx = stats.get("maxValues", {}).get(column)
+        if mn is not None and mx is not None and (mx < lo or mn > hi):
+            continue
+        kept[rel] = add
+    return kept
+
+
+def read_delta_log(
+    table: PartitionedTable, column_range: tuple[str, object, object] | None = None
+) -> DataFrame:
     """Read the table THROUGH its exported log — the snapshot a real
     Delta reader would serve (replay the log, load exactly the add-file
-    set). Used by the round-trip tests; a foreign reader does the same
-    replay from the same bytes."""
-    files = replay_file_set(_log_dir(table))
+    set). ``column_range=(col, lo, hi)`` applies stats-based file
+    skipping before the load AND the residual predicate after it (the
+    stats cut is file-granular, not row-exact). Used by the round-trip
+    tests; a foreign reader does the same replay from the same bytes."""
+    log_dir = _log_dir(table)
+    if column_range is not None:
+        col, lo, hi = column_range
+        files = files_in_range(log_dir, col, lo, hi)
+    else:
+        files = replay_file_set(log_dir)
     if not files:
-        raise ValueError(f"no exported snapshot under {_log_dir(table)}")
+        raise ValueError(f"no exported snapshot under {log_dir}")
     from incremental_dagster_delta_spark.tableio import _string_partitions
 
     with _string_partitions(table.spark):
-        return table._restore_partition_types(
+        df = table._restore_partition_types(
             table.spark.read.format(table.fmt)
             .option("basePath", table.path)
             .load([posixpath.join(table.path, rel) for rel in files])
         )
+    if column_range is not None:
+        col, lo, hi = column_range
+        df = df.where((df[col] >= lo) & (df[col] <= hi))
+    return df
 
 
 class DeltaLogExporter:
@@ -219,9 +287,9 @@ class DeltaLogExporter:
             "modificationTime": info["modificationTime"],
             "dataChange": True,
         }
-        n = _num_records(self.table.path, rel)
-        if n is not None:
-            add["stats"] = json.dumps({"numRecords": n})
+        stats = _file_stats(self.table.path, rel)
+        if stats is not None:
+            add["stats"] = json.dumps(stats)
         return {"add": add}
 
     # -- export ------------------------------------------------------------------

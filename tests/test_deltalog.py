@@ -215,3 +215,64 @@ def test_pipeline_exports_log_per_microbatch(spark, tmp_path):
     assert _existing_versions(log_dir) == [0, 1]
     back_log = os.path.join(tables, "backwards", "v1", "_delta_log")
     assert len(_existing_versions(back_log)) == 2
+
+
+def test_stats_carry_min_max_null_counts(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    DeltaLogExporter(t).export()
+    replay = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    jan1 = [
+        json.loads(a["stats"]) for p, a in replay.items() if p.startswith("day=2024-01-01/")
+    ]
+    assert jan1 and all("minValues" in s for s in jan1)
+    # the leaf may hold several one-task files; stats fold across them
+    assert sum(s["numRecords"] for s in jan1) == 2
+    assert min(s["minValues"]["k"] for s in jan1) == 1
+    assert max(s["maxValues"]["k"] for s in jan1) == 3
+    assert min(s["minValues"]["payload"] for s in jan1) == "a"
+    assert max(s["maxValues"]["payload"] for s in jan1) == "c"
+    assert all(s["nullCount"]["k"] == 0 for s in jan1)
+
+
+def test_stats_based_file_skipping_prunes_and_stays_exact(spark, tmp_path):
+    """files_in_range must drop every file whose [min,max] misses the
+    range, keep stats-less files, and the pruned read must return
+    exactly the rows a full filtered read returns."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b, (ks, day) in enumerate(
+        [((1, 5), "2024-01-01"), ((100, 200), "2024-01-02"), ((1000, 1001), "2024-01-03")]
+    ):
+        t.append_batch(
+            spark.createDataFrame([(k, f"p{k}", day) for k in ks], SCHEMA), b
+        )
+    DeltaLogExporter(t).export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+
+    kept = files_in_range(log_dir, "k", 50, 500)
+    assert {p.split("/")[0] for p in kept} == {"day=2024-01-02"}
+    pruned = read_delta_log(t, column_range=("k", 50, 500))
+    full = t.read().where("k BETWEEN 50 AND 500")
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in full.collect()
+    ) == [100, 200]
+
+    # a file with no stats for the column must always be KEPT
+    import json as _json
+
+    v0 = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [ _json.loads(ln) for ln in open(v0) if ln.strip() ]
+    for ln in lines:
+        if "add" in ln and ln["add"]["path"].startswith("day=2024-01-03/"):
+            st = _json.loads(ln["add"]["stats"])
+            del st["minValues"], st["maxValues"], st["nullCount"]
+            ln["add"]["stats"] = _json.dumps(st)
+    with open(v0, "w") as fh:
+        for ln in lines:
+            fh.write(_json.dumps(ln, separators=(",", ":")) + "\n")
+    kept2 = files_in_range(log_dir, "k", 50, 500)
+    assert {p.split("/")[0] for p in kept2} == {"day=2024-01-02", "day=2024-01-03"}
+    assert sorted(
+        r["k"] for r in read_delta_log(t, column_range=("k", 50, 500)).collect()
+    ) == [100, 200]
