@@ -1045,7 +1045,16 @@ def neighbor_jaccard_pairs(
     """Top supplier pairs by customer-set Jaccard over a (c, s) edge
     list — the df-capped wedge kernel of q_neighbor_jaccard, exposed so
     tests can drive the hub-correction path with a synthetic hub
-    (testdata has no customer hotter than the cap)."""
+    (testdata has no customer hotter than the cap).
+
+    The edge list fans out to four consumers (both self-join sides, the
+    degree table, the hub-neighbor table); persist() computes the
+    join+distinct ONCE instead of four times (r12 plan audit: the
+    uncached plan re-ran the orders⋈lineitem distinct per consumer),
+    released via materialize_release like every dedup-family kernel."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    edges = edges.persist()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     hubs, has_hubs = _hub_customers(edges, deg_cap, cache_key)
     cold = edges.join(F.broadcast(hubs), "c", "left_anti") if has_hubs else edges
@@ -1107,7 +1116,8 @@ def neighbor_jaccard_pairs(
             .alias("jaccard"),
         )
     )
-    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(top_n)
+    out = scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(top_n)
+    return materialize_release(out, edges)
 
 
 @query(
