@@ -1205,12 +1205,15 @@ def q_degree_assortativity(spark, sf_dir):
     strongly disassortative graph (hubs-to-leaves, typical for
     commerce) is exactly where the wedge counts of q_neighbor_jaccard
     and q_triangle_count need the df-cap seam."""
+    from incremental_dagster_delta_spark.tables import materialize_release
+
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .persist()  # three consumers (both degree tables + the join spine)
     )
     dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("du"))
     ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dv"))
@@ -1222,7 +1225,8 @@ def q_degree_assortativity(spark, sf_dir):
     sym = sided.unionByName(
         sided.select(F.col("dv").alias("du"), F.col("du").alias("dv"))
     )
-    return sym.agg(
+    out = sym.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         F.round(F.corr("du", "dv"), 4).cast("double").alias("assortativity"),
     )
+    return materialize_release(out, edges)
