@@ -554,8 +554,11 @@ def test_neighbor_jaccard_degrees_broadcast_topk_no_sort(spark, sf_dir):
     aggregate (the only SortMergeJoin allowed is the wedge self-join on
     the shared-customer key) and the final cut avoids a global sort."""
     from incremental_dagster_delta_spark.queries.graph import q_neighbor_jaccard
+    from incremental_dagster_delta_spark.tables import lazy_plans
 
-    plan = str(q_neighbor_jaccard(spark, sf_dir)._jdf.queryExecution())
+    with lazy_plans():
+        plan = str(q_neighbor_jaccard(spark, sf_dir)._jdf.queryExecution())
+    spark.catalog.clearCache()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("SortMergeJoin") <= 1, "only the wedge self-join may shuffle-sort"
@@ -598,10 +601,13 @@ def test_neighbor_jaccard_hub_cap_in_plan(spark):
     hub correction must join the bounded hub-neighbor sets, never
     re-expand hub wedges."""
     from incremental_dagster_delta_spark.queries.graph import neighbor_jaccard_pairs
+    from incremental_dagster_delta_spark.tables import lazy_plans
 
     edges = [(9, s) for s in range(100, 110)] + [(1, 100), (1, 101), (2, 101), (2, 102)]
     df = spark.createDataFrame(edges, "c long, s long")
-    plan = _plan(neighbor_jaccard_pairs(spark, df, deg_cap=4))
+    with lazy_plans():
+        plan = _plan(neighbor_jaccard_pairs(spark, df, deg_cap=4))
+    spark.catalog.clearCache()
     # hub exclusion: one LeftAnti against the broadcast hub list
     assert "LeftAnti" in plan
     # correction path: the hub-neighbor arrays join in (array_intersect
@@ -613,9 +619,16 @@ def test_neighbor_jaccard_steady_state_plan_has_no_cap_stages(spark, sf_dir):
     """Testdata has no customer above the cap, so the registered qid's
     plan must be the PLAIN wedge self-join — the cap is corpus-lifecycle
     metadata, free in the steady state (the _hot_shingles discipline)."""
-    plan = _plan(QUERIES["q_neighbor_jaccard"].fn(spark, sf_dir))
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
+    with lazy_plans():
+        plan = _plan(QUERIES["q_neighbor_jaccard"].fn(spark, sf_dir))
+    spark.catalog.clearCache()
     assert "LeftAnti" not in plan
     assert "array_intersect" not in plan
+    # the kernel's result is eagerly materialized outside lazy_plans, so
+    # the steady-state pin must still see the REAL wedge join here
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_domain_filter_blocklist_broadcasts(spark, sf_dir):
