@@ -34,19 +34,39 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def _prewarm_file_cache(sf_dir: str) -> None:
-    """Raw-read every input file so timed runs measure compute, not cold
-    virtio I/O. The Spark warmup pass alone is not enough when the host
-    has just reclaimed the guest's page cache: an evicted cache adds
-    +0.2-0.5 s of disk latency per scan-heavy query, uniformly, which
-    reads as a fake regression."""
-    import glob
+def _stage_inputs(sf_dir: str) -> str:
+    """Copy the input parquet into tmpfs and run against the copy.
 
-    for _ in range(2):
-        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-            with open(p, "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+    The bench's contract is to measure COMPUTE on warm inputs (the
+    shared warmup pass pays one-time costs). This guest runs DAMON
+    proactive reclaim (`kdamond` active), which can strip the page
+    cache between warmup and the timed reps; tmpfs pages are
+    swap-backed and this box has no swap, so a /dev/shm copy is pinned
+    in RAM and the warm-input premise holds by construction, removing
+    input IO as a variable entirely. (It is NOT a cure-all: the r12
+    slowdown this was built to investigate turned out to be host CPU
+    capacity — aggregate throughput measured flat from 8 to 32
+    threads — which no staging can fix; see docs/SCALE.md.) Falls back
+    to double raw-reads when /dev/shm is unavailable."""
+    import glob
+    import shutil
+
+    if not os.path.isdir("/dev/shm"):
+        for _ in range(2):
+            for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+                with open(p, "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+        return sf_dir
+    dst = os.path.join(
+        "/dev/shm/spark_graft_bench", os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        q = os.path.join(dst, os.path.basename(p))
+        if not (os.path.exists(q) and os.path.getsize(q) == os.path.getsize(p)):
+            shutil.copy2(p, q)
+    return dst
 
 
 def main() -> None:
@@ -57,8 +77,8 @@ def main() -> None:
     # count from input bytes via tables.sized_shuffle — a global
     # data-sized default was measured to win there but cost the lineitem
     # queries 0.2-0.5 s each, a net loss.
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    _prewarm_file_cache(sf_dir)
+    orig_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _stage_inputs(orig_sf_dir)
     spark = get_spark(app_name="bench")
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
 
@@ -95,7 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": _sf_from_dir(sf_dir),
+                "sf": _sf_from_dir(orig_sf_dir),
             }
         )
     )
