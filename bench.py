@@ -64,7 +64,14 @@ def _stage_inputs(sf_dir: str) -> str:
     os.makedirs(dst, exist_ok=True)
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         q = os.path.join(dst, os.path.basename(p))
-        if not (os.path.exists(q) and os.path.getsize(q) == os.path.getsize(p)):
+        # size alone can collide when testdata is regenerated with the
+        # same row counts; copy2 preserves mtime, so (size, mtime) is a
+        # staleness fingerprint that survives across bench invocations.
+        if not (
+            os.path.exists(q)
+            and os.path.getsize(q) == os.path.getsize(p)
+            and os.path.getmtime(q) == os.path.getmtime(p)
+        ):
             shutil.copy2(p, q)
     return dst
 

@@ -47,6 +47,8 @@ tests/test_deltalog.py.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import posixpath
@@ -64,8 +66,24 @@ PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 _TABLE_ID_NS = uuid.UUID("8c6d6f1e-3b3a-4a5e-9b8e-2f6f5d4c3b2a")
 
 
+def _local_path(path: str) -> str:
+    """Local filesystem path for plain-python IO: strip ``file:`` /
+    ``file://`` / ``file:///`` URI prefixes (all forms Hadoop emits for
+    local tables). Non-``file:`` schemes pass through untouched — the
+    exporter's constructor rejects them before any IO happens."""
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
 def _log_dir(table: PartitionedTable) -> str:
-    return posixpath.join(table.path, "_delta_log")
+    # Local-IO path: os.makedirs("file:/x/t/_delta_log") would treat the
+    # scheme as a relative directory name and silently write the log
+    # under ./file: in cwd while _live_files lists the real table.
+    return posixpath.join(_local_path(table.path), "_delta_log")
 
 
 def _encode_path(rel: str) -> str:
@@ -119,6 +137,52 @@ def _live_files(table: PartitionedTable) -> dict[str, dict]:
     return out
 
 
+class _Unserializable:
+    """Sentinel: a footer stat value with no Delta-spec JSON encoding."""
+
+
+_UNSERIALIZABLE = _Unserializable()
+
+
+def _stats_json_value(v, *, round_up: bool = False):
+    """Delta-spec JSON encoding for one footer stat value: dates and
+    timestamps become ISO-8601 strings (timestamps truncated to
+    millisecond precision per spec — maxValues round UP so stats-based
+    skipping stays sound), Decimal becomes its string form, native JSON
+    scalars pass through. Anything else → ``_UNSERIALIZABLE`` and the
+    column is dropped from the maps (per-spec "no stats" is always a
+    safe answer; a crashing ``json.dumps`` is not)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):  # before date — datetime IS a date
+        if v.tzinfo is not None:  # pyarrow: isAdjustedToUTC timestamps
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            suffix = "Z"
+        else:
+            suffix = ""
+        if round_up and v.microsecond % 1000:
+            v += datetime.timedelta(microseconds=1000 - v.microsecond % 1000)
+        v = v.replace(microsecond=(v.microsecond // 1000) * 1000)
+        return v.isoformat(sep="T", timespec="milliseconds") + suffix
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return _UNSERIALIZABLE
+
+
+def _decimal_scale(logical_type) -> int | None:
+    """Scale of a parquet DECIMAL logical type, or None when the column
+    is not a decimal (pyarrow only exposes it through to_json)."""
+    try:
+        info = json.loads(logical_type.to_json())
+        if info.get("Type") == "Decimal":
+            return int(info["scale"])
+    except Exception:
+        pass
+    return None
+
+
 def _file_stats(table_path: str, rel: str) -> dict | None:
     """Delta per-file stats from the parquet footer (metadata only, no
     row scan): numRecords plus minValues/maxValues/nullCount per leaf
@@ -128,7 +192,7 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
     omitted from the maps, which per spec means "no skipping on this
     column", never wrong skipping. Local filesystems only; None when
     the footer is unreachable."""
-    local = os.path.join(table_path.removeprefix("file:"), rel)
+    local = os.path.join(_local_path(table_path), rel)
     if not os.path.exists(local):
         return None
     try:
@@ -150,7 +214,24 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
                     dropped.add(name)
                     mins.pop(name, None), maxs.pop(name, None), nulls.pop(name, None)
                     continue
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow refuses typed stats for some logical types
+                    # (notably DECIMAL); INT32/INT64-backed decimals are
+                    # recoverable from the raw unscaled values + the
+                    # declared scale.
+                    lo = hi = None
+                    if col.physical_type in ("INT32", "INT64"):
+                        scale = _decimal_scale(st.logical_type)
+                        if scale is not None:
+                            q = decimal.Decimal(1).scaleb(-scale)
+                            lo = decimal.Decimal(st.min_raw).scaleb(-scale).quantize(q)
+                            hi = decimal.Decimal(st.max_raw).scaleb(-scale).quantize(q)
+                    if lo is None or hi is None:
+                        dropped.add(name)
+                        mins.pop(name, None), maxs.pop(name, None), nulls.pop(name, None)
+                        continue
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
@@ -160,6 +241,13 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
                 nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+        for name in list(mins):
+            lo = _stats_json_value(mins[name])
+            hi = _stats_json_value(maxs[name], round_up=True)
+            if lo is _UNSERIALIZABLE or hi is _UNSERIALIZABLE:
+                mins.pop(name), maxs.pop(name), nulls.pop(name, None)
+            else:
+                mins[name], maxs[name] = lo, hi
         stats: dict = {"numRecords": int(meta.num_rows)}
         if mins:
             stats["minValues"] = mins
@@ -211,8 +299,12 @@ def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
         stats = json.loads(add["stats"]) if "stats" in add else {}
         mn = stats.get("minValues", {}).get(column)
         mx = stats.get("maxValues", {}).get(column)
-        if mn is not None and mx is not None and (mx < lo or mn > hi):
-            continue
+        if mn is not None and mx is not None:
+            try:
+                if mx < lo or mn > hi:
+                    continue
+            except TypeError:
+                pass  # stats/bounds type mismatch — keep the file (never skip wrongly)
         kept[rel] = add
     return kept
 
@@ -257,12 +349,16 @@ class DeltaLogExporter:
         self.table = table
         self.log_dir = _log_dir(table)
         # local-path assumption: the log is written with plain python
-        # IO; the table layouts under test are file-backed. (A cluster
-        # deployment would route through the same Hadoop FS handles
-        # tableio uses — the byte format is what the tests pin.)
-        assert not self.table.path.startswith(("s3:", "hdfs:", "abfs:")), (
-            "DeltaLogExporter writes with local IO; wire Hadoop FS first"
-        )
+        # IO; the table layouts under test are file-backed (``file:``
+        # URIs normalize via _local_path). (A cluster deployment would
+        # route through the same Hadoop FS handles tableio uses — the
+        # byte format is what the tests pin.)
+        scheme_prefix = self.table.path.split("/", 1)[0]
+        if ":" in scheme_prefix and not self.table.path.startswith("file:"):
+            raise ValueError(
+                "DeltaLogExporter writes with local IO; wire Hadoop FS for "
+                f"non-local table path {self.table.path!r}"
+            )
 
     # -- actions ---------------------------------------------------------------
 
@@ -289,7 +385,10 @@ class DeltaLogExporter:
         }
         stats = _file_stats(self.table.path, rel)
         if stats is not None:
-            add["stats"] = json.dumps(stats)
+            try:
+                add["stats"] = json.dumps(stats)
+            except TypeError:
+                pass  # stats are an optimization; a snapshot without them is valid
         return {"add": add}
 
     # -- export ------------------------------------------------------------------

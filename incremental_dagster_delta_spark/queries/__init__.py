@@ -47,77 +47,70 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds, and no row should age past ~6 rounds. Round 12 closes
-# the only coverage gap (VERDICT r11 #1): the 22 r11-session-2 qids that
-# have never had a driver row, plus the five r5-cohort qids and three r6
-# re-confirms the oversized r11 front (58 entries) displaced past slot
-# 50. The rest of the 50 burns down the r6 cohort, VERDICT #5's
-# displaced re-confirm list first. After this round every registry qid
-# has a driver row; 20 r6-aged re-confirms remain for r13
-# (q_dedup_fuzzy, q_dedup_simhash, q_doc_similarity_gamma, q_knn_eval, q_lateral_topn,
-# q_mutual_info, q_ngram_novelty, q_partition_delete, q_pca_topk,
-# q_pit_join, q_quantile_bins, q_quarantine_split, q_rfm_features,
-# q_rolling_median, q_schema_evolution, q_seasonality_profile,
-# q_time_travel, q_triangle_count, q_triangle_doulion,
-# q_weighted_sample).
+# across rounds, and no row should age past ~6 rounds. After the r12
+# sweep all 261 qids have a driver row; the r13 front = the round's new
+# operator + the 20 re-confirms whose rows date to r6 (staged in r12's
+# comment, VERDICT r12 #1 — q_pca_topk and q_dedup_simhash matter most:
+# their oracles changed character since r6) + the 29 alphabetically-first
+# of the 41 r7-aged rows. The 12 r7 rows left for the r14 tail:
+# q_sql_frontend, q_subword_counts, q_suffix_filter, q_text_quality,
+# q_token_counts, q_top_orders, q_topk, q_unigram_lm, q_vocab_coverage,
+# q_window_running, q_winnow_fingerprint, q_word_length.
 # --------------------------------------------------------------------------
-_R12_FRONT = [
-    # (a) new this round — first driver rows
-    "q_url_dedup",
-    "q_domain_filter",
-    # (b) the 22 r11-session-2 qids with no driver row in any round
-    "q_benford",
-    "q_bitemporal",
-    "q_centroid_separation",
-    "q_change_data_feed",
-    "q_chi2_drift",
-    "q_collation_group",
-    "q_degree_assortativity",
-    "q_fd_profile",
-    "q_fk_audit",
-    "q_generator_nulls",
-    "q_holt_batched",
-    "q_holt_smoothing",
-    "q_ivm_retractions",
-    "q_ks_drift",
-    "q_map_funcs",
-    "q_neighbor_jaccard",
-    "q_pareto_frontier",
-    "q_rbo_eval",
-    "q_rolling_cms",
-    "q_rolling_distinct",
-    "q_sql_pipe",
-    "q_zipf_fit",
-    # (c) the five r5-cohort qids displaced past slot 50 by the r11 front
-    "q_compaction_stats",
-    "q_group_impute",
-    "q_interval_merge",
-    "q_event_transitions",
-    "q_skew_report",
-    # (d) the three r6 picks the r11 front also displaced
-    "q_ngram_jaccard",
-    "q_ngram_jaccard_prefix",
-    "q_dedup_minhash",
-    # (e) VERDICT #5's r6-tail re-confirms (rows from r06, oldest live)
-    "q_stream_join",
-    "q_late_data",
-    "q_sessionize_stateful",
-    "q_quota_stateful",
-    "q_stream_dedup",
-    "q_gram_matrix",
-    "q_doc_similarity",
-    "q_ann_ivf_pq",
-    "q_pq_codes",
-    "q_containment",
-    "q_replace_where",
-    "q_cosine_topk",
-    # (f) next-oldest r6 qids, filling the front to exactly 50
-    "q_approx_sketches",
-    "q_auc_eval",
-    "q_binary_source",
-    "q_calibration_bins",
-    "q_cosine_ann_ivf",
-    "q_cosine_ann_rplsh",
+_R13_FRONT = [
+    # (a) new this round — first driver row
+    "q_bloom_paragraph_dedup",
+    # (b) the 20 r6-aged re-confirms (every row then ≤7 rounds old)
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_doc_similarity_gamma",
+    "q_knn_eval",
+    "q_lateral_topn",
+    "q_mutual_info",
+    "q_ngram_novelty",
+    "q_partition_delete",
+    "q_pca_topk",
+    "q_pit_join",
+    "q_quantile_bins",
+    "q_quarantine_split",
+    "q_rfm_features",
+    "q_rolling_median",
+    "q_schema_evolution",
+    "q_seasonality_profile",
+    "q_time_travel",
+    "q_triangle_count",
+    "q_triangle_doulion",
+    "q_weighted_sample",
+    # (c) the 29 alphabetically-first r7-aged rows, filling to exactly 50
+    "q_bigram_perplexity",
+    "q_date_format",
+    "q_date_parts",
+    "q_dedup_cluster",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_near_keep",
+    "q_dedup_prefix_key",
+    "q_dedup_survivors",
+    "q_distinct",
+    "q_doc_fingerprint",
+    "q_dsir_weights",
+    "q_embedding_norm",
+    "q_frame_sample",
+    "q_iso_week",
+    "q_lang_id",
+    "q_leakage_free_split",
+    "q_lit_partition_cols",
+    "q_multimodal_features",
+    "q_new_file_antijoin",
+    "q_pricing_summary",
+    "q_rank_in_group",
+    "q_recall_at_k",
+    "q_region_revenue",
+    "q_reverse",
+    "q_rollup_agg",
+    "q_row_construction",
+    "q_semi_join",
+    "q_set_ops",
 ]
 
 
@@ -194,6 +187,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R12_FRONT)
+_rotate(_R13_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -196,7 +196,9 @@ def ngram_jaccard_pairs(
     3-gram Jaccard pairs via a df-capped inverted index. Exposed so tests
     can drive the hot-correction path with a synthetic skewed corpus
     (testdata has no shingle hotter than the cap). ``cache_key`` opts an
-    immutable corpus into memoized heavy-hitter statistics."""
+    immutable corpus into memoized heavy-hitter statistics; the cache has
+    no invalidation — if the keyed table can be mutated in-session, pass
+    ``cache_key=None`` (or a version-qualified key) instead."""
     from incremental_dagster_delta_spark.tables import fan_out, materialize_release, sized_shuffle
 
     with sized_shuffle(spark, docs):

@@ -1045,7 +1045,10 @@ def neighbor_jaccard_pairs(
     """Top supplier pairs by customer-set Jaccard over a (c, s) edge
     list — the df-capped wedge kernel of q_neighbor_jaccard, exposed so
     tests can drive the hub-correction path with a synthetic hub
-    (testdata has no customer hotter than the cap).
+    (testdata has no customer hotter than the cap). ``cache_key`` opts an
+    immutable edge corpus into memoized hub statistics; the cache has no
+    invalidation — if the keyed table can be mutated in-session, pass
+    ``cache_key=None`` (or a version-qualified key) instead.
 
     The edge list fans out to four consumers (both self-join sides, the
     degree table, the hub-neighbor table); persist() computes the
@@ -1076,7 +1079,10 @@ def neighbor_jaccard_pairs(
             .groupBy("s")
             .agg(F.collect_set("c").alias("hub_c"))
         )
-        empty = F.array().cast("array<long>")
+        # Element type follows the edge schema — the kernel is public
+        # for arbitrary (c, s) edge lists (int/string customer ids), and
+        # array_intersect needs both sides to agree exactly.
+        empty = F.array().cast(f"array<{edges.schema['c'].dataType.simpleString()}>")
         inter = (
             inter.join(
                 hub_nbrs.withColumnsRenamed({"s": "s1", "hub_c": "hub_1"}), "s1", "left"

@@ -19,6 +19,12 @@ Three operators, all DuckDB-oracle-checked:
 - **q_repeated_ngrams** — the reporting twin: which word bigrams repeat
   across ≥25 documents, with corpus totals; the profiling pass you run
   before choosing boilerplate thresholds.
+- **q_bloom_paragraph_dedup** — Dolma-style paragraph dedup: an arriving
+  batch's paragraphs are dropped when a corpus-built Bloom sidecar says
+  "possibly seen" (Soldaini et al. 2024 run exactly this — a Bloom
+  filter at paragraph grain, accepting false-positive drops). The
+  sidecar is the mergeable `sketches.bloom_bits` table, so it is
+  incrementally maintainable with exactly-once ``append_batch``.
 """
 
 from __future__ import annotations
@@ -225,3 +231,128 @@ def q_repeated_ngrams(spark, sf_dir):
         )
         .where(F.col("doc_freq") >= REP_MIN_DF)
     )
+
+
+# --------------------------------------------------------------------------
+# Dolma-style paragraph Bloom dedup
+# --------------------------------------------------------------------------
+
+# Sized for the paragraph key space (distinct corpus paragraphs: ~3.1k at
+# sf0.01, ~31k at sf0.1): k·n/m = 0.70 at sf0.1 → ~13% FP drops (visible,
+# non-degenerate), ~0.03% at the sf0.01 gate. Production sizes m to the
+# expected corpus paragraph count, exactly like Dolma's --bloom_filter_size.
+PARA_BLOOM_BITS = 1 << 17  # m
+PARA_BLOOM_HASHES = 3  # k
+
+from incremental_dagster_delta_spark.queries.sketches import _md5_pos_sql  # noqa: E402
+
+_PARA_POS_SQL = _md5_pos_sql("j.j", "line", PARA_BLOOM_BITS)
+
+
+def paragraph_bloom_dedup(batch_paras, corpus_bits):
+    """Drop an arriving batch's paragraphs that a corpus Bloom sidecar
+    marks possibly-seen (Dolma's paragraph dedup stage: Soldaini et al.
+    2024, "Dolma", §4.1 — Bloom-filter dedup at paragraph grain, false
+    positives accepted as extra drops). ``batch_paras`` is
+    (doc_id, para_pos, key) — ``para_pos`` because the probe's internal
+    bit-position column is named ``pos``; ``corpus_bits`` a bit table from
+    ``sketches.bloom_bits(..., m=PARA_BLOOM_BITS, k=PARA_BLOOM_HASHES)``
+    — possibly holding per-batch PARTIALS, since bit sets union.
+
+    Scale shape: the probe is map-only against the broadcast ≤ m-row bit
+    table (the corpus itself never re-shuffles per batch); the only
+    shuffle is the per-document regroup, and the collect_list there is
+    bounded by document length. Returns one row per batch document:
+    (doc_id, clean_text, n_kept, n_paras, n_dropped)."""
+    from incremental_dagster_delta_spark.queries.sketches import bloom_possibly
+
+    probed = bloom_possibly(
+        corpus_bits, batch_paras, m=PARA_BLOOM_BITS, k=PARA_BLOOM_HASHES
+    )
+    # collect_list skips nulls, so the when() keeps only non-dup
+    # paragraphs; array_sort on (pos, key) structs restores document
+    # order before the join.
+    kept = F.when(
+        ~F.col("possibly_present"), F.struct(F.col("para_pos"), F.col("key"))
+    )
+    return probed.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.key), " "
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("possibly_present"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("possibly_present"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+@query(
+    "q_bloom_paragraph_dedup",
+    tags=("curation", "dedup", "sketch", "llm"),
+    oracle=f"""
+    WITH c AS ({_CHUNKS_SQL}),
+    corpus AS (
+      SELECT DISTINCT unnest(chunks) AS line FROM c WHERE doc_id % 10 <> 0
+    ),
+    bits AS (
+      SELECT DISTINCT {_PARA_POS_SQL} AS pos
+      FROM corpus CROSS JOIN range({PARA_BLOOM_HASHES}) j(j)
+    ),
+    batch AS (
+      SELECT doc_id, unnest(chunks) AS line,
+             unnest(range(1, len(chunks) + 1)) AS pos
+      FROM c WHERE doc_id % 10 = 0
+    ),
+    probe AS (
+      SELECT b.doc_id, b.line, b.pos,
+             SUM(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END)
+               = {PARA_BLOOM_HASHES} AS dup
+      FROM (
+        SELECT doc_id, line, pos, {_PARA_POS_SQL} AS bp
+        FROM batch CROSS JOIN range({PARA_BLOOM_HASHES}) j(j)
+      ) b
+      LEFT JOIN bits t ON t.pos = b.bp
+      GROUP BY b.doc_id, b.line, b.pos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')
+             AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+    FROM probe GROUP BY doc_id
+    """,
+)
+def q_bloom_paragraph_dedup(spark, sf_dir):
+    """Paragraph-grain Bloom dedup of an arriving batch against the
+    corpus — the Dolma curation stage (Soldaini et al. 2024 §4.1) that
+    exact doc-level and MinHash near-dup both miss: boilerplate and
+    quoted paragraphs recurring across distinct documents. Batch = the
+    doc_id % 10 == 0 slice, corpus = the rest (the q_bloom_membership
+    split).
+
+    The sidecar is the MERGEABLE ``sketches.bloom_bits`` position table
+    (bit sets from disjoint corpus batches union to the full filter —
+    merge ≡ full pinned in tests/test_lines.py), so at 100 TB the corpus
+    is folded in once, incrementally, with exactly-once ``append_batch``;
+    each arriving batch pays one map-side broadcast probe plus a
+    document-keyed regroup whose state is bounded by document length.
+    False positives (deterministic md5 positions — the oracle replays
+    every bit) are EXTRA paragraph drops, the trade Dolma documents;
+    false negatives cannot happen, so no duplicate paragraph survives."""
+    paras = _doc_lines(spark, sf_dir)
+    from incremental_dagster_delta_spark.queries.sketches import bloom_bits
+
+    corpus_keys = (
+        paras.where(F.col("doc_id") % 10 != 0)
+        .select(F.explode("chunks").alias("key"))
+        .distinct()
+    )
+    bits = bloom_bits(corpus_keys, m=PARA_BLOOM_BITS, k=PARA_BLOOM_HASHES)
+    batch = paras.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.posexplode("chunks").alias("para_pos", "key")
+    )
+    return paragraph_bloom_dedup(batch, bits)

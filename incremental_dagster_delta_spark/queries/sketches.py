@@ -298,34 +298,32 @@ def q_cms_heavy_hitters(spark, sf_dir):
 BLOOM_BITS = 4096  # m
 BLOOM_HASHES = 3  # k
 
-def _bloom_pos(j: int, key):
-    return _md5_pos(j, key, BLOOM_BITS)
-
-
-def bloom_bits(keys):
+def bloom_bits(keys, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
     """Bloom bit-position table for a key batch: DISTINCT md5 positions,
     ≤ m rows. MERGEABLE: bit sets from disjoint batches union (distinct
     of the concatenation) to the union corpus's filter — like
     :func:`cms_cells` this makes the sketch incrementally maintainable
     by appending per-batch partials with exactly-once ``append_batch``
-    (pinned in tests/test_sketches.py)."""
-    pos = F.array(*[_bloom_pos(j, F.col("key")) for j in range(BLOOM_HASHES)])
+    (pinned in tests/test_sketches.py). Size ``m`` to the expected
+    corpus key count (m ≈ 10·n gives ~1.7% FP at optimal k)."""
+    pos = F.array(*[_md5_pos(j, F.col("key"), m) for j in range(k)])
     return keys.select(F.explode(pos).alias("pos")).distinct()
 
 
-def bloom_possibly(bits, batch):
+def bloom_possibly(bits, batch, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
     """Probe ``batch`` (a DataFrame with a ``key`` column; other columns
     ride along) against a bit table that may hold per-batch PARTIALS
     (duplicates across appends are fine — the probe distincts). Adds a
     ``possibly_present`` boolean; the ≤ m-row bit set broadcasts, so the
-    probe never shuffles the corpus."""
-    pos = F.array(*[_bloom_pos(j, F.col("key")) for j in range(BLOOM_HASHES)])
+    probe never shuffles the corpus. ``m``/``k`` must match the values
+    the bit table was built with."""
+    pos = F.array(*[_md5_pos(j, F.col("key"), m) for j in range(k)])
     return (
         batch.select("*", F.explode(pos).alias("pos"))
         .join(F.broadcast(bits.distinct().withColumn("hit", F.lit(1))), "pos", "left")
         .groupBy(*batch.columns)
         .agg(
-            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_HASHES).alias(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k).alias(
                 "possibly_present"
             )
         )

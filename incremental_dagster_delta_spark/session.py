@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) is deprecated in the parquet
+        # spec, carries no footer min/max stats (so neither Spark row-
+        # group skipping nor the Delta-log stats export can prune on
+        # timestamps), and no Delta writer emits it. TIMESTAMP_MICROS is
+        # lossless for Spark's microsecond timestamps.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # events.parquet ships nanosecond timestamps; read as LONG and
         # convert in tables.load_table (also set there at runtime for
         # driver-owned sessions)

@@ -217,6 +217,87 @@ def test_pipeline_exports_log_per_microbatch(spark, tmp_path):
     assert len(_existing_versions(back_log)) == 2
 
 
+def test_typed_stats_export_iso8601_and_decimal_strings(spark, tmp_path):
+    """Date/timestamp/decimal footer stats must serialize per spec
+    (ISO-8601 strings, decimal string form) instead of crashing
+    json.dumps — the r12 exporter raised TypeError for any such table."""
+    import datetime
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), [])
+    t.append_batch(
+        spark.createDataFrame(
+            [
+                (
+                    1,
+                    datetime.date(2024, 3, 1),
+                    datetime.datetime(2024, 3, 1, 12, 30, 45, 123999),
+                ),
+                (
+                    2,
+                    datetime.date(2024, 3, 9),
+                    datetime.datetime(2024, 3, 9, 1, 2, 3, 4000),
+                ),
+            ],
+            "k long, d date, ts timestamp",
+        ).selectExpr("k", "d", "ts", "CAST(k AS DECIMAL(10,2)) * 1.5 AS amt"),
+        0,
+    )
+    assert DeltaLogExporter(t).export() == 0
+    stats = [
+        json.loads(a["stats"])
+        for a in replay_file_set(str(tmp_path / "t" / "_delta_log")).values()
+        if "stats" in a
+    ]
+    assert stats
+    def fold(which, col, agg):  # stats fold across one-task files
+        return agg(s[which][col] for s in stats if col in s.get(which, {}))
+
+    mins = lambda c: fold("minValues", c, min)  # noqa: E731
+    maxs = lambda c: fold("maxValues", c, max)  # noqa: E731
+    assert mins("d") == "2024-03-01" and maxs("d") == "2024-03-09"
+    # timestamps: millisecond precision, min truncated, max rounded UP
+    assert mins("ts") == "2024-03-01T12:30:45.123Z"
+    assert maxs("ts") == "2024-03-09T01:02:03.004Z"
+    assert mins("amt") == "1.500" and maxs("amt") == "3.000"  # decimal(13,3)
+
+
+def test_file_scheme_path_writes_log_inside_table(spark, tmp_path):
+    """table.path='file:/x/t' must place the log at /x/t/_delta_log —
+    the r12 os.makedirs treated 'file:' as a relative cwd directory."""
+    t = _mk(spark, tmp_path / "plain")  # layout via plain path
+    uri_t = PartitionedTable(spark, "file://" + str(tmp_path / "plain"), ["day"])
+    assert DeltaLogExporter(uri_t).export() == 0
+    assert os.path.isdir(str(tmp_path / "plain" / "_delta_log"))
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
+    assert sorted(r["k"] for r in read_delta_log(uri_t).collect()) == [1, 2, 3]
+    # plain-path view of the same table replays the same snapshot
+    assert set(replay_file_set(str(tmp_path / "plain" / "_delta_log"))) == {
+        os.path.relpath(p, str(tmp_path / "plain"))
+        for p in __import__("glob").glob(str(tmp_path / "plain" / "day=*" / "b*"))
+    }
+
+
+def test_non_local_scheme_raises_value_error(spark, tmp_path):
+    import pytest
+
+    t = PartitionedTable(spark, "s3://bucket/t", ["day"])
+    with pytest.raises(ValueError, match="local IO"):
+        DeltaLogExporter(t)
+
+
+def test_files_in_range_type_mismatch_keeps_files(spark, tmp_path):
+    """String bounds against numeric stats (or vice versa) must KEEP the
+    file, not crash — skipping is only ever allowed to be a no-op."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    t = _mk(spark, tmp_path / "t")
+    DeltaLogExporter(t).export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    all_files = set(replay_file_set(log_dir))
+    assert set(files_in_range(log_dir, "k", "a", "z")) == all_files
+    assert set(files_in_range(log_dir, "payload", 0, 9)) == all_files
+
+
 def test_stats_carry_min_max_null_counts(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     DeltaLogExporter(t).export()

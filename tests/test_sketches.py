@@ -451,3 +451,80 @@ def test_kmv_sketch_selection_merge_and_accuracy(spark):
     union_k = sorted(sk["A"] | sk["B"])[:KMV_K]
     est = sum(1 for u in union_k if u in sk["A"] and u in sk["B"]) / len(union_k)
     assert abs(est - 1 / 3) < 2.5 / (KMV_K ** 0.5), est
+
+
+def test_paragraph_bloom_dedup_incremental_sidecar_and_no_false_negatives(spark):
+    """Dolma-style paragraph dedup (q_bloom_paragraph_dedup): (a) the
+    Bloom sidecar folded incrementally from disjoint corpus batches via
+    exactly-once append_batch dedups a batch IDENTICALLY to the one-shot
+    filter over the union corpus (merge ≡ full), and (b) a paragraph
+    planted in the corpus can never survive the probe (no false
+    negatives), while unseen paragraphs mostly survive at this fill
+    factor."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.queries.lines import (
+        PARA_BLOOM_BITS,
+        PARA_BLOOM_HASHES,
+        paragraph_bloom_dedup,
+    )
+    from incremental_dagster_delta_spark.queries.sketches import bloom_bits
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    mk_bits = lambda keys: bloom_bits(keys, m=PARA_BLOOM_BITS, k=PARA_BLOOM_HASHES)  # noqa: E731
+    corpus1 = literal_df(spark, [(f"seen paragraph {i}",) for i in range(200)], "key string")
+    corpus2 = literal_df(
+        spark, [(f"seen paragraph {i}",) for i in range(150, 400)], "key string"
+    )
+    # batch doc 1: planted duplicates at positions 0/2, fresh at 1/3;
+    # batch doc 2: all fresh
+    batch = literal_df(
+        spark,
+        [
+            (1, 0, "seen paragraph 7"),
+            (1, 1, "fresh paragraph alpha"),
+            (1, 2, "seen paragraph 399"),
+            (1, 3, "fresh paragraph beta"),
+            (2, 0, "fresh paragraph gamma"),
+        ],
+        "doc_id long, para_pos int, key string",
+    )
+
+    base = tempfile.mkdtemp(prefix="para_bloom_")
+    try:
+        tbl = PartitionedTable(spark, f"{base}/bits", [])
+        assert tbl.append_batch(mk_bits(corpus1), batch_id=0) is True
+        assert tbl.append_batch(mk_bits(corpus2), batch_id=1) is True
+        assert tbl.append_batch(mk_bits(corpus2), batch_id=1) is False  # replay no-op
+
+        incr = {
+            r["doc_id"]: r.asDict()
+            for r in paragraph_bloom_dedup(batch, tbl.read().select("pos")).collect()
+        }
+        oneshot = {
+            r["doc_id"]: r.asDict()
+            for r in paragraph_bloom_dedup(
+                batch, mk_bits(corpus1.unionAll(corpus2))
+            ).collect()
+        }
+        assert incr == oneshot  # merge ≡ full
+
+        # no false negatives: both planted paragraphs are gone, order kept
+        assert "seen paragraph 7" not in incr[1]["clean_text"]
+        assert "seen paragraph 399" not in incr[1]["clean_text"]
+        assert incr[1]["n_dropped"] == 2 and incr[1]["n_paras"] == 4
+        assert incr[1]["clean_text"] == "fresh paragraph alpha fresh paragraph beta"
+        # 650 keys x 3 hashes into 2^17 bits → FP ~ 5e-6: fresh survives
+        assert incr[2] == {
+            "doc_id": 2,
+            "clean_text": "fresh paragraph gamma",
+            "n_kept": 1,
+            "n_paras": 1,
+            "n_dropped": 0,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
