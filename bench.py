@@ -76,6 +76,36 @@ def _stage_inputs(sf_dir: str) -> str:
     return dst
 
 
+def _capacity_canary() -> dict[str, float]:
+    """Host-capacity canary: sha256 GB/s at 1/8/32 threads (~0.5 s).
+
+    The r12 round-close slowdown was diagnosed as the guest's 32 vCPUs
+    being backed by ~8 physical cores (aggregate throughput flat from 8
+    to 32 threads — docs/SCALE.md). Recording the probe with every bench
+    lets cross-round ratios be normalized by actual host capacity
+    instead of re-litigating "regressions" that are environment. sha256
+    in a thread pool releases the GIL inside OpenSSL, so the scaling
+    curve measures real core availability."""
+    import concurrent.futures
+    import hashlib
+
+    blob = b"\xab" * (8 << 20)  # 8 MiB per hash call
+
+    def one(n_iter: int) -> None:
+        for _ in range(n_iter):
+            hashlib.sha256(blob).digest()
+
+    out: dict[str, float] = {}
+    for threads in (1, 8, 32):
+        n_iter = 4
+        with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(one, [n_iter] * threads))
+            dt = time.perf_counter() - t0
+        out[f"t{threads}"] = round(threads * n_iter * len(blob) / dt / 1e9, 2)
+    return out
+
+
 def main() -> None:
     # Session shuffle partitions stay at the cluster-shaped 2×cores
     # default: CPU-bound aggregations over the fact tables want the full
@@ -123,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": _sf_from_dir(orig_sf_dir),
+                "canary_sha256_gbps": _capacity_canary(),
             }
         )
     )

@@ -31,6 +31,13 @@ Actions emitted (minimum complete set for a parquet table):
 - ``commitInfo``: operation label + metrics (informational, like every
   writer emits).
 
+Checkpoints: every Nth version (default 10, delta-spark's interval) the
+exporter also writes ``{version:020d}.checkpoint.parquet`` — the
+complete replayed state (protocol + metaData + live adds) in the spec's
+checkpoint schema — and repoints ``_last_checkpoint`` at it, so readers
+replay O(live files + recent commits) instead of the whole history and
+:meth:`DeltaLogExporter.clean_metadata` can delete the subsumed JSON.
+
 Export is INCREMENTAL and idempotent: each call diffs the table's live
 committed file set against the replayed state of the existing log and
 appends ONE new version only when something changed. The log lives in
@@ -268,12 +275,122 @@ def _existing_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
-def replay_file_set(log_dir: str) -> dict[str, dict]:
-    """Reconstruct the live snapshot from the log exactly the way the
-    spec tells readers to: apply versions in order; an ``add`` puts the
-    path in the set (newest metadata wins), a ``remove`` deletes it."""
+# -- checkpoints ---------------------------------------------------------------
+#
+# Per PROTOCOL.md, a checkpoint `{version:020d}.checkpoint.parquet` holds
+# the COMPLETE replayed state as of that version (protocol + metaData +
+# one add per live file), and `_last_checkpoint` points readers at it so
+# replay starts there instead of at version 0 — the property that keeps
+# log replay O(live files + recent commits) instead of O(table history),
+# and the precondition for deleting aged JSON segments (metadata
+# cleanup). Remove tombstones are deliberately NOT carried into the
+# checkpoint: the spec retains them only to coordinate vacuum with
+# concurrent readers of older versions, which is out of scope for an
+# export seam whose consumers read snapshots.
+
+
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _last_checkpoint_info(log_dir: str) -> dict | None:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            info = json.load(fh)
+        v = int(info["version"])
+    except Exception:
+        return None
+    cp = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    return {"version": v, "path": cp} if os.path.exists(cp) else None
+
+
+def _read_checkpoint(cp_path: str) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """(file state, protocol action, metaData action) from a checkpoint
+    parquet — the reader half of PROTOCOL.md's checkpoint section."""
+    import pyarrow.parquet as pq
+
     state: dict[str, dict] = {}
+    protocol = metadata = None
+    for row in pq.read_table(cp_path).to_pylist():
+        if row.get("protocol") is not None:
+            protocol = row["protocol"]
+        if row.get("metaData") is not None:
+            m = dict(row["metaData"])
+            m["format"] = dict(m["format"] or {})
+            m["format"]["options"] = dict(m["format"].get("options") or [])
+            m["configuration"] = dict(m.get("configuration") or [])
+            metadata = m
+        if row.get("add") is not None:
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            if a.get("stats") is None:
+                a.pop("stats", None)
+            state[_decode_path(a["path"])] = a
+    return state, protocol, metadata
+
+
+def _replay(log_dir: str) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """(file state, protocol, metaData) replayed per spec: start from the
+    checkpoint named by ``_last_checkpoint`` when present (JSON segments
+    at or below it may have been cleaned up), then apply newer JSON
+    versions in order — an ``add`` puts the path in the set (newest
+    metadata wins), a ``remove`` deletes it."""
+    cp = _last_checkpoint_info(log_dir)
+    if cp is not None:
+        state, protocol, metadata = _read_checkpoint(cp["path"])
+        start = cp["version"] + 1
+    else:
+        state, protocol, metadata = {}, None, None
+        start = 0
     for v in _existing_versions(log_dir):
+        if v < start:
+            continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 if not line.strip():
@@ -284,7 +401,17 @@ def replay_file_set(log_dir: str) -> dict[str, dict]:
                     state[_decode_path(a["path"])] = a
                 elif "remove" in action:
                     state.pop(_decode_path(action["remove"]["path"]), None)
-    return state
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+    return state, protocol, metadata
+
+
+def replay_file_set(log_dir: str) -> dict[str, dict]:
+    """Reconstruct the live snapshot from the log exactly the way the
+    spec tells readers to (checkpoint if present, then newer JSON)."""
+    return _replay(log_dir)[0]
 
 
 def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
@@ -345,9 +472,12 @@ class DeltaLogExporter:
     call :meth:`export` after any batch of table mutations; each call
     appends at most one log version."""
 
-    def __init__(self, table: PartitionedTable) -> None:
+    def __init__(self, table: PartitionedTable, checkpoint_interval: int = 10) -> None:
         self.table = table
         self.log_dir = _log_dir(table)
+        # every Nth version gets a checkpoint parquet (10 is delta-spark's
+        # default delta.checkpointInterval); 0 disables auto-checkpointing
+        self.checkpoint_interval = checkpoint_interval
         # local-path assumption: the log is written with plain python
         # IO; the table layouts under test are file-backed (``file:``
         # URIs normalize via _local_path). (A cluster deployment would
@@ -402,11 +532,16 @@ class DeltaLogExporter:
         added = sorted(set(live) - set(seen))
         removed = sorted(set(seen) - set(live))
         versions = _existing_versions(self.log_dir)
-        if versions and not added and not removed:
+        cp = _last_checkpoint_info(self.log_dir)
+        # metadata cleanup may leave the checkpoint as the only segment,
+        # so "latest version" must consider both (else a fresh export
+        # would re-issue version 0 below an existing checkpoint)
+        last = max(versions[-1] if versions else -1, cp["version"] if cp else -1)
+        if last >= 0 and not added and not removed:
             return -1
-        if not live and not versions:
+        if not live and last < 0:
             return -1  # nothing committed yet: no snapshot to describe
-        v = (versions[-1] + 1) if versions else 0
+        v = last + 1
         now = int(time.time() * 1000)
         lines: list[dict] = [
             {
@@ -447,4 +582,74 @@ class DeltaLogExporter:
         # concurrency bug (Delta proper closes this with CAS — out of
         # scope for an export seam).
         os.replace(tmp, final)
+        if self.checkpoint_interval and v > 0 and v % self.checkpoint_interval == 0:
+            self.write_checkpoint()
         return v
+
+    def write_checkpoint(self) -> int:
+        """Write ``{v:020d}.checkpoint.parquet`` holding the complete
+        replayed state at the latest version, then repoint
+        ``_last_checkpoint`` at it. Returns the checkpointed version.
+        Readers replaying after this start from the checkpoint, so
+        :meth:`clean_metadata` may delete the JSON it subsumes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        versions = _existing_versions(self.log_dir)
+        cp = _last_checkpoint_info(self.log_dir)
+        if not versions and cp is None:
+            raise ValueError(f"nothing to checkpoint under {self.log_dir}")
+        v = versions[-1] if versions else cp["version"]
+        state, protocol, metadata = _replay(self.log_dir)
+        # a cleaned log can lose the v0 protocol/metaData JSON; they are
+        # reconstructible (deterministic table id, live schema)
+        protocol = protocol or PROTOCOL_ACTION["protocol"]
+        metadata = metadata or self._meta_action()["metaData"]
+        rows: list[dict] = [{"protocol": protocol}, {"metaData": metadata}]
+        for rel in sorted(state):
+            a = state[rel]
+            rows.append(
+                {
+                    "add": {
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues", {}),
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        # checkpoints restate existing data; per spec the
+                        # actions carry dataChange=false
+                        "dataChange": False,
+                        "stats": a.get("stats"),
+                    }
+                }
+            )
+        final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=_checkpoint_schema()), tmp)
+        os.replace(tmp, final)
+        lc_tmp = os.path.join(self.log_dir, f"_last_checkpoint.tmp-{uuid.uuid4().hex}")
+        with open(lc_tmp, "w") as fh:
+            json.dump({"version": v, "size": len(rows)}, fh)
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        return v
+
+    def clean_metadata(self) -> int:
+        """Spec metadata cleanup: delete JSON segments (and superseded
+        checkpoints) at or below the ``_last_checkpoint`` version —
+        readers no longer replay them. Returns the number of files
+        removed; a no-op when no checkpoint exists."""
+        cp = _last_checkpoint_info(self.log_dir)
+        if cp is None:
+            return 0
+        removed = 0
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= cp["version"]:
+                os.remove(os.path.join(self.log_dir, f))
+                removed += 1
+            elif (
+                f.endswith(".checkpoint.parquet")
+                and f.split(".")[0].isdigit()
+                and int(f.split(".")[0]) < cp["version"]
+            ):
+                os.remove(os.path.join(self.log_dir, f))
+                removed += 1
+        return removed

@@ -357,3 +357,84 @@ def test_stats_based_file_skipping_prunes_and_stays_exact(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_delta_log(t, column_range=("k", 50, 500)).collect()
     ) == [100, 200]
+
+
+def test_checkpoint_replay_equals_json_replay_and_survives_cleanup(spark, tmp_path):
+    """PROTOCOL.md checkpoints: every checkpoint_interval versions the
+    exporter writes {v:020d}.checkpoint.parquet + _last_checkpoint; a
+    reader starting from the checkpoint sees the same snapshot as a full
+    JSON replay, clean_metadata deletes the subsumed JSON without
+    changing the snapshot, and export keeps numbering correctly on a
+    cleaned log."""
+    from incremental_dagster_delta_spark.deltalog import (
+        _existing_versions,
+        _last_checkpoint_info,
+        _replay,
+    )
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    ex = DeltaLogExporter(t, checkpoint_interval=3)
+    for b in range(5):
+        t.append_batch(
+            spark.createDataFrame([(b, f"p{b}", f"2024-02-0{b + 1}")], SCHEMA), b
+        )
+        ex.export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    assert _existing_versions(log_dir) == [0, 1, 2, 3, 4]
+    cp = _last_checkpoint_info(log_dir)
+    assert cp is not None and cp["version"] == 3  # 3 % 3 == 0
+    assert os.path.exists(os.path.join(log_dir, f"{3:020d}.checkpoint.parquet"))
+
+    full = replay_file_set(log_dir)
+
+    # (a) checkpoint+tail replay == pure-JSON replay (force JSON-only by
+    # hiding _last_checkpoint)
+    os.rename(
+        os.path.join(log_dir, "_last_checkpoint"),
+        os.path.join(log_dir, "_lc_hidden"),
+    )
+    json_only = replay_file_set(log_dir)
+    os.rename(
+        os.path.join(log_dir, "_lc_hidden"),
+        os.path.join(log_dir, "_last_checkpoint"),
+    )
+    assert set(full) == set(json_only) and len(full) == 5
+    # checkpoint-sourced adds restate data (dataChange=false per spec)
+    # while the tail JSON adds keep dataChange=true
+    assert {a["dataChange"] for a in full.values()} == {True, False}
+
+    # checkpoint carries protocol + metaData
+    state, protocol, metadata = _replay(log_dir)
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert metadata is not None and metadata["partitionColumns"] == ["day"]
+
+    # (b) metadata cleanup: versions 0..3 go, snapshot unchanged
+    removed = DeltaLogExporter(t).clean_metadata()
+    assert removed == 4
+    assert _existing_versions(log_dir) == [4]
+    assert set(replay_file_set(log_dir)) == set(full)
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [0, 1, 2, 3, 4]
+
+    # (c) export on the cleaned log continues the version chain
+    t.append_batch(spark.createDataFrame([(9, "z", "2024-02-09")], SCHEMA), 9)
+    assert ex.export() == 5
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [0, 1, 2, 3, 4, 9]
+    # and a full cleanup down to checkpoint-only still replays (protocol/
+    # metaData come from the checkpoint, not v0 JSON)
+    assert ex.write_checkpoint() == 5
+    assert DeltaLogExporter(t).clean_metadata() >= 2
+    state2, protocol2, metadata2 = _replay(log_dir)
+    assert protocol2 == protocol and metadata2["id"] == metadata["id"]
+    assert len(state2) == 6
+
+
+def test_checkpoint_idempotent_reexport_stays_noop(spark, tmp_path):
+    """A checkpointed, cleaned log must still treat an unchanged table
+    as a no-op export (the idempotence contract, now across cleanup)."""
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t, checkpoint_interval=1)
+    assert ex.export() == 0
+    assert ex.write_checkpoint() == 0
+    assert ex.clean_metadata() == 1
+    assert ex.export() == -1  # unchanged table, checkpoint-only log
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 2, 3]

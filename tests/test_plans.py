@@ -132,12 +132,43 @@ _PURE_QUERIES = [
 ]  # incremental_ops qids return materialized (localCheckpoint) state — no plan to inspect
 
 
+# Cardinality-reducing physical nodes: a partition-less Window whose
+# subtree contains one of these consumes a bounded row set (a top-k cut,
+# an explicit limit, or an aggregate keyed on a value-domain-bounded
+# column), not raw scan rows.
+_WINDOW_BOUND_NODES = {
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+}
+
+
+def _walk_jplan(n):
+    while n.nodeName() == "AdaptiveSparkPlan":
+        n = n.initialPlan()
+    yield n
+    ch = n.children()
+    for i in range(ch.size()):
+        yield from _walk_jplan(ch.apply(i))
+
+
 @pytest.mark.parametrize("name", _PURE_QUERIES)
 def test_no_cartesian_product(spark, sf_dir, name):
-    """No registered query may compile to a CartesianProduct — the
-    instantly-disqualifying plan at 100 TB. (BroadcastNestedLoopJoin
-    with a broadcast-small side is acceptable — that's the top-k query
-    set and centroid assignment, bounded by |Q| and K.)
+    """Registry-wide plan invariants — the instantly-disqualifying
+    shapes at 100 TB, checked on every registered query:
+
+    1. No CartesianProduct. (BroadcastNestedLoopJoin with a
+       broadcast-small side is acceptable — that's the top-k query set
+       and centroid assignment, bounded by |Q| and K.)
+    2. Every PARTITION-LESS Window (single-partition execution) must sit
+       above a cardinality cut — TakeOrderedAndProject/limit or an
+       aggregation — never above raw scan rows. This is the standing
+       answer to the bench tail's 'WindowExec: No Partition Defined'
+       warnings: the r11 audit found each such window value-domain- or
+       top-k-bounded, and this assertion keeps it that way.
 
     ``lazy_plans()`` keeps eager materialization (cache-release
     checkpointing) off so the FULL lineage — not a checkpoint scan — is
@@ -147,8 +178,20 @@ def test_no_cartesian_product(spark, sf_dir, name):
     with lazy_plans():
         df = QUERIES[name].fn(spark, sf_dir)
         plan = _plan(df)
+        jp = df._jdf.queryExecution().executedPlan()
+        unbounded = [
+            n
+            for n in _walk_jplan(jp)
+            if n.nodeName() == "Window"
+            and n.partitionSpec().size() == 0
+            and not any(m.nodeName() in _WINDOW_BOUND_NODES for m in _walk_jplan(n))
+        ]
     spark.catalog.clearCache()  # lazy mode skips the queries' own unpersists
     assert "CartesianProduct" not in plan, f"{name} compiles to a cartesian product"
+    assert not unbounded, (
+        f"{name}: partition-less Window over unbounded input — "
+        f"{[str(n.simpleString(120)) for n in unbounded]}"
+    )
 
 
 def test_aqe_splits_skewed_join_partition(spark):
