@@ -375,22 +375,37 @@ def _read_checkpoint(cp_path: str) -> tuple[dict[str, dict], dict | None, dict |
     return state, protocol, metadata
 
 
-def _replay(log_dir: str) -> tuple[dict[str, dict], dict | None, dict | None]:
+def _replay(
+    log_dir: str, version: int | None = None
+) -> tuple[dict[str, dict], dict | None, dict | None]:
     """(file state, protocol, metaData) replayed per spec: start from the
     checkpoint named by ``_last_checkpoint`` when present (JSON segments
     at or below it may have been cleaned up), then apply newer JSON
     versions in order — an ``add`` puts the path in the set (newest
-    metadata wins), a ``remove`` deletes it."""
+    metadata wins), a ``remove`` deletes it. ``version`` pins the replay
+    to that version (``VERSION AS OF`` semantics); versions older than
+    the checkpoint are unreachable once :meth:`clean_metadata` ran —
+    exactly the retention trade real Delta tables make."""
     cp = _last_checkpoint_info(log_dir)
-    if cp is not None:
+    if cp is not None and (version is None or cp["version"] <= version):
         state, protocol, metadata = _read_checkpoint(cp["path"])
         start = cp["version"] + 1
     else:
         state, protocol, metadata = {}, None, None
         start = 0
-    for v in _existing_versions(log_dir):
+    versions = _existing_versions(log_dir)
+    if version is not None:
+        reachable = ([cp["version"]] if cp else []) + versions
+        if version not in reachable:
+            raise ValueError(
+                f"version {version} not reachable under {log_dir}: "
+                f"checkpoint={cp['version'] if cp else None}, segments={versions}"
+            )
+    for v in versions:
         if v < start:
             continue
+        if version is not None and v > version:
+            break
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 if not line.strip():
@@ -408,13 +423,16 @@ def _replay(log_dir: str) -> tuple[dict[str, dict], dict | None, dict | None]:
     return state, protocol, metadata
 
 
-def replay_file_set(log_dir: str) -> dict[str, dict]:
-    """Reconstruct the live snapshot from the log exactly the way the
-    spec tells readers to (checkpoint if present, then newer JSON)."""
-    return _replay(log_dir)[0]
+def replay_file_set(log_dir: str, version: int | None = None) -> dict[str, dict]:
+    """Reconstruct the snapshot from the log exactly the way the spec
+    tells readers to (checkpoint if present, then newer JSON).
+    ``version`` pins the snapshot (``VERSION AS OF``); default latest."""
+    return _replay(log_dir, version)[0]
 
 
-def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
+def files_in_range(
+    log_dir: str, column: str, lo, hi, version: int | None = None
+) -> dict[str, dict]:
     """Data skipping from log stats, exactly as Delta readers do it:
     keep a file unless its [minValues, maxValues] interval for
     ``column`` provably misses [lo, hi]. Files without stats for the
@@ -422,7 +440,7 @@ def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
     metadata only — at 100 TB this prunes the FILE LIST before a single
     scan task launches, the log's whole point over directory listing."""
     kept: dict[str, dict] = {}
-    for rel, add in replay_file_set(log_dir).items():
+    for rel, add in replay_file_set(log_dir, version).items():
         stats = json.loads(add["stats"]) if "stats" in add else {}
         mn = stats.get("minValues", {}).get(column)
         mx = stats.get("maxValues", {}).get(column)
@@ -437,20 +455,26 @@ def files_in_range(log_dir: str, column: str, lo, hi) -> dict[str, dict]:
 
 
 def read_delta_log(
-    table: PartitionedTable, column_range: tuple[str, object, object] | None = None
+    table: PartitionedTable,
+    column_range: tuple[str, object, object] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Read the table THROUGH its exported log — the snapshot a real
     Delta reader would serve (replay the log, load exactly the add-file
     set). ``column_range=(col, lo, hi)`` applies stats-based file
     skipping before the load AND the residual predicate after it (the
-    stats cut is file-granular, not row-exact). Used by the round-trip
-    tests; a foreign reader does the same replay from the same bytes."""
+    stats cut is file-granular, not row-exact). ``version`` reads
+    ``VERSION AS OF`` that log version — valid while the version's data
+    files survive (vacuum/maintenance reclaims them on the table's own
+    schedule, the same coupling real Delta time travel has). Used by the
+    round-trip tests; a foreign reader does the same replay from the
+    same bytes."""
     log_dir = _log_dir(table)
     if column_range is not None:
         col, lo, hi = column_range
-        files = files_in_range(log_dir, col, lo, hi)
+        files = files_in_range(log_dir, col, lo, hi, version)
     else:
-        files = replay_file_set(log_dir)
+        files = replay_file_set(log_dir, version)
     if not files:
         raise ValueError(f"no exported snapshot under {log_dir}")
     from incremental_dagster_delta_spark.tableio import _string_partitions

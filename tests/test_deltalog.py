@@ -438,3 +438,43 @@ def test_checkpoint_idempotent_reexport_stays_noop(spark, tmp_path):
     assert ex.clean_metadata() == 1
     assert ex.export() == -1  # unchanged table, checkpoint-only log
     assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 2, 3]
+
+
+def test_version_as_of_replay(spark, tmp_path):
+    """VERSION AS OF through the exported log: a pinned replay serves
+    exactly the snapshot that version described (valid while its data
+    files survive table maintenance — append-only here), and versions
+    cleaned below the checkpoint are unreachable with a clear error."""
+    import pytest
+
+    from incremental_dagster_delta_spark.deltalog import replay_file_set as rfs
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    ex = DeltaLogExporter(t, checkpoint_interval=0)  # manual checkpoints only
+    for b in range(3):
+        t.append_batch(
+            spark.createDataFrame([(b, f"p{b}", f"2024-03-0{b + 1}")], SCHEMA), b
+        )
+        assert ex.export() == b
+    log_dir = str(tmp_path / "t" / "_delta_log")
+
+    for v in range(3):
+        assert len(rfs(log_dir, version=v)) == v + 1
+        assert sorted(
+            r["k"] for r in read_delta_log(t, version=v).collect()
+        ) == list(range(v + 1))
+    # stats skipping composes with the pinned version
+    assert sorted(
+        r["k"] for r in read_delta_log(t, column_range=("k", 1, 9), version=1).collect()
+    ) == [1]
+
+    with pytest.raises(ValueError, match="not reachable"):
+        rfs(log_dir, version=7)
+
+    # cleanup at a checkpoint makes older versions unreachable (the
+    # documented retention trade), latest still pinned-readable
+    assert ex.write_checkpoint() == 2
+    assert ex.clean_metadata() == 3
+    with pytest.raises(ValueError, match="not reachable"):
+        rfs(log_dir, version=0)
+    assert len(rfs(log_dir, version=2)) == 3
