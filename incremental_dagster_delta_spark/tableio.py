@@ -875,7 +875,11 @@ class PartitionedTable:
 
     # -- compaction ---------------------------------------------------------
 
-    def compact(self, target_files_per_partition: int = 1) -> int:
+    def compact(
+        self,
+        target_files_per_partition: int = 1,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Rewrite every leaf partition down to ``target_files_per_partition``
         files — the OPTIMIZE/bin-packing pass for the small-files pressure
         the one-record-per-file ingest pattern creates (SURVEY.md §7.7).
@@ -890,6 +894,21 @@ class PartitionedTable:
         renames — ``_recover_compaction`` rolls an interrupted swap back or
         forward, and a crash test pins every window (tests/test_compaction_
         crash.py).
+
+        ``cluster_by`` rewrites with files RANGE-CLUSTERED on those
+        columns (Delta's ``OPTIMIZE ... ZORDER BY`` / clustered-table
+        pass): rows range-partition on (partition cols, cluster cols)
+        and sort within each task, so every rewritten file covers a
+        narrow, near-disjoint cluster-key interval. That is what turns
+        per-file min/max stats — parquet footers, and the exported
+        Delta log's minValues/maxValues — into real file pruning: on an
+        unclustered table every file spans the whole key range and
+        stats-based skipping keeps them all. For a single cluster key,
+        range clustering is strictly better than Z-order (Z-order's bit
+        interleaving only pays when queries filter on several columns
+        with no dominant prefix). Range task sizing follows Spark's
+        sampled boundaries, so heavy key skew widens some files' ranges
+        rather than failing; AQE coalescing keeps task sizes sane.
         """
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -901,7 +920,18 @@ class PartitionedTable:
         df = self.read()
         staging = self.path.rstrip("/") + ".compacting"
         n_files = max(1, int(target_files_per_partition))
-        if self.partition_cols and n_files == 1:
+        if cluster_by:
+            keys = [F.col(c) for c in (*self.partition_cols, *cluster_by)]
+            # one range task per target output file: files/leaf × leaves
+            n_leaves = (
+                max(1, df.select(*self.partition_cols).distinct().count())
+                if self.partition_cols
+                else 1
+            )
+            writer = df.repartitionByRange(
+                n_files * n_leaves, *keys
+            ).sortWithinPartitions(*keys)
+        elif self.partition_cols and n_files == 1:
             writer = df.repartition(*self.partition_cols)
         elif self.partition_cols:
             # Deterministic salt spreads each leaf over exactly n_files

@@ -478,3 +478,45 @@ def test_version_as_of_replay(spark, tmp_path):
     with pytest.raises(ValueError, match="not reachable"):
         rfs(log_dir, version=0)
     assert len(rfs(log_dir, version=2)) == 3
+
+
+def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
+    """compact(cluster_by=...) — the OPTIMIZE/ZORDER analogue: after a
+    range-clustered rewrite each file covers a narrow key interval, so
+    the exported log's stats prune most files for a point-ish range;
+    before clustering every file spans the whole key range and skipping
+    keeps them all. Row content must be unchanged by the rewrite."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    import hashlib
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), [])
+    # 4 batches, each spanning the WHOLE key range 0..399; rows shuffled
+    # (md5 order) so every write task's file also spans the range —
+    # createDataFrame slices an ordered list contiguously otherwise,
+    # which would hand the "before" state accidental clustering
+    for b in range(4):
+        ks = sorted(
+            range(b, 400, 4), key=lambda k: hashlib.md5(str(k).encode()).hexdigest()
+        )
+        t.append_batch(
+            spark.createDataFrame([(k, f"p{k}", "2024-01-01") for k in ks], SCHEMA),
+            b,
+        )
+    ex = DeltaLogExporter(t)
+    ex.export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    n_before = len(replay_file_set(log_dir))
+    kept_before = files_in_range(log_dir, "k", 100, 119)
+    assert len(kept_before) == n_before  # every file spans the range
+
+    n_files = t.compact(target_files_per_partition=4, cluster_by=["k"])
+    assert n_files == 4
+    ex.export(operation="OPTIMIZE")
+    kept_after = files_in_range(log_dir, "k", 100, 119)
+    assert len(kept_after) == 1, f"clustered table should prune to 1 file, kept {len(kept_after)}"
+    # pruned read stays exact, full content unchanged
+    assert sorted(
+        r["k"] for r in read_delta_log(t, column_range=("k", 100, 119)).collect()
+    ) == list(range(100, 120))
+    assert t.read().count() == 400
