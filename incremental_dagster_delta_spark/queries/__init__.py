@@ -52,14 +52,16 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # operator + the 20 re-confirms whose rows date to r6 (staged in r12's
 # comment, VERDICT r12 #1 — q_pca_topk and q_dedup_simhash matter most:
 # their oracles changed character since r6) + the 29 alphabetically-first
-# of the 41 r7-aged rows. The 12 r7 rows left for the r14 tail:
-# q_sql_frontend, q_subword_counts, q_suffix_filter, q_text_quality,
-# q_token_counts, q_top_orders, q_topk, q_unigram_lm, q_vocab_coverage,
-# q_window_running, q_winnow_fingerprint, q_word_length.
+# of the 41 r7-aged rows. The 13 r7 rows left for the r14 tail:
+# q_set_ops, q_sql_frontend, q_subword_counts, q_suffix_filter,
+# q_text_quality, q_token_counts, q_top_orders, q_topk, q_unigram_lm,
+# q_vocab_coverage, q_window_running, q_winnow_fingerprint,
+# q_word_length.
 # --------------------------------------------------------------------------
 _R13_FRONT = [
-    # (a) new this round — first driver row
+    # (a) new this round — first driver rows
     "q_bloom_paragraph_dedup",
+    "q_concat_chunk",
     # (b) the 20 r6-aged re-confirms (every row then ≤7 rounds old)
     "q_dedup_fuzzy",
     "q_dedup_simhash",
@@ -81,7 +83,7 @@ _R13_FRONT = [
     "q_triangle_count",
     "q_triangle_doulion",
     "q_weighted_sample",
-    # (c) the 29 alphabetically-first r7-aged rows, filling to exactly 50
+    # (c) the 28 alphabetically-first r7-aged rows, filling to exactly 50
     "q_bigram_perplexity",
     "q_date_format",
     "q_date_parts",
@@ -110,7 +112,6 @@ _R13_FRONT = [
     "q_rollup_agg",
     "q_row_construction",
     "q_semi_join",
-    "q_set_ops",
 ]
 
 

@@ -176,3 +176,97 @@ def q_class_balance(spark, sf_dir):
         .where(F.col("rank") <= F.col("m"))
         .select("vec_id", "label", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- concat-and-chunk sequence boundaries -------------------------------------
+
+SEQ_LEN = 256  # tokens per training sequence (chunked, GPT-style)
+
+
+def _global_weighted_cumsum(df, order_cols, weight_col: str):
+    """df + ``_start``: the EXCLUSIVE global running sum of
+    ``weight_col`` under ORDER BY ``order_cols`` — the weighted
+    generalization of :func:`analytics._global_order`, and like it built
+    without a single-partition sort: range-repartition on the key
+    (disjoint ordered ranges, one per task), cumsum WITHIN each
+    partition, add each partition's broadcast weight offset. The
+    partition-less window runs over numPartitions aggregate rows only.
+    The input is localCheckpointed once so the sampled range boundaries
+    cannot shift between the offsets subtree and the final plan."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    npart = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(npart, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = ranged.groupBy("_pid").agg(F.sum(weight_col).alias("_w"))
+    w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_w").over(w_before), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    running = F.sum(weight_col).over(w_local) - F.col(weight_col) + F.col("_off")
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_start", running.cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+@query(
+    "q_concat_chunk",
+    tags=("llm", "training"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_off
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // {SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST((start_off + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+           (start_off // {SEQ_LEN}) <> ((start_off + n_tokens - 1) // {SEQ_LEN})
+             AS crosses_boundary
+    FROM c
+    """,
+)
+def q_concat_chunk(spark, sf_dir):
+    """Concat-and-chunk sequence boundaries (the GPT-style data-loader
+    contract): all documents form ONE token stream in doc_id order, cut
+    into fixed SEQ_LEN sequences; each document reports its global token
+    offset and which sequences it lands in. This is the packing mode
+    actually used at pretraining scale — q_token_pack's next-fit bins
+    need a sequential scan per group, while the chunk boundary of every
+    document here depends only on the global prefix sum of token counts,
+    which distributes exactly (:func:`_global_weighted_cumsum` — range
+    repartition + per-partition cumsum + numPartitions broadcast
+    offsets, no single-partition sort at any scale). Downstream, a
+    loader uses (first_seq, last_seq) to route shards, and
+    crosses_boundary counts the attention-masking fragmentation the
+    chunking introduces."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+    counted = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    c = _global_weighted_cumsum(counted, ["doc_id"], "n_tokens")
+    first = F.floor(F.col("_start") / SEQ_LEN).cast("long")
+    last = F.floor((F.col("_start") + F.col("n_tokens") - 1) / SEQ_LEN).cast("long")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_start").alias("start_off"),
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (first != last).alias("crosses_boundary"),
+    )
