@@ -65,7 +65,11 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-from incremental_dagster_delta_spark.tableio import PartitionedTable, _hidden_rel
+from incremental_dagster_delta_spark.tableio import (
+    DeletionVectors,
+    PartitionedTable,
+    _hidden_rel,
+)
 
 PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
@@ -336,6 +340,19 @@ def _checkpoint_schema():
     )
 
 
+def _live_soft_deletes(table: PartitionedTable) -> bool:
+    """True iff the table's ``_dv`` sidecar holds delete batches newer
+    than the purge watermark — rows the base files still contain but a
+    DV-aware read subtracts. Metadata-only probe (commit markers + the
+    watermark file); the key column is irrelevant to it."""
+    dv = DeletionVectors(table, key_col="_")
+    wm = dv.applied_through()
+    return any(
+        bid > wm and m.get("rows", 0)
+        for bid, m in dv.sidecar.batch_metrics().items()
+    )
+
+
 def _last_checkpoint_info(log_dir: str) -> dict | None:
     p = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(p):
@@ -547,10 +564,26 @@ class DeltaLogExporter:
 
     # -- export ------------------------------------------------------------------
 
-    def export(self, operation: str = "WRITE") -> int:
+    def export(self, operation: str = "WRITE", allow_soft_deletes: bool = False) -> int:
         """Diff live files vs the replayed log; append one version when
         they differ. Returns the new version number, or -1 for a no-op
-        (idempotent re-export)."""
+        (idempotent re-export).
+
+        Refuses (loud over wrong) when the table carries LIVE deletion-
+        vector batches: the export describes raw data files, so a
+        foreign reader would serve rows a DV-aware read subtracts. Run
+        ``DeletionVectors.purge()`` first — the rewrite bakes the
+        deletes in and the next export diffs to the purged files — or
+        pass ``allow_soft_deletes=True`` to publish the base table
+        as-is (emitting spec deletion vectors needs reader version 3
+        and roaring-bitmap DV files, out of this seam's scope)."""
+        if not allow_soft_deletes and _live_soft_deletes(self.table):
+            raise ValueError(
+                f"{self.table.path} has unpurged deletion-vector batches; a "
+                "foreign Delta reader of this export would see soft-deleted "
+                "rows. DeletionVectors.purge() first, or pass "
+                "allow_soft_deletes=True to export the raw base table."
+            )
         live = _live_files(self.table)
         seen = replay_file_set(self.log_dir)
         added = sorted(set(live) - set(seen))

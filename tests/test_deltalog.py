@@ -520,3 +520,33 @@ def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
         r["k"] for r in read_delta_log(t, column_range=("k", 100, 119)).collect()
     ) == list(range(100, 120))
     assert t.read().count() == 400
+
+
+def test_export_refuses_live_soft_deletes_until_purged(spark, tmp_path):
+    """Exporting a table with unpurged deletion-vector batches would
+    hand a foreign Delta reader the soft-deleted rows, so export()
+    refuses until purge() bakes them in (escape hatch:
+    allow_soft_deletes=True publishes the raw base explicitly)."""
+    import pytest
+
+    from incremental_dagster_delta_spark.tableio import DeletionVectors
+
+    t = _mk(spark, tmp_path / "t")
+    dv = DeletionVectors(t, "k")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0  # no DV state yet → exports fine
+
+    dv.mark_deleted(spark.createDataFrame([(2,)], "k long"), 0)
+    t.append_batch(spark.createDataFrame([(4, "d", "2024-01-03")], SCHEMA), 1)
+    with pytest.raises(ValueError, match="unpurged deletion-vector"):
+        ex.export()
+    # escape hatch: raw base, deliberately
+    assert ex.export(allow_soft_deletes=True) == 1
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 2, 3, 4]
+
+    # purge bakes the delete in; the next export diffs to the rewritten
+    # files and the foreign-readable snapshot now equals the DV read
+    dv.purge()
+    assert ex.export(operation="DELETE") == 2
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 3, 4]
+    assert sorted(r["k"] for r in dv.read().collect()) == [1, 3, 4]
