@@ -178,7 +178,22 @@ def _stats_json_value(v, *, round_up: bool = False):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # Delta writers emit decimal stats as JSON NUMBERS (a string
+        # would also break files_in_range's ordering for foreign
+        # readers). A double is the nearest representable value, which
+        # can fall on the wrong side of the true decimal — widen by one
+        # ulp in the safe direction so skipping stays sound.
+        import math
+
+        f = float(v)
+        if math.isinf(f):
+            return _UNSERIALIZABLE
+        exact = decimal.Decimal(f)
+        if round_up and exact < v:
+            f = math.nextafter(f, math.inf)
+        elif not round_up and exact > v:
+            f = math.nextafter(f, -math.inf)
+        return f
     return _UNSERIALIZABLE
 
 
@@ -247,7 +262,11 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
                     try:
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                     except UnicodeDecodeError:
+                        # pop what EARLIER row groups accumulated too —
+                        # partial min/max would be narrower than the
+                        # file's true range, i.e. wrong skipping
                         dropped.add(name)
+                        mins.pop(name, None), maxs.pop(name, None), nulls.pop(name, None)
                         continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
@@ -344,11 +363,14 @@ def _live_soft_deletes(table: PartitionedTable) -> bool:
     """True iff the table's ``_dv`` sidecar holds delete batches newer
     than the purge watermark — rows the base files still contain but a
     DV-aware read subtracts. Metadata-only probe (commit markers + the
-    watermark file); the key column is irrelevant to it."""
+    watermark file); the key column is irrelevant to it. A marker whose
+    metrics are unreadable/legacy (parses as ``{}``) counts as LIVE —
+    the guard must fail loud, not pass on missing metadata; only an
+    explicit ``rows: 0`` (the empty-batch skip) is known-empty."""
     dv = DeletionVectors(table, key_col="_")
     wm = dv.applied_through()
     return any(
-        bid > wm and m.get("rows", 0)
+        bid > wm and m.get("rows", 1) != 0
         for bid, m in dv.sidecar.batch_metrics().items()
     )
 

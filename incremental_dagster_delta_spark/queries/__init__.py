@@ -51,7 +51,7 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # sweep all 261 qids have a driver row; the r13 front = the round's new
 # operator + the 20 re-confirms whose rows date to r6 (staged in r12's
 # comment, VERDICT r12 #1 — q_pca_topk and q_dedup_simhash matter most:
-# their oracles changed character since r6) + the 29 alphabetically-first
+# their oracles changed character since r6) + the 28 alphabetically-first
 # of the 41 r7-aged rows. The 13 r7 rows left for the r14 tail:
 # q_set_ops, q_sql_frontend, q_subword_counts, q_suffix_filter,
 # q_text_quality, q_token_counts, q_top_orders, q_topk, q_unigram_lm,

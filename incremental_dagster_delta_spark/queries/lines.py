@@ -336,7 +336,7 @@ def q_bloom_paragraph_dedup(spark, sf_dir):
 
     The sidecar is the MERGEABLE ``sketches.bloom_bits`` position table
     (bit sets from disjoint corpus batches union to the full filter —
-    merge ≡ full pinned in tests/test_lines.py), so at 100 TB the corpus
+    merge ≡ full pinned in tests/test_sketches.py), so at 100 TB the corpus
     is folded in once, incrementally, with exactly-once ``append_batch``;
     each arriving batch pays one map-side broadcast probe plus a
     document-keyed regroup whose state is bounded by document length.

@@ -192,7 +192,10 @@ def _global_weighted_cumsum(df, order_cols, weight_col: str):
     partition, add each partition's broadcast weight offset. The
     partition-less window runs over numPartitions aggregate rows only.
     The input is localCheckpointed once so the sampled range boundaries
-    cannot shift between the offsets subtree and the final plan."""
+    cannot shift between the offsets subtree and the final plan.
+    ``order_cols`` should be a UNIQUE key: with ties the per-row
+    prefix sums are a valid disjoint packing but the assignment among
+    tied rows is not deterministic across runs."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -207,7 +210,11 @@ def _global_weighted_cumsum(df, order_cols, weight_col: str):
     offsets = sizes.select(
         "_pid", F.coalesce(F.sum("_w").over(w_before), F.lit(0)).alias("_off")
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    # ROWS frame, not the default RANGE frame: RANGE includes all ORDER
+    # BY peers, which double-counts tied keys into every peer's sum
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     running = F.sum(weight_col).over(w_local) - F.col(weight_col) + F.col("_off")
     return (
         ranged.join(F.broadcast(offsets), "_pid")

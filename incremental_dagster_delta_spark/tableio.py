@@ -922,12 +922,20 @@ class PartitionedTable:
         n_files = max(1, int(target_files_per_partition))
         if cluster_by:
             keys = [F.col(c) for c in (*self.partition_cols, *cluster_by)]
-            # one range task per target output file: files/leaf × leaves
-            n_leaves = (
-                max(1, df.select(*self.partition_cols).distinct().count())
-                if self.partition_cols
-                else 1
-            )
+            # one range task per target output file: files/leaf × leaves.
+            # Leaves counted from the file index (O(files) driver-side
+            # metadata) — a distinct() over the data would add a full
+            # scan + shuffle in front of the rewrite scan.
+            if self.partition_cols:
+                leaves = set()
+                it = fs.listFiles(root, True)
+                while it.hasNext():
+                    p = it.next().getPath()
+                    if not _hidden_rel(root, p):
+                        leaves.add(str(p.getParent()))
+                n_leaves = max(1, len(leaves))
+            else:
+                n_leaves = 1
             writer = df.repartitionByRange(
                 n_files * n_leaves, *keys
             ).sortWithinPartitions(*keys)

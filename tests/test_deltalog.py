@@ -258,7 +258,10 @@ def test_typed_stats_export_iso8601_and_decimal_strings(spark, tmp_path):
     # timestamps: millisecond precision, min truncated, max rounded UP
     assert mins("ts") == "2024-03-01T12:30:45.123Z"
     assert maxs("ts") == "2024-03-09T01:02:03.004Z"
-    assert mins("amt") == "1.500" and maxs("amt") == "3.000"  # decimal(13,3)
+    # decimals export as JSON NUMBERS (Delta writer convention; strings
+    # would sort lexicographically in files_in_range): exact doubles here
+    assert mins("amt") == 1.5 and maxs("amt") == 3.0
+    assert isinstance(mins("amt"), float) and isinstance(maxs("amt"), float)
 
 
 def test_file_scheme_path_writes_log_inside_table(spark, tmp_path):
