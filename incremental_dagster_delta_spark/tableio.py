@@ -879,6 +879,7 @@ class PartitionedTable:
         self,
         target_files_per_partition: int = 1,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite every leaf partition down to ``target_files_per_partition``
         files — the OPTIMIZE/bin-packing pass for the small-files pressure
@@ -909,6 +910,13 @@ class PartitionedTable:
         with no dominant prefix). Range task sizing follows Spark's
         sampled boundaries, so heavy key skew widens some files' ranges
         rather than failing; AQE coalescing keeps task sizes sane.
+
+        ``zorder=True`` (exactly two NUMERIC cluster columns) clusters
+        on the Morton interleave of each column's 256-quantile rank
+        instead of the lexicographic pair — Delta's ``OPTIMIZE ZORDER``
+        proper: every file covers a compact rectangle in BOTH
+        dimensions, so stats prune on either column alone, where
+        lexicographic clustering prunes only on the leading one.
         """
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -920,6 +928,27 @@ class PartitionedTable:
         df = self.read()
         staging = self.path.rstrip("/") + ".compacting"
         n_files = max(1, int(target_files_per_partition))
+        drop_cols: list[str] = []
+        if cluster_by and zorder:
+            if len(cluster_by) != 2:
+                raise ValueError("zorder=True needs exactly two cluster columns")
+            from incremental_dagster_delta_spark.functions import (
+                _quantile_bucket,
+                zorder_key,
+            )
+
+            bits = 8
+            probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            qa, qb = df.stat.approxQuantile(list(cluster_by), probs, 0.01)
+            df = df.withColumn(
+                "_z",
+                zorder_key(
+                    _quantile_bucket(F.col(cluster_by[0]), qa),
+                    _quantile_bucket(F.col(cluster_by[1]), qb),
+                    bits=bits,
+                ),
+            )
+            cluster_by, drop_cols = ["_z"], ["_z"]
         if cluster_by:
             keys = [F.col(c) for c in (*self.partition_cols, *cluster_by)]
             # one range task per target output file: files/leaf × leaves.
@@ -939,6 +968,8 @@ class PartitionedTable:
             writer = df.repartitionByRange(
                 n_files * n_leaves, *keys
             ).sortWithinPartitions(*keys)
+            if drop_cols:  # the synthetic Morton key never hits disk
+                writer = writer.drop(*drop_cols)
         elif self.partition_cols and n_files == 1:
             writer = df.repartition(*self.partition_cols)
         elif self.partition_cols:

@@ -553,3 +553,42 @@ def test_export_refuses_live_soft_deletes_until_purged(spark, tmp_path):
     assert ex.export(operation="DELETE") == 2
     assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 3, 4]
     assert sorted(r["k"] for r in dv.read().collect()) == [1, 3, 4]
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
+    """compact(cluster_by=[a, b], zorder=True): Morton-interleaved
+    quantile ranks give every file a compact rectangle in BOTH
+    dimensions, so log-stats skipping prunes on either column alone —
+    lexicographic clustering by [a, b] only ever prunes on a."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    rows = [
+        (x, (x * 131) % 400, f"v{x}", "2024-01-01") for x in range(400)
+    ]  # y decorrelated from x
+    t = PartitionedTable(spark, str(tmp_path / "t"), [])
+    t.append_batch(
+        spark.createDataFrame(rows, "x long, y long, payload string, day string"), 0
+    )
+    ex = DeltaLogExporter(t)
+
+    # lexicographic baseline: prune on x works, on y it keeps everything
+    t.compact(target_files_per_partition=16, cluster_by=["x", "y"])
+    ex.export(operation="OPTIMIZE")
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    n = len(replay_file_set(log_dir))
+    lex_x = len(files_in_range(log_dir, "x", 100, 124))
+    lex_y = len(files_in_range(log_dir, "y", 100, 124))
+    assert lex_x <= n // 4 and lex_y == n
+
+    t.compact(target_files_per_partition=16, cluster_by=["x", "y"], zorder=True)
+    ex.export(operation="OPTIMIZE")
+    z_x = len(files_in_range(log_dir, "x", 100, 124))
+    z_y = len(files_in_range(log_dir, "y", 100, 124))
+    n2 = len(replay_file_set(log_dir))
+    assert z_x < n2 and z_y < n2, (z_x, z_y, n2)  # prunes on BOTH
+    assert z_y <= n2 // 2  # and meaningfully on the second dimension
+    # content untouched, pruned read exact
+    assert t.read().count() == 400
+    assert sorted(
+        r["y"] for r in read_delta_log(t, column_range=("y", 100, 124)).collect()
+    ) == sorted(y for _, y, _, _ in rows if 100 <= y <= 124)
