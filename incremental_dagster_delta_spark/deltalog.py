@@ -493,6 +493,43 @@ def files_in_range(
     return kept
 
 
+def log_history(log_dir: str) -> list[dict]:
+    """``DESCRIBE HISTORY`` parity from the exported log: one row per
+    surviving JSON version, newest first — version, commit timestamp,
+    operation label, and the writer's operationMetrics. Versions whose
+    segments were deleted by :meth:`DeltaLogExporter.clean_metadata`
+    no longer appear (their state lives folded into the checkpoint),
+    exactly the truncation real Delta history shows after log cleanup."""
+    out: list[dict] = []
+    for v in _existing_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    out.append(
+                        {
+                            "version": v,
+                            "timestamp": ci.get("timestamp"),
+                            "operation": ci.get("operation"),
+                            "operationMetrics": ci.get("operationMetrics", {}),
+                        }
+                    )
+                    break
+            else:  # version without commitInfo (foreign writer): still listed
+                out.append(
+                    {
+                        "version": v,
+                        "timestamp": None,
+                        "operation": None,
+                        "operationMetrics": {},
+                    }
+                )
+    return sorted(out, key=lambda r: -r["version"])
+
+
 def read_delta_log(
     table: PartitionedTable,
     column_range: tuple[str, object, object] | None = None,

@@ -592,3 +592,30 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
     assert sorted(
         r["y"] for r in read_delta_log(t, column_range=("y", 100, 124)).collect()
     ) == sorted(y for _, y, _, _ in rows if 100 <= y <= 124)
+
+
+def test_log_history_lists_operations_newest_first(spark, tmp_path):
+    from incremental_dagster_delta_spark.deltalog import log_history
+
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t, checkpoint_interval=0)
+    ex.export()
+    t.append_batch(spark.createDataFrame([(4, "d", "2024-01-03")], SCHEMA), 1)
+    ex.export()
+    t.delete_partitions(day="2024-01-02")
+    ex.export(operation="DELETE")
+    log_dir = str(tmp_path / "t" / "_delta_log")
+
+    h = log_history(log_dir)
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert [r["operation"] for r in h] == ["DELETE", "WRITE", "WRITE"]
+    assert h[0]["operationMetrics"]["numRemovedFiles"] == "1"
+    assert all(isinstance(r["timestamp"], int) for r in h)
+
+    # cleanup truncates history to post-checkpoint versions
+    ex.write_checkpoint()
+    ex.clean_metadata()
+    assert log_history(log_dir) == []
+    t.append_batch(spark.createDataFrame([(7, "g", "2024-01-04")], SCHEMA), 2)
+    assert ex.export() == 3
+    assert [r["version"] for r in log_history(log_dir)] == [3]
