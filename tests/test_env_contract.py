@@ -71,3 +71,22 @@ def test_noop_sink_available(spark, sf_dir):
 def test_python_datasource_api_available():
     """sources/drip.py subclasses the Python DataSource API (Spark 4+)."""
     from pyspark.sql.datasource import DataSource, DataSourceReader  # noqa: F401
+
+
+def test_bench_capacity_canary_shape():
+    """bench.py's host-capacity canary must return positive GB/s for the
+    1/8/32-thread probes — the driver records it in BENCH_r{N}.json and
+    cross-round ratios are normalized by it (docs/SCALE.md r12/r13)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    c = bench._capacity_canary()
+    assert set(c) == {"t1", "t8", "t32"}
+    assert all(v > 0 for v in c.values())
+    # more threads never measures meaningfully SLOWER than one thread
+    assert c["t32"] >= c["t1"] * 0.5
