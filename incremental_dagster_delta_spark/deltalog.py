@@ -493,6 +493,23 @@ def files_in_range(
     return kept
 
 
+def files_in_partition(
+    log_dir: str, version: int | None = None, **partition_values: str
+) -> dict[str, dict]:
+    """Partition pruning from the log's ``partitionValues`` maps — the
+    FIRST cut real Delta readers apply, before any stats comparison:
+    keep files whose hive partition values match every given key
+    exactly (values are the spec's string map). Composes with
+    :func:`files_in_range` by intersecting the returned rel-path sets.
+    Driver-side metadata only, like the other pruning paths."""
+    kept: dict[str, dict] = {}
+    for rel, add in replay_file_set(log_dir, version).items():
+        pvals = add.get("partitionValues", {})
+        if all(pvals.get(k) == str(v) for k, v in partition_values.items()):
+            kept[rel] = add
+    return kept
+
+
 def log_history(log_dir: str) -> list[dict]:
     """``DESCRIBE HISTORY`` parity from the exported log: one row per
     surviving JSON version, newest first — version, commit timestamp,

@@ -619,3 +619,28 @@ def test_log_history_lists_operations_newest_first(spark, tmp_path):
     t.append_batch(spark.createDataFrame([(7, "g", "2024-01-04")], SCHEMA), 2)
     assert ex.export() == 3
     assert [r["version"] for r in log_history(log_dir)] == [3]
+
+
+def test_files_in_partition_prunes_by_partition_values(spark, tmp_path):
+    from incremental_dagster_delta_spark.deltalog import files_in_partition
+
+    t = _mk(spark, tmp_path / "t")  # day=2024-01-01 (2 rows), day=2024-01-02 (1)
+    ex = DeltaLogExporter(t, checkpoint_interval=0)
+    ex.export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+
+    jan1 = files_in_partition(log_dir, day="2024-01-01")
+    assert jan1 and all(p.startswith("day=2024-01-01/") for p in jan1)
+    assert files_in_partition(log_dir, day="2024-09-09") == {}
+    # no keys → everything; unknown key → nothing matches
+    assert set(files_in_partition(log_dir)) == set(replay_file_set(log_dir))
+    assert files_in_partition(log_dir, nope="x") == {}
+    # survives the checkpoint + cleanup path (partitionValues round-trip
+    # through the checkpoint parquet's string map)
+    ex.write_checkpoint()
+    ex.clean_metadata()
+    assert set(files_in_partition(log_dir, day="2024-01-01")) == set(jan1)
+    # and composes with a version pin
+    assert set(files_in_partition(log_dir, version=0, day="2024-01-02")) == {
+        p for p in replay_file_set(log_dir) if p.startswith("day=2024-01-02/")
+    }
