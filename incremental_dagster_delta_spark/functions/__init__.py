@@ -107,6 +107,28 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     return key
 
 
+def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton key: round-robin interleave the low
+    ``bits`` bits of each non-negative integer column (``zorder_key``
+    is the 2-column special case). ``len(cols) * bits`` must stay under
+    63 so the key fits a signed long — 8 bits across up to 7 columns,
+    which is also where Z-order stops being useful (each extra
+    dimension halves the per-dimension resolution of a fixed-size
+    file's rectangle). Pure bit arithmetic, codegen friendly."""
+    n = len(cols)
+    if not cols:
+        raise ValueError("zorder_key_n needs at least one column")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    longs = [c.cast("long") for c in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(longs):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * n + j)
+    return key
+
+
 def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
     """Bucket index = number of boundaries ≤ value (codegen'd array scan;
     |boundaries| is 2^bits - 1, small)."""

@@ -911,12 +911,14 @@ class PartitionedTable:
         sampled boundaries, so heavy key skew widens some files' ranges
         rather than failing; AQE coalescing keeps task sizes sane.
 
-        ``zorder=True`` (exactly two NUMERIC cluster columns) clusters
+        ``zorder=True`` (two or more NUMERIC cluster columns) clusters
         on the Morton interleave of each column's 256-quantile rank
-        instead of the lexicographic pair — Delta's ``OPTIMIZE ZORDER``
-        proper: every file covers a compact rectangle in BOTH
-        dimensions, so stats prune on either column alone, where
-        lexicographic clustering prunes only on the leading one.
+        instead of the lexicographic tuple — Delta's ``OPTIMIZE
+        ZORDER`` proper: every file covers a compact hyper-rectangle in
+        ALL dimensions, so stats prune on any column alone, where
+        lexicographic clustering prunes only on the leading one. Each
+        added dimension halves per-dimension resolution — past ~4
+        columns prefer picking the two that queries actually filter on.
         """
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -930,21 +932,23 @@ class PartitionedTable:
         n_files = max(1, int(target_files_per_partition))
         drop_cols: list[str] = []
         if cluster_by and zorder:
-            if len(cluster_by) != 2:
-                raise ValueError("zorder=True needs exactly two cluster columns")
+            if len(cluster_by) < 2:
+                raise ValueError("zorder=True needs at least two cluster columns")
             from incremental_dagster_delta_spark.functions import (
                 _quantile_bucket,
-                zorder_key,
+                zorder_key_n,
             )
 
             bits = 8
             probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-            qa, qb = df.stat.approxQuantile(list(cluster_by), probs, 0.01)
+            qs = df.stat.approxQuantile(list(cluster_by), probs, 0.01)
             df = df.withColumn(
                 "_z",
-                zorder_key(
-                    _quantile_bucket(F.col(cluster_by[0]), qa),
-                    _quantile_bucket(F.col(cluster_by[1]), qb),
+                zorder_key_n(
+                    [
+                        _quantile_bucket(F.col(c), q)
+                        for c, q in zip(cluster_by, qs)
+                    ],
                     bits=bits,
                 ),
             )

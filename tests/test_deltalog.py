@@ -644,3 +644,41 @@ def test_files_in_partition_prunes_by_partition_values(spark, tmp_path):
     assert set(files_in_partition(log_dir, version=0, day="2024-01-02")) == {
         p for p in replay_file_set(log_dir) if p.startswith("day=2024-01-02/")
     }
+
+
+def test_zorder_three_columns_prunes_on_each(spark, tmp_path):
+    """N-dim Morton clustering: with three decorrelated columns, a
+    range on ANY one of them prunes files (coarser per-dimension than
+    2-D, but never worse than keep-everything), and zorder_key_n's
+    2-column layout matches the original zorder_key bit for bit."""
+    from pyspark.sql import functions as F
+
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+    from incremental_dagster_delta_spark.functions import zorder_key, zorder_key_n
+
+    # bit-for-bit parity of the n-dim form with the 2-dim original
+    pairs = spark.range(500).select(
+        (F.col("id") % 23).alias("a"), (F.col("id") % 17).alias("b")
+    )
+    mismatch = pairs.where(
+        zorder_key(F.col("a"), F.col("b"), bits=8)
+        != zorder_key_n([F.col("a"), F.col("b")], bits=8)
+    ).count()
+    assert mismatch == 0
+
+    rows = [
+        (x, (x * 131) % 512, (x * 277) % 512, "2024-01-01") for x in range(512)
+    ]
+    t = PartitionedTable(spark, str(tmp_path / "t"), [])
+    t.append_batch(
+        spark.createDataFrame(rows, "x long, y long, z long, day string"), 0
+    )
+    t.compact(target_files_per_partition=16, cluster_by=["x", "y", "z"], zorder=True)
+    ex = DeltaLogExporter(t)
+    ex.export(operation="OPTIMIZE")
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    n = len(replay_file_set(log_dir))
+    for col in ("x", "y", "z"):
+        kept = len(files_in_range(log_dir, col, 100, 131))
+        assert kept < n, f"no pruning on {col}: {kept}/{n}"
+    assert t.read().count() == 512
