@@ -682,3 +682,76 @@ def test_zorder_three_columns_prunes_on_each(spark, tmp_path):
         kept = len(files_in_range(log_dir, col, 100, 131))
         assert kept < n, f"no pruning on {col}: {kept}/{n}"
     assert t.read().count() == 512
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_maintenance_history_replay_equals_read(spark, tmp_path, seed):
+    """Export invariant under arbitrary maintenance histories: after ANY
+    seeded sequence of append / partition-delete / compact (plain,
+    clustered, z-ordered) / vacuum / checkpoint / cleanup, an export's
+    replayed snapshot serves exactly table.read() — rows, not just file
+    sets. This is the property a foreign Delta reader relies on; the
+    directed tests pin each transition, this pins their compositions."""
+    import random
+
+    from incremental_dagster_delta_spark.deltalog import _existing_versions
+
+    rng = random.Random(seed)
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    ex = DeltaLogExporter(t, checkpoint_interval=0)
+    days = [f"2024-05-0{i}" for i in range(1, 4)]
+    next_batch = 0
+    next_key = 0
+
+    def do_append():
+        nonlocal next_batch, next_key
+        rows = [
+            (next_key + i, (next_key + i) % 7, f"p{next_key + i}", rng.choice(days))
+            for i in range(rng.randint(1, 8))
+        ]
+        next_key += len(rows)
+        t.append_batch(
+            spark.createDataFrame(rows, "k long, y long, payload string, day string"),
+            next_batch,
+        )
+        next_batch += 1
+
+    def do_delete():
+        t.delete_partitions(day=rng.choice(days))
+
+    def do_compact():
+        style = rng.randint(0, 2)
+        if style == 0:
+            t.compact()
+        elif style == 1:
+            t.compact(target_files_per_partition=2, cluster_by=["k"])
+        else:
+            t.compact(target_files_per_partition=2, cluster_by=["k", "y"], zorder=True)
+
+    def do_vacuum():
+        t.vacuum()
+
+    def do_checkpoint():
+        if _existing_versions(str(tmp_path / "t" / "_delta_log")):
+            ex.write_checkpoint()
+            if rng.random() < 0.5:
+                ex.clean_metadata()
+
+    do_append()  # histories start non-empty
+    ops = [do_append, do_delete, do_compact, do_vacuum, do_checkpoint]
+    weights = [5, 2, 2, 1, 2]
+    for _ in range(10):
+        rng.choices(ops, weights=weights)[0]()
+        ex.export()
+        expected = sorted(r["k"] for r in t.read().collect()) if next_key else []
+        try:
+            got = sorted(r["k"] for r in read_delta_log(t).collect())
+        except ValueError:
+            # an all-partitions-deleted table has no snapshot to serve;
+            # read() must agree it is empty
+            assert expected == []
+            continue
+        assert got == expected, f"seed={seed}: replay diverged from read()"
