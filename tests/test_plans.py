@@ -690,3 +690,41 @@ def test_url_dedup_prunes_to_two_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "doc_id" in read_schema and "source" in read_schema
     assert "text" not in read_schema
+
+
+def test_paragraph_bloom_probe_is_broadcast(spark, sf_dir):
+    """q_bloom_paragraph_dedup inherits q_bloom_membership's scale
+    contract at paragraph grain: the corpus collapses to the <= m-row
+    bit table and the batch's paragraph probe joins it BROADCAST; the
+    only other shuffles are the bit-table distinct and the per-document
+    regroup. A shuffle join here would re-shuffle the corpus per
+    arriving batch."""
+    from incremental_dagster_delta_spark.queries.lines import q_bloom_paragraph_dedup
+
+    plan = _plan(q_bloom_paragraph_dedup(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_concat_chunk_offsets_join_broadcasts(spark, sf_dir):
+    """q_concat_chunk's distributed prefix sum: the per-partition weight
+    offsets (numPartitions rows) must BROADCAST back onto the ranged
+    data — a shuffle join on _pid would serialize the whole stream
+    through one exchange and defeat the no-global-sort design. (The
+    RangePartitioning exchange itself is not inspectable here: the
+    kernel localCheckpoints the ranged input so its sampled boundaries
+    can't shift between subtrees, which truncates the visible lineage
+    to a checkpoint scan — the memory-noted materialized-kernel
+    caveat.)"""
+    from incremental_dagster_delta_spark.queries.training_prep import q_concat_chunk
+
+    plan = _plan(q_concat_chunk(spark, sf_dir))
+    phys = plan.split("== Physical Plan ==")[1]
+    import re
+
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+    # the only sorts may be window-local (global=false) — a global sort
+    # (Sort [...], true) would mean the prefix sum serialized after all
+    assert not re.search(r"Sort \[[^\]]*\], true", phys), phys
