@@ -470,16 +470,25 @@ def replay_file_set(log_dir: str, version: int | None = None) -> dict[str, dict]
 
 
 def files_in_range(
-    log_dir: str, column: str, lo, hi, version: int | None = None
+    log_dir: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+    files: dict[str, dict] | None = None,
 ) -> dict[str, dict]:
     """Data skipping from log stats, exactly as Delta readers do it:
     keep a file unless its [minValues, maxValues] interval for
     ``column`` provably misses [lo, hi]. Files without stats for the
     column are always kept (skipping must never be wrong). Driver-side
     metadata only — at 100 TB this prunes the FILE LIST before a single
-    scan task launches, the log's whole point over directory listing."""
+    scan task launches, the log's whole point over directory listing.
+    ``files`` skips the replay when the caller already holds a replayed
+    (or pre-pruned) file set — e.g. :func:`files_in_partition` output."""
+    if files is None:
+        files = replay_file_set(log_dir, version)
     kept: dict[str, dict] = {}
-    for rel, add in replay_file_set(log_dir, version).items():
+    for rel, add in files.items():
         stats = json.loads(add["stats"]) if "stats" in add else {}
         mn = stats.get("minValues", {}).get(column)
         mx = stats.get("maxValues", {}).get(column)
@@ -494,16 +503,24 @@ def files_in_range(
 
 
 def files_in_partition(
-    log_dir: str, version: int | None = None, **partition_values: str
+    log_dir: str,
+    partition_values: dict,
+    version: int | None = None,
+    files: dict[str, dict] | None = None,
 ) -> dict[str, dict]:
     """Partition pruning from the log's ``partitionValues`` maps — the
     FIRST cut real Delta readers apply, before any stats comparison:
-    keep files whose hive partition values match every given key
-    exactly (values are the spec's string map). Composes with
-    :func:`files_in_range` by intersecting the returned rel-path sets.
-    Driver-side metadata only, like the other pruning paths."""
+    keep files whose hive partition values match every key of
+    ``partition_values`` exactly (values are the spec's string map; a
+    dict parameter rather than kwargs so partition columns named like
+    this function's own parameters stay queryable). Composes with
+    :func:`files_in_range` WITHOUT re-replaying the log: pass one
+    helper's output as the other's ``files``. Driver-side metadata
+    only, like the other pruning paths."""
+    if files is None:
+        files = replay_file_set(log_dir, version)
     kept: dict[str, dict] = {}
-    for rel, add in replay_file_set(log_dir, version).items():
+    for rel, add in files.items():
         pvals = add.get("partitionValues", {})
         if all(pvals.get(k) == str(v) for k, v in partition_values.items()):
             kept[rel] = add

@@ -95,16 +95,12 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     column — the data-skipping alternative to partitioning by a
     high-cardinality column (SURVEY.md §4: prefer Z-order over
     ``word_length``-style partition keys at scale). Pure bit arithmetic,
-    whole-stage-codegen friendly.
+    whole-stage-codegen friendly. The 2-column special case of
+    :func:`zorder_key_n` (a lands on even bit positions, b on odd —
+    pinned bit-for-bit in tests and replayed by the q_zorder_layout
+    DuckDB oracle, so the layout must not drift).
     """
-    a = a.cast("long")
-    b = b.cast("long")
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-        key = key + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
-    return key
+    return zorder_key_n([a, b], bits=bits)
 
 
 def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
@@ -136,32 +132,48 @@ def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
     return F.size(F.filter(arr, lambda b: b <= col.cast("double")))
 
 
+def morton_rank_column(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """df + a synthetic column holding the Morton interleave of each
+    column's ``2^bits``-quantile RANK; returns (df, column name). The
+    one shared implementation behind :func:`zorder_write` and
+    ``PartitionedTable.compact(zorder=True)``.
+
+    Raw-value interleaving would let the wider-range column dominate
+    the key, so each dimension is first mapped to its quantile rank
+    (boundaries from ``approxQuantile`` — a sampled aggregate, no
+    global sort; the same ranging approach Delta's OPTIMIZE ZORDER
+    uses) and the *ranks* are interleaved. The synthetic name is
+    collision-proofed against existing columns — a fixed ``_z`` would
+    silently REPLACE (and a later drop destroy) a real user column."""
+    zcol = "_z"
+    while zcol in df.columns:
+        zcol += "_"
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = df.stat.approxQuantile(list(cols), probs, 0.01)
+    keyed = df.withColumn(
+        zcol,
+        zorder_key_n(
+            [_quantile_bucket(F.col(c), q) for c, q in zip(cols, qs)], bits=bits
+        ),
+    )
+    return keyed, zcol
+
+
 def zorder_write(
     df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16, bits: int = 8
 ) -> None:
     """Cluster ``df`` by the Z-order of (col_a, col_b) into ``n_files``
     range-partitioned parquet files, each covering a compact range in
-    BOTH dimensions.
-
-    Raw-value interleaving would let the wider-range column dominate the
-    key, so each dimension is first mapped to its ``2^bits``-quantile
-    rank (boundaries from ``approxQuantile`` — a sampled aggregate, no
-    global sort; this is the same ranging approach Delta's OPTIMIZE
-    ZORDER uses) and the *ranks* are interleaved.
-    """
-    n_buckets = 1 << bits
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    qa, qb = df.stat.approxQuantile([col_a, col_b], probs, 0.01)
-    keyed = df.withColumn(
-        "_z",
-        zorder_key(
-            _quantile_bucket(F.col(col_a), qa), _quantile_bucket(F.col(col_b), qb), bits=bits
-        ),
-    )
+    BOTH dimensions (see :func:`morton_rank_column` for the ranking
+    rationale)."""
+    keyed, zcol = morton_rank_column(df, [col_a, col_b], bits=bits)
     (
-        keyed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        keyed.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(path)
     )

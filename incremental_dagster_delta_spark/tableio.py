@@ -931,28 +931,18 @@ class PartitionedTable:
         staging = self.path.rstrip("/") + ".compacting"
         n_files = max(1, int(target_files_per_partition))
         drop_cols: list[str] = []
-        if cluster_by and zorder:
-            if len(cluster_by) < 2:
-                raise ValueError("zorder=True needs at least two cluster columns")
-            from incremental_dagster_delta_spark.functions import (
-                _quantile_bucket,
-                zorder_key_n,
-            )
+        if zorder:
+            # loud, not silent: zorder without columns (or with one)
+            # would otherwise degrade to a plain bin-pack the caller
+            # believes is Z-ordered
+            if not cluster_by or len(cluster_by) < 2:
+                raise ValueError(
+                    "zorder=True needs cluster_by with at least two columns"
+                )
+            from incremental_dagster_delta_spark.functions import morton_rank_column
 
-            bits = 8
-            probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-            qs = df.stat.approxQuantile(list(cluster_by), probs, 0.01)
-            df = df.withColumn(
-                "_z",
-                zorder_key_n(
-                    [
-                        _quantile_bucket(F.col(c), q)
-                        for c, q in zip(cluster_by, qs)
-                    ],
-                    bits=bits,
-                ),
-            )
-            cluster_by, drop_cols = ["_z"], ["_z"]
+            df, zcol = morton_rank_column(df, list(cluster_by), bits=8)
+            cluster_by, drop_cols = [zcol], [zcol]
         if cluster_by:
             keys = [F.col(c) for c in (*self.partition_cols, *cluster_by)]
             # one range task per target output file: files/leaf × leaves.

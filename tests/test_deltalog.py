@@ -629,19 +629,21 @@ def test_files_in_partition_prunes_by_partition_values(spark, tmp_path):
     ex.export()
     log_dir = str(tmp_path / "t" / "_delta_log")
 
-    jan1 = files_in_partition(log_dir, day="2024-01-01")
+    jan1 = files_in_partition(log_dir, {"day": "2024-01-01"})
     assert jan1 and all(p.startswith("day=2024-01-01/") for p in jan1)
-    assert files_in_partition(log_dir, day="2024-09-09") == {}
+    assert files_in_partition(log_dir, {"day": "2024-09-09"}) == {}
     # no keys → everything; unknown key → nothing matches
-    assert set(files_in_partition(log_dir)) == set(replay_file_set(log_dir))
-    assert files_in_partition(log_dir, nope="x") == {}
+    assert set(files_in_partition(log_dir, {})) == set(replay_file_set(log_dir))
+    assert files_in_partition(log_dir, {"nope": "x"}) == {}
+    # a partition column named like a parameter stays queryable
+    assert files_in_partition(log_dir, {"version": "v1"}) == {}
     # survives the checkpoint + cleanup path (partitionValues round-trip
     # through the checkpoint parquet's string map)
     ex.write_checkpoint()
     ex.clean_metadata()
-    assert set(files_in_partition(log_dir, day="2024-01-01")) == set(jan1)
+    assert set(files_in_partition(log_dir, {"day": "2024-01-01"})) == set(jan1)
     # and composes with a version pin
-    assert set(files_in_partition(log_dir, version=0, day="2024-01-02")) == {
+    assert set(files_in_partition(log_dir, {"day": "2024-01-02"}, version=0)) == {
         p for p in replay_file_set(log_dir) if p.startswith("day=2024-01-02/")
     }
 
