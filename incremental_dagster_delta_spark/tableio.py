@@ -945,20 +945,10 @@ class PartitionedTable:
             cluster_by, drop_cols = [zcol], [zcol]
         if cluster_by:
             keys = [F.col(c) for c in (*self.partition_cols, *cluster_by)]
-            # one range task per target output file: files/leaf × leaves.
-            # Leaves counted from the file index (O(files) driver-side
-            # metadata) — a distinct() over the data would add a full
-            # scan + shuffle in front of the rewrite scan.
-            if self.partition_cols:
-                leaves = set()
-                it = fs.listFiles(root, True)
-                while it.hasNext():
-                    p = it.next().getPath()
-                    if not _hidden_rel(root, p):
-                        leaves.add(str(p.getParent()))
-                n_leaves = max(1, len(leaves))
-            else:
-                n_leaves = 1
+            # one range task per target output file: files/leaf × leaves,
+            # leaves counted from the file index (leaf_partitions — no
+            # scan + shuffle in front of the rewrite scan)
+            n_leaves = max(1, len(self.leaf_partitions())) if self.partition_cols else 1
             writer = df.repartitionByRange(
                 n_files * n_leaves, *keys
             ).sortWithinPartitions(*keys)
@@ -1139,6 +1129,40 @@ class PartitionedTable:
         if predicate is not None:
             df = df.where(predicate)
         return df
+
+    def leaf_partitions(self) -> list[dict[str, str]]:
+        """Partition scopes present on disk, from the file index alone
+        (O(files) driver-side metadata — no Spark job, no data scan):
+        one {col: value} dict per hive leaf holding at least one
+        non-hidden file, values hive-unescaped, deterministically
+        ordered. Empty for an unpartitioned or missing table. This is
+        the enumeration ``purge()``/clustered ``compact()`` iterate —
+        a ``read().distinct()`` would put a full scan + shuffle in
+        front of every maintenance pass."""
+        import urllib.parse
+
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not self.partition_cols or not fs.exists(root):
+            return []
+        root_path = root.toUri().getPath()
+        seen: set[tuple] = set()
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            if _hidden_rel(root, p):
+                continue
+            rel = posixpath.relpath(p.toUri().getPath(), root_path)
+            vals: dict[str, str] = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    vals[k] = urllib.parse.unquote(v)
+            if set(vals) >= set(self.partition_cols):
+                seen.add(tuple((c, vals[c]) for c in self.partition_cols))
+        return [dict(t) for t in sorted(seen)]
 
     def committed_batches(self) -> list[int]:
         """Sorted ids of every batch with a commit marker — the table's
@@ -1505,12 +1529,9 @@ class DeletionVectors:
             return 0
         through = max(committed)
         dead = self.deleted_keys().localCheckpoint(eager=True)
-        cols = self.table.partition_cols
-        if cols:
-            parts = self.table.read().select(*cols).distinct().collect()
-            scopes = [{c: str(row[c]) for c in cols} for row in parts]
-        else:
-            scopes = [{}]
+        # partitions from the file index, not read().distinct(): the
+        # docstring's O(partitions)-metadata claim, made true
+        scopes = self.table.leaf_partitions() or [{}]
         n = 0
         for scope in scopes:
             if scope:

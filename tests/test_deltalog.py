@@ -757,3 +757,23 @@ def test_randomized_maintenance_history_replay_equals_read(spark, tmp_path, seed
             assert expected == []
             continue
         assert got == expected, f"seed={seed}: replay diverged from read()"
+
+
+def test_leaf_partitions_from_file_index(spark, tmp_path):
+    """PartitionedTable.leaf_partitions: scopes from the file index
+    alone — matches the data, unescapes hive-encoded values, ignores
+    sidecars, and returns [] for unpartitioned/missing tables."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    assert t.leaf_partitions() == []
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01"), (2, "b", "with space"), (3, "c", "2024-01-01")],
+            SCHEMA,
+        ),
+        0,
+    )
+    DeltaLogExporter(t).export()  # plants a _delta_log sidecar to ignore
+    assert t.leaf_partitions() == [{"day": "2024-01-01"}, {"day": "with space"}]
+    flat = PartitionedTable(spark, str(tmp_path / "flat"), [])
+    flat.append_batch(spark.createDataFrame([(1, "a", "x")], SCHEMA), 0)
+    assert flat.leaf_partitions() == []
