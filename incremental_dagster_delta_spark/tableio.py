@@ -987,6 +987,59 @@ class PartitionedTable:
                 n += 1
         return n
 
+    def compact_partitions(
+        self,
+        min_files: int = 2,
+        target_files_per_partition: int = 1,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+    ) -> int:
+        """INCREMENTAL OPTIMIZE: rewrite only the leaf partitions whose
+        file count reached ``min_files``, one crash-atomic
+        ``overwrite_partitions`` swap per leaf — Delta's ``OPTIMIZE``
+        with a minimum-file threshold, which is the only compaction
+        shape that works at 100 TB: a steady-ingest table concentrates
+        small-files pressure in the partitions that just received data,
+        and a full-table ``compact()`` rewrite per maintenance pass is
+        not an option. Offender selection is one driver-side file-index
+        walk (no scan); each rewrite reads exactly one partition.
+        ``cluster_by``/``zorder`` shape the rewritten files like
+        :meth:`compact` does. Returns the number of partitions
+        rewritten. Unpartitioned tables use :meth:`compact` — the whole
+        table is one leaf."""
+        if not self.partition_cols:
+            raise ValueError("compact_partitions needs a partitioned table; use compact()")
+        if zorder and (not cluster_by or len(cluster_by) < 2):
+            raise ValueError("zorder=True needs cluster_by with at least two columns")
+        n_files = max(1, int(target_files_per_partition))
+        rewritten = 0
+        for scope_t, cnt in sorted(self._leaf_scopes_counts().items()):
+            if cnt < max(min_files, n_files + 1):
+                continue  # already at/under target — rewriting buys nothing
+            scope = dict(scope_t)
+            df = self.read_partition(**scope)
+            drop_cols: list[str] = []
+            keys = list(cluster_by or [])
+            if zorder:
+                from incremental_dagster_delta_spark.functions import morton_rank_column
+
+                df, zcol = morton_rank_column(df, list(cluster_by), bits=8)
+                keys, drop_cols = [zcol], [zcol]
+            if keys:
+                shaped = df.repartitionByRange(
+                    n_files, *[F.col(c) for c in keys]
+                ).sortWithinPartitions(*keys)
+                if drop_cols:
+                    shaped = shaped.drop(*drop_cols)
+            elif n_files == 1:
+                shaped = df.coalesce(1)
+            else:
+                salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
+                shaped = df.repartition(n_files, salt)
+            self.overwrite_partitions(shaped, **scope)
+            rewritten += 1
+        return rewritten
+
     def _recover_compaction(self, fs, Path) -> None:
         """Converge an interrupted ``compact()`` swap to a readable table.
 
@@ -1139,6 +1192,12 @@ class PartitionedTable:
         the enumeration ``purge()``/clustered ``compact()`` iterate —
         a ``read().distinct()`` would put a full scan + shuffle in
         front of every maintenance pass."""
+        return [dict(t) for t in sorted(self._leaf_scopes_counts())]
+
+    def _leaf_scopes_counts(self) -> dict[tuple, int]:
+        """{((col, value), ...): non-hidden file count} per hive leaf —
+        the one filesystem walk behind :meth:`leaf_partitions` and
+        :meth:`compact_partitions`."""
         import urllib.parse
 
         jvm = self.spark._jvm
@@ -1146,9 +1205,9 @@ class PartitionedTable:
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if not self.partition_cols or not fs.exists(root):
-            return []
+            return {}
         root_path = root.toUri().getPath()
-        seen: set[tuple] = set()
+        counts: dict[tuple, int] = {}
         it = fs.listFiles(root, True)
         while it.hasNext():
             p = it.next().getPath()
@@ -1161,8 +1220,9 @@ class PartitionedTable:
                     k, v = seg.split("=", 1)
                     vals[k] = urllib.parse.unquote(v)
             if set(vals) >= set(self.partition_cols):
-                seen.add(tuple((c, vals[c]) for c in self.partition_cols))
-        return [dict(t) for t in sorted(seen)]
+                key = tuple((c, vals[c]) for c in self.partition_cols)
+                counts[key] = counts.get(key, 0) + 1
+        return counts
 
     def committed_batches(self) -> list[int]:
         """Sorted ids of every batch with a commit marker — the table's

@@ -777,3 +777,45 @@ def test_leaf_partitions_from_file_index(spark, tmp_path):
     flat = PartitionedTable(spark, str(tmp_path / "flat"), [])
     flat.append_batch(spark.createDataFrame([(1, "a", "x")], SCHEMA), 0)
     assert flat.leaf_partitions() == []
+
+
+def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
+    """Incremental OPTIMIZE: only leaves at/over min_files rewrite (each
+    via the crash-atomic per-partition swap), cold leaves keep their
+    exact files, content is unchanged, and the export diffs to the
+    rewritten files only."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    # hot leaf: 5 one-row appends; cold leaf: a single append
+    for b in range(5):
+        t.append_batch(
+            spark.createDataFrame([(b * 7 % 50, f"p{b}", "2024-01-01")], SCHEMA), b
+        )
+    t.append_batch(spark.createDataFrame([(99, "cold", "2024-01-02")], SCHEMA), 5)
+    ex = DeltaLogExporter(t)
+    ex.export()
+    before = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    cold_before = {p for p in before if p.startswith("day=2024-01-02/")}
+
+    n = t.compact_partitions(min_files=3, cluster_by=["k"])
+    assert n == 1  # only the hot leaf
+    ex.export(operation="OPTIMIZE")
+    after = replay_file_set(str(tmp_path / "t" / "_delta_log"))
+    assert {p for p in after if p.startswith("day=2024-01-02/")} == cold_before
+    hot_after = [p for p in after if p.startswith("day=2024-01-01/")]
+    assert len(hot_after) == 1 and hot_after[0] not in before
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == sorted(
+        r["k"] for r in t.read().collect()
+    )
+    # clustered rewrite → stats prune within the hot leaf's key range
+    assert len(files_in_range(str(tmp_path / "t" / "_delta_log"), "k", 99, 99)) < len(after)
+
+    # second pass: nothing left over threshold → no-op, export no-ops too
+    assert t.compact_partitions(min_files=3) == 0
+    assert ex.export() == -1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="partitioned"):
+        PartitionedTable(spark, str(tmp_path / "flat"), []).compact_partitions()
