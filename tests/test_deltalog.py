@@ -819,3 +819,43 @@ def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
 
     with pytest.raises(ValueError, match="partitioned"):
         PartitionedTable(spark, str(tmp_path / "flat"), []).compact_partitions()
+
+
+def test_compact_partitions_interrupted_midway_converges(spark, tmp_path, monkeypatch):
+    """Each leaf swap is independent and crash-atomic, so dying between
+    leaves leaves a fully readable table (some leaves optimized, some
+    not) and a re-run finishes the job — the incremental-OPTIMIZE
+    counterpart of the compact()/overwrite crash matrices."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b in range(4):
+        for d in ("2024-01-01", "2024-01-02"):
+            t.append_batch(
+                spark.createDataFrame([(b * 10 + int(d[-1]), f"p{b}", d)], SCHEMA),
+                b * 2 + int(d[-1]) - 1,
+            )
+    n_rows = t.read().count()
+
+    real = PartitionedTable.overwrite_partitions
+    calls = {"n": 0}
+
+    def dying(self, df, **scope):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash between leaf swaps")
+        return real(self, df, **scope)
+
+    monkeypatch.setattr(PartitionedTable, "overwrite_partitions", dying)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.compact_partitions(min_files=2)
+    monkeypatch.setattr(PartitionedTable, "overwrite_partitions", real)
+
+    # table fully readable mid-way: one leaf optimized, one untouched
+    assert t.read().count() == n_rows
+    counts = {dict(k)["day"]: v for k, v in t._leaf_scopes_counts().items()}
+    assert sorted(counts.values()) == [1, 4]
+    # re-run converges: only the unfinished leaf rewrites
+    assert t.compact_partitions(min_files=2) == 1
+    assert t.read().count() == n_rows
+    assert sorted(t._leaf_scopes_counts().values()) == [1, 1]
