@@ -81,6 +81,13 @@ class CheckConstraintViolation(RuntimeError):
     publish of the clean subset)."""
 
 
+# Hive's directory name for a null partition value — what Spark writes a
+# null-valued leaf as, what leaf listings report, and what read_partition
+# translates back to an IS NULL filter. (Hive layout cannot distinguish a
+# real string equal to the sentinel from null — inherent to the format.)
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _hidden_rel(root, p) -> bool:
     """True when ``p`` sits under any ``_``/``.``-prefixed segment
     relative to ``root`` — Spark's scan semantics. Such paths are
@@ -233,7 +240,16 @@ class PartitionedTable:
             for leaf in self._list_leaf_dirs(fs, Path, self.path):
                 if leaf in staged_set:
                     continue
-                parts = dict(seg.split("=", 1) for seg in leaf.split("/"))
+                # compare UNESCAPED values: on-disk segments are
+                # hive-escaped (day=a%3Ab for 'a:b'), scopes are not —
+                # raw comparison silently skipped the drop, and purge()
+                # then advanced its watermark over rows still on disk
+                import urllib.parse
+
+                parts = {
+                    k: urllib.parse.unquote(val)
+                    for k, val in (seg.split("=", 1) for seg in leaf.split("/"))
+                }
                 if all(parts.get(k) == str(v) for k, v in scope.items()):
                     plan.append({"leaf": leaf, "action": "drop"})
         if not plan:
@@ -486,8 +502,20 @@ class PartitionedTable:
             return {}
 
     def _restore_partition_types(self, df: DataFrame) -> DataFrame:
-        for c, typ in self._partition_types().items():
-            if c in df.columns and typ != "string":
+        from pyspark.sql.types import NullType
+
+        types = self._partition_types()
+        for c in self.partition_cols:
+            if c not in df.columns:
+                continue
+            typ = types.get(c, "string")
+            if isinstance(df.schema[c].dataType, NullType):
+                # a loaded subset holding ONLY null-valued leaves infers
+                # the partition column as VOID, which partitionBy refuses
+                # to write back and comparisons silently void out — pin
+                # it to the recorded (or default string) type
+                df = df.withColumn(c, F.col(c).cast(typ))
+            elif typ != "string":
                 df = df.withColumn(c, F.col(c).cast(typ))
         return df
 
@@ -1004,20 +1032,39 @@ class PartitionedTable:
         not an option. Offender selection is one driver-side file-index
         walk (no scan); each rewrite reads exactly one partition.
         ``cluster_by``/``zorder`` shape the rewritten files like
-        :meth:`compact` does. Returns the number of partitions
-        rewritten. Unpartitioned tables use :meth:`compact` — the whole
-        table is one leaf."""
+        :meth:`compact` does — ``min_files=1`` therefore forces a
+        rewrite of EVERY leaf, the way to re-cluster an
+        already-compacted table. Returns the number of partitions
+        actually rewritten. Unpartitioned tables use :meth:`compact` —
+        the whole table is one leaf."""
         if not self.partition_cols:
             raise ValueError("compact_partitions needs a partitioned table; use compact()")
         if zorder and (not cluster_by or len(cluster_by) < 2):
             raise ValueError("zorder=True needs cluster_by with at least two columns")
         n_files = max(1, int(target_files_per_partition))
+        # converge any interrupted maintenance BEFORE trusting the file
+        # index: a half-swapped compact() or a pending overwrite plan
+        # would otherwise yield wrong counts (or replay mid-rewrite,
+        # after a leaf load already captured its file list)
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        self._recover_compaction(fs, Path)
+        self._recover_overwrite(fs, Path)
         rewritten = 0
-        for scope_t, cnt in sorted(self._leaf_scopes_counts().items()):
-            if cnt < max(min_files, n_files + 1):
-                continue  # already at/under target — rewriting buys nothing
+        for leaf, (scope_t, cnt) in sorted(self._leaf_scopes_counts().items()):
+            if cnt < max(1, int(min_files)):
+                continue
             scope = dict(scope_t)
-            df = self.read_partition(**scope)
+            # load the ONE leaf directory (basePath keeps the partition
+            # columns) — read_partition would rebuild the whole table's
+            # file index per offender, O(offenders × total files)
+            with _string_partitions(self.spark):
+                df = self._restore_partition_types(
+                    self.spark.read.format(self.fmt)
+                    .option("basePath", self.path)
+                    .load(posixpath.join(self.path, leaf))
+                )
             drop_cols: list[str] = []
             keys = list(cluster_by or [])
             if zorder:
@@ -1036,8 +1083,8 @@ class PartitionedTable:
             else:
                 salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
                 shaped = df.repartition(n_files, salt)
-            self.overwrite_partitions(shaped, **scope)
-            rewritten += 1
+            if self.overwrite_partitions(shaped, **scope):
+                rewritten += 1
         return rewritten
 
     def _recover_compaction(self, fs, Path) -> None:
@@ -1192,12 +1239,15 @@ class PartitionedTable:
         the enumeration ``purge()``/clustered ``compact()`` iterate —
         a ``read().distinct()`` would put a full scan + shuffle in
         front of every maintenance pass."""
-        return [dict(t) for t in sorted(self._leaf_scopes_counts())]
+        return [dict(t) for t in sorted(t for t, _ in self._leaf_scopes_counts().values())]
 
-    def _leaf_scopes_counts(self) -> dict[tuple, int]:
-        """{((col, value), ...): non-hidden file count} per hive leaf —
-        the one filesystem walk behind :meth:`leaf_partitions` and
-        :meth:`compact_partitions`."""
+    def _leaf_scopes_counts(self) -> dict[str, tuple[tuple, int]]:
+        """{raw leaf dir (hive-escaped, root-relative): (((col, value),
+        ...) with values unescaped, non-hidden file count)} — the one
+        filesystem walk behind :meth:`leaf_partitions` and
+        :meth:`compact_partitions`. Null-valued leaves surface as the
+        ``HIVE_NULL_PARTITION`` sentinel value, which
+        :meth:`read_partition` translates back to IS NULL."""
         import urllib.parse
 
         jvm = self.spark._jvm
@@ -1207,22 +1257,25 @@ class PartitionedTable:
         if not self.partition_cols or not fs.exists(root):
             return {}
         root_path = root.toUri().getPath()
-        counts: dict[tuple, int] = {}
+        out: dict[str, tuple[tuple, int]] = {}
         it = fs.listFiles(root, True)
         while it.hasNext():
             p = it.next().getPath()
             if _hidden_rel(root, p):
                 continue
             rel = posixpath.relpath(p.toUri().getPath(), root_path)
+            segs = rel.split("/")[:-1]
             vals: dict[str, str] = {}
-            for seg in rel.split("/")[:-1]:
+            for seg in segs:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     vals[k] = urllib.parse.unquote(v)
             if set(vals) >= set(self.partition_cols):
                 key = tuple((c, vals[c]) for c in self.partition_cols)
-                counts[key] = counts.get(key, 0) + 1
-        return counts
+                leaf = "/".join(segs)
+                _, n = out.get(leaf, (key, 0))
+                out[leaf] = (key, n + 1)
+        return out
 
     def committed_batches(self) -> list[int]:
         """Sorted ids of every batch with a commit marker — the table's
@@ -1425,11 +1478,20 @@ class PartitionedTable:
     def read_partition(self, **partition_values: str) -> DataFrame:
         """Read exactly one partition, e.g. ``read_partition(year="2024",
         month="03", day="26")`` — the reference's per-run scoped load
-        (delta_io.py:122-127)."""
+        (delta_io.py:122-127). Hive's null sentinel
+        ``__HIVE_DEFAULT_PARTITION__`` (what :meth:`leaf_partitions`
+        reports for a null-valued leaf, and what Spark writes one as)
+        selects the NULL rows — a string equality against the sentinel
+        matches nothing because the column reads back as null, which
+        made every maintenance pass over a null leaf see an empty
+        partition (and overwrite_partitions then DROP it: data loss)."""
         with _string_partitions(self.spark):
             df = self._restore_partition_types(self.spark.read.format(self.fmt).load(self.path))
         for k, v in partition_values.items():
-            df = df.where(F.col(k) == F.lit(v))
+            if v == HIVE_NULL_PARTITION:
+                df = df.where(F.col(k).isNull())
+            else:
+                df = df.where(F.col(k) == F.lit(v))
         return df
 
     def exists(self) -> bool:

@@ -853,9 +853,90 @@ def test_compact_partitions_interrupted_midway_converges(spark, tmp_path, monkey
 
     # table fully readable mid-way: one leaf optimized, one untouched
     assert t.read().count() == n_rows
-    counts = {dict(k)["day"]: v for k, v in t._leaf_scopes_counts().items()}
+    counts = {dict(sc)["day"]: v for sc, v in t._leaf_scopes_counts().values()}
     assert sorted(counts.values()) == [1, 4]
     # re-run converges: only the unfinished leaf rewrites
     assert t.compact_partitions(min_files=2) == 1
     assert t.read().count() == n_rows
-    assert sorted(t._leaf_scopes_counts().values()) == [1, 1]
+    assert sorted(v for _, v in t._leaf_scopes_counts().values()) == [1, 1]
+
+
+def test_null_partition_leaves_survive_maintenance(spark, tmp_path):
+    """Null partition values (hive's __HIVE_DEFAULT_PARTITION__ leaf):
+    read_partition must translate the sentinel to IS NULL, purge must
+    rewrite (not DROP) the null leaf, and compact_partitions must
+    compact it — a string-equality scope matched nothing and the empty
+    overwrite then deleted every live null-keyed row."""
+    from incremental_dagster_delta_spark.tableio import (
+        HIVE_NULL_PARTITION,
+        DeletionVectors,
+    )
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b in range(2):
+        t.append_batch(
+            spark.createDataFrame(
+                [(b * 10 + 1, "n", None), (b * 10 + 2, "d", "2024-01-01")],
+                SCHEMA,
+            ),
+            b,
+        )
+    assert {"day": HIVE_NULL_PARTITION} in t.leaf_partitions()
+    assert sorted(
+        r["k"] for r in t.read_partition(day=HIVE_NULL_PARTITION).collect()
+    ) == [1, 11]
+
+    # purge: delete one null-day row; the OTHER null-day row must survive
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 0)
+    assert dv.purge() == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 11, 12]
+    assert t.read().where("day IS NULL").count() == 1
+
+    # incremental OPTIMIZE on the (still 1-file) leaves: force with
+    # min_files=1; null leaf compacts, never drops
+    assert t.compact_partitions(min_files=1) == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 11, 12]
+
+
+def test_escaped_partition_value_fully_deleted_leaf_is_dropped(spark, tmp_path):
+    """A partition value hive-escapes on disk (day='a:b' → day=a%3Ab);
+    when a purge empties that whole partition, the drop-enumeration must
+    match the UNESCAPED scope — the raw comparison skipped the drop
+    while the watermark still advanced, resurrecting the rows."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "x", "a:b"), (2, "y", "a:b"), (3, "z", "plain")], SCHEMA
+        ),
+        0,
+    )
+    assert {"day": "a:b"} in t.leaf_partitions()
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,), (2,)], "k long"), 0)
+    dv.purge()
+    assert sorted(r["k"] for r in t.read().collect()) == [3]
+    assert sorted(r["k"] for r in dv.read().collect()) == [3]  # no resurrection
+    assert {"day": "a:b"} not in t.leaf_partitions()
+
+
+def test_compact_partitions_min_files_one_reclusters(spark, tmp_path):
+    """min_files=1 must rewrite every leaf — the re-clustering pass on
+    an already-compacted table (the old threshold silently skipped
+    at/under-target leaves, making re-layout unreachable)."""
+    from incremental_dagster_delta_spark.deltalog import files_in_range
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    ks = sorted(range(200), key=lambda k: (k * 37) % 200)
+    t.append_batch(
+        spark.createDataFrame([(k, f"p{k}", "2024-01-01") for k in ks], SCHEMA), 0
+    )
+    t.compact(target_files_per_partition=4)  # compacted but unclustered
+    assert t.compact_partitions(min_files=1, target_files_per_partition=4, cluster_by=["k"]) == 1
+    DeltaLogExporter(t).export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    n = len(replay_file_set(log_dir))
+    assert len(files_in_range(log_dir, "k", 10, 40)) < n  # clustered now
+    assert t.read().count() == 200
