@@ -66,6 +66,7 @@ import uuid
 from pyspark.sql import DataFrame
 
 from incremental_dagster_delta_spark.tableio import (
+    HIVE_NULL_PARTITION,
     DeletionVectors,
     PartitionedTable,
     _hidden_rel,
@@ -135,11 +136,14 @@ def _live_files(table: PartitionedTable) -> dict[str, dict]:
             if bid.isdigit() and int(bid) not in committed:
                 continue  # uncommitted partial publish — not table state
         rel = posixpath.relpath(p.toUri().getPath(), root.toUri().getPath())
-        pvals: dict[str, str] = {}
+        pvals: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                pvals[k] = urllib.parse.unquote(v)
+                val = urllib.parse.unquote(v)
+                # per spec a null partition value is JSON null in the
+                # string map, not hive's on-disk sentinel directory name
+                pvals[k] = None if val == HIVE_NULL_PARTITION else val
         out[rel] = {
             "size": int(st.getLen()),
             "modificationTime": int(st.getModificationTime()),
@@ -511,9 +515,11 @@ def files_in_partition(
     """Partition pruning from the log's ``partitionValues`` maps — the
     FIRST cut real Delta readers apply, before any stats comparison:
     keep files whose hive partition values match every key of
-    ``partition_values`` exactly (values are the spec's string map; a
-    dict parameter rather than kwargs so partition columns named like
-    this function's own parameters stay queryable). Composes with
+    ``partition_values`` exactly (values are the spec's string map —
+    pass ``None`` to select the null-valued leaves, matching the spec's
+    JSON-null encoding; a dict parameter rather than kwargs so partition
+    columns named like this function's own parameters stay queryable).
+    Composes with
     :func:`files_in_range` WITHOUT re-replaying the log: pass one
     helper's output as the other's ``files``. Driver-side metadata
     only, like the other pruning paths."""
@@ -522,7 +528,10 @@ def files_in_partition(
     kept: dict[str, dict] = {}
     for rel, add in files.items():
         pvals = add.get("partitionValues", {})
-        if all(pvals.get(k) == str(v) for k, v in partition_values.items()):
+        if all(
+            pvals.get(k) == (None if v is None else str(v))
+            for k, v in partition_values.items()
+        ):
             kept[rel] = add
     return kept
 

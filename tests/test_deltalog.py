@@ -940,3 +940,43 @@ def test_compact_partitions_min_files_one_reclusters(spark, tmp_path):
     n = len(replay_file_set(log_dir))
     assert len(files_in_range(log_dir, "k", 10, 40)) < n  # clustered now
     assert t.read().count() == 200
+
+
+def test_null_partition_value_exports_as_json_null(spark, tmp_path):
+    """PROTOCOL.md: a null partition value is JSON null in the add
+    action's string map — not hive's on-disk sentinel directory name.
+    files_in_partition selects those leaves with None, the snapshot
+    round-trips the null rows, and the checkpoint's map preserves it."""
+    from incremental_dagster_delta_spark.deltalog import files_in_partition
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "n", None), (2, "d", "2024-01-01")], SCHEMA
+        ),
+        0,
+    )
+    ex = DeltaLogExporter(t)
+    ex.export()
+    log_dir = str(tmp_path / "t" / "_delta_log")
+    null_adds = [
+        a
+        for a in replay_file_set(log_dir).values()
+        if "__HIVE_DEFAULT_PARTITION__" in a["path"]
+    ]
+    assert null_adds and all(
+        a["partitionValues"] == {"day": None} for a in null_adds
+    )
+    kept = files_in_partition(log_dir, {"day": None})
+    assert set(kept) == {_decode(a["path"]) for a in null_adds}
+    assert sorted(r["k"] for r in read_delta_log(t).collect()) == [1, 2]
+    # survives the checkpoint parquet's string map
+    ex.write_checkpoint()
+    ex.clean_metadata()
+    assert set(files_in_partition(log_dir, {"day": None})) == set(kept)
+
+
+def _decode(p):
+    import urllib.parse
+
+    return urllib.parse.unquote(p)
