@@ -181,7 +181,9 @@ class PartitionedTable:
         """
         return self._write(df, mode="append")
 
-    def overwrite_partitions(self, df: DataFrame, **scope: str) -> bool:
+    def overwrite_partitions(
+        self, df: DataFrame, _validate: bool = True, **scope: str
+    ) -> bool:
         """Refresh mode (reference delta_io.py:92-93 + 104-107): replace
         the partitions present in ``df`` — Delta ``replaceWhere``
         semantics — CRASH-ATOMICALLY (r4 verdict #7: plain dynamic
@@ -218,7 +220,13 @@ class PartitionedTable:
         empty = df.isEmpty()
         if empty and not scope:
             return False  # empty-commit guard (reference delta_io.py:85-86)
-        if not empty:
+        if not empty and _validate:
+            # internal REWRITES (purge/compact_partitions) pass
+            # _validate=False: their rows already passed the CHECK gate
+            # at first write, and re-validating adds a full aggregation
+            # scan per rewritten leaf (Delta OPTIMIZE does not
+            # re-validate). Underscore-prefixed so it can never shadow a
+            # partition column in **scope — the layout reserves _ names.
             self._validate_constraints(df)
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -248,17 +256,37 @@ class PartitionedTable:
 
                 parts = {
                     k: urllib.parse.unquote(val)
-                    for k, val in (seg.split("=", 1) for seg in leaf.split("/"))
+                    for k, val in (
+                        seg.split("=", 1)
+                        for seg in leaf.split("/")
+                        if "=" in seg  # tolerate stray non-hive dirs
+                    )
                 }
-                if all(parts.get(k) == str(v) for k, v in scope.items()):
-                    plan.append({"leaf": leaf, "action": "drop"})
+                if parts and all(parts.get(k) == str(v) for k, v in scope.items()):
+                    # FENCE the drop with the exact file names present
+                    # now: a marker surviving past completion (crash
+                    # before its deletion) must not re-drop data a later
+                    # append committed into a recreated leaf
+                    leaf_path = Path(posixpath.join(self.path, leaf))
+                    names = [
+                        st.getPath().getName() for st in fs.listStatus(leaf_path)
+                    ]
+                    plan.append({"leaf": leaf, "action": "drop", "files": names})
         if not plan:
             return False
+        # marker written tmp+rename: its whole contract is "present ⇒
+        # complete plan ⇒ roll FORWARD", so a torn in-place write would
+        # wedge every later recovery on json.loads
         marker = Path(self._overwrite_marker_path())
-        out = fs.create(marker, True)
+        tmp_marker = Path(self._overwrite_marker_path() + f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp_marker, True)
         out.write(bytearray(json.dumps({"leaves": plan}).encode("utf-8")))
         out.close()
+        fs.rename(tmp_marker, marker)
         self._complete_overwrite(fs, Path)
+        # the rewrite produced unprefixed files (or dropped prefixed
+        # ones): snapshots below the current head are no longer exact
+        self._advance_history_floor()
         if not empty:
             self._record_partition_schema(df)
         return not empty
@@ -334,8 +362,21 @@ class PartitionedTable:
                     # the rename and the salvage replays to completion.
                     _salvage_hidden_root_entries(fs, Path, pre.toString(), self.path)
             elif fs.exists(final):  # drop
-                fs.mkdirs(pre.getParent())
-                fs.rename(final, pre)
+                fenced = entry.get("files")
+                if fenced is None:
+                    # legacy plan (no fence recorded): whole-leaf drop
+                    fs.mkdirs(pre.getParent())
+                    fs.rename(final, pre)
+                else:
+                    # delete exactly the files the plan fenced; files a
+                    # later append committed into a recreated leaf
+                    # survive a marker replay
+                    for nm in fenced:
+                        fp = Path(posixpath.join(self.path, leaf, nm))
+                        if fs.exists(fp):
+                            fs.delete(fp, False)
+                    if fs.exists(final) and len(fs.listStatus(final)) == 0:
+                        fs.delete(final, True)
             if fs.exists(pre):
                 fs.delete(pre, True)
         for p in (Path(staging), Path(shadow_root)):
@@ -953,9 +994,26 @@ class PartitionedTable:
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
         self._recover_compaction(fs, Path)
+        # a pending overwrite marker means a leaf is mid-swap (possibly
+        # renamed OUT of the table): compacting that state would publish
+        # a table with the leaf missing
+        self._recover_overwrite(fs, Path)
         if not fs.exists(root):
             return 0
-        df = self.read()
+        # rewrite LIVE files only: reading the raw dir would bake a
+        # crashed writer's uncommitted b{id}- partials into unprefixed
+        # files, so the batch's replay would duplicate its rows and
+        # vacuum could never reclaim them. The swap still removes the
+        # partials from disk — safe, the replay re-publishes in full.
+        live = [f for fl in self._live_data_files().values() for f in fl]
+        if not live:
+            return 0  # nothing committed to rewrite
+        with _string_partitions(self.spark):
+            df = self._restore_partition_types(
+                self.spark.read.format(self.fmt)
+                .option("basePath", self.path)
+                .load(live)
+            )
         staging = self.path.rstrip("/") + ".compacting"
         n_files = max(1, int(target_files_per_partition))
         drop_cols: list[str] = []
@@ -1007,6 +1065,7 @@ class PartitionedTable:
         _salvage_hidden_root_entries(fs, Path, old, self.path)
         fs.delete(Path(old), True)
         self._record_partition_schema(df)
+        self._advance_history_floor()  # prefixes rewritten away
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -1052,18 +1111,20 @@ class PartitionedTable:
         self._recover_compaction(fs, Path)
         self._recover_overwrite(fs, Path)
         rewritten = 0
-        for leaf, (scope_t, cnt) in sorted(self._leaf_scopes_counts().items()):
+        live = self._live_data_files()
+        for leaf, (scope_t, cnt) in sorted(self._leaf_scopes_counts(live).items()):
             if cnt < max(1, int(min_files)):
                 continue
             scope = dict(scope_t)
-            # load the ONE leaf directory (basePath keeps the partition
-            # columns) — read_partition would rebuild the whole table's
-            # file index per offender, O(offenders × total files)
+            # load the leaf's LIVE files (basePath keeps the partition
+            # columns) — a directory load would both rebuild the whole
+            # table's file index per offender AND bake any uncommitted
+            # partial publish into the rewrite (see _live_data_files)
             with _string_partitions(self.spark):
                 df = self._restore_partition_types(
                     self.spark.read.format(self.fmt)
                     .option("basePath", self.path)
-                    .load(posixpath.join(self.path, leaf))
+                    .load(live[leaf])
                 )
             drop_cols: list[str] = []
             keys = list(cluster_by or [])
@@ -1083,7 +1144,7 @@ class PartitionedTable:
             else:
                 salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
                 shaped = df.repartition(n_files, salt)
-            if self.overwrite_partitions(shaped, **scope):
+            if self.overwrite_partitions(shaped, _validate=False, **scope):
                 rewritten += 1
         return rewritten
 
@@ -1122,6 +1183,60 @@ class PartitionedTable:
             fs.rename(old, root)
             if fs.exists(staging):
                 fs.delete(staging, True)
+
+    # -- history floor -------------------------------------------------------
+    #
+    # Any rewrite that produces unprefixed files (compact /
+    # compact_partitions / overwrite_partitions / purge) erases b{id}-
+    # prefixes for the rows it touches, so snapshots BELOW the highest
+    # batch committed at rewrite time can no longer be reconstructed —
+    # and a PER-LEAF rewrite erases them only partially, which without a
+    # fence made read_as_of/restore/change_feed silently WRONG instead of
+    # loudly refused. The floor (a hidden root file, salvaged across
+    # swaps like every sidecar) records that watermark: history at or
+    # above it stays exact (unprefixed files are the state-at-floor base;
+    # prefixed files above it layer on top), history below it raises —
+    # the same trade Delta makes with OPTIMIZE + VACUUM retention.
+
+    def _history_floor_path(self) -> str:
+        return posixpath.join(self.path, "_history_floor.json")
+
+    def _history_floor(self) -> int:
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(self._history_floor_path())
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return -1
+        try:
+            stream = fs.open(p)
+            try:
+                raw = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            return int(json.loads(raw)["floor"])
+        except Exception:
+            return -1
+
+    def _advance_history_floor(self) -> None:
+        committed = self.committed_batches()
+        if not committed:
+            return
+        floor = max(committed)
+        if floor <= self._history_floor():
+            return  # monotonic
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(self._history_floor_path())
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        tmp = Path(self._history_floor_path() + f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(json.dumps({"floor": int(floor)}).encode("utf-8"))
+        finally:
+            out.close()
+        fs.delete(p, False)
+        fs.rename(tmp, p)
 
     def recover(self) -> None:
         """Public entry for crash recovery — call before reads if a
@@ -1189,24 +1304,31 @@ class PartitionedTable:
         only replaces leaf partitions *present in the new data*, so a
         refresh must first drop stale leaves (e.g. a ``word_length`` value
         that no longer occurs in the day's files; reference replaceWhere at
-        delta_io.py:104-107 replaces the whole day)."""
-        segs = []
-        deepest = -1
-        for i, c in enumerate(self.partition_cols):
-            v = partition_values.get(c)
-            segs.append(f"{c}={v}" if v is not None else f"{c}=*")
-            if v is not None:
-                deepest = i
-        if deepest < 0:
+        delta_io.py:104-107 replaces the whole day).
+
+        Values match the UNESCAPED partition values via the file index —
+        a raw path glob missed hive-escaped directories (day='2024:03'
+        lives at ``day=2024%3A03``), silently no-oping the delete and
+        letting ``merge_partition`` duplicate every matched key. Pass
+        ``HIVE_NULL_PARTITION`` to target the null-valued leaves."""
+        given = {
+            c: str(partition_values[c])
+            for c in self.partition_cols
+            if partition_values.get(c) is not None
+        }
+        if not given:
             raise ValueError("delete_partitions needs at least one partition value")
-        glob = posixpath.join(self.path, *segs[: deepest + 1])
+        deepest = max(i for i, c in enumerate(self.partition_cols) if c in given)
+        victims: set[str] = set()
+        for leaf, (scope_t, _) in self._leaf_scopes_counts().items():
+            scope = dict(scope_t)
+            if all(scope.get(k) == v for k, v in given.items()):
+                victims.add("/".join(leaf.split("/")[: deepest + 1]))
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        matches = fs.globStatus(Path(glob))
-        if matches is not None:
-            for st in matches:
-                fs.delete(st.getPath(), True)
+        for rel in sorted(victims):
+            fs.delete(Path(posixpath.join(self.path, rel)), True)
 
     # -- reads -------------------------------------------------------------
 
@@ -1241,40 +1363,68 @@ class PartitionedTable:
         front of every maintenance pass."""
         return [dict(t) for t in sorted(t for t, _ in self._leaf_scopes_counts().values())]
 
-    def _leaf_scopes_counts(self) -> dict[str, tuple[tuple, int]]:
-        """{raw leaf dir (hive-escaped, root-relative): (((col, value),
-        ...) with values unescaped, non-hidden file count)} — the one
-        filesystem walk behind :meth:`leaf_partitions` and
-        :meth:`compact_partitions`. Null-valued leaves surface as the
-        ``HIVE_NULL_PARTITION`` sentinel value, which
-        :meth:`read_partition` translates back to IS NULL."""
-        import urllib.parse
-
+    def _live_data_files(self) -> dict[str, list[str]]:
+        """{raw leaf dir ('' for unpartitioned): [absolute file paths]}
+        of LIVE data files only: unprefixed files plus ``b{id}-`` files
+        whose batch committed. Uncommitted partial publishes (a crashed
+        writer's pre-marker window) are EXCLUDED — a maintenance rewrite
+        that read them would bake them into unprefixed files, so the
+        batch's later replay duplicates its rows forever and vacuum's
+        orphan sweep can no longer reclaim them."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not self.partition_cols or not fs.exists(root):
+        if not fs.exists(root):
             return {}
+        committed = set(self.committed_batches())
         root_path = root.toUri().getPath()
-        out: dict[str, tuple[tuple, int]] = {}
+        out: dict[str, list[str]] = {}
         it = fs.listFiles(root, True)
         while it.hasNext():
             p = it.next().getPath()
+            name = p.getName()
             if _hidden_rel(root, p):
                 continue
+            if name.startswith("b") and "-" in name:
+                bid = name[1 : name.index("-")]
+                if bid.isdigit() and int(bid) not in committed:
+                    continue
             rel = posixpath.relpath(p.toUri().getPath(), root_path)
-            segs = rel.split("/")[:-1]
+            leaf = "/".join(rel.split("/")[:-1])
+            out.setdefault(leaf, []).append(p.toString())
+        return out
+
+    def _leaf_scopes_counts(
+        self, live: dict[str, list[str]] | None = None
+    ) -> dict[str, tuple[tuple, int]]:
+        """{raw leaf dir (hive-escaped, root-relative): (((col, value),
+        ...) with values unescaped, LIVE file count)} — derived from
+        :meth:`_live_data_files` (pass ``live`` to reuse a walk), behind
+        :meth:`leaf_partitions`, :meth:`compact_partitions`,
+        :meth:`delete_partitions` and ``DeletionVectors.purge``.
+        Null-valued leaves surface as the ``HIVE_NULL_PARTITION``
+        sentinel value, which :meth:`read_partition` translates back to
+        IS NULL. Leaves holding only uncommitted partial publishes do
+        not appear (they are not table state)."""
+        import urllib.parse
+
+        if not self.partition_cols:
+            return {}
+        out: dict[str, tuple[tuple, int]] = {}
+        for leaf, files in (
+            live if live is not None else self._live_data_files()
+        ).items():
+            if not leaf or not files:
+                continue
             vals: dict[str, str] = {}
-            for seg in segs:
+            for seg in leaf.split("/"):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     vals[k] = urllib.parse.unquote(v)
             if set(vals) >= set(self.partition_cols):
                 key = tuple((c, vals[c]) for c in self.partition_cols)
-                leaf = "/".join(segs)
-                _, n = out.get(leaf, (key, 0))
-                out[leaf] = (key, n + 1)
+                out[leaf] = (key, len(files))
         return out
 
     def committed_batches(self) -> list[int]:
@@ -1300,17 +1450,27 @@ class PartitionedTable:
         this from delta-rs for free).
 
         Every published file carries its batch's ``b{id}-`` prefix, so a
-        snapshot is just the file set from committed batches ≤
-        ``batch_id`` — selected here and handed to the reader with
-        ``basePath`` so hive partition columns survive. The listing is
-        O(files) driver-side metadata (Delta's log avoids the walk but
-        resolves to the same file set). ``compact()`` rewrites files and
-        therefore collapses history — same contract as Delta OPTIMIZE +
-        VACUUM of old versions.
+        snapshot is the file set from committed batches ≤ ``batch_id``,
+        PLUS the unprefixed files — the state-at-floor base a rewrite
+        (compact/overwrite/purge) produced, valid for every snapshot at
+        or above the history floor; below the floor the prefixes are
+        gone (possibly only partially, after a per-leaf rewrite) and the
+        read refuses loudly instead of returning a silently partial
+        snapshot — the Delta OPTIMIZE + VACUUM retention trade. The
+        listing is O(files) driver-side metadata (Delta's log avoids the
+        walk but resolves to the same file set).
         """
         wanted = {b for b in self.committed_batches() if b <= batch_id}
         if not wanted:
             raise ValueError(f"no committed batch <= {batch_id} at {self.path}")
+        floor = self._history_floor()
+        if batch_id < floor:
+            raise ValueError(
+                f"read_as_of({batch_id}) at {self.path}: history below batch "
+                f"{floor} was collapsed by a rewrite (compact/overwrite/purge "
+                "produce unprefixed files, like Delta OPTIMIZE + VACUUM of "
+                "old versions). Snapshots at or above the floor remain exact."
+            )
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
@@ -1322,10 +1482,13 @@ class PartitionedTable:
             name = p.getName()
             if _hidden_rel(root, p):  # never load sidecar (_dv) files
                 continue
-            if name.startswith("b") and "-" in name:
-                bid = name[1 : name.index("-")]
-                if bid.isdigit() and int(bid) in wanted:
+            if name.startswith("b") and "-" in name and name[1 : name.index("-")].isdigit():
+                if int(name[1 : name.index("-")]) in wanted:
                     files.append(p.toString())
+            else:
+                # unprefixed: rewritten state-at-floor base (or an
+                # unversioned append) — part of every snapshot ≥ floor
+                files.append(p.toString())
         if not files:
             raise ValueError(
                 f"read_as_of({batch_id}) at {self.path}: batches {sorted(wanted)} "
@@ -1371,6 +1534,15 @@ class PartitionedTable:
         victims = {b for b in committed if b > batch_id}
         if not victims:
             return 0
+        floor = self._history_floor()
+        if batch_id < floor:
+            raise ValueError(
+                f"restore({batch_id}) at {self.path}: history below batch "
+                f"{floor} was collapsed by a rewrite (compact/overwrite/purge "
+                "— a per-leaf rewrite may leave SOME of a batch's prefixed "
+                "files, so deleting the survivors would restore a wrong "
+                "state). States at or above the floor remain restorable."
+            )
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
@@ -1439,9 +1611,12 @@ class PartitionedTable:
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        # recovery FIRST, even when the root is missing: compact()'s
+        # crash point between its two renames leaves the table only in
+        # the .precompact shadow, exactly the state recover() rolls back
+        self.recover()
         if not fs.exists(root):
             return 0
-        self.recover()
         deleted = 0
         staging_root = Path(posixpath.join(self.path, "_staging"))
         if fs.exists(staging_root):
@@ -1651,19 +1826,30 @@ class DeletionVectors:
             return 0
         through = max(committed)
         dead = self.deleted_keys().localCheckpoint(eager=True)
-        # partitions from the file index, not read().distinct(): the
-        # docstring's O(partitions)-metadata claim, made true
-        scopes = self.table.leaf_partitions() or [{}]
-        n = 0
-        for scope in scopes:
-            if scope:
-                clean = self.table.read_partition(**scope).join(
-                    dead, self.key_col, "left_anti"
+        # partitions + files from the LIVE file index (one walk): the
+        # O(partitions)-metadata claim made true, and a crashed writer's
+        # uncommitted partials never get baked into the rewrite
+        live = self.table._live_data_files()
+        if self.table.partition_cols:
+            leaf_items = [
+                (live[leaf], dict(sc))
+                for leaf, (sc, _) in sorted(
+                    self.table._leaf_scopes_counts(live).items()
                 )
-                self.table.overwrite_partitions(clean, **scope)
-            else:
-                clean = self.table.read().join(dead, self.key_col, "left_anti")
-                self.table.overwrite_partitions(clean)
+            ]
+        else:
+            files = [f for fl in live.values() for f in fl]
+            leaf_items = [(files, {})] if files else []
+        n = 0
+        for files, scope in leaf_items:
+            with _string_partitions(self.table.spark):
+                src = self.table._restore_partition_types(
+                    self.table.spark.read.format(self.table.fmt)
+                    .option("basePath", self.table.path)
+                    .load(files)
+                )
+            clean = src.join(dead, self.key_col, "left_anti")
+            self.table.overwrite_partitions(clean, _validate=False, **scope)
             n += 1
         self._advance_watermark(through)
         return n
@@ -1704,6 +1890,16 @@ def change_feed(
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(table.path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    floor = table._history_floor()
+    if from_batch < floor:
+        raise ValueError(
+            f"change_feed({from_batch}, {to_batch}) at {table.path}: history "
+            f"below batch {floor} was collapsed by a rewrite (a per-leaf "
+            "rewrite may leave only SOME of a version's prefixed files, so "
+            "the feed would be silently partial). Start the window at or "
+            "above the floor."
+        )
 
     base_versions = [b for b in table.committed_batches() if from_batch < b <= to_batch]
     dv_versions = (

@@ -119,15 +119,94 @@ def test_compact_honors_target_files_per_partition(spark, tmp_path):
     assert table.read().count() == 200
 
 
-def test_read_as_of_collapsed_history_error(spark, tmp_path):
-    """ADVICE fix: after compaction rewrites away b{id}- prefixed files,
-    read_as_of must raise a descriptive error, not an inscrutable
-    schema-inference failure."""
+def test_read_as_of_history_floor_after_compact(spark, tmp_path):
+    """Compaction rewrites away b{id}- prefixes and advances the history
+    floor: snapshots BELOW the floor raise a descriptive error (not an
+    inscrutable schema-inference failure, and never a silently partial
+    snapshot), while the at-floor snapshot stays exactly readable — the
+    rewritten unprefixed files ARE the state-at-floor base, and batches
+    appended after the compaction layer on top."""
     import pytest
 
     path = str(tmp_path / "t")
-    table = _make_table(spark, path)
+    table = _make_table(spark, path)  # batch 1, 10 rows
+    table.append_batch(
+        spark.createDataFrame(
+            [(100, "x", "2024-01-01")], "k long, v string, day string"
+        ),
+        2,
+    )
     assert table.read_as_of(1).count() == 10  # history intact pre-compact
-    table.compact()
-    with pytest.raises(ValueError, match="history was\n?.*collapsed|collapsed"):
+    table.compact()  # floor -> 2
+    with pytest.raises(ValueError, match="collapsed"):
         table.read_as_of(1)
+    assert table.read_as_of(2).count() == 11  # at-floor snapshot exact
+    # post-compact appends time-travel on top of the rewritten base
+    table.append_batch(
+        spark.createDataFrame(
+            [(101, "y", "2024-01-02")], "k long, v string, day string"
+        ),
+        3,
+    )
+    assert table.read_as_of(2).count() == 11
+    assert table.read_as_of(3).count() == 12
+
+
+def test_uncommitted_partials_never_baked_into_rewrites(spark, tmp_path):
+    """A crashed writer's marker-less b{id}- files are NOT table state:
+    compact() must exclude them from the rewrite (baking them into
+    unprefixed files would make the batch's replay a permanent
+    duplicate), compact_partitions must not count them toward
+    min_files, and the batch's later replay still lands exactly once."""
+    import glob
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    table = _make_table(spark, path)  # batch 1, 10 rows, day=01/02
+    # fake a crashed batch-9 publish: copy a committed file under b9-
+    src = glob.glob(os.path.join(path, "day=*", "b1-*.parquet"))[0]
+    orphan = os.path.join(
+        os.path.dirname(src), "b9-" + os.path.basename(src).split("-", 1)[1]
+    )
+    shutil.copyfile(src, orphan)
+
+    # orphan does not count toward the incremental-OPTIMIZE threshold
+    leaf = os.path.relpath(os.path.dirname(src), path)
+    counts = {lf: n for lf, (_, n) in table._leaf_scopes_counts().items()}
+    assert counts[leaf] == 1  # committed file only
+
+    assert table.compact() > 0
+    assert table.read().count() == 10  # orphan rows not baked in
+    # replay of batch 9 now publishes exactly once
+    df9 = spark.createDataFrame(
+        [(99, "z", "2024-01-01")], "k long, v string, day string"
+    )
+    assert table.append_batch(df9, 9) is True
+    assert table.read().count() == 11
+
+
+def test_partial_rewrite_advances_history_floor(spark, tmp_path):
+    """Per-leaf incremental OPTIMIZE erases SOME of a batch's prefixed
+    files; the history floor turns what used to be silently-partial
+    restore/read_as_of/change_feed results into loud refusals below the
+    floor — and exact reads at or above it."""
+    import pytest
+
+    from incremental_dagster_delta_spark.tableio import change_feed
+
+    schema = "k long, v string, day string"
+    table = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    table.append_batch(
+        spark.createDataFrame([(1, "a", "d1"), (2, "b", "d2")], schema), 0
+    )
+    table.append_batch(
+        spark.createDataFrame([(3, "c", "d1"), (4, "d", "d2")], schema), 1
+    )
+    assert table.compact_partitions(min_files=2) == 2  # floor -> 1
+    for fn in (table.read_as_of, table.restore):
+        with pytest.raises(ValueError, match="collapsed"):
+            fn(0)
+    with pytest.raises(ValueError, match="collapsed"):
+        change_feed(table, None, 0, 1)
+    assert sorted(r["k"] for r in table.read_as_of(1).collect()) == [1, 2, 3, 4]

@@ -160,3 +160,53 @@ def test_multi_level_scope_drop(spark, tmp_path):
     got = sorted((r["k"], r["day"], r["wl"]) for r in table.read().collect())
     assert got == [(3, DAY2, 3), (10, DAY1, 3)]
     _assert_clean(table)
+
+
+def test_stale_marker_replay_never_drops_later_appends(spark, tmp_path):
+    """A drop plan is FENCED with the file names present at plan time:
+    if the marker survives past completion (crash before its deletion)
+    and a later append recreates the dropped leaf, replaying the marker
+    must not delete the new committed files — the unfenced replay
+    renamed the whole recreated leaf into the shadow and destroyed it."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day", "wl"])
+    schema = "k long, day string, wl string"
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "a")], schema
+        ),
+        0,
+    )
+    # refresh day=d1 WITHOUT wl=b → plan contains a fenced drop of d1/b
+    marker_path = str(tmp_path / "t") + ".overwrite_pending.json"
+    real_complete = PartitionedTable._complete_overwrite
+    captured = {}
+
+    def capture_then_restore(self, fs, Path):
+        if os.path.exists(marker_path):
+            captured["plan"] = open(marker_path).read()
+        real_complete(self, fs, Path)
+        if "plan" in captured:  # simulate crash before marker deletion
+            with open(marker_path, "w") as fh:
+                fh.write(captured.pop("plan"))
+
+    import pytest  # noqa: F401
+    from unittest import mock
+
+    with mock.patch.object(PartitionedTable, "_complete_overwrite", capture_then_restore):
+        t.overwrite_partitions(
+            spark.createDataFrame([(9, "d1", "a")], schema), day="d1"
+        )
+    assert os.path.exists(marker_path)  # stale marker left behind
+    plan = json.loads(open(marker_path).read())["leaves"]
+    assert any(e["action"] == "drop" and "files" in e for e in plan)
+
+    # a later append recreates the dropped leaf with committed data
+    t.append_batch(spark.createDataFrame([(7, "d1", "b")], schema), 1)
+    t.recover()  # replays the stale plan — fenced, so batch 1 survives
+    assert not os.path.exists(marker_path)
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 7, 9]
