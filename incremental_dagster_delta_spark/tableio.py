@@ -182,7 +182,11 @@ class PartitionedTable:
         return self._write(df, mode="append")
 
     def overwrite_partitions(
-        self, df: DataFrame, _validate: bool = True, **scope: str
+        self,
+        df: DataFrame,
+        _validate: bool = True,
+        _row_preserving: bool = False,
+        **scope: str,
     ) -> bool:
         """Refresh mode (reference delta_io.py:92-93 + 104-107): replace
         the partitions present in ``df`` — Delta ``replaceWhere``
@@ -216,6 +220,16 @@ class PartitionedTable:
         the stale staging. Readers see each leaf flip atomically and the
         marker defines the committed set — the parquet analogue of
         Delta's log entry for a replaceWhere commit.
+
+        ``_row_preserving`` (internal): row-preserving rewrites
+        (``compact_partitions``) advance the history floor with
+        ``exact=True`` — the at-floor snapshot remains exactly the state
+        after the floor batch committed. Row-CHANGING rewrites (refresh,
+        ``purge``) collapse their changes INTO the floor batch, so the
+        at-floor snapshot reflects post-rewrite state; they advance the
+        floor with ``exact=False`` and ``read_as_of``/``restore`` refuse
+        AT the floor too (ADVICE r13). The flag travels in the intent
+        marker so crash replay advances the floor identically.
         """
         empty = df.isEmpty()
         if empty and not scope:
@@ -280,13 +294,21 @@ class PartitionedTable:
         marker = Path(self._overwrite_marker_path())
         tmp_marker = Path(self._overwrite_marker_path() + f".tmp-{uuid.uuid4().hex}")
         out = fs.create(tmp_marker, True)
-        out.write(bytearray(json.dumps({"leaves": plan}).encode("utf-8")))
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"leaves": plan, "row_preserving": bool(_row_preserving)}
+                ).encode("utf-8")
+            )
+        )
         out.close()
         fs.rename(tmp_marker, marker)
+        # _complete_overwrite advances the history floor itself (before
+        # deleting the marker) so a crash-then-recover() path advances it
+        # identically to this happy path (ADVICE r13: floor advanced only
+        # on happy paths left recovered rewrites below the true floor
+        # silently readable).
         self._complete_overwrite(fs, Path)
-        # the rewrite produced unprefixed files (or dropped prefixed
-        # ones): snapshots below the current head are no longer exact
-        self._advance_history_floor()
         if not empty:
             self._record_partition_schema(df)
         return not empty
@@ -338,7 +360,12 @@ class PartitionedTable:
             data.append(b)
             b = stream.read()
         stream.close()
-        plan = json.loads(data.decode("utf-8"))["leaves"]
+        marker_doc = json.loads(data.decode("utf-8"))
+        plan = marker_doc["leaves"]
+        # legacy markers (no flag) are treated as row-changing — the
+        # conservative reading: refusing an exact-at-floor snapshot is
+        # loud, serving a wrong one is not
+        row_preserving = bool(marker_doc.get("row_preserving", False))
         staging, shadow_root = self._overwrite_staging_path(), self._overwrite_shadow_root()
         for entry in plan:
             leaf, action = entry["leaf"], entry["action"]
@@ -382,6 +409,10 @@ class PartitionedTable:
         for p in (Path(staging), Path(shadow_root)):
             if fs.exists(p):
                 fs.delete(p, True)
+        # floor BEFORE marker deletion: the marker is the replay token, so
+        # a crash in between re-runs this whole method (idempotent) and the
+        # floor can never be left behind a visible rewrite
+        self._advance_history_floor(exact=row_preserving)
         fs.delete(marker, False)
 
     def _recover_overwrite(self, fs, Path) -> None:
@@ -1063,9 +1094,13 @@ class PartitionedTable:
         # contains soft-deleted rows — dropping the sidecar would
         # resurrect them), _constraints.json, partition-schema hints.
         _salvage_hidden_root_entries(fs, Path, old, self.path)
-        fs.delete(Path(old), True)
         self._record_partition_schema(df)
-        self._advance_history_floor()  # prefixes rewritten away
+        # floor BEFORE deleting .precompact: the shadow dir is the replay
+        # token for crash-point-3 recovery, so the floor advance (exact —
+        # compaction preserves rows) replays with the roll-forward instead
+        # of being lost to a crash in this window (ADVICE r13)
+        self._advance_history_floor(exact=True)
+        fs.delete(Path(old), True)
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -1144,7 +1179,9 @@ class PartitionedTable:
             else:
                 salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
                 shaped = df.repartition(n_files, salt)
-            if self.overwrite_partitions(shaped, _validate=False, **scope):
+            if self.overwrite_partitions(
+                shaped, _validate=False, _row_preserving=True, **scope
+            ):
                 rewritten += 1
         return rewritten
 
@@ -1176,6 +1213,11 @@ class PartitionedTable:
                 # salvage every hidden root entry not yet moved — the
                 # same set compact() preserves (_commits, _dv, …)
                 _salvage_hidden_root_entries(fs, Path, old.toString(), self.path)
+                # the rewrite became visible at the staging→root rename,
+                # so the floor advance is owed even if compact() died
+                # before reaching it (ADVICE r13); compaction is
+                # row-preserving → the at-floor snapshot stays exact
+                self._advance_history_floor(exact=True)
                 fs.delete(old, True)
             if fs.exists(staging):  # crash point 1: stale staging
                 fs.delete(staging, True)
@@ -1197,46 +1239,88 @@ class PartitionedTable:
     # above it stays exact (unprefixed files are the state-at-floor base;
     # prefixed files above it layer on top), history below it raises —
     # the same trade Delta makes with OPTIMIZE + VACUUM retention.
+    # The floor also records EXACTNESS: row-preserving rewrites (compact)
+    # leave the at-floor snapshot exact; row-changing ones (overwrite /
+    # purge) collapse into the floor batch, so the at-floor snapshot is
+    # refused too and only strictly-above-floor snapshots stay exact.
 
     def _history_floor_path(self) -> str:
         return posixpath.join(self.path, "_history_floor.json")
 
-    def _history_floor(self) -> int:
+    def _history_floor_info(self) -> tuple[int, bool]:
+        """(floor, exact_at_floor). ``exact_at_floor`` is False when the
+        floor was last advanced by a row-CHANGING rewrite (overwrite /
+        purge): the at-floor snapshot then reflects post-rewrite state,
+        not the state when that batch committed, so time travel refuses
+        AT the floor too. The read takes the newest valid entry across
+        ``_history_floor.json`` AND any ``.tmp-*`` leftovers — the
+        replace sequence below is write-tmp → delete-main → rename, and a
+        crash between the last two must degrade to the tmp's floor, never
+        to "no floor" (ADVICE r13: a lost floor file silently re-opens
+        collapsed history). Ties resolve to the LEAST exact claim."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         p = Path(self._history_floor_path())
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return -1
-        try:
-            stream = fs.open(p)
+        best, best_exact = -1, True
+        statuses = fs.globStatus(Path(self._history_floor_path() + "*"))
+        for st in statuses or []:
             try:
-                raw = bytes(stream.readAllBytes()).decode("utf-8")
-            finally:
-                stream.close()
-            return int(json.loads(raw)["floor"])
-        except Exception:
-            return -1
+                stream = fs.open(st.getPath())
+                try:
+                    raw = bytes(stream.readAllBytes()).decode("utf-8")
+                finally:
+                    stream.close()
+                doc = json.loads(raw)
+                floor = int(doc["floor"])
+                exact = bool(doc.get("exact", True))
+            except Exception:
+                continue  # torn tmp write: skip, never wedge reads
+            if floor > best:
+                best, best_exact = floor, exact
+            elif floor == best:
+                best_exact = best_exact and exact
+        return best, best_exact
 
-    def _advance_history_floor(self) -> None:
+    def _history_floor(self) -> int:
+        return self._history_floor_info()[0]
+
+    def _advance_history_floor(self, exact: bool) -> None:
+        """Advance the floor to max(committed). Monotonic in the floor
+        value; at an UNCHANGED floor the exactness can only be
+        downgraded (a later row-changing rewrite collapsing into the same
+        batch makes the at-floor snapshot inexact; nothing can make it
+        exact again). Idempotent — safe to replay from recovery paths."""
         committed = self.committed_batches()
         if not committed:
             return
         floor = max(committed)
-        if floor <= self._history_floor():
-            return  # monotonic
+        cur, cur_exact = self._history_floor_info()
+        if floor < cur or (floor == cur and (exact or not cur_exact)):
+            return
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         p = Path(self._history_floor_path())
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        tmp = Path(self._history_floor_path() + f".tmp-{uuid.uuid4().hex}")
+        tmp_name = self._history_floor_path() + f".tmp-{uuid.uuid4().hex}"
+        tmp = Path(tmp_name)
         out = fs.create(tmp, True)
         try:
-            out.write(json.dumps({"floor": int(floor)}).encode("utf-8"))
+            out.write(
+                json.dumps({"floor": int(floor), "exact": bool(exact)}).encode("utf-8")
+            )
         finally:
             out.close()
+        # crash-safe replace: if we die between delete and rename, the tmp
+        # still holds the new floor and _history_floor_info globs it up
         fs.delete(p, False)
         fs.rename(tmp, p)
+        # retire stale tmp leftovers from earlier crashed replaces — their
+        # floors are <= ours (floors are monotonic), so dropping them can
+        # only remove weaker claims; an equal-floor less-exact leftover was
+        # already folded into this write's early-return logic above
+        for st in fs.globStatus(Path(self._history_floor_path() + ".tmp-*")) or []:
+            fs.delete(st.getPath(), False)
 
     def recover(self) -> None:
         """Public entry for crash recovery — call before reads if a
@@ -1444,7 +1528,7 @@ class PartitionedTable:
                 out.append(int(name))
         return sorted(out)
 
-    def read_as_of(self, batch_id: int) -> DataFrame:
+    def read_as_of(self, batch_id: int, _accept_inexact_floor: bool = False) -> DataFrame:
         """Time-travel read: the table exactly as it stood after
         ``batch_id`` committed (Delta ``versionAsOf``; the reference gets
         this from delta-rs for free).
@@ -1463,13 +1547,30 @@ class PartitionedTable:
         wanted = {b for b in self.committed_batches() if b <= batch_id}
         if not wanted:
             raise ValueError(f"no committed batch <= {batch_id} at {self.path}")
-        floor = self._history_floor()
+        floor, exact = self._history_floor_info()
         if batch_id < floor:
             raise ValueError(
                 f"read_as_of({batch_id}) at {self.path}: history below batch "
                 f"{floor} was collapsed by a rewrite (compact/overwrite/purge "
                 "produce unprefixed files, like Delta OPTIMIZE + VACUUM of "
                 "old versions). Snapshots at or above the floor remain exact."
+            )
+        if batch_id == floor and not exact and not _accept_inexact_floor:
+            # a row-CHANGING rewrite (overwrite/purge) collapsed into the
+            # floor batch: the at-floor file set reflects post-rewrite
+            # state, not the state when the batch committed — refuse
+            # rather than serve it under a time-travel label (ADVICE r13;
+            # Delta replaceWhere would have minted a new version instead).
+            # change_feed passes _accept_inexact_floor=True: it needs the
+            # table's CONTENT just before a later version, for which the
+            # post-rewrite state is exactly right.
+            raise ValueError(
+                f"read_as_of({batch_id}) at {self.path}: batch {batch_id} is "
+                "the history floor, and the floor was advanced by a "
+                "row-changing rewrite (partition overwrite / purge) that "
+                "collapsed its changes into this batch — the snapshot would "
+                "reflect post-rewrite state. Only read() serves this table's "
+                "current state; snapshots strictly above the floor are exact."
             )
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
@@ -1531,18 +1632,23 @@ class PartitionedTable:
         committed = set(self.committed_batches())
         if not any(b <= batch_id for b in committed):
             raise ValueError(f"no committed batch <= {batch_id} at {self.path}")
-        victims = {b for b in committed if b > batch_id}
-        if not victims:
-            return 0
-        floor = self._history_floor()
-        if batch_id < floor:
+        # floor check BEFORE the no-victims early return: restore(floor)
+        # after a row-changing rewrite cannot produce state-as-of-floor
+        # even as a no-op — returning 0 there would silently claim it did
+        floor, exact = self._history_floor_info()
+        if batch_id < floor or (batch_id == floor and not exact):
             raise ValueError(
                 f"restore({batch_id}) at {self.path}: history below batch "
                 f"{floor} was collapsed by a rewrite (compact/overwrite/purge "
                 "— a per-leaf rewrite may leave SOME of a batch's prefixed "
                 "files, so deleting the survivors would restore a wrong "
-                "state). States at or above the floor remain restorable."
+                "state). States at or above the floor remain restorable — "
+                "except AT the floor after a row-changing overwrite/purge, "
+                "whose result collapsed into the floor batch."
             )
+        victims = {b for b in committed if b > batch_id}
+        if not victims:
+            return 0
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
@@ -1978,7 +2084,11 @@ def change_feed(
         prior_base = [b for b in table.committed_batches() if b < v]
         if not prior_base:
             continue  # deleting from an empty table: nothing existed
-        snapshot = table.read_as_of(max(prior_base))
+        # _accept_inexact_floor: the feed needs the table's CONTENT as it
+        # stood before version v. When prior_base == an inexact floor, the
+        # post-rewrite state IS that content (the rewrite happened before
+        # v committed), even though it is not "state as of that batch".
+        snapshot = table.read_as_of(max(prior_base), _accept_inexact_floor=True)
         keys_v = (
             dv.sidecar.read()
             .where(F.col(DeletionVectors.DV_BATCH_COL) == v)

@@ -1,0 +1,215 @@
+"""History-floor correctness across crash/recovery paths (ADVICE r13).
+
+Three properties under test:
+
+1. the floor advances on EVERY path that makes a rewrite visible —
+   including ``recover()`` rolling a crashed overwrite/compaction
+   forward — never only on the happy path;
+2. the floor file survives a crash inside its own replace sequence
+   (write-tmp → delete-main → rename): the tmp leftover still carries
+   the floor, so collapsed history can never silently re-open;
+3. exactness: a row-PRESERVING rewrite (compact / compact_partitions)
+   leaves the at-floor snapshot exactly readable, while a row-CHANGING
+   one (overwrite_partitions / purge) collapses into the floor batch and
+   ``read_as_of``/``restore`` refuse AT the floor too. ``change_feed``
+   still reconstructs delete content above an inexact floor (the
+   post-rewrite state IS the content just before those versions).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_dagster_delta_spark.tableio import (
+    DeletionVectors,
+    PartitionedTable,
+    change_feed,
+)
+
+SCHEMA = "k long, v string, day string"
+DAY1, DAY2 = "2024-01-01", "2024-01-02"
+
+
+def _mk(spark, path, *, batches=(1, 2)) -> PartitionedTable:
+    t = PartitionedTable(spark, str(path), ["day"])
+    for b in batches:
+        df = spark.createDataFrame(
+            [(10 * b + i, f"b{b}", DAY1 if i < 2 else DAY2) for i in range(4)],
+            SCHEMA,
+        )
+        t.append_batch(df.repartition("day"), b)
+    return t
+
+
+def _new_day1(spark):
+    return spark.createDataFrame([(100, "new", DAY1)], SCHEMA)
+
+
+# -- 1. recovery paths advance the floor ---------------------------------------
+
+
+def test_recover_overwrite_advances_floor(spark, tmp_path):
+    """Crash right after the intent marker was written: recover() rolls
+    the overwrite forward AND advances the floor — without it, read_as_of
+    below the true floor silently returned partial snapshots."""
+    t = _mk(spark, tmp_path / "t")
+    staging = t.path.rstrip("/") + ".overwriting"
+    _new_day1(spark).write.mode("overwrite").partitionBy("day").parquet(staging)
+    with open(t.path.rstrip("/") + ".overwrite_pending.json", "w") as f:
+        json.dump(
+            {
+                "leaves": [{"leaf": f"day={DAY1}", "action": "swap"}],
+                "row_preserving": False,
+            },
+            f,
+        )
+    assert t._history_floor() == -1
+    t.recover()
+    assert t._history_floor_info() == (2, False)
+    with pytest.raises(ValueError, match="collapsed"):
+        t.read_as_of(1)
+    with pytest.raises(ValueError, match="row-changing"):
+        t.read_as_of(2)
+    # current state is the rolled-forward overwrite
+    assert sorted(r["k"] for r in t.read().where(f"day = '{DAY1}'").collect()) == [100]
+
+
+def test_legacy_marker_treated_as_row_changing(spark, tmp_path):
+    """A marker written before the row_preserving flag existed replays as
+    row-changing — refusing an exact-at-floor read is loud, serving a
+    possibly-wrong one is not."""
+    t = _mk(spark, tmp_path / "t")
+    staging = t.path.rstrip("/") + ".overwriting"
+    _new_day1(spark).write.mode("overwrite").partitionBy("day").parquet(staging)
+    with open(t.path.rstrip("/") + ".overwrite_pending.json", "w") as f:
+        json.dump({"leaves": [{"leaf": f"day={DAY1}", "action": "swap"}]}, f)
+    t.recover()
+    assert t._history_floor_info() == (2, False)
+
+
+def test_recover_compaction_roll_forward_advances_floor(spark, tmp_path):
+    """Compact crash point 3 (staging promoted, .precompact lingers):
+    the roll-forward must advance the floor exactly like compact() would
+    have — exact=True, at-floor snapshot readable."""
+    t = _mk(spark, tmp_path / "t")
+    path = t.path.rstrip("/")
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".compacting")
+    os.rename(path, path + ".precompact")
+    os.rename(path + ".compacting", path)
+    t.recover()
+    assert t._history_floor_info() == (2, True)
+    assert t.read_as_of(2).count() == 8  # at-floor stays exact
+    with pytest.raises(ValueError, match="collapsed"):
+        t.read_as_of(1)
+
+
+# -- 2. the floor file survives its own replace window -------------------------
+
+
+def test_floor_survives_crash_between_delete_and_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", batches=(1,))
+    t.compact()
+    assert t._history_floor_info() == (1, True)
+    main = t._history_floor_path()
+    # simulate the crash: new floor written to tmp, main already deleted,
+    # rename never happened
+    payload = json.load(open(main))
+    os.remove(main)
+    with open(main + ".tmp-deadbeef", "w") as f:
+        json.dump(payload, f)
+    assert t._history_floor_info() == (1, True)  # tmp leftover carries it
+    # a torn tmp from another crash is skipped, never wedges reads
+    with open(main + ".tmp-torn", "w") as f:
+        f.write('{"floor": ')
+    assert t._history_floor_info() == (1, True)
+    # the next advance converges: main rewritten, stale tmps retired
+    t.append_batch(spark.createDataFrame([(99, "x", DAY1)], SCHEMA), 2)
+    t.compact()
+    assert t._history_floor_info() == (2, True)
+    assert os.path.exists(main)
+    assert glob.glob(main + ".tmp-*") == []
+
+
+def test_equal_floor_ties_resolve_to_least_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", batches=(1,))
+    t.compact()
+    main = t._history_floor_path()
+    with open(main + ".tmp-crashed", "w") as f:
+        json.dump({"floor": 1, "exact": False}, f)
+    assert t._history_floor_info() == (1, False)
+
+
+# -- 3. exactness semantics ----------------------------------------------------
+
+
+def test_row_changing_overwrite_refuses_at_floor(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    assert t.read_as_of(1).count() == 4
+    t.overwrite_partitions(_new_day1(spark), day=DAY1)
+    assert t._history_floor_info() == (2, False)
+    for batch in (1, 2):
+        with pytest.raises(ValueError):
+            t.read_as_of(batch)
+        with pytest.raises(ValueError):
+            t.restore(batch)
+    # snapshots strictly above the floor are exact again
+    t.append_batch(spark.createDataFrame([(200, "b3", DAY2)], SCHEMA), 3)
+    assert sorted(r["k"] for r in t.read_as_of(3).collect()) == sorted(
+        r["k"] for r in t.read().collect()
+    )
+
+
+def test_compact_after_overwrite_cannot_restore_exactness(spark, tmp_path):
+    """Exactness only downgrades at an unchanged floor: a later compact
+    cannot make the overwritten floor batch time-travelable again."""
+    t = _mk(spark, tmp_path / "t")
+    t.overwrite_partitions(_new_day1(spark), day=DAY1)
+    assert t._history_floor_info() == (2, False)
+    t.compact()
+    assert t._history_floor_info() == (2, False)
+    with pytest.raises(ValueError, match="row-changing"):
+        t.read_as_of(2)
+
+
+def test_compact_then_overwrite_downgrades_exactness(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.compact()
+    assert t._history_floor_info() == (2, True)
+    assert t.read_as_of(2).count() == 8
+    t.overwrite_partitions(_new_day1(spark), day=DAY1)
+    assert t._history_floor_info() == (2, False)
+    with pytest.raises(ValueError, match="row-changing"):
+        t.read_as_of(2)
+
+
+def test_compact_partitions_stays_exact_at_floor(spark, tmp_path):
+    """The incremental OPTIMIZE routes through overwrite_partitions but
+    is row-preserving — the at-floor snapshot must stay readable."""
+    t = _mk(spark, tmp_path / "t")
+    assert t.compact_partitions(min_files=2) == 2
+    assert t._history_floor_info() == (2, True)
+    assert t.read_as_of(2).count() == 8
+
+
+def test_change_feed_reconstructs_deletes_above_inexact_floor(spark, tmp_path):
+    """Delete-content reconstruction at prior_base == an inexact floor is
+    legitimate: the post-purge state IS the table content just before the
+    later delete version."""
+    t = _mk(spark, tmp_path / "t", batches=(1,))
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(t.read().where("k = 10").select("k"), 2)
+    assert dv.purge() >= 1
+    assert t._history_floor_info() == (1, False)
+    with pytest.raises(ValueError, match="row-changing"):
+        t.read_as_of(1)  # public time travel still refuses at the floor
+    dv.mark_deleted(
+        spark.createDataFrame([(11,)], "k long"), 3
+    )
+    feed = change_feed(t, dv, from_batch=1, to_batch=3)
+    rows = [(r["k"], r["_change_type"], r["_commit_version"]) for r in feed.collect()]
+    assert rows == [(11, "delete", 3)]
