@@ -310,10 +310,12 @@ def _existing_versions(log_dir: str) -> list[int]:
 # replay starts there instead of at version 0 — the property that keeps
 # log replay O(live files + recent commits) instead of O(table history),
 # and the precondition for deleting aged JSON segments (metadata
-# cleanup). Remove tombstones are deliberately NOT carried into the
-# checkpoint: the spec retains them only to coordinate vacuum with
-# concurrent readers of older versions, which is out of scope for an
-# export seam whose consumers read snapshots.
+# cleanup). Remove tombstones WITHIN the retention window ride along
+# (PROTOCOL.md "Checkpoints" requires unexpired remove actions so
+# foreign readers/vacuums can coordinate file deletion); tombstones
+# older than ``tombstone_retention_ms`` (Delta's
+# delta.deletedFileRetentionDuration, default 1 week) are dropped —
+# the same expiry real Delta checkpoints apply (ADVICE r13).
 
 
 def _checkpoint_schema():
@@ -359,6 +361,16 @@ def _checkpoint_schema():
                     ]
                 ),
             ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -393,12 +405,17 @@ def _last_checkpoint_info(log_dir: str) -> dict | None:
     return {"version": v, "path": cp} if os.path.exists(cp) else None
 
 
-def _read_checkpoint(cp_path: str) -> tuple[dict[str, dict], dict | None, dict | None]:
-    """(file state, protocol action, metaData action) from a checkpoint
-    parquet — the reader half of PROTOCOL.md's checkpoint section."""
+def _read_checkpoint(
+    cp_path: str,
+) -> tuple[dict[str, dict], dict | None, dict | None, dict[str, dict]]:
+    """(file state, protocol action, metaData action, remove tombstones)
+    from a checkpoint parquet — the reader half of PROTOCOL.md's
+    checkpoint section. Tombstones are keyed by decoded path; checkpoints
+    written before the remove column existed yield an empty dict."""
     import pyarrow.parquet as pq
 
     state: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     protocol = metadata = None
     for row in pq.read_table(cp_path).to_pylist():
         if row.get("protocol") is not None:
@@ -415,26 +432,31 @@ def _read_checkpoint(cp_path: str) -> tuple[dict[str, dict], dict | None, dict |
             if a.get("stats") is None:
                 a.pop("stats", None)
             state[_decode_path(a["path"])] = a
-    return state, protocol, metadata
+        if row.get("remove") is not None:
+            r = dict(row["remove"])
+            tombstones[_decode_path(r["path"])] = r
+    return state, protocol, metadata, tombstones
 
 
 def _replay(
     log_dir: str, version: int | None = None
-) -> tuple[dict[str, dict], dict | None, dict | None]:
-    """(file state, protocol, metaData) replayed per spec: start from the
-    checkpoint named by ``_last_checkpoint`` when present (JSON segments
-    at or below it may have been cleaned up), then apply newer JSON
-    versions in order — an ``add`` puts the path in the set (newest
-    metadata wins), a ``remove`` deletes it. ``version`` pins the replay
-    to that version (``VERSION AS OF`` semantics); versions older than
-    the checkpoint are unreachable once :meth:`clean_metadata` ran —
-    exactly the retention trade real Delta tables make."""
+) -> tuple[dict[str, dict], dict | None, dict | None, dict[str, dict]]:
+    """(file state, protocol, metaData, remove tombstones) replayed per
+    spec: start from the checkpoint named by ``_last_checkpoint`` when
+    present (JSON segments at or below it may have been cleaned up),
+    then apply newer JSON versions in order — an ``add`` puts the path
+    in the set (newest metadata wins), a ``remove`` deletes it and
+    records a tombstone (dropped again if the path is later re-added).
+    ``version`` pins the replay to that version (``VERSION AS OF``
+    semantics); versions older than the checkpoint are unreachable once
+    :meth:`clean_metadata` ran — exactly the retention trade real Delta
+    tables make."""
     cp = _last_checkpoint_info(log_dir)
     if cp is not None and (version is None or cp["version"] <= version):
-        state, protocol, metadata = _read_checkpoint(cp["path"])
+        state, protocol, metadata, tombstones = _read_checkpoint(cp["path"])
         start = cp["version"] + 1
     else:
-        state, protocol, metadata = {}, None, None
+        state, protocol, metadata, tombstones = {}, None, None, {}
         start = 0
     versions = _existing_versions(log_dir)
     if version is not None:
@@ -456,14 +478,18 @@ def _replay(
                 action = json.loads(line)
                 if "add" in action:
                     a = action["add"]
-                    state[_decode_path(a["path"])] = a
+                    rel = _decode_path(a["path"])
+                    state[rel] = a
+                    tombstones.pop(rel, None)  # re-added path: tombstone retired
                 elif "remove" in action:
-                    state.pop(_decode_path(action["remove"]["path"]), None)
+                    rel = _decode_path(action["remove"]["path"])
+                    state.pop(rel, None)
+                    tombstones[rel] = action["remove"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
                 elif "metaData" in action:
                     metadata = action["metaData"]
-    return state, protocol, metadata
+    return state, protocol, metadata, tombstones
 
 
 def replay_file_set(log_dir: str, version: int | None = None) -> dict[str, dict]:
@@ -615,12 +641,21 @@ class DeltaLogExporter:
     call :meth:`export` after any batch of table mutations; each call
     appends at most one log version."""
 
-    def __init__(self, table: PartitionedTable, checkpoint_interval: int = 10) -> None:
+    def __init__(
+        self,
+        table: PartitionedTable,
+        checkpoint_interval: int = 10,
+        tombstone_retention_ms: int = 7 * 24 * 3600 * 1000,
+    ) -> None:
         self.table = table
         self.log_dir = _log_dir(table)
         # every Nth version gets a checkpoint parquet (10 is delta-spark's
         # default delta.checkpointInterval); 0 disables auto-checkpointing
         self.checkpoint_interval = checkpoint_interval
+        # remove tombstones younger than this ride into checkpoints so
+        # foreign readers/vacuums can coordinate (spec requirement);
+        # default = delta.deletedFileRetentionDuration's 1 week
+        self.tombstone_retention_ms = tombstone_retention_ms
         # local-path assumption: the log is written with plain python
         # IO; the table layouts under test are file-backed (``file:``
         # URIs normalize via _local_path). (A cluster deployment would
@@ -759,7 +794,7 @@ class DeltaLogExporter:
         if not versions and cp is None:
             raise ValueError(f"nothing to checkpoint under {self.log_dir}")
         v = versions[-1] if versions else cp["version"]
-        state, protocol, metadata = _replay(self.log_dir)
+        state, protocol, metadata, tombstones = _replay(self.log_dir)
         # a cleaned log can lose the v0 protocol/metaData JSON; they are
         # reconstructible (deterministic table id, live schema)
         protocol = protocol or PROTOCOL_ACTION["protocol"]
@@ -781,6 +816,24 @@ class DeltaLogExporter:
                     }
                 }
             )
+        # unexpired remove tombstones ride along (spec: checkpoints must
+        # carry them so a foreign vacuum doesn't delete files a reader of
+        # an older version may still need); expired ones are dropped —
+        # that expiry is exactly delta.deletedFileRetentionDuration
+        cutoff = int(time.time() * 1000) - self.tombstone_retention_ms
+        for rel in sorted(tombstones):
+            r = tombstones[rel]
+            ts = int(r.get("deletionTimestamp") or 0)
+            if ts >= cutoff:
+                rows.append(
+                    {
+                        "remove": {
+                            "path": r["path"],
+                            "deletionTimestamp": ts,
+                            "dataChange": False,
+                        }
+                    }
+                )
         final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(pa.Table.from_pylist(rows, schema=_checkpoint_schema()), tmp)

@@ -88,5 +88,7 @@ def test_bench_capacity_canary_shape():
     c = bench._capacity_canary()
     assert set(c) == {"t1", "t8", "t32"}
     assert all(v > 0 for v in c.values())
-    # more threads never measures meaningfully SLOWER than one thread
-    assert c["t32"] >= c["t1"] * 0.5
+    # No cross-thread ratio assertion: on an oversubscribed host the
+    # t32 probe legitimately lands below t1 (the canary's entire job is
+    # to MEASURE that), so a timing ratio here flakes under load
+    # (ADVICE r13). Shape + positivity are the contract.
