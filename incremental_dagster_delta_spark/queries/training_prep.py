@@ -193,9 +193,14 @@ def _global_weighted_cumsum(df, order_cols, weight_col: str):
     partition-less window runs over numPartitions aggregate rows only.
     The input is localCheckpointed once so the sampled range boundaries
     cannot shift between the offsets subtree and the final plan.
-    ``order_cols`` should be a UNIQUE key: with ties the per-row
-    prefix sums are a valid disjoint packing but the assignment among
-    tied rows is not deterministic across runs."""
+    ``order_cols`` MUST be a UNIQUE key: with ties the per-row prefix
+    sums are a valid disjoint packing but the assignment among tied rows
+    is not deterministic across runs — the helper therefore REFUSES tied
+    keys at execution time (VERDICT r13: loud beats silently unstable
+    for an exported helper). The check is free: equal keys always land
+    in the same range partition, so a per-partition ``lag`` comparison
+    inside the window stage the cumsum already pays catches every
+    global tie — no extra scan, shuffle, or action."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -215,10 +220,25 @@ def _global_weighted_cumsum(df, order_cols, weight_col: str):
     w_local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    key = F.struct(*[F.col(c) for c in order_cols])
+    w_order = Window.partitionBy("_pid").orderBy(*order_cols)
+    # lag(NULL) on each partition's first row eqNullSafe's to False —
+    # never a tie; assert_true throws task-side with this message
+    no_tie = ~F.lag(key).over(w_order).eqNullSafe(key)
+    guard = F.assert_true(
+        no_tie,
+        F.lit(
+            "_global_weighted_cumsum: order_cols "
+            f"{list(order_cols)} must form a UNIQUE key — a tied key makes "
+            "the packing assignment nondeterministic across runs"
+        ),
+    )
     running = F.sum(weight_col).over(w_local) - F.col(weight_col) + F.col("_off")
+    # guard is always NULL (or the task throws); folding it into _start
+    # keeps Catalyst from pruning the unused assertion column away
     return (
         ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn("_start", running.cast("long"))
+        .withColumn("_start", F.when(guard.isNull(), running).cast("long"))
         .drop("_pid", "_off")
     )
 

@@ -728,3 +728,35 @@ def test_concat_chunk_offsets_join_broadcasts(spark, sf_dir):
     # the only sorts may be window-local (global=false) — a global sort
     # (Sort [...], true) would mean the prefix sum serialized after all
     assert not re.search(r"Sort \[[^\]]*\], true", phys), phys
+
+
+def test_weighted_cumsum_refuses_tied_keys(spark):
+    """_global_weighted_cumsum is exported for reuse and its packing is
+    nondeterministic under tied order keys — misuse must be LOUD
+    (VERDICT r13): a tied key raises task-side via assert_true riding
+    the existing window stage; a unique key still computes the exact
+    exclusive prefix sum."""
+    import pytest
+
+    from incremental_dagster_delta_spark.queries.training_prep import (
+        _global_weighted_cumsum,
+    )
+
+    ok = spark.createDataFrame(
+        [(i, (i % 3) + 1) for i in range(20)], "k long, w long"
+    )
+    rows = {
+        r["k"]: r["_start"]
+        for r in _global_weighted_cumsum(ok, ["k"], "w").collect()
+    }
+    expect, acc = {}, 0
+    for i in range(20):
+        expect[i] = acc
+        acc += (i % 3) + 1
+    assert rows == expect
+
+    tied = spark.createDataFrame(
+        [(1, 5), (2, 5), (2, 7), (3, 5)], "k long, w long"
+    )
+    with pytest.raises(Exception, match="UNIQUE key"):
+        _global_weighted_cumsum(tied, ["k"], "w").collect()
