@@ -47,71 +47,70 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds, and no row should age past ~6 rounds. After the r12
-# sweep all 261 qids have a driver row; the r13 front = the round's new
-# operator + the 20 re-confirms whose rows date to r6 (staged in r12's
-# comment, VERDICT r12 #1 — q_pca_topk and q_dedup_simhash matter most:
-# their oracles changed character since r6) + the 28 alphabetically-first
-# of the 41 r7-aged rows. The 13 r7 rows left for the r14 tail:
-# q_set_ops, q_sql_frontend, q_subword_counts, q_suffix_filter,
-# q_text_quality, q_token_counts, q_top_orders, q_topk, q_unigram_lm,
-# q_vocab_coverage, q_window_running, q_winnow_fingerprint,
-# q_word_length.
+# across rounds, and no row should age past ~6 rounds. After the r13
+# sweep the stalest rows were the 13 r7-aged re-confirms (VERDICT r13
+# #1), which lead the r14 front; r14's new operator comes next, and the
+# 36 alphabetically-first of the 50 r8-aged rows fill to exactly 50.
+# The 14 r8 rows left for the r15 front: q_sql_udf, q_substring_dedup,
+# q_surprisal_buckets, q_table_diff, q_tfidf, q_token_pack,
+# q_tokenizer_fertility, q_topic_terms, q_udtf_chunks, q_unigram_encode,
+# q_unigram_fertility, q_unigram_surprisal, q_wholetext_ingest,
+# q_window_battery.
 # --------------------------------------------------------------------------
-_R13_FRONT = [
+_R14_FRONT = [
     # (a) new this round — first driver rows
-    "q_bloom_paragraph_dedup",
-    "q_concat_chunk",
-    # (b) the 20 r6-aged re-confirms (every row then ≤7 rounds old)
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_doc_similarity_gamma",
-    "q_knn_eval",
-    "q_lateral_topn",
-    "q_mutual_info",
-    "q_ngram_novelty",
-    "q_partition_delete",
-    "q_pca_topk",
-    "q_pit_join",
-    "q_quantile_bins",
-    "q_quarantine_split",
-    "q_rfm_features",
-    "q_rolling_median",
-    "q_schema_evolution",
-    "q_seasonality_profile",
-    "q_time_travel",
-    "q_triangle_count",
-    "q_triangle_doulion",
-    "q_weighted_sample",
-    # (c) the 28 alphabetically-first r7-aged rows, filling to exactly 50
-    "q_bigram_perplexity",
-    "q_date_format",
-    "q_date_parts",
-    "q_dedup_cluster",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_near_keep",
-    "q_dedup_prefix_key",
-    "q_dedup_survivors",
-    "q_distinct",
-    "q_doc_fingerprint",
-    "q_dsir_weights",
-    "q_embedding_norm",
-    "q_frame_sample",
-    "q_iso_week",
-    "q_lang_id",
-    "q_leakage_free_split",
-    "q_lit_partition_cols",
-    "q_multimodal_features",
-    "q_new_file_antijoin",
-    "q_pricing_summary",
-    "q_rank_in_group",
-    "q_recall_at_k",
-    "q_region_revenue",
-    "q_reverse",
-    "q_rollup_agg",
-    "q_row_construction",
-    "q_semi_join",
+    "q_bitext_mine",
+    # (b) the 13 r7-aged re-confirms (every row then ≤7 rounds old)
+    "q_set_ops",
+    "q_sql_frontend",
+    "q_subword_counts",
+    "q_suffix_filter",
+    "q_text_quality",
+    "q_token_counts",
+    "q_top_orders",
+    "q_topk",
+    "q_unigram_lm",
+    "q_vocab_coverage",
+    "q_window_running",
+    "q_winnow_fingerprint",
+    "q_word_length",
+    # (c) the 36 alphabetically-first r8-aged rows, filling to exactly 50
+    "q_above_avg_customers",
+    "q_backfill",
+    "q_bpe_encode",
+    "q_chunk_docs",
+    "q_csv_source",
+    "q_cube_agg",
+    "q_custdist_outer",
+    "q_delta_append",
+    "q_dup_span_fraction",
+    "q_exactly_once_publish",
+    "q_excess_shippers",
+    "q_exists_sql",
+    "q_file_listing",
+    "q_grouped_pandas",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_jsonl_source",
+    "q_kcore",
+    "q_kcore_corpus",
+    "q_kn_perplexity",
+    "q_lead_lag",
+    "q_min_cost_supplier",
+    "q_mixture_temperature",
+    "q_multi_hop",
+    "q_notin_filter",
+    "q_orc_source",
+    "q_partitioned_write",
+    "q_pmi_bigrams",
+    "q_prefilter_semi_join",
+    "q_profit_by_nation_year",
+    "q_promo_ratio",
+    "q_quality_classifier",
+    "q_quality_holdout",
+    "q_quality_scores",
+    "q_rp_embed",
+    "q_salted_agg",
 ]
 
 
@@ -188,6 +187,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R13_FRONT)
+_rotate(_R14_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

@@ -308,6 +308,72 @@ def q_recall_at_k(spark, sf_dir):
     )
 
 
+# Margin-based mining (LASER/CCMatrix shape, Artetxe & Schwenk 2019):
+# a candidate pair is "mined" when its similarity stands OUT of the
+# query's neighborhood — cos(x,y) divided by the mean similarity of the
+# query's k nearest neighbors (forward ratio margin). Absolute-cosine
+# thresholds break when neighborhood density varies (hubness); the
+# margin self-normalizes per query, which is why CCMatrix mines with it
+# at web scale. MARGIN_THRESHOLD > 1 means "strictly above the
+# neighborhood average"; 1.05 flags clear outliers on this corpus.
+MARGIN_THRESHOLD = 1.05
+
+_BITEXT_ORACLE = f"""
+    WITH approx AS ({_IVF_ORACLE}),
+    scaled AS (
+      SELECT query_id, neighbor_id, cosine, rank,
+             CAST(ROUND(cosine * 10000) AS BIGINT) AS icos
+      FROM approx
+    ),
+    denom AS (
+      SELECT query_id, SUM(icos) AS s, COUNT(*) AS k
+      FROM scaled GROUP BY query_id
+    )
+    SELECT sc.query_id, sc.neighbor_id, sc.cosine, sc.rank,
+           CAST(ROUND(CAST(sc.icos * d.k AS DOUBLE) / CAST(d.s AS DOUBLE), 4)
+                AS DOUBLE) AS margin,
+           ROUND(CAST(sc.icos * d.k AS DOUBLE) / CAST(d.s AS DOUBLE), 4)
+             >= {MARGIN_THRESHOLD} AS mined
+    FROM scaled sc JOIN denom d USING (query_id)
+    """
+
+
+@query("q_bitext_mine", tags=("similarity", "llm"), oracle=_BITEXT_ORACLE)
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based nearest-neighbor mining over the IVF shortlist: each
+    query's candidates get margin = cos / mean(top-k cos), and pairs
+    above MARGIN_THRESHOLD are flagged as mined (the CCMatrix bitext
+    criterion, applied to whatever the corpus embeddings represent).
+
+    Determinism discipline: the shortlist cosines are already rounded to
+    4 dp, so the margin is computed in EXACT integer arithmetic —
+    icos = round(cos·10⁴) is an exact BIGINT, the per-query sum and the
+    k multiplier stay integral, and the single double division is
+    IEEE-correctly-rounded identically in Spark and DuckDB. No
+    float-summation-order sensitivity anywhere (the r13 flaky-oracle-tie
+    class engineered out up front).
+
+    Scale shape: everything downstream of ivf_topk operates on |Q|·k
+    rows — one tiny query-partitioned window, no corpus contact. The
+    expensive part is the shortlist itself, which probes NPROBE buckets
+    instead of scanning N (the batch×corpus shape pinned in
+    tests/test_plans.py)."""
+    from pyspark.sql.window import Window
+
+    shortlist = ivf_topk(t(spark, sf_dir, "embeddings"))
+    icos = F.round(F.col("cosine") * 10000).cast("long")
+    w = Window.partitionBy("query_id")
+    scaled = shortlist.withColumn("icos", icos)
+    margin_raw = (F.col("icos") * F.count(F.lit(1)).over(w)).cast("double") / F.sum(
+        "icos"
+    ).over(w).cast("double")
+    return (
+        scaled.withColumn("margin", F.round(margin_raw, 4).cast("double"))
+        .withColumn("mined", F.col("margin") >= F.lit(MARGIN_THRESHOLD))
+        .select("query_id", "neighbor_id", "cosine", "rank", "margin", "mined")
+    )
+
+
 # OR-construction: candidate if colliding in ANY table; AND within a
 # table: all LSH_BITS sign bits agree. This corpus is LSH-hard — true
 # top-5 neighbors sit at cos≈0.4-0.5 (p_bit = 1-θ/π ≈ 0.65), so per

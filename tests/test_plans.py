@@ -760,3 +760,23 @@ def test_weighted_cumsum_refuses_tied_keys(spark):
     )
     with pytest.raises(Exception, match="UNIQUE key"):
         _global_weighted_cumsum(tied, ["k"], "w").collect()
+
+
+def test_bitext_mine_stays_batch_by_corpus(spark, sf_dir):
+    """q_bitext_mine (r14): everything after the IVF shortlist operates
+    on |Q|·k rows, and the shortlist itself must keep the ANN shape —
+    probes join candidate buckets (small side broadcastable), never a
+    cartesian batch×batch or corpus×corpus product; the margin window
+    partitions by query_id (no partition-less window over corpus
+    rows)."""
+    from incremental_dagster_delta_spark.queries.similarity import q_bitext_mine
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
+    with lazy_plans():
+        plan = _plan(q_bitext_mine(spark, sf_dir))
+    spark.catalog.clearCache()
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastHashJoin" in phys  # probes × bucket candidates
+    # the margin window is query-partitioned, not global
+    assert "windowspecdefinition(query_id" in phys
