@@ -1,0 +1,329 @@
+"""Crash-matrix parity for the r13 maintenance surfaces (VERDICT r13 #4):
+checkpoint writes (``deltalog.write_checkpoint`` + ``clean_metadata``)
+and multi-leaf ``compact_partitions`` — directed windows plus a seeded
+randomized interleave with injected crashes, at the coverage depth of
+tests/test_overwrite_crash.py.
+
+Checkpoint protocol windows (write tmp parquet → os.replace → write tmp
+pointer → os.replace): every prefix leaves readers on the OLD
+checkpoint/JSON state and the next write_checkpoint converges.
+clean_metadata deletes one file at a time; any prefix leaves replay
+(which starts at the checkpoint) unchanged.
+
+compact_partitions windows: each leaf is an independent crash-atomic
+overwrite, so a crash BETWEEN leaves (covered in test_deltalog) or
+INSIDE a leaf's swap — after the intent marker, mid-roll-forward — must
+converge via recover() with the history floor advanced exactly once.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+
+import pytest
+
+from incremental_dagster_delta_spark.deltalog import (
+    DeltaLogExporter,
+    _existing_versions,
+    _last_checkpoint_info,
+    read_delta_log,
+    replay_file_set,
+)
+from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+SCHEMA = "k long, payload string, day string"
+DAYS = ("2024-06-01", "2024-06-02", "2024-06-03")
+
+
+def _mk(spark, path, n_batches=3) -> tuple[PartitionedTable, DeltaLogExporter]:
+    t = PartitionedTable(spark, str(path), ["day"])
+    for b in range(n_batches):
+        t.append_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, f"p{b}", DAYS[i % len(DAYS)]) for i in range(3)],
+                SCHEMA,
+            ),
+            b,
+        )
+    ex = DeltaLogExporter(t, checkpoint_interval=0)
+    ex.export()
+    return t, ex
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+# -- checkpoint write windows --------------------------------------------------
+
+
+def test_orphan_checkpoint_tmp_never_breaks_replay(spark, tmp_path):
+    """Crash before the checkpoint parquet's os.replace: a .tmp- file
+    lingers next to the log; readers and the next checkpoint ignore it."""
+    t, ex = _mk(spark, tmp_path / "t")
+    with open(
+        os.path.join(ex.log_dir, f"{7:020d}.checkpoint.parquet.tmp-dead"), "wb"
+    ) as fh:
+        fh.write(b"\x00torn")
+    assert _last_checkpoint_info(ex.log_dir) is None
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+    v = ex.write_checkpoint()
+    assert _last_checkpoint_info(ex.log_dir)["version"] == v
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+
+
+def test_checkpoint_landed_pointer_not_repointed_converges(spark, tmp_path):
+    """Crash between the checkpoint parquet landing and the
+    _last_checkpoint repoint: readers replay from the old state, cleanup
+    stays bounded by the OLD pointer, and re-running write_checkpoint
+    repoints without data movement."""
+    t, ex = _mk(spark, tmp_path / "t")
+    v = ex.write_checkpoint()
+    ptr = os.path.join(ex.log_dir, "_last_checkpoint")
+    saved = open(ptr).read()
+    os.remove(ptr)  # the exact pre-repoint disk state
+
+    assert _last_checkpoint_info(ex.log_dir) is None
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+    # cleanup without a pointer is a refusal, not a deletion
+    assert ex.clean_metadata() == 0
+    assert _existing_versions(ex.log_dir) != []
+
+    v2 = ex.write_checkpoint()  # converges: same version, pointer lands
+    assert v2 == v
+    assert json.loads(open(ptr).read())["version"] == json.loads(saved)["version"]
+    assert ex.clean_metadata() >= 1
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+
+
+def test_orphan_pointer_tmp_ignored(spark, tmp_path):
+    """Crash before the _last_checkpoint os.replace: the torn tmp
+    pointer must not be consulted."""
+    t, ex = _mk(spark, tmp_path / "t")
+    v = ex.write_checkpoint()
+    with open(os.path.join(ex.log_dir, "_last_checkpoint.tmp-dead"), "w") as fh:
+        fh.write('{"version":')  # torn
+    info = _last_checkpoint_info(ex.log_dir)
+    assert info is not None and info["version"] == v
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+
+
+def test_clean_metadata_interrupted_midway_replay_unchanged(spark, tmp_path):
+    """clean_metadata deletes segment files one at a time; any prefix of
+    those deletions leaves the checkpoint-based replay identical, and a
+    re-run finishes the remainder."""
+    t, ex = _mk(spark, tmp_path / "t")
+    ex.write_checkpoint()
+    before = _keys(read_delta_log(t))
+    victims = sorted(
+        f
+        for f in os.listdir(ex.log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    assert len(victims) >= 1
+    os.remove(os.path.join(ex.log_dir, victims[0]))  # partial cleanup crash
+    assert _keys(read_delta_log(t)) == before
+    assert ex.clean_metadata() == len(victims) - 1  # re-run finishes
+    assert _keys(read_delta_log(t)) == before
+    assert set(replay_file_set(ex.log_dir)) == set(replay_file_set(ex.log_dir))
+
+
+def test_pointer_to_missing_checkpoint_degrades_to_json_replay(spark, tmp_path):
+    """A _last_checkpoint naming a checkpoint file that is gone (e.g. a
+    crashed foreign vacuum) must degrade to JSON replay while the
+    segments survive — never a hard failure."""
+    t, ex = _mk(spark, tmp_path / "t")
+    v = ex.write_checkpoint()
+    os.remove(os.path.join(ex.log_dir, f"{v:020d}.checkpoint.parquet"))
+    assert _last_checkpoint_info(ex.log_dir) is None  # existence-checked
+    assert _keys(read_delta_log(t)) == _keys(t.read())
+
+
+# -- mid-swap crashes inside compact_partitions --------------------------------
+
+
+def _offenders(t):
+    return {
+        dict(sc)["day"]: n for sc, n in t._leaf_scopes_counts().values()
+    }
+
+
+def test_compact_partitions_crash_inside_leaf_swap_converges(spark, tmp_path, monkeypatch):
+    """Crash AFTER a leaf's intent marker is written but before its plan
+    executes (the deepest window: the rewrite is committed but not yet
+    visible): recover() rolls that leaf forward, the floor advances
+    exactly as the happy path would, and a re-run compacts the remaining
+    offenders."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b in range(4):
+        t.append_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, f"p{b}", DAYS[i]) for i in range(3)], SCHEMA
+            ),
+            b,
+        )
+    n_rows = t.read().count()
+    assert all(n >= 2 for n in _offenders(t).values())
+
+    real = PartitionedTable._complete_overwrite
+    calls = {"n": 0}
+
+    def dying(self, fs, Path):
+        # one call per leaf (recover-first paths skip it when no marker
+        # is pending): let the first leaf land, die on the second leaf's
+        # marker-present roll-forward
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-swap")
+        return real(self, fs, Path)
+
+    monkeypatch.setattr(PartitionedTable, "_complete_overwrite", dying)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        t.compact_partitions(min_files=2)
+    monkeypatch.setattr(PartitionedTable, "_complete_overwrite", real)
+
+    # the crashed leaf's marker is on disk: recovery owes the roll-forward
+    assert os.path.exists(t.path.rstrip("/") + ".overwrite_pending.json")
+    t.recover()
+    assert not os.path.exists(t.path.rstrip("/") + ".overwrite_pending.json")
+    assert t.read().count() == n_rows
+    # the recovered leaf's rewrite was row-preserving: floor exact
+    assert t._history_floor_info() == (3, True)
+    assert t.read_as_of(3).count() == n_rows
+
+    remaining = sum(1 for n in _offenders(t).values() if n >= 2)
+    assert t.compact_partitions(min_files=2) == remaining
+    assert t.read().count() == n_rows
+    assert all(n == 1 for n in _offenders(t).values())
+
+
+def test_compact_partitions_crash_matrix_across_leaves(spark, tmp_path, monkeypatch):
+    """Sweep the crash point across every leaf boundary AND every
+    mid-swap window of a 3-offender compact_partitions; each converges
+    to the same final state."""
+    for crash_at in range(1, 7):
+        path = tmp_path / f"t{crash_at}"
+        t = PartitionedTable(spark, str(path), ["day"])
+        for b in range(2):
+            t.append_batch(
+                spark.createDataFrame(
+                    [(b * 10 + i, f"p{b}", DAYS[i]) for i in range(3)], SCHEMA
+                ),
+                b,
+            )
+        n_rows = t.read().count()
+
+        real_complete = PartitionedTable._complete_overwrite
+        calls = {"n": 0}
+
+        def dying(self, fs, Path, _crash_at=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] >= _crash_at:
+                raise RuntimeError("swept crash")
+            return real_complete(self, fs, Path)
+
+        monkeypatch.setattr(PartitionedTable, "_complete_overwrite", dying)
+        try:
+            n_done = t.compact_partitions(min_files=2)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        monkeypatch.setattr(PartitionedTable, "_complete_overwrite", real_complete)
+
+        t.recover()
+        assert t.read().count() == n_rows, f"crash_at={crash_at}"
+        if not crashed:
+            assert n_done == 3
+        # convergence: finishing the job always lands in the same state
+        t.compact_partitions(min_files=2)
+        assert t.read().count() == n_rows, f"crash_at={crash_at}"
+        assert all(n == 1 for n in _offenders(t).values()), f"crash_at={crash_at}"
+        assert t._history_floor_info() == (1, True), f"crash_at={crash_at}"
+
+
+# -- randomized crashy interleave ----------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_crashy_maintenance_converges(spark, tmp_path, seed, monkeypatch):
+    """Seeded interleave of append / delete / compact_partitions /
+    checkpoint / cleanup with crashes injected into the two r13
+    surfaces (mid-compact_partitions leaf swaps; the checkpoint
+    pointer-repoint window). After every op — crashed or not — recover()
+    plus an export must leave the replayed snapshot identical to
+    table.read(), and stale maintenance state must not accumulate."""
+    rng = random.Random(seed)
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    ex = DeltaLogExporter(t, checkpoint_interval=0)
+    next_batch, next_key = 0, 0
+    real_complete = PartitionedTable._complete_overwrite
+
+    def do_append():
+        nonlocal next_batch, next_key
+        rows = [
+            (next_key + i, f"p{next_key + i}", rng.choice(DAYS))
+            for i in range(rng.randint(1, 6))
+        ]
+        next_key += len(rows)
+        t.append_batch(spark.createDataFrame(rows, SCHEMA), next_batch)
+        next_batch += 1
+
+    def do_delete():
+        t.delete_partitions(day=rng.choice(DAYS))
+
+    def do_compact_partitions():
+        if rng.random() < 0.6:  # crashy variant
+            calls = {"n": 0}
+            stop_at = rng.randint(1, 4)
+
+            def dying(self, fs, Path):
+                calls["n"] += 1
+                if calls["n"] >= stop_at:
+                    raise RuntimeError("chaos")
+                return real_complete(self, fs, Path)
+
+            monkeypatch.setattr(PartitionedTable, "_complete_overwrite", dying)
+            try:
+                t.compact_partitions(min_files=2)
+            except RuntimeError:
+                pass
+            finally:
+                monkeypatch.setattr(
+                    PartitionedTable, "_complete_overwrite", real_complete
+                )
+        else:
+            t.compact_partitions(min_files=2)
+
+    def do_checkpoint():
+        if not _existing_versions(ex.log_dir):
+            return
+        ex.write_checkpoint()
+        if rng.random() < 0.5:  # crash in the repoint window
+            ptr = os.path.join(ex.log_dir, "_last_checkpoint")
+            if os.path.exists(ptr) and rng.random() < 0.5:
+                os.remove(ptr)
+        elif rng.random() < 0.5:
+            ex.clean_metadata()
+
+    do_append()
+    ex.export()
+    ops = [do_append, do_delete, do_compact_partitions, do_checkpoint]
+    weights = [5, 2, 3, 3]
+    for step in range(12):
+        rng.choices(ops, weights=weights)[0]()
+        t.recover()
+        ex.export()
+        expected = _keys(t.read()) if next_key else []
+        try:
+            got = _keys(read_delta_log(t))
+        except ValueError:
+            assert expected == []
+            continue
+        assert got == expected, f"seed={seed} step={step}"
+    # no stale maintenance residue
+    for suffix in (".overwriting", ".overwrite_pending.json", ".preoverwrite"):
+        assert not os.path.exists(t.path.rstrip("/") + suffix)
+    assert glob.glob(os.path.join(t.path, "_history_floor.json.tmp-*")) == []
