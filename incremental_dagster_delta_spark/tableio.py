@@ -103,25 +103,80 @@ def _hidden_rel(root, p) -> bool:
 
 
 def _salvage_hidden_root_entries(fs, Path, old_root: str, new_root: str) -> None:
-    """Move every ``_``/``.``-prefixed immediate child of ``old_root``
-    into ``new_root`` (when absent there) during a whole-root swap:
-    commit markers, the ``_dv`` sidecar, its ``_dv_applied`` watermark,
-    ``_constraints.json``, partition-schema hints. Salvaging only
-    ``_commits`` (the pre-r12 behavior) silently destroyed the other
-    sidecars on compact()/whole-table overwrite — CHECK constraints
-    dropped and soft-deleted rows resurrected (ADVICE r11). Idempotent:
-    each entry moves at most once, so any crash point replays safely."""
+    """Move every ``_``/``.``-prefixed child of ``old_root`` into
+    ``new_root`` during a whole-root swap: commit markers, the ``_dv``
+    sidecar, its ``_dv_applied`` watermark, ``_constraints.json``,
+    partition-schema hints. Salvaging only ``_commits`` (the pre-r12
+    behavior) silently destroyed the other sidecars on compact()/
+    whole-table overwrite — CHECK constraints dropped and soft-deleted
+    rows resurrected (ADVICE r11). Directories MERGE recursively
+    (children move when absent at the destination): a writer that
+    recreated e.g. ``_commits`` in the promoted root between a
+    crash-point-3 swap and its recovery (append_batch does not run
+    compaction recovery) must not block the old markers from moving —
+    top-level skip-if-exists stranded them in ``.precompact`` and the
+    committed batches' files then read as vacuum-able orphans (r14).
+    Same-path FILES keep the destination (the newer state). Idempotent:
+    each leaf entry moves at most once, so any crash point replays
+    safely."""
     old = Path(old_root)
     if not fs.exists(old):
         return
+
+    def move_absent(st, dst_str: str) -> None:
+        dst = Path(dst_str)
+        if not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            fs.rename(st.getPath(), dst)
+        elif st.isDirectory() and fs.getFileStatus(dst).isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                move_absent(
+                    child, posixpath.join(dst_str, child.getPath().getName())
+                )
+
     for st in fs.listStatus(old):
         name = st.getPath().getName()
         if not name.startswith(("_", ".")):
             continue
-        dst = Path(posixpath.join(new_root, name))
-        if not fs.exists(dst):
-            fs.mkdirs(dst.getParent())
-            fs.rename(st.getPath(), dst)
+        move_absent(st, posixpath.join(new_root, name))
+
+
+def _sidecar_entries(fs, Path, path: str) -> list[dict]:
+    """Every parseable JSON doc at ``path`` PLUS any ``.tmp-*`` leftovers.
+    The writer half (:func:`_sidecar_replace`) replaces via write-tmp →
+    delete-main → rename; a crash between the last two must degrade to
+    the tmp's value, never to "no sidecar" — so readers glob and fold
+    (newest-valid-wins is the caller's reduction). Torn writes are
+    skipped, never wedge reads."""
+    out: list[dict] = []
+    for st in fs.globStatus(Path(path + "*")) or []:
+        try:
+            stream = fs.open(st.getPath())
+            try:
+                raw = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            out.append(json.loads(raw))
+        except Exception:
+            continue
+    return out
+
+
+def _sidecar_replace(fs, Path, path: str, doc: dict) -> None:
+    """Crash-safe replace of a tiny monotonic JSON sidecar (history
+    floor, purge watermark). Callers must only ever advance the value —
+    the trailing cleanup deletes stale tmp leftovers on the grounds that
+    their values are <= the one just written."""
+    tmp = Path(path + f".tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(doc).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(Path(path), False)
+    fs.rename(tmp, Path(path))
+    for st in fs.globStatus(Path(path + ".tmp-*")) or []:
+        fs.delete(st.getPath(), False)
 
 
 @contextmanager
@@ -294,10 +349,21 @@ class PartitionedTable:
         marker = Path(self._overwrite_marker_path())
         tmp_marker = Path(self._overwrite_marker_path() + f".tmp-{uuid.uuid4().hex}")
         out = fs.create(tmp_marker, True)
+        committed_now = self.committed_batches()
         out.write(
             bytearray(
                 json.dumps(
-                    {"leaves": plan, "row_preserving": bool(_row_preserving)}
+                    {
+                        "leaves": plan,
+                        "row_preserving": bool(_row_preserving),
+                        # floor watermark RECORDED AT PLAN TIME: a crash
+                        # replay must advance the floor to the history
+                        # this rewrite actually collapsed, not to
+                        # max(committed) at replay time — batches
+                        # appended between crash and recovery keep their
+                        # prefixes and stay exactly readable
+                        "floor": max(committed_now) if committed_now else -1,
+                    }
                 ).encode("utf-8")
             )
         )
@@ -411,8 +477,12 @@ class PartitionedTable:
                 fs.delete(p, True)
         # floor BEFORE marker deletion: the marker is the replay token, so
         # a crash in between re-runs this whole method (idempotent) and the
-        # floor can never be left behind a visible rewrite
-        self._advance_history_floor(exact=row_preserving)
+        # floor can never be left behind a visible rewrite. The value comes
+        # from the marker (plan-time watermark); legacy markers without it
+        # fall back to "now", the pre-r14 behavior.
+        self._advance_history_floor(
+            exact=row_preserving, floor_value=marker_doc.get("floor")
+        )
         fs.delete(marker, False)
 
     def _recover_overwrite(self, fs, Path) -> None:
@@ -1086,6 +1156,21 @@ class PartitionedTable:
             w = w.partitionBy(*self.partition_cols)
         w.save(staging)
         old = self.path.rstrip("/") + ".precompact"
+        # floor token BEFORE the swap becomes visible: crash-point-3
+        # recovery advances the floor to the watermark this rewrite
+        # actually collapsed, not to max(committed) at recovery time
+        # (appends landing between crash and recovery keep their prefixes)
+        committed_now = self.committed_batches()
+        token = Path(self._compact_floor_token_path())
+        out = fs.create(token, True)
+        try:
+            out.write(
+                json.dumps(
+                    {"floor": max(committed_now) if committed_now else -1}
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
         fs.rename(root, Path(old))
         fs.rename(Path(staging), root)
         # keep ALL hidden root entries: _commits (a checkpoint replay
@@ -1099,8 +1184,13 @@ class PartitionedTable:
         # token for crash-point-3 recovery, so the floor advance (exact —
         # compaction preserves rows) replays with the roll-forward instead
         # of being lost to a crash in this window (ADVICE r13)
-        self._advance_history_floor(exact=True)
+        self._advance_history_floor(
+            exact=True, floor_value=self._read_compact_floor_token(fs, Path)
+        )
+        # token outlives .precompact: crash-point-3 recovery (keyed on
+        # .precompact) must still find the recorded watermark
         fs.delete(Path(old), True)
+        fs.delete(token, False)
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -1185,6 +1275,27 @@ class PartitionedTable:
                 rewritten += 1
         return rewritten
 
+    def _compact_floor_token_path(self) -> str:
+        """Sibling token (outside the table dir, like ``.precompact``)
+        recording the floor watermark a running ``compact()`` collapses
+        — written before the swap, consumed by the happy path or
+        crash-point-3 recovery, deleted last."""
+        return self.path.rstrip("/") + ".compact_floor.json"
+
+    def _read_compact_floor_token(self, fs, Path) -> int | None:
+        p = Path(self._compact_floor_token_path())
+        if not fs.exists(p):
+            return None  # legacy/absent: advance falls back to "now"
+        try:
+            stream = fs.open(p)
+            try:
+                raw = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            return int(json.loads(raw)["floor"])
+        except Exception:
+            return None  # torn token: conservative fallback
+
     def _recover_compaction(self, fs, Path) -> None:
         """Converge an interrupted ``compact()`` swap to a readable table.
 
@@ -1208,6 +1319,7 @@ class PartitionedTable:
         root = Path(self.path)
         staging = Path(self.path.rstrip("/") + ".compacting")
         old = Path(self.path.rstrip("/") + ".precompact")
+        token = Path(self._compact_floor_token_path())
         if fs.exists(root):
             if fs.exists(old):  # crash point 3: finish the swap
                 # salvage every hidden root entry not yet moved — the
@@ -1216,15 +1328,23 @@ class PartitionedTable:
                 # the rewrite became visible at the staging→root rename,
                 # so the floor advance is owed even if compact() died
                 # before reaching it (ADVICE r13); compaction is
-                # row-preserving → the at-floor snapshot stays exact
-                self._advance_history_floor(exact=True)
+                # row-preserving → the at-floor snapshot stays exact.
+                # The value comes from the pre-swap token, not "now" —
+                # batches appended after the crash keep their prefixes
+                self._advance_history_floor(
+                    exact=True, floor_value=self._read_compact_floor_token(fs, Path)
+                )
                 fs.delete(old, True)
             if fs.exists(staging):  # crash point 1: stale staging
                 fs.delete(staging, True)
+            if fs.exists(token):  # consumed (or never-swapped): retire
+                fs.delete(token, False)
         elif fs.exists(old):  # crash point 2: roll back
             fs.rename(old, root)
             if fs.exists(staging):
                 fs.delete(staging, True)
+            if fs.exists(token):  # rewrite never became visible
+                fs.delete(token, False)
 
     # -- history floor -------------------------------------------------------
     #
@@ -1253,29 +1373,20 @@ class PartitionedTable:
         purge): the at-floor snapshot then reflects post-rewrite state,
         not the state when that batch committed, so time travel refuses
         AT the floor too. The read takes the newest valid entry across
-        ``_history_floor.json`` AND any ``.tmp-*`` leftovers — the
-        replace sequence below is write-tmp → delete-main → rename, and a
-        crash between the last two must degrade to the tmp's floor, never
-        to "no floor" (ADVICE r13: a lost floor file silently re-opens
-        collapsed history). Ties resolve to the LEAST exact claim."""
+        ``_history_floor.json`` AND any ``.tmp-*`` leftovers (the
+        :func:`_sidecar_replace` crash contract; ADVICE r13: a lost
+        floor file silently re-opens collapsed history). Ties resolve
+        to the LEAST exact claim."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
-        p = Path(self._history_floor_path())
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         best, best_exact = -1, True
-        statuses = fs.globStatus(Path(self._history_floor_path() + "*"))
-        for st in statuses or []:
+        for doc in _sidecar_entries(fs, Path, self._history_floor_path()):
             try:
-                stream = fs.open(st.getPath())
-                try:
-                    raw = bytes(stream.readAllBytes()).decode("utf-8")
-                finally:
-                    stream.close()
-                doc = json.loads(raw)
                 floor = int(doc["floor"])
                 exact = bool(doc.get("exact", True))
             except Exception:
-                continue  # torn tmp write: skip, never wedge reads
+                continue
             if floor > best:
                 best, best_exact = floor, exact
             elif floor == best:
@@ -1285,42 +1396,39 @@ class PartitionedTable:
     def _history_floor(self) -> int:
         return self._history_floor_info()[0]
 
-    def _advance_history_floor(self, exact: bool) -> None:
-        """Advance the floor to max(committed). Monotonic in the floor
-        value; at an UNCHANGED floor the exactness can only be
-        downgraded (a later row-changing rewrite collapsing into the same
-        batch makes the at-floor snapshot inexact; nothing can make it
-        exact again). Idempotent — safe to replay from recovery paths."""
-        committed = self.committed_batches()
-        if not committed:
-            return
-        floor = max(committed)
+    def _advance_history_floor(self, exact: bool, floor_value: int | None = None) -> None:
+        """Advance the floor. ``floor_value`` is the watermark RECORDED
+        AT REWRITE TIME (in the overwrite marker / the compact floor
+        token): a replay after a crash must advance to that value, not
+        to max(committed()) at replay time — batches appended between
+        the crash and the recovery kept their prefixes and stay exactly
+        reconstructible, and an inflated floor would refuse them forever.
+        ``None`` (direct, non-replayed paths) means "now": max(committed).
+        Monotonic in the floor value; at an UNCHANGED floor the exactness
+        can only be downgraded (a later row-changing rewrite collapsing
+        into the same batch makes the at-floor snapshot inexact; nothing
+        can make it exact again). Idempotent — safe to replay."""
+        if floor_value is None:
+            committed = self.committed_batches()
+            if not committed:
+                return
+            floor = max(committed)
+        else:
+            floor = int(floor_value)
+            if floor < 0:
+                return
         cur, cur_exact = self._history_floor_info()
         if floor < cur or (floor == cur and (exact or not cur_exact)):
             return
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
-        p = Path(self._history_floor_path())
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        tmp_name = self._history_floor_path() + f".tmp-{uuid.uuid4().hex}"
-        tmp = Path(tmp_name)
-        out = fs.create(tmp, True)
-        try:
-            out.write(
-                json.dumps({"floor": int(floor), "exact": bool(exact)}).encode("utf-8")
-            )
-        finally:
-            out.close()
-        # crash-safe replace: if we die between delete and rename, the tmp
-        # still holds the new floor and _history_floor_info globs it up
-        fs.delete(p, False)
-        fs.rename(tmp, p)
-        # retire stale tmp leftovers from earlier crashed replaces — their
-        # floors are <= ours (floors are monotonic), so dropping them can
-        # only remove weaker claims; an equal-floor less-exact leftover was
-        # already folded into this write's early-return logic above
-        for st in fs.globStatus(Path(self._history_floor_path() + ".tmp-*")) or []:
-            fs.delete(st.getPath(), False)
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        _sidecar_replace(
+            fs,
+            Path,
+            self._history_floor_path(),
+            {"floor": int(floor), "exact": bool(exact)},
+        )
 
     def recover(self) -> None:
         """Public entry for crash recovery — call before reads if a
@@ -1411,6 +1519,18 @@ class PartitionedTable:
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if victims:
+            # the drop erases those leaves' b{id}- files: snapshots at or
+            # below the current head can no longer be reconstructed for
+            # them (the same partial-collapse argument as a per-leaf
+            # overwrite), and restore() deleting the SURVIVING prefixed
+            # files would fabricate a state that never existed — advance
+            # the floor row-CHANGING so time travel refuses loudly
+            # instead of silently serving post-delete state (r14 review).
+            # Floor FIRST: a crash mid-delete then over-refuses (loud)
+            # rather than leaving collapsed history readable (silent).
+            # No-op for tables without commit markers (plain appends).
+            self._advance_history_floor(exact=False)
         for rel in sorted(victims):
             fs.delete(Path(posixpath.join(self.path, rel)), True)
 
@@ -1861,31 +1981,27 @@ class DeletionVectors:
         Path = jvm.org.apache.hadoop.fs.Path
         p = self._watermark_path(Path)
         fs = p.getFileSystem(self.table.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return -1
-        try:
-            stream = fs.open(p)
+        best = -1
+        for doc in _sidecar_entries(fs, Path, str(p)):
             try:
-                raw = bytes(stream.readAllBytes()).decode("utf-8")
-            finally:
-                stream.close()
-            return int(json.loads(raw)["through"])
-        except Exception:
-            return -1
+                best = max(best, int(doc["through"]))
+            except Exception:
+                continue
+        return best
 
     def _advance_watermark(self, through: int) -> None:
+        """Crash-safe monotonic replace (same :func:`_sidecar_replace`
+        contract as the history floor — r14 review: the hand-rolled
+        delete-then-rename here had the identical lost-file window; a
+        lost watermark re-reads purged DV batches as live and wedges
+        export() on 'unpurged deletion vectors')."""
+        if int(through) <= self.applied_through():
+            return
         jvm = self.table.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         p = self._watermark_path(Path)
         fs = p.getFileSystem(self.table.spark._jsc.hadoopConfiguration())
-        tmp = Path(str(p) + f".tmp-{uuid.uuid4().hex}")
-        out = fs.create(tmp, True)
-        try:
-            out.write(json.dumps({"through": int(through)}).encode("utf-8"))
-        finally:
-            out.close()
-        fs.delete(p, False)
-        fs.rename(tmp, p)
+        _sidecar_replace(fs, Path, str(p), {"through": int(through)})
 
     # -- reads -----------------------------------------------------------------
 
@@ -2080,14 +2196,29 @@ def change_feed(
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
 
+    applied = dv.applied_through() if dv is not None else -1
     for v in dv_versions:
+        if v <= applied:
+            # a purge already baked this version's tombstones into the
+            # files: the pre-purge snapshot its rows must be
+            # reconstructed from is gone, and emitting nothing would be
+            # the silently-partial feed this function promises never to
+            # return (r14 review — the inexact-floor read below would
+            # otherwise join the version's keys against POST-purge state
+            # and find zero rows)
+            raise ValueError(
+                f"change_feed: delete version {v} was already baked into "
+                f"the data files by a purge (applied_through={applied}) — "
+                "its row content cannot be reconstructed. Start the window "
+                "at or above the purge watermark."
+            )
         prior_base = [b for b in table.committed_batches() if b < v]
         if not prior_base:
             continue  # deleting from an empty table: nothing existed
         # _accept_inexact_floor: the feed needs the table's CONTENT as it
-        # stood before version v. When prior_base == an inexact floor, the
-        # post-rewrite state IS that content (the rewrite happened before
-        # v committed), even though it is not "state as of that batch".
+        # stood before version v. v > applied_through here, so the purge's
+        # rewrite happened before v committed and the post-rewrite state
+        # IS that content, even though it is not "state as of that batch".
         snapshot = table.read_as_of(max(prior_base), _accept_inexact_floor=True)
         keys_v = (
             dv.sidecar.read()

@@ -198,8 +198,10 @@ def test_compact_partitions_stays_exact_at_floor(spark, tmp_path):
 
 def test_change_feed_reconstructs_deletes_above_inexact_floor(spark, tmp_path):
     """Delete-content reconstruction at prior_base == an inexact floor is
-    legitimate: the post-purge state IS the table content just before the
-    later delete version."""
+    legitimate for POST-purge delete versions: the post-purge state IS
+    the table content just before them. A window reaching back across
+    the purge watermark, though, would silently drop the baked-in
+    versions' events — it must refuse instead (r14 review)."""
     t = _mk(spark, tmp_path / "t", batches=(1,))
     dv = DeletionVectors(t, "k")
     dv.mark_deleted(t.read().where("k = 10").select("k"), 2)
@@ -210,6 +212,109 @@ def test_change_feed_reconstructs_deletes_above_inexact_floor(spark, tmp_path):
     dv.mark_deleted(
         spark.createDataFrame([(11,)], "k long"), 3
     )
-    feed = change_feed(t, dv, from_batch=1, to_batch=3)
+    # window spanning the purge: version 2's tombstones are baked into
+    # the files, its delete events are unreconstructible — loud refusal,
+    # never a feed that silently omits them
+    with pytest.raises(ValueError, match="baked into"):
+        change_feed(t, dv, from_batch=1, to_batch=3)
+    # window at/above the watermark: version 3 reconstructs from the
+    # post-purge state, which is exactly the content before it committed
+    feed = change_feed(t, dv, from_batch=2, to_batch=3)
     rows = [(r["k"], r["_change_type"], r["_commit_version"]) for r in feed.collect()]
     assert rows == [(11, "delete", 3)]
+
+
+# -- r14 review fixes -----------------------------------------------------------
+
+
+def test_replay_floor_uses_rewrite_time_watermark_not_recovery_time(spark, tmp_path):
+    """A crash replay must advance the floor to the watermark the
+    rewrite actually collapsed (recorded in the marker at plan time):
+    batches appended between the crash and the recovery keep their
+    prefixes and must stay exactly readable (r14 review — recomputing
+    max(committed) at replay time inflated the floor and refused them
+    forever)."""
+    t = _mk(spark, tmp_path / "t")  # batches 1, 2
+    staging = t.path.rstrip("/") + ".overwriting"
+    _new_day1(spark).write.mode("overwrite").partitionBy("day").parquet(staging)
+    with open(t.path.rstrip("/") + ".overwrite_pending.json", "w") as f:
+        json.dump(
+            {
+                "leaves": [{"leaf": f"day={DAY1}", "action": "swap"}],
+                "row_preserving": False,
+                "floor": 2,  # what overwrite_partitions records at plan time
+            },
+            f,
+        )
+    # the restarted pipeline appends MORE batches before anything recovers
+    for b in (3, 4):
+        t.append_batch(
+            spark.createDataFrame([(100 + b, f"b{b}", DAY2)], SCHEMA), b
+        )
+    t.recover()
+    assert t._history_floor_info() == (2, False)  # NOT (4, ...)
+    assert t.read_as_of(3).count() > 0  # post-crash appends stay readable
+    assert t.read_as_of(4).count() == t.read().count()
+    with pytest.raises(ValueError):
+        t.read_as_of(2)
+
+
+def test_compact_recovery_floor_uses_pre_swap_token(spark, tmp_path):
+    """Same property for compact crash-point-3: the pre-swap floor token
+    pins the recovery advance; appends landing after the crash are not
+    swallowed under an inflated floor."""
+    t = _mk(spark, tmp_path / "t")  # batches 1, 2
+    path = t.path.rstrip("/")
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".compacting")
+    with open(path + ".compact_floor.json", "w") as f:
+        json.dump({"floor": 2}, f)
+    os.rename(path, path + ".precompact")
+    os.rename(path + ".compacting", path)
+    # crash here (point 3); appends land before recovery runs
+    t.append_batch(spark.createDataFrame([(300, "b3", DAY2)], SCHEMA), 3)
+    t.recover()
+    assert t._history_floor_info() == (2, True)
+    assert t.read_as_of(2).count() == 8  # at-floor exact
+    assert t.read_as_of(3).count() == 9
+    assert not os.path.exists(path + ".compact_floor.json")  # token retired
+
+
+def test_delete_partitions_advances_floor(spark, tmp_path):
+    """delete_partitions erases committed batches' prefixed files — time
+    travel below/at the delete must refuse loudly, and restore() must
+    never fabricate a state by deleting only the surviving files (r14
+    review: this was the one rewrite path without a floor advance)."""
+    t = _mk(spark, tmp_path / "t")  # batches 1, 2 across DAY1/DAY2
+    assert t.read_as_of(1).count() == 4
+    t.delete_partitions(day=DAY1)
+    assert t._history_floor_info() == (2, False)
+    for b in (1, 2):
+        with pytest.raises(ValueError):
+            t.read_as_of(b)
+        with pytest.raises(ValueError):
+            t.restore(b)
+    # later appends time-travel again
+    t.append_batch(spark.createDataFrame([(300, "b3", DAY2)], SCHEMA), 3)
+    assert t.read_as_of(3).count() == t.read().count()
+
+
+def test_purge_watermark_survives_replace_crash_window(spark, tmp_path):
+    """The purge watermark's replace has the same crash contract as the
+    floor: a tmp leftover with the main file deleted still reads back
+    (r14 review — a lost watermark re-reads purged DV batches as live
+    and wedges the Delta export on 'unpurged deletion vectors')."""
+    t = _mk(spark, tmp_path / "t", batches=(1,))
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(10,)], "k long"), 2)
+    assert dv.purge() >= 1
+    assert dv.applied_through() == 2
+    wm = os.path.join(t.path, "_dv_applied")
+    payload = open(wm).read()
+    os.remove(wm)
+    with open(wm + ".tmp-dead", "w") as f:
+        f.write(payload)
+    assert dv.applied_through() == 2  # tmp leftover carries it
+    # torn tmp never wedges the read
+    with open(wm + ".tmp-torn", "w") as f:
+        f.write('{"through":')
+    assert dv.applied_through() == 2

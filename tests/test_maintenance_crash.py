@@ -118,6 +118,7 @@ def test_clean_metadata_interrupted_midway_replay_unchanged(spark, tmp_path):
     t, ex = _mk(spark, tmp_path / "t")
     ex.write_checkpoint()
     before = _keys(read_delta_log(t))
+    before_files = set(replay_file_set(ex.log_dir))
     victims = sorted(
         f
         for f in os.listdir(ex.log_dir)
@@ -128,7 +129,7 @@ def test_clean_metadata_interrupted_midway_replay_unchanged(spark, tmp_path):
     assert _keys(read_delta_log(t)) == before
     assert ex.clean_metadata() == len(victims) - 1  # re-run finishes
     assert _keys(read_delta_log(t)) == before
-    assert set(replay_file_set(ex.log_dir)) == set(replay_file_set(ex.log_dir))
+    assert set(replay_file_set(ex.log_dir)) == before_files
 
 
 def test_pointer_to_missing_checkpoint_degrades_to_json_replay(spark, tmp_path):
@@ -327,3 +328,28 @@ def test_randomized_crashy_maintenance_converges(spark, tmp_path, seed, monkeypa
     for suffix in (".overwriting", ".overwrite_pending.json", ".preoverwrite"):
         assert not os.path.exists(t.path.rstrip("/") + suffix)
     assert glob.glob(os.path.join(t.path, "_history_floor.json.tmp-*")) == []
+
+
+def test_salvage_merges_recreated_commit_dir(spark, tmp_path):
+    """A writer that appends between a compact crash-point-3 swap and its
+    recovery recreates _commits in the promoted root; the salvage must
+    MERGE the old markers in (top-level skip-if-exists stranded batches
+    1-2 in .precompact, after which their files read as vacuum-able
+    orphans and time travel lost the history) — r14 review fallout."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b in (1, 2):
+        t.append_batch(
+            spark.createDataFrame([(10 * b, f"p{b}", DAYS[0])], SCHEMA), b
+        )
+    path = t.path.rstrip("/")
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".compacting")
+    os.rename(path, path + ".precompact")
+    os.rename(path + ".compacting", path)
+    # pre-recovery append recreates _commits with only marker 3
+    t.append_batch(spark.createDataFrame([(30, "p3", DAYS[1])], SCHEMA), 3)
+    assert t.committed_batches() == [3]
+    t.recover()
+    assert t.committed_batches() == [1, 2, 3]  # merged, not stranded
+    assert t.read().count() == 3
+    assert t.vacuum() == 0  # nothing reads as an orphan
+    assert t.read().count() == 3
