@@ -318,6 +318,9 @@ def q_recall_at_k(spark, sf_dir):
 # neighborhood average"; 1.05 flags clear outliers on this corpus.
 MARGIN_THRESHOLD = 1.05
 
+# the threshold in margin-times-10⁴ integer space (1.05 → 10500)
+_MARGIN_T4 = int(round(MARGIN_THRESHOLD * 10000))
+
 _BITEXT_ORACLE = f"""
     WITH approx AS ({_IVF_ORACLE}),
     scaled AS (
@@ -328,13 +331,16 @@ _BITEXT_ORACLE = f"""
     denom AS (
       SELECT query_id, SUM(icos) AS s, COUNT(*) AS k
       FROM scaled GROUP BY query_id
+    ),
+    m AS (
+      SELECT sc.query_id, sc.neighbor_id, sc.cosine, sc.rank,
+             (2 * sc.icos * d.k * 10000 + d.s) // (2 * d.s) AS m4
+      FROM scaled sc JOIN denom d USING (query_id)
     )
-    SELECT sc.query_id, sc.neighbor_id, sc.cosine, sc.rank,
-           CAST(ROUND(CAST(sc.icos * d.k AS DOUBLE) / CAST(d.s AS DOUBLE), 4)
-                AS DOUBLE) AS margin,
-           ROUND(CAST(sc.icos * d.k AS DOUBLE) / CAST(d.s AS DOUBLE), 4)
-             >= {MARGIN_THRESHOLD} AS mined
-    FROM scaled sc JOIN denom d USING (query_id)
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(m4 AS DOUBLE) / 10000 AS margin,
+           m4 >= {_MARGIN_T4} AS mined
+    FROM m
     """
 
 
@@ -346,12 +352,16 @@ def q_bitext_mine(spark, sf_dir):
     criterion, applied to whatever the corpus embeddings represent).
 
     Determinism discipline: the shortlist cosines are already rounded to
-    4 dp, so the margin is computed in EXACT integer arithmetic —
-    icos = round(cos·10⁴) is an exact BIGINT, the per-query sum and the
-    k multiplier stay integral, and the single double division is
-    IEEE-correctly-rounded identically in Spark and DuckDB. No
-    float-summation-order sensitivity anywhere (the r13 flaky-oracle-tie
-    class engineered out up front).
+    4 dp, so the margin stays in EXACT integer arithmetic END TO END —
+    icos = round(cos·10⁴) is an exact BIGINT; the rounded 4-dp margin is
+    m4 = (2·icos·k·10⁴ + s) ÷ (2s) (round-half-up by construction,
+    BIGINT floor division in both engines), and ``mined`` compares m4
+    against the integer-scaled threshold. No double ROUND ever runs, so
+    the Spark-BigDecimal-vs-DuckDB-std::round boundary seam (r14 review)
+    cannot flip a flag; the only float op left is m4/10⁴, exact for
+    these magnitudes. Assumes s > 0 — true by construction for a
+    nearest-neighbor shortlist (top-k cosines), and required because the
+    two engines' integer divisions differ on negative numerators.
 
     Scale shape: everything downstream of ivf_topk operates on |Q|·k
     rows — one tiny query-partitioned window, no corpus contact. The
@@ -363,14 +373,21 @@ def q_bitext_mine(spark, sf_dir):
     shortlist = ivf_topk(t(spark, sf_dir, "embeddings"))
     icos = F.round(F.col("cosine") * 10000).cast("long")
     w = Window.partitionBy("query_id")
-    scaled = shortlist.withColumn("icos", icos)
-    margin_raw = (F.col("icos") * F.count(F.lit(1)).over(w)).cast("double") / F.sum(
-        "icos"
-    ).over(w).cast("double")
-    return (
-        scaled.withColumn("margin", F.round(margin_raw, 4).cast("double"))
-        .withColumn("mined", F.col("margin") >= F.lit(MARGIN_THRESHOLD))
-        .select("query_id", "neighbor_id", "cosine", "rank", "margin", "mined")
+    scaled = (
+        shortlist.withColumn("icos", icos)
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("icos").over(w))
+        # Spark's DIV truncates toward zero == DuckDB's // floor for the
+        # nonnegative operands a top-k shortlist guarantees
+        .withColumn("_m4", F.expr("(2 * icos * _k * 10000 + _s) DIV (2 * _s)"))
+    )
+    return scaled.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+        (F.col("_m4") / F.lit(10000)).cast("double").alias("margin"),
+        (F.col("_m4") >= F.lit(_MARGIN_T4)).alias("mined"),
     )
 
 

@@ -420,13 +420,11 @@ class PartitionedTable:
         if not fs.exists(marker):
             return
         stream = fs.open(marker)
-        data = bytearray()
-        b = stream.read()
-        while b != -1:
-            data.append(b)
-            b = stream.read()
-        stream.close()
-        marker_doc = json.loads(data.decode("utf-8"))
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        marker_doc = json.loads(raw.decode("utf-8"))
         plan = marker_doc["leaves"]
         # legacy markers (no flag) are treated as row-changing — the
         # conservative reading: refusing an exact-at-floor snapshot is
@@ -1162,15 +1160,12 @@ class PartitionedTable:
         # (appends landing between crash and recovery keep their prefixes)
         committed_now = self.committed_batches()
         token = Path(self._compact_floor_token_path())
-        out = fs.create(token, True)
-        try:
-            out.write(
-                json.dumps(
-                    {"floor": max(committed_now) if committed_now else -1}
-                ).encode("utf-8")
-            )
-        finally:
-            out.close()
+        _sidecar_replace(
+            fs,
+            Path,
+            self._compact_floor_token_path(),
+            {"floor": max(committed_now) if committed_now else -1},
+        )
         fs.rename(root, Path(old))
         fs.rename(Path(staging), root)
         # keep ALL hidden root entries: _commits (a checkpoint replay
@@ -1283,18 +1278,14 @@ class PartitionedTable:
         return self.path.rstrip("/") + ".compact_floor.json"
 
     def _read_compact_floor_token(self, fs, Path) -> int | None:
-        p = Path(self._compact_floor_token_path())
-        if not fs.exists(p):
-            return None  # legacy/absent: advance falls back to "now"
-        try:
-            stream = fs.open(p)
+        best = None
+        for doc in _sidecar_entries(fs, Path, self._compact_floor_token_path()):
             try:
-                raw = bytes(stream.readAllBytes()).decode("utf-8")
-            finally:
-                stream.close()
-            return int(json.loads(raw)["floor"])
-        except Exception:
-            return None  # torn token: conservative fallback
+                f = int(doc["floor"])
+            except Exception:
+                continue
+            best = f if best is None else max(best, f)
+        return best  # None (legacy/absent/torn): advance falls back to "now"
 
     def _recover_compaction(self, fs, Path) -> None:
         """Converge an interrupted ``compact()`` swap to a readable table.
@@ -1510,26 +1501,46 @@ class PartitionedTable:
         }
         if not given:
             raise ValueError("delete_partitions needs at least one partition value")
+        jvm = self.spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        # converge pending crashed maintenance FIRST, like every other
+        # maintenance entry point: computing victims over a half-swapped
+        # table deletes the wrong files (a mid-swap leaf is absent from
+        # the live index, so the later marker replay would resurrect it),
+        # and the floor watermark below must see the salvaged _commits
+        self._recover_compaction(fs, Path)
+        self._recover_overwrite(fs, Path)
         deepest = max(i for i, c in enumerate(self.partition_cols) if c in given)
         victims: set[str] = set()
         for leaf, (scope_t, _) in self._leaf_scopes_counts().items():
             scope = dict(scope_t)
             if all(scope.get(k) == v for k, v in given.items()):
                 victims.add("/".join(leaf.split("/")[: deepest + 1]))
-        jvm = self.spark._jvm
-        Path = jvm.org.apache.hadoop.fs.Path
-        fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if victims:
-            # the drop erases those leaves' b{id}- files: snapshots at or
-            # below the current head can no longer be reconstructed for
-            # them (the same partial-collapse argument as a per-leaf
+        committed = set(self.committed_batches())
+
+        def _erases_committed_prefix(rel: str) -> bool:
+            it = fs.listFiles(Path(posixpath.join(self.path, rel)), True)
+            while it.hasNext():
+                name = it.next().getPath().getName()
+                if name.startswith("b") and "-" in name:
+                    bid = name[1 : name.index("-")]
+                    if bid.isdigit() and int(bid) in committed:
+                        return True
+            return False
+
+        if victims and committed and any(map(_erases_committed_prefix, victims)):
+            # the drop erases committed batches' b{id}- files: snapshots
+            # at or below the current head can no longer be reconstructed
+            # for them (the same partial-collapse argument as a per-leaf
             # overwrite), and restore() deleting the SURVIVING prefixed
             # files would fabricate a state that never existed — advance
             # the floor row-CHANGING so time travel refuses loudly
             # instead of silently serving post-delete state (r14 review).
+            # Scoped to victims that actually hold committed prefixes:
+            # dropping plain-append leaves collapses no history.
             # Floor FIRST: a crash mid-delete then over-refuses (loud)
             # rather than leaving collapsed history readable (silent).
-            # No-op for tables without commit markers (plain appends).
             self._advance_history_floor(exact=False)
         for rel in sorted(victims):
             fs.delete(Path(posixpath.join(self.path, rel)), True)
@@ -2197,8 +2208,12 @@ def change_feed(
         )
 
     applied = dv.applied_through() if dv is not None else -1
+    dv_metrics = dv.sidecar.batch_metrics() if dv is not None else {}
     for v in dv_versions:
-        if v <= applied:
+        if v <= applied and dv_metrics.get(v, {}).get("rows", 1) != 0:
+            # explicit rows: 0 (the empty-commit skip) is trivially
+            # reconstructible — no events; missing/unreadable metrics
+            # count as rows (fail loud, the _live_soft_deletes convention)
             # a purge already baked this version's tombstones into the
             # files: the pre-purge snapshot its rows must be
             # reconstructed from is gone, and emitting nothing would be

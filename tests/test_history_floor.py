@@ -318,3 +318,35 @@ def test_purge_watermark_survives_replace_crash_window(spark, tmp_path):
     with open(wm + ".tmp-torn", "w") as f:
         f.write('{"through":')
     assert dv.applied_through() == 2
+
+
+def test_delete_partitions_without_committed_prefixes_keeps_history(spark, tmp_path):
+    """Dropping a leaf that holds NO committed batch's prefixed files
+    collapses no history — the floor must stay put and time travel keep
+    working (r14 review: an unconditional advance refused perfectly
+    reconstructible snapshots)."""
+    t = _mk(spark, tmp_path / "t")  # batches 1, 2 across DAY1/DAY2
+    day3 = "2024-01-03"
+    t.append(spark.createDataFrame([(900, "plain", day3)], SCHEMA))  # unversioned
+    t.delete_partitions(day=day3)
+    assert t._history_floor_info() == (-1, True)
+    assert t.read_as_of(1).count() == 4
+    assert t.read_as_of(2).count() == 8
+
+
+def test_change_feed_tolerates_purged_zero_row_dv_version(spark, tmp_path):
+    """A zero-row mark_deleted (the empty-commit skip) below the purge
+    watermark is trivially reconstructible — no events — and must not
+    trip the baked-in refusal (r14 review)."""
+    t = _mk(spark, tmp_path / "t", batches=(1,))
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([], "k long"), 2)  # 0-row version
+    dv.mark_deleted(spark.createDataFrame([(10,)], "k long"), 3)
+    assert dv.purge() >= 1  # applied_through -> 3
+    t.append_batch(spark.createDataFrame([(50, "x", DAY2)], SCHEMA), 4)
+    # window spans the empty v2 AND the baked v3: only v3 must refuse
+    with pytest.raises(ValueError, match="baked into"):
+        change_feed(t, dv, from_batch=1, to_batch=4)
+    # a window spanning only the empty version serves cleanly
+    dv2_events = change_feed(t, dv, from_batch=3, to_batch=4).collect()
+    assert [(r["k"], r["_change_type"]) for r in dv2_events] == [(50, "insert")]
