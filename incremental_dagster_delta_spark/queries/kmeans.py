@@ -82,11 +82,21 @@ def assign_nearest_sq(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     Returns (vec_id, xq, centroid_id, dist).
     """
     import numpy as np
-    import pandas as pd
 
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     C = np.array([r["cq"] for r in rows], dtype=np.int64)  # K×d
+    return _assign_with_arrays(vectors, cids, C)
+
+
+def _assign_with_arrays(vectors: DataFrame, cids, C) -> DataFrame:
+    """:func:`assign_nearest_sq` with the centroid table already on the
+    driver as numpy arrays — the training loop holds it there across
+    rounds, so re-collecting a DataFrame every round is pure job
+    overhead (r14: the tiny-stage profile this loop was paying for)."""
+    import numpy as np
+    import pandas as pd
+
     c_sq = (C * C).sum(axis=1)  # K
 
     def assign(batches):
@@ -161,15 +171,53 @@ def _reassemble(sums: DataFrame, old: DataFrame) -> DataFrame:
 
 def _train(vec: DataFrame, rounds: int) -> DataFrame:
     """``rounds`` Lloyd's iterations over a prepared (vec_id, xq) table.
-    Each round's K-row result is localCheckpointed — a TRUE bound
-    (K·d ints), keeping per-round lineage O(1)."""
-    cents = vec.where(F.col("vec_id") % KM_STRIDE == 0).select(
+
+    r14 stage-count rework (VERDICT r13 #2; interleaved A/B in
+    docs/PLANS.md): the K·d centroid state lives ON THE DRIVER between
+    rounds — it is shipped to the assignment closure anyway — so each
+    round is exactly ONE job: map-only assignment → the posexplode
+    (centroid, dim) partial-sum shuffle (:func:`_pos_sums`, the
+    map-side-combined shape that A/B-beat a 64-column wide aggregate by
+    1.3×) → collect the K·d partial rows → numpy update on the driver.
+    This drops the old per-round localCheckpoint job, the reassembly's
+    second shuffle + join, and the per-round centroid re-collect. The
+    update uses the identical IEEE ops the old in-plan expression used
+    (floor(s/n + 0.5) on exact-integer doubles), so results are
+    bit-identical (asserted in the A/B harness and pinned by
+    tests/test_kmeans.py's python-reference comparison) and the DuckDB
+    oracle chain is untouched. Empty clusters keep their previous
+    centroid (absent from the partials = untouched row of C).
+
+    Scale: per round the cluster does one corpus-partitioned map + one
+    K·d-group aggregate; driver state is K·d ints — bounded regardless
+    of corpus size (the documented-legit collect class)."""
+    import numpy as np
+
+    spark = vec.sparkSession
+    init = vec.where(F.col("vec_id") % KM_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("xq").alias("cq")
     )
+    rows = sorted(init.collect(), key=lambda r: r["centroid_id"])
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["cq"] for r in rows], dtype=np.int64)
     for _ in range(rounds):
-        assigned = assign_nearest_sq(vec, cents)
-        cents = _update_centroids(assigned, cents).localCheckpoint(eager=True)
-    return cents
+        assigned = _assign_with_arrays(vec, cids, C)
+        partials = _pos_sums(assigned).collect()  # K·d rows
+        sums = np.zeros_like(C, dtype=np.float64)
+        counts = np.zeros(len(cids), dtype=np.float64)
+        touched = np.zeros(len(cids), dtype=bool)
+        for r in partials:
+            k = int(np.searchsorted(cids, r["centroid_id"]))
+            sums[k, r["pos"]] = r["s"]
+            counts[k] = r["n"]
+            touched[k] = True
+        C[touched] = np.floor(
+            sums[touched] / counts[touched, None] + 0.5
+        ).astype(np.int64)
+    return spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
+        "centroid_id long, cq array<long>",
+    )
 
 
 def _prepared_vec(e: DataFrame) -> DataFrame:
