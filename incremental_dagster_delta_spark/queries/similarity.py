@@ -359,9 +359,14 @@ def q_bitext_mine(spark, sf_dir):
     against the integer-scaled threshold. No double ROUND ever runs, so
     the Spark-BigDecimal-vs-DuckDB-std::round boundary seam (r14 review)
     cannot flip a flag; the only float op left is m4/10⁴, exact for
-    these magnitudes. Assumes s > 0 — true by construction for a
-    nearest-neighbor shortlist (top-k cosines), and required because the
-    two engines' integer divisions differ on negative numerators.
+    these magnitudes. Both engines' integer divisions truncate toward
+    zero (DuckDB ``//`` included — verified -7//2 = -3, it is NOT floor
+    division), so there is no cross-engine seam even on an adversarial
+    corpus with negative shortlist cosines; the s > 0 / icos ≥ 0 shape a
+    top-k shortlist gives by construction only matters for the ROUNDING
+    label — on a negative numerator the formula degrades from
+    round-half-up to round-half-toward-zero, identically in both
+    engines.
 
     Scale shape: everything downstream of ivf_topk operates on |Q|·k
     rows — one tiny query-partitioned window, no corpus contact. The
@@ -377,8 +382,8 @@ def q_bitext_mine(spark, sf_dir):
         shortlist.withColumn("icos", icos)
         .withColumn("_k", F.count(F.lit(1)).over(w))
         .withColumn("_s", F.sum("icos").over(w))
-        # Spark's DIV truncates toward zero == DuckDB's // floor for the
-        # nonnegative operands a top-k shortlist guarantees
+        # Spark's DIV and DuckDB's // both truncate toward zero — the
+        # m4 arithmetic is engine-identical for ANY sign (see docstring)
         .withColumn("_m4", F.expr("(2 * icos * _k * 10000 + _s) DIV (2 * _s)"))
     )
     return scaled.select(

@@ -1159,7 +1159,6 @@ class PartitionedTable:
         # actually collapsed, not to max(committed) at recovery time
         # (appends landing between crash and recovery keep their prefixes)
         committed_now = self.committed_batches()
-        token = Path(self._compact_floor_token_path())
         _sidecar_replace(
             fs,
             Path,
@@ -1185,7 +1184,7 @@ class PartitionedTable:
         # token outlives .precompact: crash-point-3 recovery (keyed on
         # .precompact) must still find the recorded watermark
         fs.delete(Path(old), True)
-        fs.delete(token, False)
+        self._delete_compact_floor_token(fs, Path)
         n = 0
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -1278,14 +1277,40 @@ class PartitionedTable:
         return self.path.rstrip("/") + ".compact_floor.json"
 
     def _read_compact_floor_token(self, fs, Path) -> int | None:
+        """Main file wins when parseable; ``.tmp-*`` leftovers are only
+        a fallback for a crash inside the replace. NOT a max-fold over
+        everything: unlike the floor/watermark, the token's legit value
+        can DECREASE across compacts (restore() shrinks max(committed)),
+        so a stale higher tmp must never outvote a valid main (r14
+        review pass 3 — it would inflate the floor past the head)."""
+        p = Path(self._compact_floor_token_path())
+        if fs.exists(p):
+            try:
+                stream = fs.open(p)
+                try:
+                    raw = bytes(stream.readAllBytes()).decode("utf-8")
+                finally:
+                    stream.close()
+                return int(json.loads(raw)["floor"])
+            except Exception:
+                pass  # torn main: fall back to tmp leftovers
         best = None
-        for doc in _sidecar_entries(fs, Path, self._compact_floor_token_path()):
+        for doc in _sidecar_entries(
+            fs, Path, self._compact_floor_token_path() + ".tmp-"
+        ):
             try:
                 f = int(doc["floor"])
             except Exception:
                 continue
             best = f if best is None else max(best, f)
         return best  # None (legacy/absent/torn): advance falls back to "now"
+
+    def _delete_compact_floor_token(self, fs, Path) -> None:
+        """Retire the token AND any ``.tmp-*`` strays from a crash inside
+        its replace — a stale tmp surviving a main-only delete would be
+        trusted by a LATER compact's recovery (r14 review pass 3)."""
+        for st in fs.globStatus(Path(self._compact_floor_token_path() + "*")) or []:
+            fs.delete(st.getPath(), False)
 
     def _recover_compaction(self, fs, Path) -> None:
         """Converge an interrupted ``compact()`` swap to a readable table.
@@ -1310,7 +1335,6 @@ class PartitionedTable:
         root = Path(self.path)
         staging = Path(self.path.rstrip("/") + ".compacting")
         old = Path(self.path.rstrip("/") + ".precompact")
-        token = Path(self._compact_floor_token_path())
         if fs.exists(root):
             if fs.exists(old):  # crash point 3: finish the swap
                 # salvage every hidden root entry not yet moved — the
@@ -1328,14 +1352,14 @@ class PartitionedTable:
                 fs.delete(old, True)
             if fs.exists(staging):  # crash point 1: stale staging
                 fs.delete(staging, True)
-            if fs.exists(token):  # consumed (or never-swapped): retire
-                fs.delete(token, False)
+            # consumed (or never-swapped): retire, incl. tmp strays
+            self._delete_compact_floor_token(fs, Path)
         elif fs.exists(old):  # crash point 2: roll back
             fs.rename(old, root)
             if fs.exists(staging):
                 fs.delete(staging, True)
-            if fs.exists(token):  # rewrite never became visible
-                fs.delete(token, False)
+            # rewrite never became visible: retire, incl. tmp strays
+            self._delete_compact_floor_token(fs, Path)
 
     # -- history floor -------------------------------------------------------
     #
@@ -1519,26 +1543,38 @@ class PartitionedTable:
                 victims.add("/".join(leaf.split("/")[: deepest + 1]))
         committed = set(self.committed_batches())
 
-        def _erases_committed_prefix(rel: str) -> bool:
-            it = fs.listFiles(Path(posixpath.join(self.path, rel)), True)
+        def _erases_snapshot_file(rel: str) -> bool:
+            # a victim collapses history iff it holds a file read_as_of
+            # would include in some snapshot: a committed batch's b{id}-
+            # file, or an UNPREFIXED file (the state-at-floor base /
+            # unversioned appends — part of EVERY snapshot, so deleting
+            # one silently changes even the at-floor read; r14 review
+            # pass 3). Only a crashed writer's uncommitted b{id}- orphans
+            # are not table state and exempt.
+            root_v = Path(posixpath.join(self.path, rel))
+            it = fs.listFiles(root_v, True)
             while it.hasNext():
-                name = it.next().getPath().getName()
+                p = it.next().getPath()
+                if _hidden_rel(root_v, p):
+                    continue
+                name = p.getName()
                 if name.startswith("b") and "-" in name:
                     bid = name[1 : name.index("-")]
-                    if bid.isdigit() and int(bid) in committed:
-                        return True
+                    if bid.isdigit():
+                        if int(bid) in committed:
+                            return True
+                        continue  # uncommitted orphan: not table state
+                return True  # unprefixed: in every snapshot
             return False
 
-        if victims and committed and any(map(_erases_committed_prefix, victims)):
-            # the drop erases committed batches' b{id}- files: snapshots
-            # at or below the current head can no longer be reconstructed
-            # for them (the same partial-collapse argument as a per-leaf
+        if victims and committed and any(map(_erases_snapshot_file, victims)):
+            # the drop erases snapshot-visible files: states at or below
+            # the current head can no longer be reconstructed for them
+            # (the same partial-collapse argument as a per-leaf
             # overwrite), and restore() deleting the SURVIVING prefixed
             # files would fabricate a state that never existed — advance
             # the floor row-CHANGING so time travel refuses loudly
             # instead of silently serving post-delete state (r14 review).
-            # Scoped to victims that actually hold committed prefixes:
-            # dropping plain-append leaves collapses no history.
             # Floor FIRST: a crash mid-delete then over-refuses (loud)
             # rather than leaving collapsed history readable (silent).
             self._advance_history_floor(exact=False)
@@ -2210,10 +2246,13 @@ def change_feed(
     applied = dv.applied_through() if dv is not None else -1
     dv_metrics = dv.sidecar.batch_metrics() if dv is not None else {}
     for v in dv_versions:
-        if v <= applied and dv_metrics.get(v, {}).get("rows", 1) != 0:
-            # explicit rows: 0 (the empty-commit skip) is trivially
-            # reconstructible — no events; missing/unreadable metrics
-            # count as rows (fail loud, the _live_soft_deletes convention)
+        if dv_metrics.get(v, {}).get("rows", 1) == 0:
+            # explicit rows: 0 (the empty-commit skip): no events by
+            # construction — skip the whole reconstruction pipeline
+            # (missing/unreadable metrics count as rows downstream:
+            # fail loud, the _live_soft_deletes convention)
+            continue
+        if v <= applied:
             # a purge already baked this version's tombstones into the
             # files: the pre-purge snapshot its rows must be
             # reconstructed from is gone, and emitting nothing would be

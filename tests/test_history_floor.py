@@ -320,18 +320,45 @@ def test_purge_watermark_survives_replace_crash_window(spark, tmp_path):
     assert dv.applied_through() == 2
 
 
-def test_delete_partitions_without_committed_prefixes_keeps_history(spark, tmp_path):
-    """Dropping a leaf that holds NO committed batch's prefixed files
-    collapses no history — the floor must stay put and time travel keep
-    working (r14 review: an unconditional advance refused perfectly
-    reconstructible snapshots)."""
-    t = _mk(spark, tmp_path / "t")  # batches 1, 2 across DAY1/DAY2
+def test_delete_partitions_floor_scoping(spark, tmp_path):
+    """The floor advance is scoped to victims holding SNAPSHOT-VISIBLE
+    files: committed b{id}- files AND unprefixed files (the
+    state-at-floor base / unversioned appends appear in every snapshot,
+    so deleting one silently changes even at-floor reads — r14 review
+    pass 3). Only a crashed writer's uncommitted orphans are exempt."""
+    import shutil
+
+    # (a) uncommitted-orphan-only leaf: no history collapses
+    t = _mk(spark, tmp_path / "a")  # batches 1, 2 across DAY1/DAY2
     day3 = "2024-01-03"
-    t.append(spark.createDataFrame([(900, "plain", day3)], SCHEMA))  # unversioned
+    src = glob.glob(os.path.join(t.path, f"day={DAY1}", "b1-*.parquet"))[0]
+    orphan_dir = os.path.join(t.path, f"day={day3}")
+    os.makedirs(orphan_dir)
+    shutil.copyfile(src, os.path.join(orphan_dir, "b9-" + os.path.basename(src)[3:]))
     t.delete_partitions(day=day3)
     assert t._history_floor_info() == (-1, True)
     assert t.read_as_of(1).count() == 4
-    assert t.read_as_of(2).count() == 8
+
+    # (b) unversioned append on a committed table IS snapshot state:
+    # deleting its leaf must advance the floor
+    t2 = _mk(spark, tmp_path / "b")
+    t2.append(spark.createDataFrame([(900, "plain", day3)], SCHEMA))
+    assert t2.read_as_of(1).count() == 5  # snapshots include the plain row
+    t2.delete_partitions(day=day3)
+    assert t2._history_floor_info() == (2, False)
+    with pytest.raises(ValueError):
+        t2.read_as_of(1)
+
+    # (c) post-compact all files are unprefixed: deleting a leaf must
+    # downgrade the exact floor, or read_as_of(floor) silently loses rows
+    t3 = _mk(spark, tmp_path / "c")
+    t3.compact()
+    assert t3._history_floor_info() == (2, True)
+    assert t3.read_as_of(2).count() == 8
+    t3.delete_partitions(day=DAY1)
+    assert t3._history_floor_info() == (2, False)
+    with pytest.raises(ValueError, match="row-changing"):
+        t3.read_as_of(2)
 
 
 def test_change_feed_tolerates_purged_zero_row_dv_version(spark, tmp_path):
@@ -347,6 +374,11 @@ def test_change_feed_tolerates_purged_zero_row_dv_version(spark, tmp_path):
     # window spans the empty v2 AND the baked v3: only v3 must refuse
     with pytest.raises(ValueError, match="baked into"):
         change_feed(t, dv, from_batch=1, to_batch=4)
-    # a window spanning only the empty version serves cleanly
+    # a window containing ONLY the purged EMPTY version serves cleanly —
+    # this is the differential pin for the rows==0 exemption (a window
+    # with no dv version at all would pass on pre-fix code too)
+    only_empty = change_feed(t, dv, from_batch=1, to_batch=2).collect()
+    assert only_empty == []
+    # and a window above the watermark serves the later insert
     dv2_events = change_feed(t, dv, from_batch=3, to_batch=4).collect()
     assert [(r["k"], r["_change_type"]) for r in dv2_events] == [(50, "insert")]

@@ -353,3 +353,32 @@ def test_salvage_merges_recreated_commit_dir(spark, tmp_path):
     assert t.read().count() == 3
     assert t.vacuum() == 0  # nothing reads as an orphan
     assert t.read().count() == 3
+
+
+def test_compact_floor_token_main_outvotes_stale_tmp(spark, tmp_path):
+    """The token reader must prefer a parseable main file over .tmp-*
+    leftovers (token values legitimately DECREASE after restore(), so a
+    max-fold over strays could inflate the floor past the head), and
+    token retirement must remove the strays too (r14 review pass 3)."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(spark.createDataFrame([(1, "a", DAYS[0])], SCHEMA), 1)
+    tok = t.path.rstrip("/") + ".compact_floor.json"
+    with open(tok, "w") as f:
+        json.dump({"floor": 1}, f)
+    with open(tok + ".tmp-stale", "w") as f:
+        json.dump({"floor": 9}, f)  # stray from an older crashed replace
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(t.path).getFileSystem(spark._jsc.hadoopConfiguration())
+    assert t._read_compact_floor_token(fs, Path) == 1  # main wins
+    os.remove(tok)
+    assert t._read_compact_floor_token(fs, Path) == 9  # tmp fallback
+    with open(tok, "w") as f:
+        json.dump({"floor": 1}, f)
+    t._delete_compact_floor_token(fs, Path)
+    assert glob.glob(tok + "*") == []  # strays retired with the main
+    # compact() end-to-end leaves no token residue either
+    t.append_batch(spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), 2)
+    t.compact()
+    assert glob.glob(tok + "*") == []
+    assert t._history_floor_info() == (2, True)
