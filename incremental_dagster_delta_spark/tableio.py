@@ -62,6 +62,7 @@ import json
 import posixpath
 import threading
 import time
+import urllib.parse
 import uuid
 from contextlib import contextmanager
 
@@ -139,6 +140,49 @@ def _salvage_hidden_root_entries(fs, Path, old_root: str, new_root: str) -> None
         if not name.startswith(("_", ".")):
             continue
         move_absent(st, posixpath.join(new_root, name))
+
+
+def _salvage_unconsumed_data_files(
+    fs, Path, old_root: str, new_root: str, consumed: list[str] | None, committed: set
+) -> None:
+    """Move every TABLE-STATE data file under ``old_root`` that the
+    rewrite did NOT consume (root-relative path absent from
+    ``consumed``) into the same relative location under ``new_root`` —
+    the racer-append fence for row-preserving rewrites (r14 review pass
+    4): a batch committing while the rewrite staged leaves its files in
+    the old tree, and deleting that tree wholesale would destroy rows
+    whose commit marker the hidden-entry salvage preserves. Salvaged:
+    b{id}- files of batches committed by salvage time, and unprefixed
+    (unversioned-append) files. NOT salvaged: uncommitted b{id}-
+    partials — a crashed writer's replay republishes them in full, and
+    preserving them would leak their rows into reads (the pinned
+    partials-cleanup behavior). ``consumed=None`` (legacy marker/token)
+    keeps the old wholesale-delete behavior. Idempotent:
+    rename-if-absent per file, so crash replay converges."""
+    if consumed is None:
+        return
+    old = Path(old_root)
+    if not fs.exists(old):
+        return
+    consumed_set = set(consumed)
+    old_path = old.toUri().getPath()
+    it = fs.listFiles(old, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if _hidden_rel(old, p):
+            continue  # hidden entries ride _salvage_hidden_root_entries
+        rel = posixpath.relpath(p.toUri().getPath(), old_path)
+        if rel in consumed_set:
+            continue  # rewritten into the new tree already
+        name = p.getName()
+        if name.startswith("b") and "-" in name:
+            bid = name[1 : name.index("-")]
+            if bid.isdigit() and int(bid) not in committed:
+                continue  # uncommitted partial: replay republishes it
+        dst = Path(posixpath.join(new_root, rel))
+        if not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            fs.rename(p, dst)
 
 
 def _sidecar_entries(fs, Path, path: str) -> list[dict]:
@@ -241,6 +285,8 @@ class PartitionedTable:
         df: DataFrame,
         _validate: bool = True,
         _row_preserving: bool = False,
+        _dv_purge: bool = False,
+        _consumed: dict | None = None,
         **scope: str,
     ) -> bool:
         """Refresh mode (reference delta_io.py:92-93 + 104-107): replace
@@ -311,7 +357,16 @@ class PartitionedTable:
                 writer = writer.partitionBy(*self.partition_cols)
             writer.save(staging)
             staged = self._list_leaf_dirs(fs, Path, staging)
-        plan = [{"leaf": leaf, "action": "swap"} for leaf in staged]
+        plan = []
+        for leaf in staged:
+            entry: dict = {"leaf": leaf, "action": "swap"}
+            if _consumed is not None and leaf in _consumed:
+                # file names the rewrite READ from this leaf: completion
+                # salvages any OTHER data file (a racer batch committing
+                # during staging) back into the live leaf instead of
+                # deleting it with the shadow (r14 review pass 4)
+                entry["consumed"] = list(_consumed[leaf])
+            plan.append(entry)
         if scope and self.partition_cols and fs.exists(Path(self.path)):
             staged_set = set(staged)
             for leaf in self._list_leaf_dirs(fs, Path, self.path):
@@ -321,8 +376,6 @@ class PartitionedTable:
                 # hive-escaped (day=a%3Ab for 'a:b'), scopes are not —
                 # raw comparison silently skipped the drop, and purge()
                 # then advanced its watermark over rows still on disk
-                import urllib.parse
-
                 parts = {
                     k: urllib.parse.unquote(val)
                     for k, val in (
@@ -356,6 +409,11 @@ class PartitionedTable:
                     {
                         "leaves": plan,
                         "row_preserving": bool(_row_preserving),
+                        # DV-purge coordination claim: the rewrite's row
+                        # removals are fully described by dv tombstones
+                        # at/below the purge watermark (lets change_feed
+                        # order later delete versions against it)
+                        "purge": bool(_dv_purge),
                         # floor watermark RECORDED AT PLAN TIME: a crash
                         # replay must advance the floor to the history
                         # this rewrite actually collapsed, not to
@@ -452,6 +510,15 @@ class PartitionedTable:
                     # whenever the shadow still exists, so a crash between
                     # the rename and the salvage replays to completion.
                     _salvage_hidden_root_entries(fs, Path, pre.toString(), self.path)
+                if "consumed" in entry and fs.exists(pre):
+                    _salvage_unconsumed_data_files(
+                        fs,
+                        Path,
+                        pre.toString(),
+                        final.toString(),
+                        entry["consumed"],
+                        set(self.committed_batches()),
+                    )
             elif fs.exists(final):  # drop
                 fenced = entry.get("files")
                 if fenced is None:
@@ -479,7 +546,9 @@ class PartitionedTable:
         # from the marker (plan-time watermark); legacy markers without it
         # fall back to "now", the pre-r14 behavior.
         self._advance_history_floor(
-            exact=row_preserving, floor_value=marker_doc.get("floor")
+            exact=row_preserving,
+            floor_value=marker_doc.get("floor"),
+            purge=bool(marker_doc.get("purge", False)),
         )
         fs.delete(marker, False)
 
@@ -1008,10 +1077,21 @@ class PartitionedTable:
         return True
 
     def _write_marker(self, fs, marker, metrics: dict) -> None:
+        """tmp+rename, NOT a plain create: marker EXISTENCE is the commit
+        bit, so a crash mid-write would otherwise leave a committed-
+        looking marker with torn metrics — and every metrics consumer
+        that treats unreadable as "empty batch" (the r14 fail-loud
+        sweep flipped those to fail-loud, but the write side must not
+        manufacture the case) would silently mis-handle a batch that
+        actually wrote rows (r14 review pass 4)."""
         fs.mkdirs(marker.getParent())
-        out = fs.create(marker, True)
-        out.write(bytearray(json.dumps(metrics).encode("utf-8")))
-        out.close()
+        tmp = marker.suffix(f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(metrics).encode("utf-8")))
+        finally:
+            out.close()
+        fs.rename(tmp, marker)
 
     def batch_metrics(self) -> dict[int, dict]:
         """Commit metrics per batch id (rows written), read back from the
@@ -1030,12 +1110,10 @@ class PartitionedTable:
                 continue
             try:
                 stream = fs.open(p)
-                data = bytearray()
-                b = stream.read()
-                while b != -1:
-                    data.append(b)
-                    b = stream.read()
-                stream.close()
+                try:
+                    data = bytes(stream.readAllBytes())
+                finally:
+                    stream.close()
                 out[int(name)] = json.loads(data.decode("utf-8")) if data else {}
             except Exception:
                 out[int(name)] = {}
@@ -1104,7 +1182,8 @@ class PartitionedTable:
         # files, so the batch's replay would duplicate its rows and
         # vacuum could never reclaim them. The swap still removes the
         # partials from disk — safe, the replay re-publishes in full.
-        live = [f for fl in self._live_data_files().values() for f in fl]
+        live_map = self._live_data_files()
+        live = [f for fl in live_map.values() for f in fl]
         if not live:
             return 0  # nothing committed to rewrite
         with _string_partitions(self.spark):
@@ -1133,7 +1212,14 @@ class PartitionedTable:
             # one range task per target output file: files/leaf × leaves,
             # leaves counted from the file index (leaf_partitions — no
             # scan + shuffle in front of the rewrite scan)
-            n_leaves = max(1, len(self.leaf_partitions())) if self.partition_cols else 1
+            # leaves counted from the live map already in hand — a second
+            # full file-index walk per compaction is O(files) of redundant
+            # driver metadata RPCs at scale (r14 review pass 4)
+            n_leaves = (
+                max(1, len(self._leaf_scopes_counts(live_map)))
+                if self.partition_cols
+                else 1
+            )
             writer = df.repartitionByRange(
                 n_files * n_leaves, *keys
             ).sortWithinPartitions(*keys)
@@ -1163,7 +1249,22 @@ class PartitionedTable:
             fs,
             Path,
             self._compact_floor_token_path(),
-            {"floor": max(committed_now) if committed_now else -1},
+            {
+                "floor": max(committed_now) if committed_now else -1,
+                # consumed fence: exactly the live files this rewrite
+                # read. A batch that COMMITS during the staging write
+                # lands its b{id}- files in the old root; deleting
+                # .precompact wholesale would destroy them while the
+                # salvage preserves their marker — permanent row loss
+                # under a row-preserving operation (r14 review pass 4).
+                # Completion/recovery salvages every non-consumed data
+                # file back into the new root instead.
+                "consumed": sorted(
+                    posixpath.join(leaf, f.rsplit("/", 1)[-1]) if leaf else f.rsplit("/", 1)[-1]
+                    for leaf, fl in live_map.items()
+                    for f in fl
+                ),
+            },
         )
         fs.rename(root, Path(old))
         fs.rename(Path(staging), root)
@@ -1178,11 +1279,21 @@ class PartitionedTable:
         # token for crash-point-3 recovery, so the floor advance (exact —
         # compaction preserves rows) replays with the roll-forward instead
         # of being lost to a crash in this window (ADVICE r13)
+        token_doc = self._read_compact_floor_token_doc(fs, Path)
         self._advance_history_floor(
-            exact=True, floor_value=self._read_compact_floor_token(fs, Path)
+            exact=True,
+            floor_value=token_doc.get("floor") if token_doc else None,
+        )
+        _salvage_unconsumed_data_files(
+            fs,
+            Path,
+            old,
+            self.path,
+            token_doc.get("consumed") if token_doc else None,
+            set(self.committed_batches()),
         )
         # token outlives .precompact: crash-point-3 recovery (keyed on
-        # .precompact) must still find the recorded watermark
+        # .precompact) must still find the recorded watermark + fence
         fs.delete(Path(old), True)
         self._delete_compact_floor_token(fs, Path)
         n = 0
@@ -1264,7 +1375,11 @@ class PartitionedTable:
                 salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
                 shaped = df.repartition(n_files, salt)
             if self.overwrite_partitions(
-                shaped, _validate=False, _row_preserving=True, **scope
+                shaped,
+                _validate=False,
+                _row_preserving=True,
+                _consumed={leaf: [f.rsplit("/", 1)[-1] for f in live[leaf]]},
+                **scope,
             ):
                 rewritten += 1
         return rewritten
@@ -1276,7 +1391,7 @@ class PartitionedTable:
         crash-point-3 recovery, deleted last."""
         return self.path.rstrip("/") + ".compact_floor.json"
 
-    def _read_compact_floor_token(self, fs, Path) -> int | None:
+    def _read_compact_floor_token_doc(self, fs, Path) -> dict | None:
         """Main file wins when parseable; ``.tmp-*`` leftovers are only
         a fallback for a crash inside the replace. NOT a max-fold over
         everything: unlike the floor/watermark, the token's legit value
@@ -1291,7 +1406,9 @@ class PartitionedTable:
                     raw = bytes(stream.readAllBytes()).decode("utf-8")
                 finally:
                     stream.close()
-                return int(json.loads(raw)["floor"])
+                doc = json.loads(raw)
+                int(doc["floor"])  # shape check
+                return doc
             except Exception:
                 pass  # torn main: fall back to tmp leftovers
         best = None
@@ -1302,8 +1419,13 @@ class PartitionedTable:
                 f = int(doc["floor"])
             except Exception:
                 continue
-            best = f if best is None else max(best, f)
+            if best is None or f > int(best["floor"]):
+                best = doc
         return best  # None (legacy/absent/torn): advance falls back to "now"
+
+    def _read_compact_floor_token(self, fs, Path) -> int | None:
+        doc = self._read_compact_floor_token_doc(fs, Path)
+        return int(doc["floor"]) if doc else None
 
     def _delete_compact_floor_token(self, fs, Path) -> None:
         """Retire the token AND any ``.tmp-*`` strays from a crash inside
@@ -1346,8 +1468,21 @@ class PartitionedTable:
                 # row-preserving → the at-floor snapshot stays exact.
                 # The value comes from the pre-swap token, not "now" —
                 # batches appended after the crash keep their prefixes
+                token_doc = self._read_compact_floor_token_doc(fs, Path)
                 self._advance_history_floor(
-                    exact=True, floor_value=self._read_compact_floor_token(fs, Path)
+                    exact=True,
+                    floor_value=token_doc.get("floor") if token_doc else None,
+                )
+                # a batch that committed during the staging write left
+                # its files in the old root: salvage everything the
+                # rewrite did not consume (r14 review pass 4)
+                _salvage_unconsumed_data_files(
+                    fs,
+                    Path,
+                    old.toString(),
+                    self.path,
+                    token_doc.get("consumed") if token_doc else None,
+                    set(self.committed_batches()),
                 )
                 fs.delete(old, True)
             if fs.exists(staging):  # crash point 1: stale staging
@@ -1382,7 +1517,7 @@ class PartitionedTable:
     def _history_floor_path(self) -> str:
         return posixpath.join(self.path, "_history_floor.json")
 
-    def _history_floor_info(self) -> tuple[int, bool]:
+    def _history_floor_full(self) -> tuple[int, bool, bool]:
         """(floor, exact_at_floor). ``exact_at_floor`` is False when the
         floor was last advanced by a row-CHANGING rewrite (overwrite /
         purge): the at-floor snapshot then reflects post-rewrite state,
@@ -1391,27 +1526,44 @@ class PartitionedTable:
         ``_history_floor.json`` AND any ``.tmp-*`` leftovers (the
         :func:`_sidecar_replace` crash contract; ADVICE r13: a lost
         floor file silently re-opens collapsed history). Ties resolve
-        to the LEAST exact claim."""
+        to the LEAST exact / least purge-coordinated claim.
+
+        The third element, ``purge_at_floor``, is True when every
+        row-CHANGING rewrite collapsed into the floor was DV-PURGE
+        coordinated: its removals are fully described by dv tombstones
+        at or below the purge watermark, which lets ``change_feed``
+        order later delete versions against the rewrite. A user refresh
+        (or a legacy floor doc without the flag) removes arbitrary rows
+        with no ordering record → False (r14 review pass 4). Exact
+        (row-preserving) claims are vacuously purge-compatible."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        best, best_exact = -1, True
+        best, best_exact, best_purge = -1, True, True
         for doc in _sidecar_entries(fs, Path, self._history_floor_path()):
             try:
                 floor = int(doc["floor"])
                 exact = bool(doc.get("exact", True))
+                purge = exact or bool(doc.get("purge", False))
             except Exception:
                 continue
             if floor > best:
-                best, best_exact = floor, exact
+                best, best_exact, best_purge = floor, exact, purge
             elif floor == best:
                 best_exact = best_exact and exact
-        return best, best_exact
+                best_purge = best_purge and purge
+        return best, best_exact, best_purge
+
+    def _history_floor_info(self) -> tuple[int, bool]:
+        f, e, _p = self._history_floor_full()
+        return f, e
 
     def _history_floor(self) -> int:
-        return self._history_floor_info()[0]
+        return self._history_floor_full()[0]
 
-    def _advance_history_floor(self, exact: bool, floor_value: int | None = None) -> None:
+    def _advance_history_floor(
+        self, exact: bool, floor_value: int | None = None, purge: bool = False
+    ) -> None:
         """Advance the floor. ``floor_value`` is the watermark RECORDED
         AT REWRITE TIME (in the overwrite marker / the compact floor
         token): a replay after a crash must advance to that value, not
@@ -1422,7 +1574,11 @@ class PartitionedTable:
         Monotonic in the floor value; at an UNCHANGED floor the exactness
         can only be downgraded (a later row-changing rewrite collapsing
         into the same batch makes the at-floor snapshot inexact; nothing
-        can make it exact again). Idempotent — safe to replay."""
+        can make it exact again). Idempotent — safe to replay.
+
+        ``purge``: the row-changing rewrite was DV-purge coordinated
+        (see :meth:`_history_floor_full`); like exactness it can only
+        WEAKEN at an unchanged floor."""
         if floor_value is None:
             committed = self.committed_batches()
             if not committed:
@@ -1432,9 +1588,17 @@ class PartitionedTable:
             floor = int(floor_value)
             if floor < 0:
                 return
-        cur, cur_exact = self._history_floor_info()
-        if floor < cur or (floor == cur and (exact or not cur_exact)):
+        new_exact = bool(exact)
+        new_purge = new_exact or bool(purge)
+        cur, cur_exact, cur_purge = self._history_floor_full()
+        if floor < cur:
             return
+        if floor == cur:
+            want_exact = cur_exact and new_exact
+            want_purge = cur_purge and new_purge
+            if (want_exact, want_purge) == (cur_exact, cur_purge):
+                return  # nothing weakens: idempotent replay / no-op
+            new_exact, new_purge = want_exact, want_purge
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -1442,7 +1606,7 @@ class PartitionedTable:
             fs,
             Path,
             self._history_floor_path(),
-            {"floor": int(floor), "exact": bool(exact)},
+            {"floor": int(floor), "exact": new_exact, "purge": new_purge},
         )
 
     def recover(self) -> None:
@@ -1491,14 +1655,41 @@ class PartitionedTable:
                     f"target partition {partition_values} — merge them via their "
                     "own partition's merge_partition call"
                 )
+        current = None
         if self.exists():
-            current = self.read_partition(**partition_values)
+            # read the target partition from LIVE files only (the same
+            # rule compact/purge/compact_partitions follow): a raw
+            # directory load would bake a crashed writer's uncommitted
+            # b{id}- partials into the merged output, and the batch's
+            # later replay would then duplicate those rows permanently
+            # (r14 review pass 4 — the exact hazard _live_data_files
+            # documents).
+            live = self._live_data_files()
+            if self.partition_cols:
+                files = [
+                    f
+                    for leaf, (sc, _) in self._leaf_scopes_counts(live).items()
+                    if all(
+                        dict(sc).get(k) == str(v) for k, v in partition_values.items()
+                    )
+                    for f in live[leaf]
+                ]
+            else:
+                files = [f for fl in live.values() for f in fl]
+            if files:
+                with _string_partitions(self.spark):
+                    current = self._restore_partition_types(
+                        self.spark.read.format(self.fmt)
+                        .option("basePath", self.path)
+                        .load(files)
+                    )
+        if current is not None:
             remainder = current.join(
                 updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
             merged = remainder.select(*updates.columns).unionByName(updates)
         else:
-            merged = updates  # table does not exist yet → pure insert
+            merged = updates  # table/partition has no live rows → pure insert
         merged = merged.localCheckpoint()  # materialize BEFORE deleting inputs
         self.delete_partitions(**partition_values)
         self.append(merged)
@@ -1658,8 +1849,6 @@ class PartitionedTable:
         sentinel value, which :meth:`read_partition` translates back to
         IS NULL. Leaves holding only uncommitted partial publishes do
         not appear (they are not table state)."""
-        import urllib.parse
-
         if not self.partition_cols:
             return {}
         out: dict[str, tuple[tuple, int]] = {}
@@ -1839,7 +2028,11 @@ class PartitionedTable:
         collapsed = [
             b
             for b in sorted(victims)
-            if not victim_files[b] and metrics.get(b, {}).get("rows", 0) > 0
+            # unreadable/legacy metrics ({}) count as "wrote rows": refusing
+            # a restore is loud, silently deleting a marker whose files are
+            # gone is not (the _live_soft_deletes fail-loud convention;
+            # r14 review pass 4). Only an explicit rows: 0 is known-empty.
+            if not victim_files[b] and metrics.get(b, {}).get("rows", 1) > 0
         ]
         if collapsed:
             raise ValueError(
@@ -2101,16 +2294,16 @@ class DeletionVectors:
         live = self.table._live_data_files()
         if self.table.partition_cols:
             leaf_items = [
-                (live[leaf], dict(sc))
+                (leaf, live[leaf], dict(sc))
                 for leaf, (sc, _) in sorted(
                     self.table._leaf_scopes_counts(live).items()
                 )
             ]
         else:
             files = [f for fl in live.values() for f in fl]
-            leaf_items = [(files, {})] if files else []
+            leaf_items = [("", files, {})] if files else []
         n = 0
-        for files, scope in leaf_items:
+        for leaf, files, scope in leaf_items:
             with _string_partitions(self.table.spark):
                 src = self.table._restore_partition_types(
                     self.table.spark.read.format(self.table.fmt)
@@ -2118,7 +2311,22 @@ class DeletionVectors:
                     .load(files)
                 )
             clean = src.join(dead, self.key_col, "left_anti")
-            self.table.overwrite_partitions(clean, _validate=False, **scope)
+            if not scope and clean.isEmpty():
+                # unpartitioned base whose rows are ALL deleted:
+                # overwrite_partitions cannot express "replace the whole
+                # table with empty" (the empty-commit guard no-ops it),
+                # so no rewrite ran — advancing the watermark here would
+                # retire the tombstones and RESURRECT every deleted row
+                # (r14 review pass 4). Keep them live: reads stay correct
+                # through the anti-join; the purge just reports 0.
+                return 0
+            self.table.overwrite_partitions(
+                clean,
+                _validate=False,
+                _dv_purge=True,
+                _consumed={leaf: [f.rsplit("/", 1)[-1] for f in files]},
+                **scope,
+            )
             n += 1
         self._advance_watermark(through)
         return n
@@ -2197,11 +2405,17 @@ def change_feed(
                 if bid.isdigit() and int(bid) in files_by_version:
                     files_by_version[int(bid)].append(p.toString())
 
+    applied = dv.applied_through() if dv is not None else -1
+    dv_metrics = dv.sidecar.batch_metrics() if dv is not None else {}
     metrics = table.batch_metrics()
     pieces: list[DataFrame] = []
     for v in base_versions:
         if not files_by_version[v]:
-            if metrics.get(v, {}).get("rows", 0) > 0:
+            # unreadable/legacy metrics ({}) count as "wrote rows" —
+            # the collapsed-history raise must fire exactly when the
+            # marker is damaged, not be defeated by it (fail-loud,
+            # matching the DV loop below; r14 review pass 4)
+            if metrics.get(v, {}).get("rows", 1) > 0:
                 raise ValueError(
                     f"change_feed: version {v} wrote rows but its prefixed "
                     f"files are gone — history was collapsed (compact/purge)"
@@ -2224,7 +2438,7 @@ def change_feed(
             live_earlier = (
                 dv.sidecar.read()
                 .where(F.col(DeletionVectors.DV_BATCH_COL) < v)
-                .where(F.col(DeletionVectors.DV_BATCH_COL) > dv.applied_through())
+                .where(F.col(DeletionVectors.DV_BATCH_COL) > applied)
                 .select(dv.key_col)
                 .distinct()
             )
@@ -2243,8 +2457,6 @@ def change_feed(
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
 
-    applied = dv.applied_through() if dv is not None else -1
-    dv_metrics = dv.sidecar.batch_metrics() if dv is not None else {}
     for v in dv_versions:
         if dv_metrics.get(v, {}).get("rows", 1) == 0:
             # explicit rows: 0 (the empty-commit skip): no events by
@@ -2269,11 +2481,32 @@ def change_feed(
         prior_base = [b for b in table.committed_batches() if b < v]
         if not prior_base:
             continue  # deleting from an empty table: nothing existed
+        prior = max(prior_base)
+        floor_b, floor_exact, floor_purge = table._history_floor_full()
+        if prior == floor_b and not floor_exact and not (floor_purge and applied >= 0):
+            # the at-floor state is post-REWRITE, and the rewrite was NOT
+            # a completed DV purge (a user refresh, or a purge that
+            # crashed before its watermark advanced): nothing records
+            # whether it ran before or after version v, so joining v's
+            # keys against post-rewrite state could silently omit delete
+            # events for rows the rewrite removed (r14 review pass 4 —
+            # the exact silently-partial feed this function refuses).
+            # For a COMPLETED purge the guard above already ensured
+            # v > applied, so the rewrite is known to predate v.
+            raise ValueError(
+                f"change_feed: delete version {v} must be reconstructed "
+                f"from the table state before it committed, but a "
+                f"row-changing rewrite collapsed into batch {floor_b} and "
+                "cannot be ordered against it (only a completed purge "
+                "records that ordering via the watermark). Start the "
+                "window above the rewritten history."
+            )
         # _accept_inexact_floor: the feed needs the table's CONTENT as it
-        # stood before version v. v > applied_through here, so the purge's
-        # rewrite happened before v committed and the post-rewrite state
-        # IS that content, even though it is not "state as of that batch".
-        snapshot = table.read_as_of(max(prior_base), _accept_inexact_floor=True)
+        # stood before version v. The purge's rewrite is known to predate
+        # v (v > applied, floor purge-coordinated), so the post-rewrite
+        # state IS that content, even though it is not "state as of that
+        # batch".
+        snapshot = table.read_as_of(prior, _accept_inexact_floor=True)
         keys_v = (
             dv.sidecar.read()
             .where(F.col(DeletionVectors.DV_BATCH_COL) == v)

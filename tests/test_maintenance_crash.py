@@ -382,3 +382,171 @@ def test_compact_floor_token_main_outvotes_stale_tmp(spark, tmp_path):
     t.compact()
     assert glob.glob(tok + "*") == []
     assert t._history_floor_info() == (2, True)
+
+
+# -- r14 review pass 4: racer fences, purge resurrection, fail-loud metrics ----
+
+
+def test_unpartitioned_purge_of_all_rows_keeps_tombstones(spark, tmp_path):
+    """purge() on an unpartitioned base whose rows are ALL deleted cannot
+    rewrite (the empty-commit guard no-ops the whole-table overwrite) —
+    it must NOT advance the watermark over a rewrite that never ran,
+    which retired the tombstones and resurrected every deleted row."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), [])  # unpartitioned
+    t.append_batch(
+        spark.createDataFrame([(1, "a", DAYS[0]), (2, "b", DAYS[1])], SCHEMA), 1
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,), (2,)], "k long"), 2)
+    assert dv.read().count() == 0
+    assert dv.purge() == 0  # cannot express "replace with empty": no-op
+    assert dv.applied_through() == -1  # watermark untouched
+    assert dv.read().count() == 0  # tombstones still live — no resurrection
+    # base files still physically hold the rows; reads stay masked
+    assert t.read().count() == 2
+
+
+def test_change_feed_refuses_unordered_refresh_rewrite(spark, tmp_path):
+    """A delete version whose reconstruction snapshot sits at a floor
+    collapsed by a NON-purge rewrite (user refresh) must refuse: nothing
+    records whether the refresh ran before or after the version, so the
+    feed could silently omit delete events for rows the refresh removed."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors, change_feed
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame([(1, "a", DAYS[0]), (2, "b", DAYS[0])], SCHEMA), 0
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    # user refresh drops k=1's row from the files AFTER the mark
+    t.overwrite_partitions(
+        spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), day=DAYS[0]
+    )
+    assert t._history_floor_full() == (0, False, False)
+    with pytest.raises(ValueError, match="cannot be ordered"):
+        change_feed(t, dv, from_batch=0, to_batch=1).collect()
+
+
+def test_change_feed_refuses_crashed_purge_rewrite(spark, tmp_path):
+    """A purge that rewrote the files but crashed before advancing its
+    watermark leaves the same unordered state — refuse, not an empty
+    feed."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors, change_feed
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame([(1, "a", DAYS[0]), (2, "b", DAYS[0])], SCHEMA), 0
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    real = DeletionVectors._advance_watermark
+    try:
+        DeletionVectors._advance_watermark = lambda self, through: None  # crash
+        assert dv.purge() == 1  # files rewritten, watermark NOT advanced
+    finally:
+        DeletionVectors._advance_watermark = real
+    assert dv.applied_through() == -1
+    assert t._history_floor_full() == (0, False, True)  # purge-claimed floor
+    with pytest.raises(ValueError, match="cannot be ordered"):
+        change_feed(t, dv, from_batch=0, to_batch=1).collect()
+    # a RE-RUN purge (the crash-recovery action) restores the ordering
+    assert dv.purge() >= 0
+    assert dv.applied_through() == 1
+    dv.mark_deleted(spark.createDataFrame([(2,)], "k long"), 2)
+    feed = change_feed(t, dv, from_batch=1, to_batch=2)
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] == [(2, "delete")]
+
+
+def test_compact_salvages_batch_committed_during_staging(spark, tmp_path):
+    """A batch that commits while compact() stages lands its files in
+    the old root; completion/recovery must salvage them into the new
+    root (the consumed fence) instead of destroying them with
+    .precompact while their marker survives — permanent row loss under a
+    row-preserving operation."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    for b in (1, 2):
+        t.append_batch(
+            spark.createDataFrame([(10 * b, f"p{b}", DAYS[b % 2])], SCHEMA), b
+        )
+    path = t.path.rstrip("/")
+    live = t._live_data_files()
+    consumed = sorted(
+        (leaf + "/" if leaf else "") + f.rsplit("/", 1)[-1]
+        for leaf, fl in live.items()
+        for f in fl
+    )
+    # stage the rewrite of the CURRENT snapshot
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".compacting")
+    # racer batch 3 commits while staging "runs"
+    t.append_batch(spark.createDataFrame([(30, "p3", DAYS[2])], SCHEMA), 3)
+    with open(path + ".compact_floor.json", "w") as f:
+        json.dump({"floor": 2, "consumed": consumed}, f)
+    os.rename(path, path + ".precompact")
+    os.rename(path + ".compacting", path)
+    # crash point 3; recovery owes marker salvage AND the racer's files
+    t.recover()
+    assert t.committed_batches() == [1, 2, 3]
+    assert sorted(r["k"] for r in t.read().collect()) == [10, 20, 30]
+    assert t._history_floor_info() == (2, True)  # token floor, not "now"
+    assert t.read_as_of(3).count() == 3  # racer stays exactly readable
+    assert not os.path.exists(path + ".precompact")
+
+
+def test_leaf_overwrite_salvages_committed_racer_not_partials(spark, tmp_path):
+    """The per-leaf swap's consumed fence: a racer batch committed into
+    the leaf after staging is salvaged back; an uncommitted partial in
+    the same leaf is NOT (its replay republishes it)."""
+    import shutil
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(spark.createDataFrame([(1, "a", DAYS[0])], SCHEMA), 1)
+    path = t.path.rstrip("/")
+    leaf = f"day={DAYS[0]}"
+    consumed = [
+        f.rsplit("/", 1)[-1] for f in t._live_data_files()[leaf]
+    ]
+    # staged rewrite of the consumed file
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".overwriting")
+    # racer batch 2 commits into the SAME leaf post-staging
+    t.append_batch(spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), 2)
+    # plus an uncommitted b9- partial
+    src = glob.glob(os.path.join(path, leaf, "b1-*.parquet"))[0]
+    shutil.copyfile(
+        src, os.path.join(path, leaf, "b9-" + os.path.basename(src).split("-", 1)[1])
+    )
+    with open(path + ".overwrite_pending.json", "w") as f:
+        json.dump(
+            {
+                "leaves": [{"leaf": leaf, "action": "swap", "consumed": consumed}],
+                "row_preserving": True,
+                "floor": 1,
+            },
+            f,
+        )
+    t.recover()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]  # racer survives
+    assert glob.glob(os.path.join(path, leaf, "b9-*")) == []  # partial does not
+    assert t._history_floor_info() == (1, True)
+    assert t.read_as_of(2).count() == 2
+
+
+def test_restore_refuses_on_unreadable_marker_metrics(spark, tmp_path):
+    """A damaged (empty/torn) commit marker must count as 'wrote rows'
+    in the collapsed-history checks — restore/change_feed refuse loudly
+    instead of being defeated exactly when the marker is damaged."""
+    from incremental_dagster_delta_spark.tableio import change_feed
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(spark.createDataFrame([(1, "a", DAYS[0])], SCHEMA), 0)
+    t.append_batch(spark.createDataFrame([(2, "b", DAYS[1])], SCHEMA), 1)
+    # batch 1's marker is torn AND its files are gone (history collapsed)
+    open(os.path.join(t.path, "_commits", "1"), "w").close()
+    for f in glob.glob(os.path.join(t.path, "day=*", "b1-*.parquet")):
+        os.remove(f)
+    with pytest.raises(ValueError, match="collapsed|wrote rows"):
+        t.restore(0)
+    with pytest.raises(ValueError, match="collapsed"):
+        change_feed(t, None, 0, 1).collect()
