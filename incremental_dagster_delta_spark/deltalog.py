@@ -110,32 +110,13 @@ def _decode_path(p: str) -> str:
 
 def _live_files(table: PartitionedTable) -> dict[str, dict]:
     """rel-path → {size, modificationTime, partitionValues} for every
-    live data file: anything not under a hidden segment, EXCLUDING
-    ``b{id}-`` files whose batch has no commit marker (a crashed
-    writer's partial publish — the same set vacuum() reclaims).
-    Rewrites from compact()/overwrite_partitions() carry no batch
-    prefix and are always live, so the exported snapshot stays faithful
-    to ``read()`` across maintenance."""
-    jvm = table.spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    root = Path(table.path)
-    fs = root.getFileSystem(table.spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return {}
-    committed = set(table.committed_batches())
+    live data file. The LIVENESS filter (hidden-segment skip, committed
+    ``b{id}-`` prefixes only, uncommitted partials excluded) is
+    ``PartitionedTable._live_file_statuses`` — one implementation shared
+    with every maintenance rewrite, so the exported snapshot can never
+    diverge from ``read()`` on what counts as table state (r14)."""
     out: dict[str, dict] = {}
-    it = fs.listFiles(root, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        if _hidden_rel(root, p):
-            continue
-        if name.startswith("b") and "-" in name:
-            bid = name[1 : name.index("-")]
-            if bid.isdigit() and int(bid) not in committed:
-                continue  # uncommitted partial publish — not table state
-        rel = posixpath.relpath(p.toUri().getPath(), root.toUri().getPath())
+    for rel, st in table._live_file_statuses():
         pvals: dict[str, str | None] = {}
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
@@ -167,7 +148,14 @@ def _stats_json_value(v, *, round_up: bool = False):
     scalars pass through. Anything else → ``_UNSERIALIZABLE`` and the
     column is dropped from the maps (per-spec "no stats" is always a
     safe answer; a crashing ``json.dumps`` is not)."""
-    if v is None or isinstance(v, (bool, int, float, str)):
+    if isinstance(v, float):
+        import math
+
+        # json.dumps would emit Infinity/NaN — not legal JSON, and a
+        # strict foreign parser dies on the whole add action (r14
+        # review pass 5); NaN bounds are also unusable for skipping
+        return v if math.isfinite(v) else _UNSERIALIZABLE
+    if v is None or isinstance(v, (bool, int, str)):
         return v
     if isinstance(v, datetime.datetime):  # before date — datetime IS a date
         if v.tzinfo is not None:  # pyarrow: isAdjustedToUTC timestamps
@@ -233,6 +221,7 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
         maxs: dict[str, object] = {}
         nulls: dict[str, int] = {}
         dropped: set[str] = set()
+        null_dropped: set[str] = set()
         for rg in range(meta.num_row_groups):
             for ci in range(meta.num_columns):
                 col = meta.row_group(rg).column(ci)
@@ -274,7 +263,15 @@ def _file_stats(table_path: str, rel: str) -> dict | None:
                         continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-                nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+                # null_count is OPTIONAL in parquet stats: fabricating 0
+                # would let an IS NULL reader skip a file that holds
+                # nulls (r14 review pass 5) — drop the column from the
+                # map instead ("no stats" is always safe)
+                if st.has_null_count and name not in null_dropped:
+                    nulls[name] = nulls.get(name, 0) + int(st.null_count)
+                else:
+                    null_dropped.add(name)
+                    nulls.pop(name, None)
         for name in list(mins):
             lo = _stats_json_value(mins[name])
             hi = _stats_json_value(maxs[name], round_up=True)
@@ -460,12 +457,29 @@ def _replay(
         start = 0
     versions = _existing_versions(log_dir)
     if version is not None:
-        reachable = ([cp["version"]] if cp else []) + versions
-        if version not in reachable:
-            raise ValueError(
-                f"version {version} not reachable under {log_dir}: "
-                f"checkpoint={cp['version'] if cp else None}, segments={versions}"
-            )
+        # the pinned snapshot needs the FULL chain from its base (the
+        # checkpoint at/below it, else version 0) — a crashed cleanup
+        # that deleted an arbitrary subset of segments must raise, not
+        # replay the survivors into a silently partial state (r14
+        # review pass 5)
+        if not (cp is not None and cp["version"] == version):
+            base = cp["version"] + 1 if (cp is not None and cp["version"] <= version) else 0
+            have = set(versions)
+            missing = [x for x in range(base, version + 1) if x not in have]
+            if missing:
+                raise ValueError(
+                    f"version {version} not reachable under {log_dir}: "
+                    f"missing segments {missing} "
+                    f"(checkpoint={cp['version'] if cp else None}, segments={versions})"
+                )
+    elif cp is None and versions and versions[0] != 0:
+        raise ValueError(
+            f"log under {log_dir} starts at segment {versions[0]} with no "
+            "readable checkpoint — the _last_checkpoint pointer (or the "
+            "checkpoint it names) is gone while cleanup already deleted "
+            "the earlier segments; replaying the survivors would serve a "
+            "silently partial snapshot"
+        )
     for v in versions:
         if v < start:
             continue
@@ -519,7 +533,10 @@ def files_in_range(
         files = replay_file_set(log_dir, version)
     kept: dict[str, dict] = {}
     for rel, add in files.items():
-        stats = json.loads(add["stats"]) if "stats" in add else {}
+        # foreign writers with stats collection off emit "stats": null
+        # rather than omitting the key — treat both as "no stats" (keep
+        # the file), never TypeError (r14 review pass 5)
+        stats = json.loads(add["stats"]) if add.get("stats") else {}
         mn = stats.get("minValues", {}).get(column)
         mx = stats.get("maxValues", {}).get(column)
         if mn is not None and mx is not None:
@@ -615,13 +632,33 @@ def read_delta_log(
     round-trip tests; a foreign reader does the same replay from the
     same bytes."""
     log_dir = _log_dir(table)
+    state, _proto, meta, _tomb = _replay(log_dir, version)
     if column_range is not None:
         col, lo, hi = column_range
-        files = files_in_range(log_dir, col, lo, hi, version)
+        files = files_in_range(log_dir, col, lo, hi, version, files=state)
     else:
-        files = replay_file_set(log_dir, version)
+        files = state
     if not files:
-        raise ValueError(f"no exported snapshot under {log_dir}")
+        # distinguish "no exported snapshot at all" from a legitimately
+        # EMPTY selection (stats pruning removed every file, or the
+        # snapshot's live set is empty after removes) — the latter is a
+        # valid empty DataFrame typed from metaData.schemaString, not an
+        # error (r14 review pass 5)
+        if not _existing_versions(log_dir) and _last_checkpoint_info(log_dir) is None:
+            raise ValueError(f"no exported snapshot under {log_dir}")
+        if meta is None or not meta.get("schemaString"):
+            raise ValueError(
+                f"empty selection under {log_dir} and no metaData schema to type it"
+            )
+        from pyspark.sql.types import StructType
+
+        df = table.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(meta["schemaString"]))
+        )
+        if column_range is not None:
+            col, lo, hi = column_range
+            df = df.where((df[col] >= lo) & (df[col] <= hi))
+        return df
     from incremental_dagster_delta_spark.tableio import _string_partitions
 
     with _string_partitions(table.spark):
@@ -670,8 +707,13 @@ class DeltaLogExporter:
 
     # -- actions ---------------------------------------------------------------
 
-    def _meta_action(self) -> dict:
-        schema_json = self.table.read().schema.json()
+    def _meta_action(self, created: int | None = None) -> dict:
+        """``created`` carries the ORIGINAL createdTime forward when a
+        schema change re-emits metaData (the spec field is table
+        creation time, not schema-change time). ``merge_schema=True``:
+        without it Spark infers from an ARBITRARY footer, so an evolved
+        table's exported schema would depend on listing order."""
+        schema_json = self.table.read(merge_schema=True).schema.json()
         return {
             "metaData": {
                 "id": str(uuid.uuid5(_TABLE_ID_NS, self.table.path)),
@@ -679,7 +721,7 @@ class DeltaLogExporter:
                 "schemaString": schema_json,
                 "partitionColumns": list(self.table.partition_cols),
                 "configuration": {},
-                "createdTime": int(time.time() * 1000),
+                "createdTime": int(created if created is not None else time.time() * 1000),
             }
         }
 
@@ -722,7 +764,7 @@ class DeltaLogExporter:
                 "allow_soft_deletes=True to export the raw base table."
             )
         live = _live_files(self.table)
-        seen = replay_file_set(self.log_dir)
+        seen, _seen_proto, seen_meta, _seen_tomb = _replay(self.log_dir)
         added = sorted(set(live) - set(seen))
         removed = sorted(set(seen) - set(live))
         versions = _existing_versions(self.log_dir)
@@ -731,7 +773,21 @@ class DeltaLogExporter:
         # so "latest version" must consider both (else a fresh export
         # would re-issue version 0 below an existing checkpoint)
         last = max(versions[-1] if versions else -1, cp["version"] if cp else -1)
-        if last >= 0 and not added and not removed:
+        # schema evolution: a foreign reader takes metaData.schemaString
+        # as THE table schema, so a widened table must re-emit metaData
+        # or new columns silently vanish from its reads (r14 review
+        # pass 5). A parquet schema can only change when the FILE SET
+        # changes, so the merged-schema read (every footer) is paid only
+        # on exports that already ship file actions — never on no-ops.
+        meta_changed = (
+            bool(added or removed)
+            and last >= 0
+            and bool(live)
+            and seen_meta is not None
+            and self.table.read(merge_schema=True).schema.json()
+            != seen_meta.get("schemaString")
+        )
+        if last >= 0 and not added and not removed and not meta_changed:
             return -1
         if not live and last < 0:
             return -1  # nothing committed yet: no snapshot to describe
@@ -753,6 +809,8 @@ class DeltaLogExporter:
         if v == 0:
             lines.append(PROTOCOL_ACTION)
             lines.append(self._meta_action())
+        elif meta_changed:
+            lines.append(self._meta_action(created=seen_meta.get("createdTime")))
         for rel in removed:
             lines.append(
                 {
@@ -820,10 +878,16 @@ class DeltaLogExporter:
         # carry them so a foreign vacuum doesn't delete files a reader of
         # an older version may still need); expired ones are dropped —
         # that expiry is exactly delta.deletedFileRetentionDuration
-        cutoff = int(time.time() * 1000) - self.tombstone_retention_ms
+        now_ms = int(time.time() * 1000)
+        cutoff = now_ms - self.tombstone_retention_ms
         for rel in sorted(tombstones):
             r = tombstones[rel]
-            ts = int(r.get("deletionTimestamp") or 0)
+            # deletionTimestamp is OPTIONAL per spec: a foreign remove
+            # without one must be RETAINED (stamped now), not treated as
+            # epoch-0 and expired out of the coordination window (r14
+            # review pass 5)
+            ts = r.get("deletionTimestamp")
+            ts = int(ts) if ts is not None else now_ms
             if ts >= cutoff:
                 rows.append(
                     {

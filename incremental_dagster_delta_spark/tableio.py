@@ -1805,26 +1805,28 @@ class PartitionedTable:
         front of every maintenance pass."""
         return [dict(t) for t in sorted(t for t, _ in self._leaf_scopes_counts().values())]
 
-    def _live_data_files(self) -> dict[str, list[str]]:
-        """{raw leaf dir ('' for unpartitioned): [absolute file paths]}
-        of LIVE data files only: unprefixed files plus ``b{id}-`` files
-        whose batch committed. Uncommitted partial publishes (a crashed
-        writer's pre-marker window) are EXCLUDED — a maintenance rewrite
-        that read them would bake them into unprefixed files, so the
-        batch's later replay duplicates its rows forever and vacuum's
-        orphan sweep can no longer reclaim them."""
+    def _live_file_statuses(self) -> list[tuple[str, object]]:
+        """(root-relative path, Hadoop FileStatus) of every LIVE data
+        file — THE single liveness filter (unprefixed files plus
+        ``b{id}-`` files whose batch committed; uncommitted partial
+        publishes excluded). Shared by :meth:`_live_data_files` and the
+        Delta-log exporter's file inventory, so liveness semantics can
+        never diverge between read() maintenance and the exported
+        snapshot (r14 review pass 5 — two hand-rolled copies of this
+        filter had already needed coordinated fixes once)."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         root = Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if not fs.exists(root):
-            return {}
+            return []
         committed = set(self.committed_batches())
         root_path = root.toUri().getPath()
-        out: dict[str, list[str]] = {}
+        out: list[tuple[str, object]] = []
         it = fs.listFiles(root, True)
         while it.hasNext():
-            p = it.next().getPath()
+            st = it.next()
+            p = st.getPath()
             name = p.getName()
             if _hidden_rel(root, p):
                 continue
@@ -1832,9 +1834,20 @@ class PartitionedTable:
                 bid = name[1 : name.index("-")]
                 if bid.isdigit() and int(bid) not in committed:
                     continue
-            rel = posixpath.relpath(p.toUri().getPath(), root_path)
+            out.append((posixpath.relpath(p.toUri().getPath(), root_path), st))
+        return out
+
+    def _live_data_files(self) -> dict[str, list[str]]:
+        """{raw leaf dir ('' for unpartitioned): [absolute file paths]}
+        of LIVE data files only — see :meth:`_live_file_statuses` for
+        the filter. A maintenance rewrite that read uncommitted partials
+        would bake them into unprefixed files, so the batch's later
+        replay duplicates its rows forever and vacuum's orphan sweep can
+        no longer reclaim them."""
+        out: dict[str, list[str]] = {}
+        for rel, st in self._live_file_statuses():
             leaf = "/".join(rel.split("/")[:-1])
-            out.setdefault(leaf, []).append(p.toString())
+            out.setdefault(leaf, []).append(st.getPath().toString())
         return out
 
     def _leaf_scopes_counts(

@@ -1082,3 +1082,160 @@ def test_replay_retires_tombstone_on_readd(spark, tmp_path):
         fh.write(json.dumps({"add": a0}) + "\n")
     _s2, _p2, _m2, tomb2 = _replay(ex.log_dir)
     assert rel in _s2 and rel not in tomb2
+
+
+def test_nonfinite_float_stats_stay_valid_json(spark, tmp_path):
+    """inf/NaN footer stats must not reach json.dumps (it emits
+    Infinity — not legal JSON, and a strict foreign parser dies on the
+    whole add action): the column drops from the maps instead."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, float("inf"), "2024-01-01"), (2, 3.5, "2024-01-01")],
+            "k long, x double, day string",
+        ),
+        0,
+    )
+    assert DeltaLogExporter(t).export() == 0
+    raw = open(
+        os.path.join(str(tmp_path / "t"), "_delta_log", f"{0:020d}.json")
+    ).read()
+    assert "Infinity" not in raw  # the invalid-JSON token never serializes
+    dropped_x = 0
+    for ln in _log_lines(tmp_path / "t", 0):
+        if "add" not in ln:
+            continue
+        stats = json.loads(ln["add"]["stats"])  # must parse as strict JSON
+        assert "k" in stats.get("minValues", {})  # finite columns keep stats
+        if "x" not in stats.get("minValues", {}):
+            dropped_x += 1
+        else:
+            assert stats["maxValues"]["x"] == 3.5
+    assert dropped_x >= 1  # the file holding inf dropped the column
+
+
+def test_schema_evolution_reemits_metadata(spark, tmp_path):
+    """A widened table must re-emit metaData (foreign readers take
+    schemaString as THE schema — stale metadata silently drops the new
+    column), preserving the original createdTime."""
+    from incremental_dagster_delta_spark.deltalog import _replay
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame([(1, "a", "2024-01-01")], SCHEMA), 0
+    )
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    _s0, _p0, meta0, _t0 = _replay(ex.log_dir)
+    assert "extra" not in meta0["schemaString"]
+    t.append_batch(
+        spark.createDataFrame(
+            [(2, "b", 7, "2024-01-02")], "k long, payload string, extra long, day string"
+        ),
+        1,
+    )
+    v = ex.export()
+    assert v == 1
+    _s1, _p1, meta1, _t1 = _replay(ex.log_dir)
+    assert "extra" in meta1["schemaString"]
+    assert meta1["createdTime"] == meta0["createdTime"]  # creation time sticks
+    assert meta1["id"] == meta0["id"]
+    # schema-stable exports stay no-ops
+    assert ex.export() == -1
+
+
+def test_read_delta_log_empty_selection_returns_empty_frame(spark, tmp_path):
+    """Stats pruning that eliminates every file — or a snapshot whose
+    live set is empty after removes — is a valid EMPTY result typed from
+    metaData.schemaString, not a 'no exported snapshot' error."""
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    pruned = read_delta_log(t, column_range=("k", 5000, 6000))
+    assert pruned.count() == 0
+    assert set(pruned.columns) == {"k", "payload", "day"}
+    # remove-only final version: empty snapshot still served
+    t.delete_partitions(day="2024-01-01")
+    t.delete_partitions(day="2024-01-02")
+    assert ex.export(operation="DELETE") == 1
+    empty = read_delta_log(t)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "payload", "day"}
+    # an actually-absent log still refuses
+    t2 = _mk(spark, tmp_path / "t2")
+    import pytest
+
+    with pytest.raises(ValueError, match="no exported snapshot"):
+        read_delta_log(t2)
+
+
+def test_replay_refuses_noncontiguous_segment_chain(spark, tmp_path):
+    """A crashed cleanup that deleted an arbitrary subset of segments
+    must raise — replaying the survivors from 0 would serve a silently
+    partial snapshot; with an intact checkpoint at/below the pin the
+    replay still works."""
+    import pytest
+
+    from incremental_dagster_delta_spark.deltalog import _replay
+
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    for b, day in ((1, "2024-02-01"), (2, "2024-02-02"), (3, "2024-02-03")):
+        t.append_batch(
+            spark.createDataFrame([(100 + b, f"p{b}", day)], SCHEMA), b
+        )
+        assert ex.export() == b
+    os.remove(os.path.join(ex.log_dir, f"{0:020d}.json"))
+    os.remove(os.path.join(ex.log_dir, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="missing segments"):
+        _replay(ex.log_dir, version=3)
+    with pytest.raises(ValueError, match="no readable checkpoint"):
+        _replay(ex.log_dir)
+
+
+def test_foreign_null_stats_and_timestampless_tombstones(spark, tmp_path):
+    """Foreign-writer shapes: an add action with "stats": null must not
+    break data skipping (keep the file), and a remove without
+    deletionTimestamp is RETAINED in checkpoints (stamped now), never
+    expired as epoch 0."""
+    from incremental_dagster_delta_spark.deltalog import (
+        _read_checkpoint,
+        files_in_range,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    now = 1700000000000
+    with open(os.path.join(ex.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": now, "operation": "WRITE"}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "day=2024-09-01/foreign.parquet",
+                        "partitionValues": {"day": "2024-09-01"},
+                        "size": 10,
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": None,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {"remove": {"path": "day=2024-09-01/old.parquet", "dataChange": True}}
+            )
+            + "\n"
+        )
+    kept = files_in_range(ex.log_dir, "k", 0, 1)
+    assert "day=2024-09-01/foreign.parquet" in kept  # null stats: keep
+    cp_v = ex.write_checkpoint()
+    _s, _p, _m, tomb = _read_checkpoint(
+        os.path.join(ex.log_dir, f"{cp_v:020d}.checkpoint.parquet")
+    )
+    assert "day=2024-09-01/old.parquet" in tomb  # retained, not expired
+    assert tomb["day=2024-09-01/old.parquet"]["deletionTimestamp"] > 0
