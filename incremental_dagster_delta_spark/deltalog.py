@@ -365,6 +365,13 @@ def _checkpoint_schema():
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # spec optional fields (PROTOCOL.md "Remove File"):
+                        # present when extendedFileMetadata is true — a
+                        # spec-complete foreign vacuum expects them
+                        # (VERDICT r14 #6)
+                        ("extendedFileMetadata", pa.bool_()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
                     ]
                 ),
             ),
@@ -431,6 +438,14 @@ def _read_checkpoint(
             state[_decode_path(a["path"])] = a
         if row.get("remove") is not None:
             r = dict(row["remove"])
+            # normalize the extended-metadata fields: pyarrow maps read
+            # back as pair lists, and pre-r15 checkpoints (no extended
+            # columns) yield Nones that must not masquerade as values
+            if r.get("partitionValues") is not None:
+                r["partitionValues"] = dict(r["partitionValues"])
+            for k in ("extendedFileMetadata", "partitionValues", "size"):
+                if r.get(k) is None:
+                    r.pop(k, None)
             tombstones[_decode_path(r["path"])] = r
     return state, protocol, metadata, tombstones
 
@@ -812,12 +827,21 @@ class DeltaLogExporter:
         elif meta_changed:
             lines.append(self._meta_action(created=seen_meta.get("createdTime")))
         for rel in removed:
+            # extendedFileMetadata per spec: partitionValues + size travel
+            # with the tombstone (both known — the replayed add action
+            # carried them), so a spec-complete foreign vacuum/writer can
+            # coordinate on the remove without resolving the old add
+            # (VERDICT r14 #6)
+            prior = seen[rel]
             lines.append(
                 {
                     "remove": {
                         "path": _encode_path(rel),
                         "deletionTimestamp": now,
                         "dataChange": True,
+                        "extendedFileMetadata": True,
+                        "partitionValues": prior.get("partitionValues", {}),
+                        "size": prior["size"],
                     }
                 }
             )
@@ -889,12 +913,22 @@ class DeltaLogExporter:
             ts = r.get("deletionTimestamp")
             ts = int(ts) if ts is not None else now_ms
             if ts >= cutoff:
+                # extended metadata propagates when the tombstone carried
+                # it; a foreign remove without it stays minimal
+                # (extendedFileMetadata=false per spec) rather than
+                # fabricating partitionValues/size (VERDICT r14 #6)
+                ext = bool(r.get("extendedFileMetadata")) and "size" in r
                 rows.append(
                     {
                         "remove": {
                             "path": r["path"],
                             "deletionTimestamp": ts,
                             "dataChange": False,
+                            "extendedFileMetadata": ext,
+                            "partitionValues": (
+                                r.get("partitionValues", {}) if ext else None
+                            ),
+                            "size": r.get("size") if ext else None,
                         }
                     }
                 )

@@ -271,17 +271,20 @@ _DIST_SQL = (
 )
 
 
-def _km_oracle(rounds: int = KM_ROUNDS) -> str:
+def _km_oracle(rounds: int = KM_ROUNDS, where: str = "") -> str:
     """Chained-CTE DuckDB oracle: quantize → stride init → per round
     (argmin assign with id tiebreak → per-dim mean → grid re-snap with
     empty-cluster carry) → final assignment stats. Generated
-    programmatically — the SQL is the same 2-CTE block × T."""
+    programmatically — the SQL is the same 2-CTE block × T. ``where``
+    optionally restricts the TRAINING set (e.g. the corpus half of an
+    incremental split) — the init stride then samples within it, exactly
+    like ``_train`` over a filtered DataFrame."""
     parts = [
         f"""WITH e AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)) AS xq
-      FROM embeddings
+      FROM embeddings {where}
     ), c0 AS (
       SELECT vec_id AS cid, xq AS cq FROM e WHERE vec_id % {KM_STRIDE} = 0
     )"""

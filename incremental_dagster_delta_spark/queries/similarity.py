@@ -334,12 +334,14 @@ _BITEXT_ORACLE = f"""
     ),
     m AS (
       SELECT sc.query_id, sc.neighbor_id, sc.cosine, sc.rank,
-             (2 * sc.icos * d.k * 10000 + d.s) // (2 * d.s) AS m4
+             CASE WHEN d.s <> 0
+                  THEN (2 * sc.icos * d.k * 10000 + d.s) // (2 * d.s)
+             END AS m4
       FROM scaled sc JOIN denom d USING (query_id)
     )
     SELECT query_id, neighbor_id, cosine, rank,
            CAST(m4 AS DOUBLE) / 10000 AS margin,
-           m4 >= {_MARGIN_T4} AS mined
+           COALESCE(m4 >= {_MARGIN_T4}, FALSE) AS mined
     FROM m
     """
 
@@ -366,7 +368,10 @@ def q_bitext_mine(spark, sf_dir):
     top-k shortlist gives by construction only matters for the ROUNDING
     label — on a negative numerator the formula degrades from
     round-half-up to round-half-toward-zero, identically in both
-    engines.
+    engines. s == 0 (a degenerate shortlist whose rounded cosines sum
+    to exactly zero) is guarded EXPLICITLY rather than left to the
+    engines' division-by-zero conventions (a real seam — r14 ADVICE
+    #3): both plans emit margin NULL and mined FALSE on that branch.
 
     Scale shape: everything downstream of ivf_topk operates on |Q|·k
     rows — one tiny query-partitioned window, no corpus contact. The
@@ -383,8 +388,16 @@ def q_bitext_mine(spark, sf_dir):
         .withColumn("_k", F.count(F.lit(1)).over(w))
         .withColumn("_s", F.sum("icos").over(w))
         # Spark's DIV and DuckDB's // both truncate toward zero — the
-        # m4 arithmetic is engine-identical for ANY sign (see docstring)
-        .withColumn("_m4", F.expr("(2 * icos * _k * 10000 + _s) DIV (2 * _s)"))
+        # m4 arithmetic is engine-identical for ANY sign (see docstring).
+        # _s == 0 takes an explicit NULL branch in BOTH plans instead of
+        # relying on either engine's division-by-zero convention.
+        .withColumn(
+            "_m4",
+            F.when(
+                F.col("_s") != 0,
+                F.expr("(2 * icos * _k * 10000 + _s) DIV (2 * _s)"),
+            ),
+        )
     )
     return scaled.select(
         "query_id",
@@ -392,7 +405,7 @@ def q_bitext_mine(spark, sf_dir):
         "cosine",
         "rank",
         (F.col("_m4") / F.lit(10000)).cast("double").alias("margin"),
-        (F.col("_m4") >= F.lit(_MARGIN_T4)).alias("mined"),
+        F.coalesce(F.col("_m4") >= F.lit(_MARGIN_T4), F.lit(False)).alias("mined"),
     )
 
 

@@ -54,6 +54,21 @@ transactions:
   and fences are re-checked, not CAS'd (a real Delta log closes that
   window with an optimistic-CAS commit); every straightforwardly raced
   execution publishes the batch exactly once, never silently doubles.
+- **append racing a MAINTENANCE rewrite (compact / purge / overwrite)**:
+  best-effort salvage, not a full guarantee. Row-preserving rewrites and
+  purge record the file names they READ (the ``consumed`` fence); at
+  completion, any other data file found in the swapped-out tree whose
+  batch is committed is salvaged back into the live tree, and the
+  committed set is RE-READ immediately before the shadow is deleted so a
+  marker landing mid-salvage is caught (r14 ADVICE #4). Drop plans
+  raised by purge fence on the consumed list too, so a racer's files
+  never match the fence. The residual window is true concurrency at the
+  filesystem level: a publish whose files land in the old tree after the
+  final committed-set re-read and before the shadow deletion (or whose
+  rename is literally in flight during the swap) can still lose files.
+  Closing that needs an atomic log commit (Delta's optimistic CAS);
+  under this layout, quiesce writers around maintenance when strict
+  loss-freedom is required.
 """
 
 from __future__ import annotations
@@ -286,6 +301,7 @@ class PartitionedTable:
         _validate: bool = True,
         _row_preserving: bool = False,
         _dv_purge: bool = False,
+        _purge_through: int | None = None,
         _consumed: dict | None = None,
         **scope: str,
     ) -> bool:
@@ -385,14 +401,26 @@ class PartitionedTable:
                     )
                 }
                 if parts and all(parts.get(k) == str(v) for k, v in scope.items()):
-                    # FENCE the drop with the exact file names present
-                    # now: a marker surviving past completion (crash
-                    # before its deletion) must not re-drop data a later
-                    # append committed into a recreated leaf
-                    leaf_path = Path(posixpath.join(self.path, leaf))
-                    names = [
-                        st.getPath().getName() for st in fs.listStatus(leaf_path)
-                    ]
+                    if _consumed is not None and leaf in _consumed:
+                        # FENCE the drop with the files the rewrite
+                        # actually READ (r14 ADVICE): a plan-time
+                        # directory listing would also fence a racer
+                        # batch that committed into the leaf between the
+                        # rewrite's live-file read and this listStatus,
+                        # deleting its rows permanently with no salvage —
+                        # the exact race the swap path's consumed set
+                        # closes. Files outside the consumed set survive
+                        # the drop.
+                        names = list(_consumed[leaf])
+                    else:
+                        # FENCE the drop with the exact file names present
+                        # now: a marker surviving past completion (crash
+                        # before its deletion) must not re-drop data a
+                        # later append committed into a recreated leaf
+                        leaf_path = Path(posixpath.join(self.path, leaf))
+                        names = [
+                            st.getPath().getName() for st in fs.listStatus(leaf_path)
+                        ]
                     plan.append({"leaf": leaf, "action": "drop", "files": names})
         if not plan:
             return False
@@ -414,6 +442,19 @@ class PartitionedTable:
                         # at/below the purge watermark (lets change_feed
                         # order later delete versions against it)
                         "purge": bool(_dv_purge),
+                        # the DV version this purge bakes THROUGH,
+                        # recorded at plan time: if the purge crashes
+                        # after its rewrites but before _advance_watermark
+                        # the watermark goes stale, and change_feed must
+                        # still refuse delete versions <= this value —
+                        # their keys are already out of the files, so the
+                        # reconstruction join would silently emit zero
+                        # delete rows (r14 ADVICE #1)
+                        **(
+                            {"purge_through": int(_purge_through)}
+                            if _dv_purge and _purge_through is not None
+                            else {}
+                        ),
                         # floor watermark RECORDED AT PLAN TIME: a crash
                         # replay must advance the floor to the history
                         # this rewrite actually collapsed, not to
@@ -511,14 +552,34 @@ class PartitionedTable:
                     # the rename and the salvage replays to completion.
                     _salvage_hidden_root_entries(fs, Path, pre.toString(), self.path)
                 if "consumed" in entry and fs.exists(pre):
+                    committed_now = set(self.committed_batches())
                     _salvage_unconsumed_data_files(
                         fs,
                         Path,
                         pre.toString(),
                         final.toString(),
                         entry["consumed"],
-                        set(self.committed_batches()),
+                        committed_now,
                     )
+                    # Re-read the committed set immediately before the
+                    # shadow deletion below: a racer that published its
+                    # b{id}- files into the old root before the swap but
+                    # wrote its commit marker after the first read would
+                    # otherwise lose its files with the shadow (r14
+                    # ADVICE #4). The salvage is rename-if-absent, so the
+                    # re-run is idempotent. A marker landing after THIS
+                    # re-read is outside the contract (see the
+                    # maintenance row of the module guarantee matrix).
+                    committed_recheck = set(self.committed_batches())
+                    if committed_recheck - committed_now:
+                        _salvage_unconsumed_data_files(
+                            fs,
+                            Path,
+                            pre.toString(),
+                            final.toString(),
+                            entry["consumed"],
+                            committed_recheck,
+                        )
             elif fs.exists(final):  # drop
                 fenced = entry.get("files")
                 if fenced is None:
@@ -549,6 +610,7 @@ class PartitionedTable:
             exact=row_preserving,
             floor_value=marker_doc.get("floor"),
             purge=bool(marker_doc.get("purge", False)),
+            purge_through=marker_doc.get("purge_through"),
         )
         fs.delete(marker, False)
 
@@ -1517,7 +1579,7 @@ class PartitionedTable:
     def _history_floor_path(self) -> str:
         return posixpath.join(self.path, "_history_floor.json")
 
-    def _history_floor_full(self) -> tuple[int, bool, bool]:
+    def _history_floor_full(self) -> tuple[int, bool, bool, int | None]:
         """(floor, exact_at_floor). ``exact_at_floor`` is False when the
         floor was last advanced by a row-CHANGING rewrite (overwrite /
         purge): the at-floor snapshot then reflects post-rewrite state,
@@ -1535,34 +1597,59 @@ class PartitionedTable:
         order later delete versions against the rewrite. A user refresh
         (or a legacy floor doc without the flag) removes arbitrary rows
         with no ordering record → False (r14 review pass 4). Exact
-        (row-preserving) claims are vacuously purge-compatible."""
+        (row-preserving) claims are vacuously purge-compatible.
+
+        The fourth element, ``purge_through``, is the highest DV version
+        the floor's purge BAKED into the files, recorded at purge plan
+        time in the overwrite marker (r15, r14 ADVICE #1): if the purge
+        crashed before ``_advance_watermark`` the DV watermark goes
+        stale, and ``change_feed`` must refuse delete versions at or
+        below this value even though they pass the watermark check —
+        their keys are already out of the files, so reconstruction would
+        silently emit zero delete rows. ``None`` on legacy docs / non-
+        purge claims. Ties at the same floor keep the HIGHEST through
+        (the most conservative: more versions refuse loudly)."""
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         best, best_exact, best_purge = -1, True, True
+        best_through: int | None = None
         for doc in _sidecar_entries(fs, Path, self._history_floor_path()):
             try:
                 floor = int(doc["floor"])
                 exact = bool(doc.get("exact", True))
                 purge = exact or bool(doc.get("purge", False))
+                through = doc.get("purge_through")
+                through = int(through) if through is not None else None
             except Exception:
                 continue
             if floor > best:
                 best, best_exact, best_purge = floor, exact, purge
+                best_through = through
             elif floor == best:
                 best_exact = best_exact and exact
                 best_purge = best_purge and purge
-        return best, best_exact, best_purge
+                if through is not None:
+                    best_through = (
+                        through
+                        if best_through is None
+                        else max(best_through, through)
+                    )
+        return best, best_exact, best_purge, best_through
 
     def _history_floor_info(self) -> tuple[int, bool]:
-        f, e, _p = self._history_floor_full()
+        f, e, *_rest = self._history_floor_full()
         return f, e
 
     def _history_floor(self) -> int:
         return self._history_floor_full()[0]
 
     def _advance_history_floor(
-        self, exact: bool, floor_value: int | None = None, purge: bool = False
+        self,
+        exact: bool,
+        floor_value: int | None = None,
+        purge: bool = False,
+        purge_through: int | None = None,
     ) -> None:
         """Advance the floor. ``floor_value`` is the watermark RECORDED
         AT REWRITE TIME (in the overwrite marker / the compact floor
@@ -1578,7 +1665,12 @@ class PartitionedTable:
 
         ``purge``: the row-changing rewrite was DV-purge coordinated
         (see :meth:`_history_floor_full`); like exactness it can only
-        WEAKEN at an unchanged floor."""
+        WEAKEN at an unchanged floor.
+
+        ``purge_through``: the highest DV version the purge bakes (from
+        the overwrite marker); at an unchanged floor it only RAISES
+        (higher through ⇒ more delete versions refuse loudly — the
+        conservative direction; r14 ADVICE #1)."""
         if floor_value is None:
             committed = self.committed_batches()
             if not committed:
@@ -1590,24 +1682,34 @@ class PartitionedTable:
                 return
         new_exact = bool(exact)
         new_purge = new_exact or bool(purge)
-        cur, cur_exact, cur_purge = self._history_floor_full()
+        new_through = int(purge_through) if purge_through is not None else None
+        cur, cur_exact, cur_purge, cur_through = self._history_floor_full()
         if floor < cur:
             return
         if floor == cur:
             want_exact = cur_exact and new_exact
             want_purge = cur_purge and new_purge
-            if (want_exact, want_purge) == (cur_exact, cur_purge):
+            want_through = cur_through
+            if new_through is not None:
+                want_through = (
+                    new_through
+                    if cur_through is None
+                    else max(cur_through, new_through)
+                )
+            if (want_exact, want_purge, want_through) == (
+                cur_exact,
+                cur_purge,
+                cur_through,
+            ):
                 return  # nothing weakens: idempotent replay / no-op
-            new_exact, new_purge = want_exact, want_purge
+            new_exact, new_purge, new_through = want_exact, want_purge, want_through
         jvm = self.spark._jvm
         Path = jvm.org.apache.hadoop.fs.Path
         fs = Path(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        _sidecar_replace(
-            fs,
-            Path,
-            self._history_floor_path(),
-            {"floor": int(floor), "exact": new_exact, "purge": new_purge},
-        )
+        doc = {"floor": int(floor), "exact": new_exact, "purge": new_purge}
+        if new_through is not None:
+            doc["purge_through"] = int(new_through)
+        _sidecar_replace(fs, Path, self._history_floor_path(), doc)
 
     def recover(self) -> None:
         """Public entry for crash recovery — call before reads if a
@@ -2263,10 +2365,27 @@ class DeletionVectors:
         mark_deleted commits a 0-row marker (the S7 skip, so its replay
         is suppressed) but leaves no data file — scanning the sidecar
         then would fail on schema inference, so this gate reads marker
-        METADATA only."""
-        return any(
-            m.get("rows", 0) for m in self.sidecar.batch_metrics().values()
-        )
+        METADATA only.
+
+        A marker that parses to ``{}`` (torn/unreadable metrics — a
+        foreign writer's in-place marker write, never this writer's own
+        tmp+rename markers) FAILS LOUD instead of defaulting to "no
+        rows": if it were the only marker, the default would skip the
+        anti-join in :meth:`read` and serve deleted rows — the one
+        failure mode this table class must never have (VERDICT r14 #4).
+        Explicit ``rows: 0`` markers stay on the fast path."""
+        any_rows = False
+        for bid, m in self.sidecar.batch_metrics().items():
+            if "rows" not in m:
+                raise ValueError(
+                    f"deletion-vector batch {bid} at {self.sidecar.path} has "
+                    "an unreadable commit marker — cannot prove the batch "
+                    "wrote no keys, and defaulting to 'no rows' would serve "
+                    "deleted rows. Restore or re-publish the marker."
+                )
+            if m["rows"]:
+                any_rows = True
+        return any_rows
 
     def deleted_keys(self) -> DataFrame:
         """Distinct keys from DV batches newer than the purge watermark —
@@ -2337,6 +2456,7 @@ class DeletionVectors:
                 clean,
                 _validate=False,
                 _dv_purge=True,
+                _purge_through=through,
                 _consumed={leaf: [f.rsplit("/", 1)[-1] for f in files]},
                 **scope,
             )
@@ -2495,25 +2615,56 @@ def change_feed(
         if not prior_base:
             continue  # deleting from an empty table: nothing existed
         prior = max(prior_base)
-        floor_b, floor_exact, floor_purge = table._history_floor_full()
-        if prior == floor_b and not floor_exact and not (floor_purge and applied >= 0):
-            # the at-floor state is post-REWRITE, and the rewrite was NOT
-            # a completed DV purge (a user refresh, or a purge that
-            # crashed before its watermark advanced): nothing records
-            # whether it ran before or after version v, so joining v's
-            # keys against post-rewrite state could silently omit delete
-            # events for rows the rewrite removed (r14 review pass 4 —
-            # the exact silently-partial feed this function refuses).
-            # For a COMPLETED purge the guard above already ensured
-            # v > applied, so the rewrite is known to predate v.
-            raise ValueError(
-                f"change_feed: delete version {v} must be reconstructed "
-                f"from the table state before it committed, but a "
-                f"row-changing rewrite collapsed into batch {floor_b} and "
-                "cannot be ordered against it (only a completed purge "
-                "records that ordering via the watermark). Start the "
-                "window above the rewritten history."
-            )
+        floor_b, floor_exact, floor_purge, floor_through = table._history_floor_full()
+        if prior == floor_b and not floor_exact:
+            # the at-floor state is post-REWRITE: reconstruction joins
+            # v's keys against it, which is only sound if the rewrite is
+            # known to predate v (r14 review pass 4 / r14 ADVICE #1 —
+            # otherwise the feed could silently omit delete events for
+            # rows the rewrite removed).
+            if not floor_purge:
+                # a user refresh removed arbitrary rows with no ordering
+                # record at all
+                raise ValueError(
+                    f"change_feed: delete version {v} must be reconstructed "
+                    f"from the table state before it committed, but a "
+                    f"row-changing rewrite collapsed into batch {floor_b} and "
+                    "cannot be ordered against it (only a purge records "
+                    "that ordering). Start the window above the rewritten "
+                    "history."
+                )
+            if floor_through is not None:
+                # purge-coordinated floor with a plan-time through record:
+                # the rewrite's removals are exactly DV versions <=
+                # floor_through, so v > floor_through orders cleanly even
+                # if the purge crashed before advancing the DV watermark.
+                # v <= floor_through means THIS version's keys are
+                # already baked out of the files while the stale
+                # watermark let it past the v <= applied check above —
+                # the silently-empty reconstruction r14 ADVICE #1 found.
+                if v <= floor_through:
+                    raise ValueError(
+                        f"change_feed: delete version {v} was baked into "
+                        f"the data files by a purge (purge_through="
+                        f"{floor_through}) whose watermark advance did not "
+                        f"complete (applied_through={applied}) — its row "
+                        "content cannot be reconstructed. Run purge() to "
+                        "re-advance the watermark, and start the window "
+                        f"at or above {floor_through}."
+                    )
+            elif applied < 0:
+                # legacy purge floor without a through record: only a
+                # COMPLETED purge (watermark advanced) proves the rewrite
+                # predates v (the v <= applied guard above then covers
+                # the baked versions)
+                raise ValueError(
+                    f"change_feed: delete version {v} must be reconstructed "
+                    f"from the table state before it committed, but a "
+                    f"row-changing rewrite collapsed into batch {floor_b} and "
+                    "cannot be ordered against it (only a completed purge "
+                    "records that ordering via the watermark). Start the "
+                    "window above the rewritten history."
+                )
         # _accept_inexact_floor: the feed needs the table's CONTENT as it
         # stood before version v. The purge's rewrite is known to predate
         # v (v > applied, floor purge-coordinated), so the post-rewrite

@@ -1239,3 +1239,78 @@ def test_foreign_null_stats_and_timestampless_tombstones(spark, tmp_path):
     )
     assert "day=2024-09-01/old.parquet" in tomb  # retained, not expired
     assert tomb["day=2024-09-01/old.parquet"]["deletionTimestamp"] > 0
+
+
+def test_remove_tombstones_carry_extended_file_metadata(spark, tmp_path):
+    """VERDICT r14 #6 / PROTOCOL.md "Remove File": this writer's remove
+    actions carry extendedFileMetadata=true with partitionValues and
+    size (copied from the retired add action) in both the JSON log and
+    the checkpoint; a foreign minimal remove rides through minimal,
+    its fields never fabricated."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from incremental_dagster_delta_spark.deltalog import _read_checkpoint
+
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    adds = {
+        ln["add"]["path"]: ln["add"]
+        for ln in _log_lines(tmp_path / "t", 0)
+        if "add" in ln
+    }
+    t.compact()  # rewrites every file: the next export emits removes
+    assert ex.export() == 1
+    removes = [ln["remove"] for ln in _log_lines(tmp_path / "t", 1) if "remove" in ln]
+    assert removes
+    for r in removes:
+        assert r["extendedFileMetadata"] is True
+        assert r["size"] == adds[r["path"]]["size"]
+        assert r["partitionValues"] == adds[r["path"]]["partitionValues"]
+
+    # a foreign MINIMAL remove (fresh timestamp, no extended fields)
+    now_ms = int(_time.time() * 1000)
+    v2 = os.path.join(ex.log_dir, f"{2:020d}.json")
+    with open(v2, "w") as fh:
+        fh.write(
+            json.dumps({"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}})
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": "day=2024-01-09/foreign.parquet",
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    cp_v = ex.write_checkpoint()
+    cp_path = os.path.join(ex.log_dir, f"{cp_v:020d}.checkpoint.parquet")
+    # structural pin: the checkpoint's remove struct carries the spec's
+    # optional columns
+    rm_type = pq.read_schema(cp_path).field("remove").type
+    names = {rm_type.field(i).name for i in range(rm_type.num_fields)}
+    assert {
+        "path",
+        "deletionTimestamp",
+        "dataChange",
+        "extendedFileMetadata",
+        "partitionValues",
+        "size",
+    } <= names
+    _s, _p, _m, tombstones = _read_checkpoint(cp_path)
+    foreign = tombstones.pop("day=2024-01-09/foreign.parquet")
+    assert foreign.get("extendedFileMetadata") is False
+    assert "size" not in foreign and "partitionValues" not in foreign
+    assert tombstones  # this writer's tombstones propagate extended
+    for r in tombstones.values():
+        assert r["extendedFileMetadata"] is True
+        assert r["size"] == adds[r["path"]]["size"]
+        assert r["partitionValues"] == adds[r["path"]]["partitionValues"]

@@ -425,7 +425,7 @@ def test_change_feed_refuses_unordered_refresh_rewrite(spark, tmp_path):
     t.overwrite_partitions(
         spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), day=DAYS[0]
     )
-    assert t._history_floor_full() == (0, False, False)
+    assert t._history_floor_full() == (0, False, False, None)
     with pytest.raises(ValueError, match="cannot be ordered"):
         change_feed(t, dv, from_batch=0, to_batch=1).collect()
 
@@ -449,8 +449,10 @@ def test_change_feed_refuses_crashed_purge_rewrite(spark, tmp_path):
     finally:
         DeletionVectors._advance_watermark = real
     assert dv.applied_through() == -1
-    assert t._history_floor_full() == (0, False, True)  # purge-claimed floor
-    with pytest.raises(ValueError, match="cannot be ordered"):
+    # purge-claimed floor, with the baked-through version recorded at
+    # plan time (r15: the record survives the watermark crash)
+    assert t._history_floor_full() == (0, False, True, 1)
+    with pytest.raises(ValueError, match="watermark advance did not complete"):
         change_feed(t, dv, from_batch=0, to_batch=1).collect()
     # a RE-RUN purge (the crash-recovery action) restores the ordering
     assert dv.purge() >= 0
@@ -550,3 +552,146 @@ def test_restore_refuses_on_unreadable_marker_metrics(spark, tmp_path):
         t.restore(0)
     with pytest.raises(ValueError, match="collapsed"):
         change_feed(t, None, 0, 1).collect()
+
+
+def test_change_feed_refuses_baked_versions_after_crashed_second_purge(
+    spark, tmp_path
+):
+    """r14 ADVICE #1: an EARLIER purge completed (watermark >= 0), a
+    LATER purge rewrote the files but crashed before advancing the
+    watermark. Delete versions between the stale watermark and the
+    crashed purge's through pass the `v <= applied` check, but their
+    keys are already baked out of the files — the feed must refuse
+    loudly instead of silently emitting zero delete rows."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors, change_feed
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "a", DAYS[0]), (2, "b", DAYS[0]), (3, "c", DAYS[0])], SCHEMA
+        ),
+        0,
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    assert dv.purge() == 1  # first purge COMPLETES
+    assert dv.applied_through() == 1
+    dv.mark_deleted(spark.createDataFrame([(2,)], "k long"), 2)
+    real = DeletionVectors._advance_watermark
+    try:
+        DeletionVectors._advance_watermark = lambda self, through: None  # crash
+        assert dv.purge() == 1  # files rewritten, watermark stays at 1
+    finally:
+        DeletionVectors._advance_watermark = real
+    assert dv.applied_through() == 1  # stale
+    assert t._history_floor_full() == (0, False, True, 2)
+    # v=2 passes the watermark check (2 > 1) but its keys are baked out
+    with pytest.raises(ValueError, match="watermark advance did not complete"):
+        change_feed(t, dv, from_batch=1, to_batch=2).collect()
+    # re-running the purge (the documented recovery) re-advances the
+    # watermark; v=2 then refuses via the standard baked-version check
+    assert dv.purge() >= 0
+    assert dv.applied_through() == 2
+    with pytest.raises(ValueError, match="already baked"):
+        change_feed(t, dv, from_batch=1, to_batch=2).collect()
+    # and reads were correct throughout
+    assert sorted(r["k"] for r in dv.read().collect()) == [3]
+
+
+def test_purge_drop_fence_uses_consumed_files(spark, tmp_path):
+    """r14 ADVICE #2: a drop plan raised by a purge must fence on the
+    files the rewrite actually READ (_consumed), not the plan-time
+    directory listing — a racer batch committed into the leaf between
+    the rewrite's live-file read and the plan listing must survive."""
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(spark.createDataFrame([(1, "a", DAYS[0])], SCHEMA), 1)
+    leaf = f"day={DAYS[0]}"
+    consumed = [f.rsplit("/", 1)[-1] for f in t._live_data_files()[leaf]]
+    # racer batch 2 commits into the SAME leaf after the live-file read
+    t.append_batch(spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), 2)
+    empty = spark.createDataFrame([], SCHEMA)
+    t.overwrite_partitions(
+        empty,
+        _validate=False,
+        _dv_purge=True,
+        _purge_through=0,
+        _consumed={leaf: consumed},
+        day=DAYS[0],
+    )
+    # the consumed file is gone, the racer's rows survive
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+    assert glob.glob(os.path.join(t.path, leaf, "b1-*.parquet")) == []
+
+
+def test_swap_salvage_rechecks_committed_set(spark, tmp_path, monkeypatch):
+    """r14 ADVICE #4: a racer whose files landed in the old root before
+    the swap but whose commit marker lands AFTER the salvage read the
+    committed set — completion re-reads the set immediately before
+    deleting the shadow and re-runs the salvage."""
+    import shutil
+
+    from incremental_dagster_delta_spark import tableio
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(spark.createDataFrame([(1, "a", DAYS[0])], SCHEMA), 1)
+    path = t.path.rstrip("/")
+    leaf = f"day={DAYS[0]}"
+    consumed = [f.rsplit("/", 1)[-1] for f in t._live_data_files()[leaf]]
+    # staged rewrite of the consumed file
+    t.read().write.mode("overwrite").partitionBy("day").parquet(path + ".overwriting")
+    # racer batch 2's FILES land, then its marker is withheld (in flight)
+    t.append_batch(spark.createDataFrame([(2, "b", DAYS[0])], SCHEMA), 2)
+    marker2 = os.path.join(path, "_commits", "2")
+    with open(marker2) as f:
+        saved_marker = f.read()
+    os.remove(marker2)
+    with open(path + ".overwrite_pending.json", "w") as f:
+        json.dump(
+            {
+                "leaves": [{"leaf": leaf, "action": "swap", "consumed": consumed}],
+                "row_preserving": True,
+                "floor": 1,
+            },
+            f,
+        )
+    real = tableio._salvage_unconsumed_data_files
+    calls = {"n": 0}
+
+    def wrapper(fs, Path, old, new, cons, committed):
+        calls["n"] += 1
+        real(fs, Path, old, new, cons, committed)
+        if calls["n"] == 1:
+            # the racer's commit marker lands now — after the first
+            # salvage read its committed set
+            os.makedirs(os.path.dirname(marker2), exist_ok=True)
+            with open(marker2, "w") as fh:
+                fh.write(saved_marker)
+
+    monkeypatch.setattr(tableio, "_salvage_unconsumed_data_files", wrapper)
+    t.recover()
+    assert calls["n"] == 2  # the re-read saw the grown set and re-ran
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert t.read_as_of(2).count() == 2
+
+
+def test_dv_read_fails_loud_on_torn_sidecar_marker(spark, tmp_path):
+    """VERDICT r14 #4: a DV sidecar commit marker that parses to {} must
+    raise, not default to 'no rows' — the default would skip the
+    anti-join and serve deleted rows. Explicit rows:0 markers (the
+    empty-commit skip) stay on the fast path."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame([(1, "a", DAYS[0]), (2, "b", DAYS[0])], SCHEMA), 0
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    assert sorted(r["k"] for r in dv.read().collect()) == [2]
+    # an explicit rows:0 marker (empty mark_deleted) does not raise
+    assert not dv.mark_deleted(spark.createDataFrame([], "k long"), 2)
+    assert sorted(r["k"] for r in dv.read().collect()) == [2]
+    # a torn (empty-file) marker in the sidecar's _commits raises
+    open(os.path.join(t.path, "_dv", "_commits", "1"), "w").close()
+    with pytest.raises(ValueError, match="unreadable commit marker"):
+        dv.read().collect()
