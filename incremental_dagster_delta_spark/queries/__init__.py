@@ -47,70 +47,70 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # Driver-visibility rotation. The driver's correctness sweep covers the
 # FIRST 50 registry entries each round, so ordering is a coverage budget:
 # every oracle-backed qid should earn a driver-verified row at least once
-# across rounds, and no row should age past ~6 rounds. After the r13
-# sweep the stalest rows were the 13 r7-aged re-confirms (VERDICT r13
-# #1), which lead the r14 front; r14's new operator comes next, and the
-# 36 alphabetically-first of the 50 r8-aged rows fill to exactly 50.
-# The 14 r8 rows left for the r15 front: q_sql_udf, q_substring_dedup,
-# q_surprisal_buckets, q_table_diff, q_tfidf, q_token_pack,
-# q_tokenizer_fertility, q_topic_terms, q_udtf_chunks, q_unigram_encode,
-# q_unigram_fertility, q_unigram_surprisal, q_wholetext_ingest,
-# q_window_battery.
+# across rounds, and no row should age past ~6 rounds. After the r14
+# sweep the stalest rows were the 14 r8-aged re-confirms (VERDICT r14
+# #1), which lead the r15 front after the round's new operator; the 35
+# alphabetically-first of the 50 r10-aged rows fill to exactly 50.
+# The 15 r10 rows left for the r16 front: q_regex_parse,
+# q_repeated_ngrams, q_reservoir_per_source, q_rolling_range_window,
+# q_scd2_merge, q_semdedup, q_seq_len_buckets, q_session_window,
+# q_sliding_window, q_stratified_sample, q_string_funcs,
+# q_tumbling_window, q_unpivot, q_upsert_merge, q_variant_json.
 # --------------------------------------------------------------------------
-_R14_FRONT = [
+_R15_FRONT = [
     # (a) new this round — first driver rows
-    "q_bitext_mine",
-    # (b) the 13 r7-aged re-confirms (every row then ≤7 rounds old)
-    "q_set_ops",
-    "q_sql_frontend",
-    "q_subword_counts",
-    "q_suffix_filter",
-    "q_text_quality",
-    "q_token_counts",
-    "q_top_orders",
-    "q_topk",
-    "q_unigram_lm",
-    "q_vocab_coverage",
-    "q_window_running",
-    "q_winnow_fingerprint",
-    "q_word_length",
-    # (c) the 36 alphabetically-first r8-aged rows, filling to exactly 50
-    "q_above_avg_customers",
-    "q_backfill",
-    "q_bpe_encode",
-    "q_chunk_docs",
-    "q_csv_source",
-    "q_cube_agg",
-    "q_custdist_outer",
-    "q_delta_append",
-    "q_dup_span_fraction",
-    "q_exactly_once_publish",
-    "q_excess_shippers",
-    "q_exists_sql",
-    "q_file_listing",
-    "q_grouped_pandas",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_jsonl_source",
-    "q_kcore",
-    "q_kcore_corpus",
-    "q_kn_perplexity",
-    "q_lead_lag",
-    "q_min_cost_supplier",
-    "q_mixture_temperature",
-    "q_multi_hop",
-    "q_notin_filter",
-    "q_orc_source",
-    "q_partitioned_write",
-    "q_pmi_bigrams",
-    "q_prefilter_semi_join",
-    "q_profit_by_nation_year",
-    "q_promo_ratio",
-    "q_quality_classifier",
-    "q_quality_holdout",
-    "q_quality_scores",
-    "q_rp_embed",
-    "q_salted_agg",
+    "q_ivf_incremental",
+    # (b) the 14 r8-aged re-confirms (every row then ≤7 rounds old)
+    "q_sql_udf",
+    "q_substring_dedup",
+    "q_surprisal_buckets",
+    "q_table_diff",
+    "q_tfidf",
+    "q_token_pack",
+    "q_tokenizer_fertility",
+    "q_topic_terms",
+    "q_udtf_chunks",
+    "q_unigram_encode",
+    "q_unigram_fertility",
+    "q_unigram_surprisal",
+    "q_wholetext_ingest",
+    "q_window_battery",
+    # (c) the 35 alphabetically-first r10-aged rows, filling to exactly 50
+    "q_array_funcs",
+    "q_asof_join",
+    "q_audio_features",
+    "q_bloom_membership",
+    "q_bm25",
+    "q_boilerplate_lines",
+    "q_cms_heavy_hitters",
+    "q_cohort_retention",
+    "q_corpus_stats",
+    "q_cosine_ann_ivf_trained",
+    "q_daily_activity_outer",
+    "q_decontaminate",
+    "q_dedup_embedding",
+    "q_dedup_lines",
+    "q_drip_source",
+    "q_funnel_conversion",
+    "q_gap_fill",
+    "q_gopher_rules",
+    "q_histogram",
+    "q_incr_agg_maintain",
+    "q_incremental_dedup",
+    "q_json_extract",
+    "q_kmeans_centroids",
+    "q_kmeans_maximin",
+    "q_listing_accumulate",
+    "q_mixture_plan",
+    "q_mmr_rerank",
+    "q_partition_discovery",
+    "q_partition_prune",
+    "q_pii_redact",
+    "q_pivot_api",
+    "q_posexplode",
+    "q_pq_train",
+    "q_quantiles",
+    "q_range_join",
 ]
 
 
@@ -157,6 +157,9 @@ _SIZED_SHUFFLE = {
     # round 11: the mini-batch fold is the same tiny-stage profile as
     # the trainer it derives from.
     "q_kmeans_minibatch": "embeddings",
+    # round 15: the incremental-index qid runs the corpus-side trainer
+    # inside, same profile as the trained-IVF qid.
+    "q_ivf_incremental": "embeddings",
 }
 
 
@@ -187,6 +190,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R14_FRONT)
+_rotate(_R15_FRONT)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "t"]

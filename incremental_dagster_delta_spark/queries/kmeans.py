@@ -339,10 +339,11 @@ _COS_SQL = (
 )
 
 
-def _km_cte_chain(rounds: int = KM_ROUNDS) -> str:
+def _km_cte_chain(rounds: int = KM_ROUNDS, where: str = "") -> str:
     """The training CTE chain alone (everything up to c{rounds}),
-    reusable as a prefix by composed oracles."""
-    full = _km_oracle(rounds)
+    reusable as a prefix by composed oracles. ``where`` restricts the
+    training set (see :func:`_km_oracle`)."""
+    full = _km_oracle(rounds, where)
     return full[: full.index(", af AS (")]
 
 
@@ -419,6 +420,173 @@ def q_cosine_ann_ivf_trained(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return ivf_topk(e, trained_centroids(e))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (r14 verdict ask #7): the INDEX-side
+# twin of the incremental probe trio (q_incremental_dedup /
+# q_dhash_incremental / q_semdedup_incremental). Those keep a deduped
+# corpus correct as batches arrive; this keeps the ANN *index* correct.
+# The invariant that makes it cheap: against a FROZEN coarse quantizer,
+# assignment is a pure per-row function of (vector, centroids), so
+# postings(corpus ∪ batch) = postings(corpus) ∪ postings(batch) — a new
+# ingest batch is assigned MAP-ONLY and its (cell, vec) postings appended;
+# the corpus is never re-assigned, re-scanned, or re-trained. The oracle
+# builds the index the expensive way (one-pass assignment of the full
+# union — a full rebuild), so the driver hash-check pins fold ≡ rebuild
+# end to end, including the probe results served from the folded index.
+
+IVF_INC_MOD = 4  # vec_id % 4 == 0 → the new ingest batch; else corpus
+
+
+def _ivf_incremental_oracle(rounds: int = KM_ROUNDS) -> str:
+    """:func:`_ivf_trained_oracle` with two deltas: the quantizer trains
+    on the CORPUS split only (the batch must not influence the frozen
+    centroids), and the assignment CTE covers the full union — the
+    REBUILD the incremental fold must equal. ``from_batch`` labels which
+    side of the fold served each neighbor."""
+    from incremental_dagster_delta_spark.queries.similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    cos_assign = _COS_SQL.format(a="c.ce", b="v.embedding")
+    cos_probe = _COS_SQL.format(a="c.ce", b="q.qe")
+    cos_score = _COS_SQL.format(a="p.qe", b="a.embedding")
+    return (
+        _km_cte_chain(rounds, where=f"WHERE vec_id % {IVF_INC_MOD} <> 0")
+        + f""", cents AS (
+      SELECT cid AS centroid_id,
+             list_transform(cq, x -> CAST(x AS DOUBLE) / {KM_SCALE}) AS ce
+      FROM c{rounds}
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos_assign} DESC, c.centroid_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos_probe} DESC, c.centroid_id) AS rk
+        FROM q CROSS JOIN cents c
+      ) WHERE rk <= {NPROBE}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_score} AS cos,
+             a.vec_id % {IVF_INC_MOD} = 0 AS from_batch
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+           CAST(rk AS BIGINT) AS rank,
+           from_batch
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}"""
+    )
+
+
+@query(
+    "q_ivf_incremental",
+    tags=("similarity", "llm", "incremental", "trained"),
+    oracle=_ivf_incremental_oracle(),
+)
+def q_ivf_incremental(spark, sf_dir):
+    """IVF index under incremental maintenance: the coarse quantizer is
+    trained ONCE on the corpus split (vec_id % IVF_INC_MOD != 0); the
+    new ingest batch's vectors are assigned map-only against the frozen
+    centroids and their (cell, vec) postings UNIONED onto the corpus
+    postings — the corpus side is never re-assigned. Queries probe the
+    folded postings exactly like q_cosine_ann_ivf_trained; the oracle
+    assigns the full union in one pass (the rebuild), so the hash check
+    IS the fold-equals-rebuild proof. ``from_batch`` labels neighbors
+    served from the incremental side of the fold.
+
+    Engine-side, the postings table maintains via exactly-once
+    append_batch folds (replay is a no-op) — pinned with the same probe
+    equivalence in tests/test_ann.py. Per-arrival cost at 100 TB: one
+    broadcast-argmax map over the batch plus one append; with postings
+    stored cell-partitioned the probe is partition pruning, and the
+    K·d centroid state is the only thing the trainer ever collected."""
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+        assign_nearest_centroid,
+        cosine,
+    )
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.where(F.col("vec_id") % IVF_INC_MOD != 0)
+    batch = e.where(F.col("vec_id") % IVF_INC_MOD == 0)
+    cents = trained_centroids(corpus)  # frozen: trained on the corpus only
+    postings = (
+        assign_nearest_centroid(corpus, cents)
+        .withColumn("from_batch", F.lit(False))
+        .unionByName(
+            # the incremental maintenance step: map-only assignment of
+            # the new batch, corpus untouched
+            assign_nearest_centroid(batch, cents).withColumn(
+                "from_batch", F.lit(True)
+            )
+        )
+        .persist()
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qe",
+            "centroid_id",
+            cosine(F.col("ce"), F.col("qe")).alias("ccos"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE)
+        .select("query_id", "qe", "centroid_id")
+    )
+    cand = probes.join(postings, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    out = (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+            "from_batch",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).cast("double").alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            "from_batch",
+        )
+    )
+    return materialize_release(out, postings)
 
 
 @query(

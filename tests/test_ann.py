@@ -316,3 +316,85 @@ def test_mmr_single_candidate_shortlist(spark):
     # query 1 pick 2: sim(20,21)=0 -> obj = 7*800000 - 0
     assert (1, 2, 21, 7 * 800000) in got
     assert len(got) == 3  # query 0 has nothing left for pick 2
+
+
+def test_ivf_postings_fold_exactly_once_matches_rebuild(spark, tmp_path):
+    """q_ivf_incremental's engine-side contract (r14 verdict #7): the
+    (cell, vec) postings maintain via exactly-once append_batch folds —
+    corpus postings published once, each ingest batch's postings
+    appended map-only, a replayed batch a no-op — and a probe over the
+    folded table serves the SAME shortlist as a probe over a full
+    rebuild of the index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from incremental_dagster_delta_spark.queries.kmeans import (
+        IVF_INC_MOD,
+        trained_centroids,
+    )
+    from incremental_dagster_delta_spark.queries.similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+        assign_nearest_centroid,
+        cosine,
+    )
+    from incremental_dagster_delta_spark.tableio import PartitionedTable
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = e.where(F.col("vec_id") % IVF_INC_MOD != 0)
+    batch = e.where(F.col("vec_id") % IVF_INC_MOD == 0)
+    cents = trained_centroids(corpus).persist()
+
+    # postings table partitioned BY CELL — the probe is partition pruning
+    postings = PartitionedTable(
+        spark, str(tmp_path / "postings"), ["centroid_id"]
+    )
+    assert postings.append_batch(assign_nearest_centroid(corpus, cents), 0)
+    batch_postings = assign_nearest_centroid(batch, cents)
+    assert postings.append_batch(batch_postings, 1)
+    assert postings.append_batch(batch_postings, 1) is False  # replay: no-op
+    folded = postings.read()
+    assert folded.count() == e.count()  # no doubles, nothing lost
+
+    def probe(assigned):
+        queries = e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("ccos").desc(), F.col("centroid_id")
+        )
+        probes = (
+            queries.join(F.broadcast(cents))
+            .select(
+                "query_id", "qe", "centroid_id",
+                cosine(F.col("ce"), F.col("qe")).alias("ccos"),
+            )
+            .withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") <= NPROBE)
+            .select("query_id", "qe", "centroid_id")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in (
+                probes.join(assigned, "centroid_id")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOP_K)
+                .collect()
+            )
+        )
+
+    rebuild = assign_nearest_centroid(e, cents)  # one-pass full rebuild
+    assert probe(folded.select("vec_id", "embedding", "centroid_id")) == probe(
+        rebuild
+    )
+    cents.unpersist()
