@@ -828,23 +828,29 @@ class DeltaLogExporter:
             lines.append(self._meta_action(created=seen_meta.get("createdTime")))
         for rel in removed:
             # extendedFileMetadata per spec: partitionValues + size travel
-            # with the tombstone (both known — the replayed add action
-            # carried them), so a spec-complete foreign vacuum/writer can
-            # coordinate on the remove without resolving the old add
-            # (VERDICT r14 #6)
+            # with the tombstone (known from the replayed add action), so
+            # a spec-complete foreign vacuum/writer can coordinate on the
+            # remove without resolving the old add (VERDICT r14 #6). A
+            # FOREIGN add missing size (the spec-gap class r14 pass 5
+            # already tolerates for stats/timestamps) degrades to a
+            # minimal tombstone instead of crashing the export or
+            # emitting ext=true with size null (r15 review).
             prior = seen[rel]
-            lines.append(
-                {
-                    "remove": {
-                        "path": _encode_path(rel),
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                        "extendedFileMetadata": True,
-                        "partitionValues": prior.get("partitionValues", {}),
-                        "size": prior["size"],
-                    }
-                }
-            )
+            action = {
+                "path": _encode_path(rel),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            if (
+                prior.get("size") is not None
+                and prior.get("partitionValues") is not None
+            ):
+                action.update(
+                    extendedFileMetadata=True,
+                    partitionValues=prior["partitionValues"],
+                    size=prior["size"],
+                )
+            lines.append({"remove": action})
         for rel in added:
             lines.append(self._add_action(rel, live[rel]))
         os.makedirs(self.log_dir, exist_ok=True)
@@ -914,10 +920,17 @@ class DeltaLogExporter:
             ts = int(ts) if ts is not None else now_ms
             if ts >= cutoff:
                 # extended metadata propagates when the tombstone carried
-                # it; a foreign remove without it stays minimal
+                # it IN FULL; a foreign remove without it (or claiming it
+                # while missing a field) stays minimal
                 # (extendedFileMetadata=false per spec) rather than
-                # fabricating partitionValues/size (VERDICT r14 #6)
-                ext = bool(r.get("extendedFileMetadata")) and "size" in r
+                # fabricating partitionValues/size (VERDICT r14 #6;
+                # r15 review: gating on size alone fabricated
+                # partitionValues={} for a partitioned file)
+                ext = (
+                    bool(r.get("extendedFileMetadata"))
+                    and r.get("size") is not None
+                    and r.get("partitionValues") is not None
+                )
                 rows.append(
                     {
                         "remove": {

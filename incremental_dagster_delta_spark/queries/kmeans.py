@@ -347,14 +347,21 @@ def _km_cte_chain(rounds: int = KM_ROUNDS, where: str = "") -> str:
     return full[: full.index(", af AS (")]
 
 
-def _ivf_trained_oracle(rounds: int = KM_ROUNDS) -> str:
+def _ivf_trained_oracle(
+    rounds: int = KM_ROUNDS, where: str = "", batch_mod: int | None = None
+) -> str:
     """The IVF search oracle with the TRAINED centroid table spliced in:
     the k-means training chain (exact-integer, no float surface) feeds a
     cents CTE (grid coords / KM_SCALE — IEEE division, bit-identical
     both engines), then the same assigned → probes → scored → rank
     replay as similarity._IVF_ORACLE with the same sequential-double
     cosine the exact-topk oracle proved bit-stable (scores rounded 4 dp,
-    ties broken on ids before rounding)."""
+    ties broken on ids before rounding).
+
+    ``where`` restricts the TRAINING set only (the assignment always
+    covers the full table — for the incremental qid, that IS the
+    rebuild the fold must equal); ``batch_mod`` adds a ``from_batch``
+    provenance column (vec_id % batch_mod = 0)."""
     from incremental_dagster_delta_spark.queries.similarity import (
         NPROBE,
         N_QUERIES,
@@ -364,8 +371,12 @@ def _ivf_trained_oracle(rounds: int = KM_ROUNDS) -> str:
     cos_assign = _COS_SQL.format(a="c.ce", b="v.embedding")
     cos_probe = _COS_SQL.format(a="c.ce", b="q.qe")
     cos_score = _COS_SQL.format(a="p.qe", b="a.embedding")
+    batch_sel = (
+        f", a.vec_id % {batch_mod} = 0 AS from_batch" if batch_mod else ""
+    )
+    batch_col = ", from_batch" if batch_mod else ""
     return (
-        _km_cte_chain(rounds)
+        _km_cte_chain(rounds, where)
         + f""", cents AS (
       SELECT cid AS centroid_id,
              list_transform(cq, x -> CAST(x AS DOUBLE) / {KM_SCALE}) AS ce
@@ -388,13 +399,13 @@ def _ivf_trained_oracle(rounds: int = KM_ROUNDS) -> str:
         FROM q CROSS JOIN cents c
       ) WHERE rk <= {NPROBE}
     ), scored AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_score} AS cos
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_score} AS cos{batch_sel}
       FROM probes p JOIN assigned a USING (centroid_id)
       WHERE a.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id,
            CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
-           CAST(rk AS BIGINT) AS rank
+           CAST(rk AS BIGINT) AS rank{batch_col}
     FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rk
@@ -439,67 +450,16 @@ def q_cosine_ann_ivf_trained(spark, sf_dir):
 IVF_INC_MOD = 4  # vec_id % 4 == 0 → the new ingest batch; else corpus
 
 
-def _ivf_incremental_oracle(rounds: int = KM_ROUNDS) -> str:
-    """:func:`_ivf_trained_oracle` with two deltas: the quantizer trains
-    on the CORPUS split only (the batch must not influence the frozen
-    centroids), and the assignment CTE covers the full union — the
-    REBUILD the incremental fold must equal. ``from_batch`` labels which
-    side of the fold served each neighbor."""
-    from incremental_dagster_delta_spark.queries.similarity import (
-        NPROBE,
-        N_QUERIES,
-        TOP_K,
-    )
-
-    cos_assign = _COS_SQL.format(a="c.ce", b="v.embedding")
-    cos_probe = _COS_SQL.format(a="c.ce", b="q.qe")
-    cos_score = _COS_SQL.format(a="p.qe", b="a.embedding")
-    return (
-        _km_cte_chain(rounds, where=f"WHERE vec_id % {IVF_INC_MOD} <> 0")
-        + f""", cents AS (
-      SELECT cid AS centroid_id,
-             list_transform(cq, x -> CAST(x AS DOUBLE) / {KM_SCALE}) AS ce
-      FROM c{rounds}
-    ), assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT v.vec_id, v.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {cos_assign} DESC, c.centroid_id) AS rk
-        FROM embeddings v CROSS JOIN cents c
-      ) WHERE rk = 1
-    ), q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id < {N_QUERIES}
-    ), probes AS (
-      SELECT query_id, qe, centroid_id FROM (
-        SELECT q.query_id, q.qe, c.centroid_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY {cos_probe} DESC, c.centroid_id) AS rk
-        FROM q CROSS JOIN cents c
-      ) WHERE rk <= {NPROBE}
-    ), scored AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_score} AS cos,
-             a.vec_id % {IVF_INC_MOD} = 0 AS from_batch
-      FROM probes p JOIN assigned a USING (centroid_id)
-      WHERE a.vec_id <> p.query_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
-           CAST(rk AS BIGINT) AS rank,
-           from_batch
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS rk
-      FROM scored
-    )
-    WHERE rk <= {TOP_K}"""
-    )
-
-
 @query(
     "q_ivf_incremental",
     tags=("similarity", "llm", "incremental", "trained"),
-    oracle=_ivf_incremental_oracle(),
+    # the trained-IVF oracle with the training set restricted to the
+    # corpus split (the batch must not influence the frozen centroids);
+    # its assignment CTE always covers the full union — the REBUILD the
+    # incremental fold must equal
+    oracle=_ivf_trained_oracle(
+        where=f"WHERE vec_id % {IVF_INC_MOD} <> 0", batch_mod=IVF_INC_MOD
+    ),
 )
 def q_ivf_incremental(spark, sf_dir):
     """IVF index under incremental maintenance: the coarse quantizer is
@@ -518,16 +478,10 @@ def q_ivf_incremental(spark, sf_dir):
     broadcast-argmax map over the batch plus one append; with postings
     stored cell-partitioned the probe is partition pruning, and the
     K·d centroid state is the only thing the trainer ever collected."""
-    from pyspark.sql.window import Window
-
     from incremental_dagster_delta_spark.queries.similarity import (
-        NPROBE,
-        N_QUERIES,
-        TOP_K,
         assign_nearest_centroid,
-        cosine,
+        ivf_topk,
     )
-    from incremental_dagster_delta_spark.tables import materialize_release
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = e.where(F.col("vec_id") % IVF_INC_MOD != 0)
@@ -543,50 +497,8 @@ def q_ivf_incremental(spark, sf_dir):
                 "from_batch", F.lit(True)
             )
         )
-        .persist()
     )
-    queries = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id")
-    )
-    probes = (
-        queries.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qe",
-            "centroid_id",
-            cosine(F.col("ce"), F.col("qe")).alias("ccos"),
-        )
-        .withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= NPROBE)
-        .select("query_id", "qe", "centroid_id")
-    )
-    cand = probes.join(postings, "centroid_id").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    out = (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
-            "from_batch",
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 4).cast("double").alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-            "from_batch",
-        )
-    )
-    return materialize_release(out, postings)
+    return ivf_topk(e, cents, assigned=postings, extra_cols=("from_batch",))
 
 
 @query(

@@ -215,22 +215,34 @@ def q_cosine_ann_ivf(spark, sf_dir):
     return ivf_topk(t(spark, sf_dir, "embeddings"))
 
 
-def ivf_topk(e: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+def ivf_topk(
+    e: DataFrame,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    extra_cols: tuple = (),
+) -> DataFrame:
     """The full IVF pipeline as a reusable helper (r9: factored so the
     trained k-means quantizer can be swapped in). ``centroids`` is a
     (centroid_id, ce) table; None = the default stride sample (the
     qid's oracle replicates the stride, so the default must stay it).
     Pass ``kmeans.trained_centroids(e)`` for the trained variant —
-    recall delta pinned in tests/test_ann.py."""
+    recall delta pinned in tests/test_ann.py.
+
+    ``assigned`` (r15) overrides the in-pipeline assignment with a
+    precomputed (vec_id, embedding, centroid_id, *extra_cols) postings
+    table — the incremental-index fold (q_ivf_incremental) probes
+    through here so the production probe and the fold-equals-rebuild
+    pin share one pipeline. ``extra_cols`` ride from the postings to
+    the output (e.g. from_batch provenance)."""
     from pyspark.sql.window import Window
 
     if centroids is None:
         centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
         )
-    assigned = assign_nearest_centroid(
-        e.select("vec_id", "embedding"), centroids
-    ).persist()
+    if assigned is None:
+        assigned = assign_nearest_centroid(e.select("vec_id", "embedding"), centroids)
+    assigned = assigned.persist()
     queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -246,11 +258,11 @@ def ivf_topk(e: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     cand = probes.join(assigned, "centroid_id").where(F.col("vec_id") != F.col("query_id"))
     out = (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+                    cosine(F.col("qe"), F.col("embedding")).alias("cos"), *extra_cols)
         .withColumn("rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).cast("double").alias("cosine"),
-                F.col("rank").cast("long"))
+                F.col("rank").cast("long"), *extra_cols)
         .orderBy("query_id", "rank")
     )
     from incremental_dagster_delta_spark.tables import materialize_release

@@ -2369,22 +2369,38 @@ class DeletionVectors:
 
         A marker that parses to ``{}`` (torn/unreadable metrics — a
         foreign writer's in-place marker write, never this writer's own
-        tmp+rename markers) FAILS LOUD instead of defaulting to "no
-        rows": if it were the only marker, the default would skip the
-        anti-join in :meth:`read` and serve deleted rows — the one
-        failure mode this table class must never have (VERDICT r14 #4).
-        Explicit ``rows: 0`` markers stay on the fast path."""
+        tmp+rename markers) must not default to "no rows": if it were
+        the only marker, the default would skip the anti-join in
+        :meth:`read` and serve deleted rows — the one failure mode this
+        table class must never have (VERDICT r14 #4). The raise is
+        scoped to exactly the dangerous case (r15 review): a batch
+        AT/BELOW the purge watermark is already baked and cannot affect
+        any result, and when another live batch proves rows exist the
+        anti-join runs anyway — a torn marker's files are committed
+        state (marker existence is the commit bit), so
+        ``sidecar.read()`` includes its keys regardless of the metrics.
+        Only an unreadable LIVE marker with no readable rows-bearing
+        sibling fails loud (the sidecar scan could otherwise die on
+        schema inference, or the batch's keys silently skip the
+        anti-join). Explicit ``rows: 0`` markers stay on the fast
+        path."""
+        applied = self.applied_through()
         any_rows = False
+        unknown_live: list[int] = []
         for bid, m in self.sidecar.batch_metrics().items():
             if "rows" not in m:
-                raise ValueError(
-                    f"deletion-vector batch {bid} at {self.sidecar.path} has "
-                    "an unreadable commit marker — cannot prove the batch "
-                    "wrote no keys, and defaulting to 'no rows' would serve "
-                    "deleted rows. Restore or re-publish the marker."
-                )
-            if m["rows"]:
+                if bid > applied:
+                    unknown_live.append(bid)
+            elif m["rows"]:
                 any_rows = True
+        if unknown_live and not any_rows:
+            raise ValueError(
+                f"deletion-vector batches {sorted(unknown_live)} at "
+                f"{self.sidecar.path} have unreadable commit markers and no "
+                "readable batch proves the sidecar holds rows — defaulting "
+                "to 'no rows' would serve deleted rows. Restore or "
+                "re-publish the markers."
+            )
         return any_rows
 
     def deleted_keys(self) -> DataFrame:
@@ -2419,7 +2435,23 @@ class DeletionVectors:
         if not committed or not self._has_dv_rows():
             return 0
         through = max(committed)
-        dead = self.deleted_keys().localCheckpoint(eager=True)
+        # Bound the baked set to batches <= through EXPLICITLY: a
+        # mark_deleted committing between the max(committed) read above
+        # and this evaluation would otherwise have its keys baked while
+        # the watermark (and the marker's purge_through) record only
+        # `through` — making the recorded "removals are exactly DV
+        # versions <= purge_through" invariant false and change_feed
+        # silently empty for that version (r15 review). The racer's
+        # tombstones stay live and keep applying at read.
+        applied = self.applied_through()
+        dead = (
+            self.sidecar.read()
+            .where(F.col(self.DV_BATCH_COL) > applied)
+            .where(F.col(self.DV_BATCH_COL) <= through)
+            .select(self.key_col)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         # partitions + files from the LIVE file index (one walk): the
         # O(partitions)-metadata claim made true, and a crashed writer's
         # uncommitted partials never get baked into the rewrite

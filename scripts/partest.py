@@ -111,14 +111,17 @@ def main() -> int:
     # lines over-counts (PARTEST_SHARD slices parametrize differently
     # per worker), which is how a snapshot once claimed 905 tests when
     # clean collection says fewer (VERDICT r14 #8). Print the number a
-    # plain `pytest --collect-only -q` confirms — cite THIS in snapshots.
-    out = subprocess.run(
-        [sys.executable, "-m", "pytest", "--collect-only", "-q", TESTS,
-         "-p", "no:cacheprovider"],
-        capture_output=True, text=True, cwd=REPO,
-    )
-    tail = [ln for ln in out.stdout.splitlines() if "collected" in ln][-1:]
-    print(f"canonical collected total: {tail[0] if tail else 'unknown'}")
+    # plain `pytest --collect-only -q` confirms — cite THIS in
+    # snapshots. Green runs only: a failed run cites nothing, and the
+    # collection pass imports the whole package (r15 review).
+    if rc == 0:
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "--collect-only", "-q", TESTS,
+             "-p", "no:cacheprovider"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        tail = [ln for ln in out.stdout.splitlines() if "collected" in ln][-1:]
+        print(f"canonical collected total: {tail[0] if tail else 'unknown'}")
     return rc
 
 

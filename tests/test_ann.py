@@ -326,18 +326,14 @@ def test_ivf_postings_fold_exactly_once_matches_rebuild(spark, tmp_path):
     folded table serves the SAME shortlist as a probe over a full
     rebuild of the index."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from incremental_dagster_delta_spark.queries.kmeans import (
         IVF_INC_MOD,
         trained_centroids,
     )
     from incremental_dagster_delta_spark.queries.similarity import (
-        NPROBE,
-        N_QUERIES,
-        TOP_K,
         assign_nearest_centroid,
-        cosine,
+        ivf_topk,
     )
     from incremental_dagster_delta_spark.tableio import PartitionedTable
 
@@ -357,44 +353,15 @@ def test_ivf_postings_fold_exactly_once_matches_rebuild(spark, tmp_path):
     folded = postings.read()
     assert folded.count() == e.count()  # no doubles, nothing lost
 
-    def probe(assigned):
-        queries = e.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("ccos").desc(), F.col("centroid_id")
-        )
-        probes = (
-            queries.join(F.broadcast(cents))
-            .select(
-                "query_id", "qe", "centroid_id",
-                cosine(F.col("ce"), F.col("qe")).alias("ccos"),
-            )
-            .withColumn("rk", F.row_number().over(wq))
-            .where(F.col("rk") <= NPROBE)
-            .select("query_id", "qe", "centroid_id")
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id")
-        )
+    def shortlist(assigned=None):
+        # the PRODUCTION probe pipeline (ivf_topk), not a test re-copy:
+        # assigned=None reassigns everything — the full rebuild
         return sorted(
             (r["query_id"], r["neighbor_id"], r["rank"])
-            for r in (
-                probes.join(assigned, "centroid_id")
-                .where(F.col("vec_id") != F.col("query_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    cosine(F.col("qe"), F.col("embedding")).alias("cos"),
-                )
-                .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= TOP_K)
-                .collect()
-            )
+            for r in ivf_topk(e, cents, assigned=assigned).collect()
         )
 
-    rebuild = assign_nearest_centroid(e, cents)  # one-pass full rebuild
-    assert probe(folded.select("vec_id", "embedding", "centroid_id")) == probe(
-        rebuild
+    assert shortlist(folded.select("vec_id", "embedding", "centroid_id")) == (
+        shortlist()
     )
     cents.unpersist()

@@ -1314,3 +1314,44 @@ def test_remove_tombstones_carry_extended_file_metadata(spark, tmp_path):
         assert r["extendedFileMetadata"] is True
         assert r["size"] == adds[r["path"]]["size"]
         assert r["partitionValues"] == adds[r["path"]]["partitionValues"]
+
+
+def test_export_degrades_tombstone_for_foreign_add_without_size(spark, tmp_path):
+    """r15 review: a foreign add action missing `size` (the spec-gap
+    class the exporter already tolerates for stats/timestamps) whose
+    file later leaves the live set must yield a MINIMAL remove — not a
+    KeyError aborting the export, not extendedFileMetadata=true with a
+    null size."""
+    import time as _time
+
+    t = _mk(spark, tmp_path / "t")
+    ex = DeltaLogExporter(t)
+    assert ex.export() == 0
+    now_ms = int(_time.time() * 1000)
+    v1 = os.path.join(ex.log_dir, f"{1:020d}.json")
+    with open(v1, "w") as fh:
+        fh.write(
+            json.dumps({"commitInfo": {"timestamp": now_ms, "operation": "WRITE"}})
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "day=2024-01-09/foreign.parquet",
+                        "partitionValues": {"day": "2024-01-09"},
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    # the ghost file is in the replayed set but not on disk → the next
+    # export emits its remove
+    v = ex.export()
+    assert v == 2
+    removes = [ln["remove"] for ln in _log_lines(tmp_path / "t", 2) if "remove" in ln]
+    ghost = [r for r in removes if r["path"] == "day=2024-01-09/foreign.parquet"]
+    assert len(ghost) == 1
+    assert set(ghost[0]) == {"path", "deletionTimestamp", "dataChange"}

@@ -695,3 +695,70 @@ def test_dv_read_fails_loud_on_torn_sidecar_marker(spark, tmp_path):
     open(os.path.join(t.path, "_dv", "_commits", "1"), "w").close()
     with pytest.raises(ValueError, match="unreadable commit marker"):
         dv.read().collect()
+
+
+def test_purge_bakes_only_versions_at_or_below_through(spark, tmp_path, monkeypatch):
+    """r15 review: a mark_deleted whose marker lands between purge()'s
+    committed-batches read and its rewrite must NOT have its keys baked —
+    the watermark and purge_through record only `through`, so a baked
+    later version would make change_feed silently empty for it. The
+    baked set is explicitly bounded to batches <= through; the racer's
+    tombstone stays live and its feed reconstruction still works."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors, change_feed
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "a", DAYS[0]), (2, "b", DAYS[0]), (3, "c", DAYS[0])], SCHEMA
+        ),
+        0,
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    dv.mark_deleted(spark.createDataFrame([(2,)], "k long"), 2)
+    # simulate batch 2's marker landing AFTER purge read the committed
+    # set: hide ids > 1 from committed_batches for the purge call
+    real = PartitionedTable.committed_batches
+    monkeypatch.setattr(
+        PartitionedTable,
+        "committed_batches",
+        lambda self: [b for b in real(self) if b <= 1],
+    )
+    assert dv.purge() == 1
+    monkeypatch.setattr(PartitionedTable, "committed_batches", real)
+    assert dv.applied_through() == 1
+    # k=2 was NOT baked (its version is above through) — raw base still
+    # holds it, the live tombstone hides it from dv reads
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    assert sorted(r["k"] for r in dv.read().collect()) == [3]
+    # and version 2's delete events still reconstruct — the exact feed
+    # that silently emitted zero rows when the baked set was unbounded
+    feed = change_feed(t, dv, from_batch=1, to_batch=2)
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] == [(2, "delete")]
+
+
+def test_dv_torn_marker_tolerated_when_rows_proven(spark, tmp_path):
+    """r15 review scope-down of the torn-marker raise: when another
+    readable batch already proves the sidecar holds rows, the anti-join
+    runs regardless and includes the torn batch's committed files — no
+    raise; and a torn marker at/below the purge watermark is inert."""
+    from incremental_dagster_delta_spark.tableio import DeletionVectors
+
+    t = PartitionedTable(spark, str(tmp_path / "t"), ["day"])
+    t.append_batch(
+        spark.createDataFrame(
+            [(1, "a", DAYS[0]), (2, "b", DAYS[0]), (3, "c", DAYS[0])], SCHEMA
+        ),
+        0,
+    )
+    dv = DeletionVectors(t, "k")
+    dv.mark_deleted(spark.createDataFrame([(1,)], "k long"), 1)
+    dv.mark_deleted(spark.createDataFrame([(2,)], "k long"), 2)
+    # batch 1's marker tears; batch 2 (readable, rows>0) proves rows
+    open(os.path.join(t.path, "_dv", "_commits", "1"), "w").close()
+    assert sorted(r["k"] for r in dv.read().collect()) == [3]  # both subtracted
+    # torn marker at/below the watermark: purge() bakes batch 2 (the
+    # readable one); batch 1's keys ride along in the <= through set
+    assert dv.purge() == 1
+    assert dv.applied_through() == 2
+    assert sorted(r["k"] for r in dv.read().collect()) == [3]
