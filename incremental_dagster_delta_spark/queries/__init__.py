@@ -51,15 +51,18 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # sweep the stalest rows were the 14 r8-aged re-confirms (VERDICT r14
 # #1), which lead the r15 front after the round's new operator; the 35
 # alphabetically-first of the 50 r10-aged rows fill to exactly 50.
-# The 15 r10 rows left for the r16 front: q_regex_parse,
-# q_repeated_ngrams, q_reservoir_per_source, q_rolling_range_window,
-# q_scd2_merge, q_semdedup, q_seq_len_buckets, q_session_window,
-# q_sliding_window, q_stratified_sample, q_string_funcs,
-# q_tumbling_window, q_unpivot, q_upsert_merge, q_variant_json.
+# The 17 r10 rows left for the r16 front: q_quantiles, q_range_join,
+# q_regex_parse, q_repeated_ngrams, q_reservoir_per_source,
+# q_rolling_range_window, q_scd2_merge, q_semdedup, q_seq_len_buckets,
+# q_session_window, q_sliding_window, q_stratified_sample,
+# q_string_funcs, q_tumbling_window, q_unpivot, q_upsert_merge,
+# q_variant_json.
 # --------------------------------------------------------------------------
 _R15_FRONT = [
     # (a) new this round — first driver rows
     "q_ivf_incremental",
+    "q_rouge_n",
+    "q_k_anonymity",
     # (b) the 14 r8-aged re-confirms (every row then ≤7 rounds old)
     "q_sql_udf",
     "q_substring_dedup",
@@ -75,7 +78,7 @@ _R15_FRONT = [
     "q_unigram_surprisal",
     "q_wholetext_ingest",
     "q_window_battery",
-    # (c) the 35 alphabetically-first r10-aged rows, filling to exactly 50
+    # (c) the 33 alphabetically-first r10-aged rows, filling to exactly 50
     "q_array_funcs",
     "q_asof_join",
     "q_audio_features",
@@ -109,8 +112,6 @@ _R15_FRONT = [
     "q_pivot_api",
     "q_posexplode",
     "q_pq_train",
-    "q_quantiles",
-    "q_range_join",
 ]
 
 

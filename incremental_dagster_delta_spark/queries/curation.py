@@ -781,3 +781,52 @@ def q_chi2_drift(spark, sf_dir):
             F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")), 4
         ).cast("double").alias("chi2"),
     ).select(F.col("day").cast("string"), "n_events", "dof", "chi2")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (r15) — the privacy gate a training-data release
+# pipeline runs next to PII redaction (q_pii_redact): group the table by
+# its quasi-identifier columns and flag every equivalence class smaller
+# than k (a record in such a class is re-identifiable by the
+# quasi-identifiers alone; suppressing those rows is the classic
+# k-anonymity enforcement). Reports per class: size, at_risk, and the
+# class's share of the table in round-half-up basis points (exact
+# integer arithmetic — the bitext division pattern).
+#
+# Scale shape: one map-side-combined groupBy on the quasi-identifier
+# tuple plus a 1-row broadcast total — the class table is bounded by the
+# quasi-identifier domain, not the corpus, so the audit costs one
+# aggregation pass at any scale.
+
+K_ANON_K = 5
+K_ANON_QI = ("c_nationkey", "c_mktsegment")  # quasi-identifiers
+
+
+@query(
+    "q_k_anonymity",
+    tags=("curation", "privacy", "llm"),
+    oracle=f"""
+    WITH cls AS (
+      SELECT {", ".join(K_ANON_QI)}, COUNT(*) AS class_size
+      FROM customer GROUP BY {", ".join(K_ANON_QI)}
+    ), tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n FROM cls)
+    SELECT {", ".join(K_ANON_QI)},
+           CAST(class_size AS BIGINT) AS class_size,
+           class_size < {K_ANON_K} AS at_risk,
+           (2 * class_size * 10000 + n) // (2 * n) AS share_bp
+    FROM cls CROSS JOIN tot
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the customer quasi-identifiers — see the
+    family note above. ``share_bp`` is the class's table share in
+    round-half-up basis points (integer division, engine-identical)."""
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy(*K_ANON_QI).agg(F.count("*").alias("class_size"))
+    tot = F.broadcast(cls.agg(F.sum("class_size").cast("long").alias("n")))
+    return cls.crossJoin(tot).select(
+        *K_ANON_QI,
+        F.col("class_size").cast("long").alias("class_size"),
+        (F.col("class_size") < K_ANON_K).alias("at_risk"),
+        F.expr("(2 * class_size * 10000 + n) DIV (2 * n)").alias("share_bp"),
+    )

@@ -763,3 +763,145 @@ def q_rrf_fusion(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_OUT)
+
+
+# --------------------------------------------------------------------------
+# ROUGE-N generation eval (r15). The eval family (NDCG/MRR/RRF/RBO/AUC/
+# recall@k) covers ranking; ROUGE covers GENERATION — the standard
+# n-gram-overlap score between a candidate text and its reference
+# (Lin 2004), the metric summarization/distillation pipelines gate on.
+# Deterministic pairing over the documents table: every odd doc_id is
+# the "candidate", its predecessor the "reference".
+#
+# Exact-integer discipline (the bitext-margin pattern): clipped overlap
+# o = Σ_g min(count_c(g), count_r(g)) and the gram totals are exact
+# BIGINTs; ROUGE-2 precision o/len_c, recall o/len_r and F1
+# 2o/(len_c+len_r) (the algebraic collapse of 2PR/(P+R) — one division,
+# not three) are emitted as round-half-up 4-dp integers via
+# (2·num·10⁴ + den) DIV (2·den), identical in both engines; zero
+# denominators take an explicit NULL branch.
+#
+# Scale shape: one map-side-combined groupBy on (doc_id, bigram), one
+# join keyed (pair_id, gram) — candidate and reference gram tables only,
+# never doc×doc; per-pair cost is the pair's gram count. At 100 TB this
+# is the eval you run over a generation dump joined to its source shard.
+
+ROUGE_N = 2  # bigrams
+
+_ROUGE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM toks
+      ) GROUP BY doc_id, g
+    ), cand AS (
+      SELECT doc_id AS pair_id, g, cnt FROM grams WHERE doc_id % 2 = 1
+    ), ref AS (
+      SELECT doc_id + 1 AS pair_id, g, cnt FROM grams WHERE doc_id % 2 = 0
+    ), lens AS (
+      SELECT c.pair_id, c.len_c, r.len_r FROM
+        (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS len_c FROM cand GROUP BY pair_id) c
+        JOIN
+        (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS len_r FROM ref GROUP BY pair_id) r
+        USING (pair_id)
+    ), overlap AS (
+      SELECT c.pair_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS o
+      FROM cand c JOIN ref r ON c.pair_id = r.pair_id AND c.g = r.g
+      GROUP BY c.pair_id
+    ), m AS (
+      SELECT l.pair_id, l.len_c, l.len_r, COALESCE(o.o, 0) AS o
+      FROM lens l LEFT JOIN overlap o USING (pair_id)
+    )
+    SELECT pair_id, pair_id - 1 AS ref_id, o AS clipped_overlap,
+           len_c, len_r,
+           CAST(CASE WHEN len_c > 0
+                THEN (2 * o * 10000 + len_c) // (2 * len_c) END AS DOUBLE)
+             / 10000 AS rouge2_p,
+           CAST(CASE WHEN len_r > 0
+                THEN (2 * o * 10000 + len_r) // (2 * len_r) END AS DOUBLE)
+             / 10000 AS rouge2_r,
+           CAST(CASE WHEN len_c + len_r > 0
+                THEN (4 * o * 10000 + len_c + len_r)
+                     // (2 * (len_c + len_r)) END AS DOUBLE)
+             / 10000 AS rouge2_f
+    FROM m
+    """
+
+
+@query("q_rouge_n", tags=("retrieval", "eval", "llm"), oracle=_ROUGE_ORACLE)
+def q_rouge_n(spark, sf_dir):
+    """ROUGE-2 (clipped bigram precision / recall / F1) per
+    candidate-reference pair — see the family note above. Every count
+    is an exact BIGINT and every emitted score a round-half-up 4-dp
+    integer division, so the driver hash-check is seamless across
+    engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("toks"),
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = grams.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("pair_id"), "g", F.col("cnt").alias("c_cnt")
+    )
+    ref = grams.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("pair_id"), "g", F.col("cnt").alias("r_cnt")
+    )
+    lens = (
+        cand.groupBy("pair_id")
+        .agg(F.sum("c_cnt").alias("len_c"))
+        .join(ref.groupBy("pair_id").agg(F.sum("r_cnt").alias("len_r")), "pair_id")
+    )
+    overlap = (
+        cand.join(ref, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("o"))
+    )
+    m = lens.join(overlap, "pair_id", "left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+
+    def _r4(num: str, den: str):
+        # round-half-up 4-dp integer division (both engines truncate
+        # toward zero; numerators are non-negative here)
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.expr(f"(2 * {num} * 10000 + {den}) DIV (2 * {den})"),
+            ).cast("double")
+            / 10000
+        )
+
+    return m.select(
+        "pair_id",
+        (F.col("pair_id") - 1).alias("ref_id"),
+        F.col("o").alias("clipped_overlap"),
+        "len_c",
+        "len_r",
+        _r4("o", "len_c").alias("rouge2_p"),
+        _r4("o", "len_r").alias("rouge2_r"),
+        (
+            F.when(
+                F.col("len_c") + F.col("len_r") > 0,
+                F.expr(
+                    "(4 * o * 10000 + len_c + len_r) DIV (2 * (len_c + len_r))"
+                ),
+            ).cast("double")
+            / 10000
+        ).alias("rouge2_f"),
+    )
