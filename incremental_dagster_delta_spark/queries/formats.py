@@ -90,26 +90,19 @@ def q_orc_source(spark, sf_dir):
 
 def _drip_expected_values() -> str:
     """VALUES oracle for q_drip_source, computed at registration time by
-    simulating the drip generator's exact per-partition contract (same
-    seeding: Random(seed + pid), ceil-split of n_rows). The corpus never
-    touches disk, so DuckDB cannot recompute the Mersenne-Twister rows
-    itself — but a VALUES literal of the expected aggregate still pins
-    the DataSource PLUMBING the query exercises: the partition split,
-    exactly-once reads (no dropped/duplicated partitions), and the
-    aggregation, all of which would shift the hash if broken."""
-    import random as _random
+    simulating the drip generator's exact seeding contract (absolute
+    row-position seeding, shared with the stream reader — r15: the old
+    per-partition seeding made the corpus depend on num_partitions).
+    The corpus never touches disk, so DuckDB cannot recompute the
+    Mersenne-Twister rows itself — but a VALUES literal of the expected
+    aggregate still pins the DataSource PLUMBING the query exercises:
+    the partition split, exactly-once reads (no dropped/duplicated
+    partitions), and the aggregation, all of which would shift the hash
+    if broken."""
+    from incremental_dagster_delta_spark.sources.drip import row_at
 
-    from incremental_dagster_delta_spark.sources.drip import _row
-
-    n_rows, num_partitions, seed = 200, 8, 42
-    per = max(1, -(-n_rows // num_partitions))
-    rows = []
-    for pid in range(num_partitions):
-        start, end = pid * per, min((pid + 1) * per, n_rows)
-        if start >= end:
-            break
-        rng = _random.Random(seed + pid)
-        rows += [_row(rng) for _ in range(start, end)]
+    n_rows, seed = 200, 42
+    rows = [row_at(i, seed) for i in range(n_rows)]
     agg: dict[str, tuple[int, int, set]] = {}
     for word, wl, day in rows:
         n, tot, words = agg.get(day, (0, 0, set()))

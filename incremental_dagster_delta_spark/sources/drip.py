@@ -10,12 +10,16 @@ checkpoint.
 
 Scale shape: the batch reader splits ``n_rows`` across
 ``num_partitions`` independent input partitions — generation is
-embarrassingly parallel and each task seeds its own RNG
-deterministically (seed + partition id), so the corpus is reproducible
-at any parallelism. The stream reader is a
-``SimpleDataSourceStreamReader`` whose offset is just the row counter —
-restart-safe exactly-once via the streaming checkpoint, the same
-guarantee the file-based pipeline gets from its seen-files log.
+embarrassingly parallel, and every row is seeded by its ABSOLUTE
+position (the stream reader's device, shared), so the corpus is
+reproducible at any parallelism: the same (seed, n_rows) yields the
+same multiset under any num_partitions, and the batch corpus IS the
+first n_rows of the stream (r15 review — per-partition seeding made
+the corpus a function of the partition count, contradicting this
+paragraph). The stream reader is a ``SimpleDataSourceStreamReader``
+whose offset is just the row counter — restart-safe exactly-once via
+the streaming checkpoint, the same guarantee the file-based pipeline
+gets from its seen-files log.
 
 Rows: (word STRING, word_length BIGINT, day STRING) — the reference's
 single-word payload plus its day partition, ready for
@@ -35,12 +39,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-_WORDS = [
-    "spark", "delta", "stream", "batch", "merge", "append", "filter",
-    "window", "join", "shuffle", "partition", "column", "vector", "hash",
-    "scan", "sort", "agg", "row", "table", "query", "a", "incremental",
-]
-_DAYS = ["2024-03-26", "2024-03-27", "2024-03-29"]
+from incremental_dagster_delta_spark.sources.corpus import DAYS as _DAYS
+from incremental_dagster_delta_spark.sources.corpus import WORDS as _WORDS
 
 SCHEMA = "word string, word_length bigint, day string"
 
@@ -48,6 +48,14 @@ SCHEMA = "word string, word_length bigint, day string"
 def _row(rng: random.Random):
     word = rng.choice(_WORDS)
     return (word, len(word), rng.choice(_DAYS))
+
+
+def row_at(i: int, seed: int):
+    """Row ``i`` of the drip corpus under ``seed`` — absolute-position
+    seeding shared by the batch reader, the stream reader, and the
+    q_drip_source oracle simulation: row i is the same tuple no matter
+    which partition or batch boundary it falls on."""
+    return _row(random.Random(seed * 1_000_003 + i))
 
 
 class _DripPartition(InputPartition):
@@ -75,9 +83,13 @@ class _DripBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: _DripPartition) -> Iterator[tuple]:
-        rng = random.Random(partition.seed + partition.pid)
-        for _ in range(partition.start, partition.end):
-            yield _row(rng)
+        if partition is None:
+            # n_rows=0: partitions() returned [] and pyspark substitutes
+            # a single None partition (plan_data_source_read) — a
+            # legitimate empty corpus, not an error (r15 review)
+            return
+        for i in range(partition.start, partition.end):
+            yield row_at(i, partition.seed)
 
 
 class _DripStreamReader(SimpleDataSourceStreamReader):
@@ -95,7 +107,7 @@ class _DripStreamReader(SimpleDataSourceStreamReader):
     def _gen(self, start: int, end: int) -> list[tuple]:
         # absolute-position seeding: row i is the same tuple no matter
         # which batch boundary it falls on → replays are deterministic
-        return [_row(random.Random(self.seed * 1_000_003 + i)) for i in range(start, end)]
+        return [row_at(i, self.seed) for i in range(start, end)]
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["row"]

@@ -11,11 +11,9 @@ from __future__ import annotations
 import os
 import random
 
-_WORDS = [
-    "spark", "delta", "stream", "batch", "merge", "append", "filter",
-    "window", "join", "shuffle", "partition", "column", "vector", "hash",
-    "scan", "sort", "agg", "row", "table", "query", "a", "incremental",
-]
+from incremental_dagster_delta_spark.sources.corpus import DAYS, WORDS
+
+_WORDS = WORDS  # shared with the drip DataSource (sources/corpus.py)
 
 
 def generate_ingest_fixture(
@@ -30,7 +28,7 @@ def generate_ingest_fixture(
     Filenames are ``w{wave}-{seq:04d}.txt`` so waves never collide and
     listings are deterministic.
     """
-    days = days or ["2024-03-26", "2024-03-27", "2024-03-29"]
+    days = days or DAYS
     rng = random.Random(seed + wave)
     written: list[str] = []
     for day in days:

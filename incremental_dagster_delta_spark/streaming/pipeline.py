@@ -166,15 +166,32 @@ class IngestPipeline:
         """
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.persist()
+        raw = batch_df = batch_df.persist()
         try:
+            # exactly-once across the refresh/stream seam (r15 review):
+            # refresh() consumes whatever source files exist, including
+            # files the source checkpoint has not delivered yet — those
+            # are already recorded in listing, and appending them again
+            # here would double their rows. The anti-join is pruned to
+            # the batch's day partitions (driver-side distinct over a
+            # micro-batch — bounded), so at scale it reads only the
+            # listing leaves this batch touches.
+            if self.listing.exists():
+                days = sorted(
+                    r["day"] for r in batch_df.select("day").distinct().collect()
+                )
+                in_list = ", ".join(f"'{d}'" for d in days)
+                seen = self.listing.read(f"day IN ({in_list})").select(
+                    "filename", "day"
+                )
+                batch_df = batch_df.join(seen, ["filename", "day"], "left_anti")
+                if batch_df.isEmpty():
+                    return  # every file already ingested by a refresh
             proc = to_processed(batch_df).repartition("year", "month", "day")
             if self.expectations:
-                from incremental_dagster_delta_spark.quality import split as q_split
-
-                frames = q_split(proc, self.expectations)
+                frames = self._split(proc)
                 self.quarantine.append_batch(
-                    frames.quarantine.repartition("day"), batch_id
+                    self._quarantine_frame(frames.quarantine), batch_id
                 )
                 proc = frames.good
             self.processed.append_batch(proc, batch_id)
@@ -183,7 +200,23 @@ class IngestPipeline:
             self.listing.append_batch(batch_df.select("filename", "day").repartition("day"), batch_id)
             self._export_logs()
         finally:
-            batch_df.unpersist()
+            raw.unpersist()
+
+    def _split(self, proc: DataFrame):
+        from incremental_dagster_delta_spark.quality import split as q_split
+
+        return q_split(proc, self.expectations)
+
+    @staticmethod
+    def _quarantine_frame(quarantine: DataFrame) -> DataFrame:
+        """Quarantined rows partitioned by the FULL date: the processed
+        schema's ``day`` is the expanded day-of-month string ('26'), so
+        partitioning quarantine by it collided different months in one
+        leaf — inconsistent with listing and unprunable by date (r15
+        review). Rebuild the date from the expanded columns."""
+        return quarantine.withColumn(
+            "day", F.concat_ws("-", "year", "month", "day")
+        ).repartition("day")
 
     def run_incremental(
         self, timeout_sec: int = 300, max_files_per_trigger: int | None = None
@@ -232,8 +265,32 @@ class IngestPipeline:
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            out = to_backwards(batch_df).repartition("year", "month", "day")
-            self.backwards.append_batch(out, batch_id)
+            out = to_backwards(batch_df)
+            # refresh() rewrites processed's day into NEW parquet file
+            # names and writes backwards for that day directly; this
+            # file-stream then re-discovers the refreshed files as
+            # unseen and would append their rows a second time (r15
+            # review). Anti-join against the rows already present for
+            # the batch's day partitions (per-file grain: a file's rows
+            # land together, so filename+date identifies them).
+            if self.backwards.exists():
+                triples = sorted(
+                    (r["year"], r["month"], r["day"])
+                    for r in out.select("year", "month", "day").distinct().collect()
+                )
+                pred = " OR ".join(
+                    f"(year = '{y}' AND month = '{m}' AND day = '{d}')"
+                    for y, m, d in triples
+                )
+                seen = self.backwards.read(pred).select(
+                    "filename", "year", "month", "day"
+                )
+                out = out.join(
+                    seen, ["filename", "year", "month", "day"], "left_anti"
+                )
+            self.backwards.append_batch(
+                out.repartition("year", "month", "day"), batch_id
+            )
 
         q = (
             stream.writeStream.foreachBatch(handle)
@@ -256,13 +313,38 @@ class IngestPipeline:
         value vanished from the day's files is dropped in the same
         transaction — the reference's ``replaceWhere`` on the day
         predicate (delta_io.py:104-107) replaces the entire day.
+
+        r15 review hardening: refresh applies the SAME expectations gate
+        as the streaming path (violating rows go to quarantine for the
+        day — replacing its stale quarantine rows — never to processed),
+        and the exactly-once contract survives the seam in both
+        directions: files refresh consumed ahead of the source
+        checkpoint are recorded in listing, and ``_handle_batch``
+        anti-joins against listing so their later stream delivery is a
+        no-op; the cascade topology's re-discovery of the refreshed
+        files is likewise absorbed by its per-file anti-join.
         """
         y, m, d = day.split("-")
-        files = read_text_files(self.spark, self.ingest_root).where(F.col("day") == day)
-        proc = to_processed(files).repartition("year", "month", "day")
-        self.processed.overwrite_partitions(proc, year=y, month=m, day=d)
-        self.backwards.overwrite_partitions(to_backwards(proc), year=y, month=m, day=d)
-        self.listing.overwrite_partitions(
-            files.select("filename", "day").repartition("day"), day=day
+        files = (
+            read_text_files(self.spark, self.ingest_root)
+            .where(F.col("day") == day)
+            .persist()
         )
-        self._export_logs()
+        try:
+            proc = to_processed(files).repartition("year", "month", "day")
+            if self.expectations:
+                frames = self._split(proc)
+                self.quarantine.overwrite_partitions(
+                    self._quarantine_frame(frames.quarantine), day=day
+                )
+                proc = frames.good
+            self.processed.overwrite_partitions(proc, year=y, month=m, day=d)
+            self.backwards.overwrite_partitions(
+                to_backwards(proc), year=y, month=m, day=d
+            )
+            self.listing.overwrite_partitions(
+                files.select("filename", "day").repartition("day"), day=day
+            )
+            self._export_logs()
+        finally:
+            files.unpersist()

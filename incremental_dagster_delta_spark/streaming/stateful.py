@@ -3,16 +3,25 @@
 operators" beyond what ``F.session_window`` offers, e.g. when the session
 record must carry arbitrary accumulated state).
 
-State model: one open session per key (user). Each micro-batch folds the
-key's new events into the open session; events gapped more than
-``gap_seconds`` from the session's end close it (emitted) and open a new
-one. An event-time timeout closes idle sessions once the watermark passes
-``session_end + gap`` — identical semantics to ``F.session_window`` but
-with a user-extensible state record.
+State model (r15 rework): ALL open sessions per key, as three parallel
+arrays. Each micro-batch merges the key's new events into the open
+interval set by the gap rule — interval merge over (start, end) sorted
+by start, so an on-time but OUT-OF-ORDER event extends the session it
+belongs to (lowering its start if needed) or bridges two open sessions
+into one, exactly like ``F.session_window``. Sessions are emitted ONLY
+once the watermark passes ``session_end + gap`` (never mid-batch: an
+in-batch gap does not prove a session closed — an on-time event between
+the two could still arrive; the pre-r15 fold emitted there and absorbed
+out-of-order events into the wrong session). An event-time timeout
+re-fires at the earliest open horizon, clamped above the current
+eviction watermark — since SPARK-40925 the late filter uses the
+PREVIOUS batch's watermark, so an admitted old event's horizon can sit
+below the eviction watermark ``setTimeoutTimestamp`` validates against,
+and the unclamped call kills the query (r15 review).
 
 Scale: state is shuffled by the grouping key (user_id — high cardinality,
 even distribution), held in the state store, and evicted by the timeout;
-the watermark bounds state size.
+the watermark bounds both state size and the open-session count per key.
 """
 
 # No `from __future__ import annotations`: pandas-typed signatures must be
@@ -23,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StructField,
@@ -39,12 +49,13 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-# state: (session_start_epoch_us, session_end_epoch_us, n_events)
+# state: parallel arrays over the key's OPEN sessions
+# (session_start_epoch_us[], session_end_epoch_us[], n_events[])
 STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -56,32 +67,55 @@ def _sessionize_fn(gap_seconds: int):
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        closed: list[tuple[int, int, int]] = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
-        if state.hasTimedOut:
-            if state.exists:
-                closed.append(tuple(state.get))
-                state.remove()
-        else:
+        sessions: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, ends, ns = state.get
+            sessions = list(zip(starts, ends, ns))
+
+        if not state.hasTimedOut:
             ts_us: list[int] = []
             for pdf in pdfs:
                 ts_us.extend(int(v.value // 1000) for v in pd.to_datetime(pdf["ts"]))
-            ts_us.sort()
-            cur = tuple(state.get) if state.exists else None
-            for t in ts_us:
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_us:
-                    closed.append(cur)
-                    cur = (t, t, 1)
+            # interval merge by the gap rule: open sessions + new events
+            # sorted by start fold left, so an out-of-order event lowers
+            # the start of the session it belongs to, and an event
+            # between two open sessions BRIDGES them (session_window
+            # semantics)
+            items = sorted(sessions + [(t, t, 1) for t in ts_us])
+            merged: list[tuple[int, int, int]] = []
+            for s, e, n in items:
+                if merged and s - merged[-1][1] <= gap_us:
+                    ps, pe, pn = merged[-1]
+                    merged[-1] = (ps, max(pe, e), pn + n)
                 else:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            if cur is not None:
-                state.update(cur)
-                # close the session once the watermark passes end + gap
-                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+                    merged.append((s, e, n))
+            sessions = merged
+
+        # a session is closed only when the watermark has passed its gap
+        # horizon — never mid-batch on an in-batch gap
+        closed = [x for x in sessions if x[1] + gap_us <= wm_us]
+        open_ = [x for x in sessions if x[1] + gap_us > wm_us]
+
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [e for _, e, _ in open_],
+                    [n for _, _, n in open_],
+                )
+            )
+            # re-arm at the earliest open horizon, clamped above the
+            # eviction watermark (SPARK-40925; see module docstring)
+            horizon_ms = min(e + gap_us for _, e, _ in open_) // 1000
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
 
         if closed:
+            closed.sort()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),

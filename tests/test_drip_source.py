@@ -116,3 +116,35 @@ def test_continuous_trigger_drip_respects_admission_control(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 20
     assert all(r["word_length"] == len(r["word"]) for r in rows)
+
+
+def test_batch_drip_corpus_invariant_to_parallelism(spark):
+    """r15 review: per-partition seeding made the corpus a function of
+    num_partitions; absolute-position seeding (the stream reader's
+    device, now shared) makes the same (seed, n_rows) yield the same
+    rows under ANY partition count — and the batch corpus is the
+    stream's prefix."""
+    spark.dataSource.register(DripDataSource)
+
+    def rows(parts):
+        df = (
+            spark.read.format("drip")
+            .option("n_rows", 57)
+            .option("num_partitions", parts)
+            .load()
+        )
+        return sorted((r["word"], r["word_length"], r["day"]) for r in df.collect())
+
+    assert rows(1) == rows(4) == rows(16)
+    from incremental_dagster_delta_spark.sources.drip import row_at
+
+    assert rows(1) == sorted(row_at(i, 42) for i in range(57))
+
+
+def test_batch_drip_empty_corpus(spark):
+    """r15 review: n_rows=0 returns an empty partition list, which
+    pyspark substitutes with [None] — the reader must yield an empty
+    DataFrame, not crash on partition.seed."""
+    spark.dataSource.register(DripDataSource)
+    df = spark.read.format("drip").option("n_rows", 0).load()
+    assert df.count() == 0

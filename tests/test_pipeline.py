@@ -251,3 +251,78 @@ def test_incremental_equals_backfill_random_schedule(spark, tmp_path, seed):
     back.run_incremental()
     assert _table_rows(inc.processed) == _table_rows(back.processed)
     assert _table_rows(inc.backwards) == _table_rows(back.backwards)
+
+
+def test_refresh_then_incremental_stays_exactly_once(spark, roots):
+    """r15 review: a refresh() that consumes files the source checkpoint
+    has not delivered yet records them in listing; the next
+    run_incremental must skip them (listing anti-join), not append their
+    rows a second time."""
+    ingest, tables = roots
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=6, wave=0)
+    pipe = IngestPipeline(spark, ingest, tables)
+    pipe.run_incremental()
+    # wave 1 lands AFTER the last incremental run; refresh consumes it
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=4, wave=1)
+    pipe.refresh("2024-03-26")
+    total = 6 + 4
+    assert pipe.processed.read().count() == total
+    # the stream now delivers wave 1 too — must be a no-op
+    pipe.run_incremental()
+    proc = pipe.processed.read()
+    assert proc.count() == total
+    assert proc.select("filename", "day").distinct().count() == total
+    assert pipe.listing.read().count() == total
+    assert pipe.backwards.read().count() == total
+
+
+def test_refresh_applies_expectations_gate(spark, roots):
+    """r15 review: refresh() must route violating rows to quarantine
+    (replacing the day's stale quarantine rows), never into processed —
+    the same gate the streaming path applies; and quarantine partitions
+    by the FULL date, not the expanded day-of-month."""
+    ingest, tables = roots
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=10, wave=0)
+    pipe = IngestPipeline(
+        spark, ingest, tables, expectations={"short_word": "word_length <= 6"}
+    )
+    pipe.run_incremental()
+    n_good = pipe.processed.read().count()
+    n_quar = pipe.quarantine.read().count()
+    assert n_good + n_quar == 10
+    assert n_quar > 0  # the fixture vocabulary includes >6-char words
+    # quarantine leaves carry the full date (prunable, month-safe)
+    assert set(
+        r["day"] for r in pipe.quarantine.read().select("day").distinct().collect()
+    ) == {"2024-03-26"}
+    # refresh recomputes the same day: the gate holds, counts unchanged,
+    # no stale duplicate quarantine rows
+    pipe.refresh("2024-03-26")
+    assert pipe.processed.read().where(F.col("word_length") > 6).count() == 0
+    assert pipe.processed.read().count() == n_good
+    assert pipe.quarantine.read().count() == n_quar
+    assert pipe.quarantine.read().where(F.col("word_length") <= 6).count() == 0
+
+
+def test_refresh_then_cascade_does_not_double_backwards(spark, roots):
+    """r15 review: refresh() rewrites processed's day into new parquet
+    files; the cascade's file stream re-discovers them as unseen and
+    must not append rows already present in backwards (per-file
+    anti-join)."""
+    ingest, tables = roots
+    generate_ingest_fixture(ingest, days=["2024-03-26"], files_per_day_per_wave=9, wave=0)
+    pipe = IngestPipeline(spark, ingest, tables, derive_backwards=False)
+    pipe.run_incremental()
+    pipe.run_backwards_cascade()
+    assert pipe.backwards.read().count() == 9
+    pipe.refresh("2024-03-26")
+    assert pipe.backwards.read().count() == 9  # refresh replaced the day
+    pipe.run_backwards_cascade()  # re-discovers the refreshed files
+    back = pipe.backwards.read()
+    assert back.count() == 9
+    assert back.select("filename", "day").distinct().count() == 9
+    # parity still holds row for row
+    joined = pipe.processed.read().alias("p").join(
+        back.alias("b"), ["filename", "day"]
+    )
+    assert joined.where(F.expr("b.word != reverse(p.word)")).count() == 0

@@ -85,3 +85,52 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     }
     want = _batch_sessions(spark, wave1)  # wave2 sessions are still open
     assert got == want, f"got {sorted(got)}\nwant {sorted(want)}"
+
+
+def test_stateful_sessionize_merges_out_of_order_events(spark, tmp_path):
+    """r15 review: an on-time but out-of-order event must extend the
+    session it belongs to (lowering its start), not be absorbed into
+    whichever session happens to be open — and no session may be
+    emitted before the watermark passes its gap horizon (an in-batch
+    gap does not prove closure)."""
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (
+            sessionize(stream, gap_seconds=GAP_S, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emit(spec):
+        spark.createDataFrame(_events(spec), SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    emit([(1, 0), (1, 20)])  # two separate open sessions (gap 10m)
+    run()
+    # out-of-order but ON-TIME (watermark is 1h behind minute 20):
+    # belongs to the minute-0 session, 15 minutes before the open
+    # minute-20 one — the pre-r15 fold absorbed it there
+    emit([(1, 5)])
+    run()
+    emit([(1, 600)])  # pushes the watermark past both horizons
+    run()
+    run()  # timeout pass
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        )
+        .parquet(out_dir)
+        .collect()
+    }
+    t = lambda m: T0 + datetime.timedelta(minutes=m)  # noqa: E731
+    assert got == {(1, t(0), t(5), 2), (1, t(20), t(20), 1)}, sorted(got)
