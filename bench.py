@@ -26,7 +26,7 @@ from incremental_dagster_delta_spark.session import get_spark
 # drift investigation my re-times contradicted — at ~40 s/rep the extra
 # two reps cost ~80 s and halve the median's variance. Overridable for
 # fast local iteration via SPARK_GRAFT_BENCH_REPS.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
 
 def _sf_from_dir(sf_dir: str) -> float:

@@ -103,7 +103,14 @@ def compare_query(spark, con, name: str, spec, sf_dir: str) -> CompareResult:
     spdf = sdf.toPandas()
     scols = list(spdf.columns)
     if spec.oracle is None:
-        return CompareResult(name, len(spdf), None, True, True, True, "rows-only")
+        # rows-only is the WEAK check — it must still catch the query
+        # regressing to an empty result, or a broken non-SQL qid ships
+        # with every gate green (r15 review: the vacuous-check class
+        # test_nonvacuous_oracles guards for oracle-backed queries)
+        nonempty = len(spdf) > 0
+        return CompareResult(
+            name, len(spdf), None, nonempty, True, nonempty, "rows-only"
+        )
     opdf = con.sql(spec.oracle).df()
     ocols = list(opdf.columns)
     rows_match = len(spdf) == len(opdf)

@@ -31,6 +31,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # fail at import time on a name collision: a silent overwrite
+        # drops the earlier query from the driver sweep, the oracle
+        # parametrization, and the bench set with every gate still
+        # green (r15 review)
+        assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
         return fn
 

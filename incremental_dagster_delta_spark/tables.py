@@ -32,22 +32,29 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     sessions NOT built by :func:`session.get_spark` (the driver owns its
     own SparkSession). Idempotent and guarded — it never flips a conf that
     is already correct, so interleaved queries see a stable session. The
-    only conf involved is ``nanosAsLong``: on Spark readers that still
-    honor it, events.parquet's ``timestamp[ns]`` column arrives as LONG
-    nanos; on PySpark ≥4.1 the conf is ignored and the column arrives as
+    confs involved: ``nanosAsLong`` — on Spark readers that still honor
+    it, events.parquet's ``timestamp[ns]`` column arrives as LONG nanos;
+    on PySpark ≥4.1 the conf is ignored and the column arrives as
     TIMESTAMP_NTZ directly — :func:`load_table` adapts to whichever dtype
     the reader actually produced, so setting this is a harmless fallback.
-    """
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        current = spark.conf.get(key)
-    except Exception:
-        current = None
-    if current != "true":
+    And the UTC session timezone (r15 review): the NTZ branch casts the
+    wall-clock to an instant via the session timezone, so a driver-owned
+    session running non-UTC would shift every instant-based op (tumbling
+    windows align to epoch instants) away from the DuckDB oracle's naive
+    buckets."""
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
         try:
-            spark.conf.set(key, "true")
+            current = spark.conf.get(key)
         except Exception:
-            pass  # conf removed entirely on some versions — dtype branch below copes
+            current = None
+        if current != want:
+            try:
+                spark.conf.set(key, want)
+            except Exception:
+                pass  # conf removed on some versions — callers cope
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -139,7 +146,12 @@ def sized_shuffle(
     from urllib.parse import urlparse
 
     byts = 0
-    unsized = False
+    # Zero input files (a localCheckpoint()ed intermediate, a
+    # createDataFrame source) is an UNKNOWN size, not a known 0-byte
+    # input — pinning the floor there would force a possibly-multi-GB
+    # shuffle into a handful of partitions (r15 review). Fall through to
+    # the stats probe / leave-default path below.
+    unsized = not df.inputFiles()
     for p in df.inputFiles():
         parsed = urlparse(p)
         if parsed.scheme in ("", "file"):
@@ -188,11 +200,14 @@ def lazy_plans():
     context, ``materialize_release`` is a no-op passthrough: cached
     intermediates stay persisted — callers should ``clearCache()`` after."""
     global _EAGER_MATERIALIZE
+    prev = _EAGER_MATERIALIZE
     _EAGER_MATERIALIZE = False
     try:
         yield
     finally:
-        _EAGER_MATERIALIZE = True
+        # restore (not hardcode True): nested lazy_plans scopes must not
+        # re-enable eager materialization for the outer scope (r15 review)
+        _EAGER_MATERIALIZE = prev
 
 
 def materialize_release(df: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -213,9 +228,14 @@ def materialize_release(df: DataFrame, *cached: DataFrame) -> DataFrame:
     """
     if not _EAGER_MATERIALIZE:
         return df
-    out = df.localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
+    try:
+        out = df.localCheckpoint(eager=True)
+    finally:
+        # unpersist even when execution fails: a qid dying mid-sweep must
+        # not leak its cached intermediates into the long-lived session —
+        # the exact leak this helper exists to prevent (r15 review)
+        for c in cached:
+            c.unpersist()
     return out
 
 
