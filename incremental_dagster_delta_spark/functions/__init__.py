@@ -147,6 +147,14 @@ def morton_rank_column(
     uses) and the *ranks* are interleaved. The synthetic name is
     collision-proofed against existing columns — a fixed ``_z`` would
     silently REPLACE (and a later drop destroy) a real user column."""
+    if not 1 <= bits <= 10:
+        # |boundaries| = 2^bits - 1 PER COLUMN, materialized as literal
+        # arrays scanned per row and as approxQuantile probabilities —
+        # past ~10 bits (1023 boundaries) the plan blows up long before
+        # zorder_key_n's n*bits<=62 overflow check would fire (r15
+        # review). 10 bits = 1024 rank buckets per dimension, already
+        # far beyond what file-level clustering can exploit.
+        raise ValueError(f"bits={bits} out of range (1..10)")
     zcol = "_z"
     while zcol in df.columns:
         zcol += "_"

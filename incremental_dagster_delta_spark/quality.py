@@ -50,7 +50,13 @@ def _violations_col(rules: dict[str, str]):
 
 
 def violation_counts(df: DataFrame, rules: dict[str, str]) -> dict[str, int]:
-    """Per-rule violation counts in ONE aggregation job."""
+    """Per-rule violation counts in ONE aggregation job.
+
+    (tableio._validate_constraints expresses the same NULL-passes CHECK
+    semantics on the write path via ``(pred) IS NOT FALSE`` — if either
+    encoding ever changes, change both.)"""
+    if not rules:
+        return {}  # no rules = nothing to violate (df.agg(*[]) raises)
     aggs = [
         F.sum(
             F.when(~F.coalesce(F.expr(cond), F.lit(True)), 1).otherwise(0)
@@ -63,7 +69,15 @@ def violation_counts(df: DataFrame, rules: dict[str, str]) -> dict[str, int]:
 
 def split(df: DataFrame, rules: dict[str, str]) -> CheckedFrames:
     """Partition rows into (good, quarantine-with-violation-tags) with a
-    single shared scan."""
+    single shared scan. Refuses an input that already carries a
+    ``_violations`` column: silently overwriting it (and dropping it
+    from ``good``) would destroy user data — re-validating quarantined
+    rows requires dropping the old tags explicitly first (r15 review)."""
+    if "_violations" in df.columns:
+        raise ValueError(
+            "input already has a _violations column — drop it before "
+            "re-validating (split() writes its tags there)"
+        )
     tagged = df.withColumn("_violations", _violations_col(rules))
     good = tagged.where(F.size("_violations") == 0).drop("_violations")
     quarantine = tagged.where(F.size("_violations") > 0)

@@ -18,6 +18,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
+from incremental_dagster_delta_spark.queries.registry import QUERIES as _Q
 from incremental_dagster_delta_spark.queries.registry import query
 from incremental_dagster_delta_spark.sources.fixture import generate_ingest_fixture
 from incremental_dagster_delta_spark.sources.ingest import read_text_files
@@ -28,6 +29,14 @@ from incremental_dagster_delta_spark.tables import literal_df
 
 def _tmp(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+
+
+# Names registered before this module imports — the module-end loop wraps
+# everything registered AFTER this point in the scoped shuffle-partition
+# context (r15 review: three hand-maintained name lists meant every new
+# qid had to be remembered in one of them or silently ran with the
+# session's full partition count).
+_PRE_EXISTING = set(_Q)
 
 
 @contextmanager
@@ -71,34 +80,46 @@ def _build_oracle_fixture(waves: int) -> str:
     generated into ONE fixed path guarded by ``if not os.path.exists`` —
     a stale or partially-written copy from a crashed earlier run would
     poison the oracle forever while the Spark side used a fresh temp dir.
-    Now: always generate into a fresh temp dir, digest the actual bytes
-    written (names + contents), and atomically rename to a path KEYED BY
-    that digest. The digest path can only ever hold a complete, correct
-    copy (rename is atomic; a half-built tree never lands there), and any
-    change to the generator moves the path instead of silently reusing
-    stale content."""
+    The digest is computed from the generator's (path, content) stream
+    IN MEMORY (r15 review: digesting the walked bytes required a full
+    throwaway disk build on every import of the queries package); the
+    tree is written — into a fresh temp dir, atomically renamed to the
+    digest-keyed path — only when the digest dir is missing. The digest
+    path can only ever hold a complete, correct copy (rename is atomic;
+    a half-built tree never lands there), and any change to the
+    generator moves the path instead of silently reusing stale
+    content."""
     import hashlib
 
+    from incremental_dagster_delta_spark.sources.fixture import fixture_entries
+
+    entries = [
+        e
+        for _w in range(waves)
+        for e in fixture_entries(files_per_day_per_wave=6, wave=_w)
+    ]
+    h = hashlib.sha256()
+    for rel, content in sorted(entries):
+        h.update(rel.encode())
+        h.update(content.encode())
+    final = f"/tmp/spark_graft/incr_oracle_fixture_{h.hexdigest()[:16]}/w{waves}"
+    if os.path.exists(final):
+        return final
     build = tempfile.mkdtemp(prefix=f"spark_graft_oraclefix_build_w{waves}_")
     for _w in range(waves):
         generate_ingest_fixture(build, files_per_day_per_wave=6, wave=_w)
-    h = hashlib.sha256()
-    for dirpath, dirnames, filenames in sorted(os.walk(build)):
-        dirnames.sort()
-        for name in sorted(filenames):
-            full = os.path.join(dirpath, name)
-            h.update(os.path.relpath(full, build).encode())
-            with open(full, "rb") as fh:
-                h.update(fh.read())
-    final = f"/tmp/spark_graft/incr_oracle_fixture_{h.hexdigest()[:16]}/w{waves}"
-    if os.path.exists(final):
-        shutil.rmtree(build)
-        return final
     os.makedirs(os.path.dirname(final), exist_ok=True)
     try:
         os.rename(build, final)
-    except OSError:  # concurrent builder won the rename race — theirs is identical
+    except OSError:
+        # either a concurrent builder won the rename race (theirs is
+        # byte-identical — content-addressed), or the rename itself
+        # failed (EXDEV across filesystems, EACCES): only the first is
+        # benign, so re-raise unless the destination actually exists
+        # (r15 review: swallowing EXDEV returned a path never created)
         shutil.rmtree(build, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
     return final
 
 
@@ -127,9 +148,15 @@ def q_partition_discovery(spark, sf_dir):
     discovery (reference generate.py:12-14, sensors.py:45): one row per
     discovered partition with its file count."""
     root = _fixture("discovery")
-    df = read_text_files(spark, root)
-    out = df.groupBy("day").agg(F.count("*").alias("n_files")).orderBy("day")
-    return out
+    try:
+        df = read_text_files(spark, root)
+        out = df.groupBy("day").agg(F.count("*").alias("n_files")).orderBy("day")
+        # materialize so the fixture dir can be removed — the lazy frame
+        # was the one leak in this module's otherwise-uniform
+        # build/checkpoint/rmtree discipline (r15 review)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --- S4/S6: append-mode partitioned sink ------------------------------------
@@ -743,25 +770,6 @@ def _scoped(fn):
     return wrapped
 
 
-from incremental_dagster_delta_spark.queries.registry import QUERIES as _Q  # noqa: E402
-
-for _name in [
-    "q_delta_append",
-    "q_partitioned_write",
-    "q_replace_where",
-    "q_refresh_overwrite",
-    "q_listing_accumulate",
-    "q_backfill",
-    "q_multi_hop",
-    "q_sessionize_stateful",
-    "q_late_data",
-    "q_stream_dedup",
-    "q_quota_stateful",
-    "q_stream_join",
-]:
-    _Q[_name].fn = _scoped(_Q[_name].fn)
-
-
 # --- compaction / small-files maintenance ------------------------------------
 
 
@@ -856,10 +864,19 @@ def q_exactly_once_publish(spark, sf_dir):
         b0 = spark.createDataFrame(
             [(1, "2024-07-01"), (2, "2024-07-01"), (3, "2024-07-02")], schema
         )
-        assert tbl.append_batch(b0, 0) is True
-        assert tbl.append_batch(b0, 0) is False  # replay: marker short-circuits
-        b1 = spark.createDataFrame([(4, "2024-07-02"), (5, "2024-07-03")], schema)
-        assert tbl.append_batch(b1, 1) is True
+        # plain calls with explicit checks, NOT asserts: python -O strips
+        # assert statements including their side-effecting arguments, so
+        # the publishes themselves would vanish (r15 review)
+        results = [
+            tbl.append_batch(b0, 0),
+            tbl.append_batch(b0, 0),  # replay: marker short-circuits
+            tbl.append_batch(
+                spark.createDataFrame([(4, "2024-07-02"), (5, "2024-07-03")], schema),
+                1,
+            ),
+        ]
+        if results != [True, False, True]:
+            raise RuntimeError(f"exactly-once publish contract broken: {results}")
         metrics = tbl.batch_metrics()
         per_batch = (
             tbl.read()
@@ -876,10 +893,6 @@ def q_exactly_once_publish(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
-# qids defined below the main _scoped loop get the same scoped
-# shuffle-partition treatment here.
-for _name in ["q_compaction_stats", "q_exactly_once_publish"]:
-    _Q[_name].fn = _scoped(_Q[_name].fn)
 
 
 # --- schema evolution on append ----------------------------------------------
@@ -1016,5 +1029,7 @@ def q_time_travel(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
-for _name in ["q_schema_evolution", "q_partition_delete", "q_time_travel"]:
+# Every qid this module registered runs its micro-pipeline under the
+# scoped shuffle-partition count — no opt-in list to forget.
+for _name in set(_Q) - _PRE_EXISTING:
     _Q[_name].fn = _scoped(_Q[_name].fn)

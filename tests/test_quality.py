@@ -97,3 +97,27 @@ def test_pipeline_quarantine_gate(spark, tmp_path):
     assert good.count() + quar.count() == len(written)
     # backwards derives from the gated rows only
     assert pipe.backwards.read().count() == good.count()
+
+
+def test_empty_rules_are_a_pass(spark):
+    """r15 review: an expectations dict built conditionally can end up
+    empty — no rules means nothing to violate, not an internal agg
+    error."""
+    from incremental_dagster_delta_spark.quality import enforce, violation_counts
+
+    df = spark.createDataFrame([(1,)], "value long")
+    assert violation_counts(df, {}) == {}
+    assert enforce(df, {}, mode="fail") is df
+    assert enforce(df, {}, mode="drop").count() == 1
+
+
+def test_split_refuses_existing_violations_column(spark):
+    """r15 review: split() must not silently overwrite (and, in good,
+    destroy) a pre-existing _violations column."""
+    import pytest
+
+    from incremental_dagster_delta_spark.quality import split
+
+    df = spark.createDataFrame([(1, ["old"])], "value long, _violations array<string>")
+    with pytest.raises(ValueError, match="_violations"):
+        split(df, {"pos": "value > 0"})

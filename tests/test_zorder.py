@@ -57,3 +57,18 @@ def test_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
     assert avg_b < 0.6 * (glob_max_b - glob_min_b), (avg_b, glob_max_b - glob_min_b)
     # and the clustered table still holds every row exactly once
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_morton_rank_bits_bounded(spark):
+    """r15 review: |quantile boundaries| = 2^bits - 1 per column — bits
+    past ~10 blow up the plan long before the interleave-overflow check
+    fires; refuse loudly."""
+    import pytest
+
+    from incremental_dagster_delta_spark.functions import morton_rank_column
+
+    df = spark.range(10).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="bits"):
+        morton_rank_column(df, ["a", "b"], bits=16)
+    with pytest.raises(ValueError, match="bits"):
+        morton_rank_column(df, ["a", "b"], bits=0)
