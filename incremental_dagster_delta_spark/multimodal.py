@@ -84,16 +84,15 @@ def extract_features(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if p is None:  # NULL payload: no features, not a crash
+                    continue
+                f = _fake_decode(bytes(p))
+                rows.append((int(mid), kind, f["n_bytes"], f["sha256"], f["width"], f["height"]))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "sha256": [f["sha256"] for f in feats],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                }
+                rows,
+                columns=["media_id", "kind", "n_bytes", "sha256", "width", "height"],
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
@@ -111,6 +110,11 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
         import pyarrow as pa
 
         for b in batches:
+            payloads = b.column(b.schema.get_field_index("payload"))
+            # NULL payloads: no features, not a crash (the module-wide
+            # discipline) — filter the batch before decoding
+            keep = pa.compute.is_valid(payloads)
+            b = b.filter(keep)
             payloads = b.column(b.schema.get_field_index("payload"))
             feats = [_fake_decode(p.as_py()) for p in payloads]
             yield pa.RecordBatch.from_pydict(
@@ -374,17 +378,16 @@ def resize_images(media: DataFrame, width: int, height: int, method: str = "near
         import pandas as pd
 
         for pdf in batches:
-            resized = [
-                resize_image_bytes(bytes(p), width, height, method) for p in pdf["payload"]
-            ]
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:  # NULL payload: nothing to resize, not a crash
+                    continue
+                r = resize_image_bytes(bytes(p), width, height, method)
+                rows.append(
+                    (int(mid), width, height, r, hashlib.sha256(r).hexdigest())
+                )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "width": [width] * len(resized),
-                    "height": [height] * len(resized),
-                    "payload": resized,
-                    "sha256": [hashlib.sha256(r).hexdigest() for r in resized],
-                }
+                rows, columns=["media_id", "width", "height", "payload", "sha256"]
             )
 
     return media.where(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)

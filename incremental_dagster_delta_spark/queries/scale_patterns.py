@@ -10,6 +10,8 @@ the direct aggregation (the oracle computes the direct form).
 """
 
 # No `from __future__ import annotations` (pandas-typed applyInPandas).
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -102,7 +104,11 @@ def q_grouped_pandas(spark, sf_dir):
             }
         )
 
-    d = t(spark, sf_dir, "documents")
+    # project BEFORE the grouped map: applyInPandas ships every column
+    # through Arrow into Python, and the UDF reads only (lang, n_chars)
+    # — the unprojected frame paid the text payload's transfer for
+    # nothing (r15 review)
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars")
     return d.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs long, median_chars double, mean_chars double"
     )
@@ -202,14 +208,19 @@ def q_bucketed_join(spark, sf_dir):
     ZERO Exchange operators (asserted in tests/test_plans.py). At 100 TB
     this is the pattern for joins you run repeatedly on the same key:
     pay the shuffle once at layout time, never again at query time. The
-    bucketed copies are content-addressed by scale-factor dir and reused
-    across calls; values are bit-identical to the plain join the oracle
-    runs (decimal revenue arithmetic — associative, order-free)."""
+    bucketed copies are keyed by (scale-factor dir, PROCESS) and reused
+    across calls within a session; the pid in the path matters because
+    parallel test workers each run their own Spark JVM with its own
+    in-memory catalog — two processes passing the tableExists check and
+    overwriting ONE shared external path corrupted each other's bucket
+    layout mid-read (r15 review). Values are bit-identical to the plain
+    join the oracle runs (decimal revenue arithmetic — associative,
+    order-free)."""
     import hashlib
 
     from incremental_dagster_delta_spark.tables import load_table
 
-    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    digest = hashlib.sha256(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:12]
     base = f"/tmp/spark_graft/bucketed_{digest}"
     specs = {
         f"bj_orders_{digest}": ("orders", "o_orderkey"),

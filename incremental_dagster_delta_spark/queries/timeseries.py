@@ -244,7 +244,17 @@ def q_ts_similarity(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.corr("v", "qv"), 4).cast("double").alias("correlation"),
+            # Pearson via try_divide(covar, sa*sb) — same accumulators as
+            # F.corr, but a zero-variance series yields NULL (DuckDB's
+            # corr semantics) instead of an ANSI divide-by-zero raise
+            # (r15 review)
+            F.round(
+                F.try_divide(
+                    F.covar_samp("v", "qv"),
+                    F.stddev_samp("v") * F.stddev_samp("qv"),
+                ),
+                4,
+            ).cast("double").alias("correlation"),
         )
         .where(F.col("n_days") >= TS_MIN_OVERLAP)
     )
@@ -348,7 +358,6 @@ def q_rolling_median(spark, sf_dir):
     zero float boundary risk. Frame-bounded window: 7 rows of state per
     key regardless of history; one shuffle to the daily grain, one sort
     per series."""
-    from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
@@ -548,7 +557,13 @@ def q_autocorrelation(spark, sf_dir):
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.corr(F.col("a.v"), F.col("b_v")), 4).cast("double").alias("acf"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp(F.col("a.v"), F.col("b_v")),
+                    F.stddev_samp(F.col("a.v")) * F.stddev_samp(F.col("b_v")),
+                ),
+                4,
+            ).cast("double").alias("acf"),
         )
     )
 
@@ -654,11 +669,12 @@ _HOLT_REC = """
         ON d.event_type = r.event_type AND d.idx = r.idx + 1
 """
 
-
-@query(
-    "q_holt_smoothing",
-    tags=("timeseries", "analytics"),
-    oracle=f"""
+# The COMPLETE Holt query — daily grain, recursion, MAX_BY report — as
+# ONE constant: it is simultaneously both qids' DuckDB oracle and
+# q_holt_smoothing's spark.sql body, so the "textually identical on
+# both engines" parity claim is structural, not a manual three-way copy
+# sync (r15 review).
+_HOLT_SQL = f"""
     WITH RECURSIVE daily AS (
       SELECT event_type,
              CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
@@ -679,7 +695,14 @@ _HOLT_REC = """
            CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
            CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
     FROM holt GROUP BY event_type
-    """,
+    """
+
+
+
+@query(
+    "q_holt_smoothing",
+    tags=("timeseries", "analytics"),
+    oracle=_HOLT_SQL,
 )
 def q_holt_smoothing(spark, sf_dir):
     """Holt's linear smoothing per event type over the daily value
@@ -701,34 +724,7 @@ def q_holt_smoothing(spark, sf_dir):
     from incremental_dagster_delta_spark.tables import register_views
 
     register_views(spark, sf_dir, ["events"])
-    rec = _HOLT_REC.format(
-        A=HOLT_ALPHA, IA=1.0 - HOLT_ALPHA, B=HOLT_BETA, IB=1.0 - HOLT_BETA,
-        REC="holt", DAILY="daily",
-    )
-    return spark.sql(
-        f"""
-        WITH RECURSIVE daily AS (
-          SELECT event_type,
-                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
-                 x
-          FROM (
-            SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
-            FROM events GROUP BY 1, 2
-          )
-        ), holt AS (
-          SELECT event_type, idx, x, x AS l, CAST(0.0 AS DOUBLE) AS b
-          FROM daily WHERE idx = 1
-          UNION ALL
-          {rec}
-        )
-        SELECT event_type,
-               CAST(MAX(idx) AS BIGINT) AS n_days,
-               CAST(ROUND(MAX_BY(l, idx), 4) AS DOUBLE) AS level,
-               CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
-               CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
-        FROM holt GROUP BY event_type
-        """
-    )
+    return spark.sql(_HOLT_SQL)
 
 
 def _holt_fold(pdf):
@@ -760,28 +756,7 @@ def _holt_fold(pdf):
     "q_holt_batched",
     tags=("timeseries", "analytics"),
     # same recursion, same oracle text as q_holt_smoothing
-    oracle=f"""
-    WITH RECURSIVE daily AS (
-      SELECT event_type,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
-             x
-      FROM (
-        SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS x
-        FROM events GROUP BY 1, 2
-      )
-    ), holt AS (
-      SELECT event_type, idx, x, x AS l, CAST(0.0 AS DOUBLE) AS b
-      FROM daily WHERE idx = 1
-      UNION ALL
-      {_HOLT_REC.format(A=HOLT_ALPHA, IA=1.0 - HOLT_ALPHA, B=HOLT_BETA, IB=1.0 - HOLT_BETA, REC="holt", DAILY="daily")}
-    )
-    SELECT event_type,
-           CAST(MAX(idx) AS BIGINT) AS n_days,
-           CAST(ROUND(MAX_BY(l, idx), 4) AS DOUBLE) AS level,
-           CAST(ROUND(MAX_BY(b, idx), 4) AS DOUBLE) AS trend,
-           CAST(ROUND(MAX_BY(l, idx) + {HOLT_H} * MAX_BY(b, idx), 4) AS DOUBLE) AS forecast_{HOLT_H}d
-    FROM holt GROUP BY event_type
-    """,
+    oracle=_HOLT_SQL,
 )
 def q_holt_batched(spark, sf_dir):
     """q_holt_smoothing's LONG-SERIES execution path, proven: the same
@@ -796,7 +771,6 @@ def q_holt_batched(spark, sf_dir):
     independent, so the groupBy parallelizes across them; a single
     series longer than one task's memory would chunk with carried
     (l, b) state — the q_token_pack sequential-scan idiom."""
-    from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(

@@ -355,3 +355,23 @@ def test_hamming_probe_equals_filtered_symmetric_pairs(spark):
     }
     assert got == sym and got  # non-vacuous: at least one planted hit
     assert all(b >= 100 and c < 100 for b, c in got)
+
+
+def test_feature_transforms_skip_null_payloads(spark):
+    """r15 review: extract_features / extract_features_arrow /
+    resize_images must skip NULL payloads like every sibling transform
+    (the module-wide 'no frames, not a crash' discipline), not die on
+    bytes(None)."""
+    from incremental_dagster_delta_spark.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        resize_images,
+    )
+
+    rows = [(1, "image", bytearray(b"\x01\x02" * 300)), (2, "image", None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    assert [r["media_id"] for r in extract_features(media).collect()] == [1]
+    assert [r["media_id"] for r in extract_features_arrow(media).collect()] == [1]
+    assert [r["media_id"] for r in resize_images(media, 4, 4).collect()] == [1]
