@@ -50,19 +50,25 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # across rounds, and no row should age past ~6 rounds. After the r14
 # sweep the stalest rows were the 14 r8-aged re-confirms (VERDICT r14
 # #1), which lead the r15 front after the round's new operator; the 35
-# alphabetically-first of the 50 r10-aged rows fill to exactly 50.
-# The 17 r10 rows left for the r16 front: q_quantiles, q_range_join,
-# q_regex_parse, q_repeated_ngrams, q_reservoir_per_source,
-# q_rolling_range_window, q_scd2_merge, q_semdedup, q_seq_len_buckets,
-# q_session_window, q_sliding_window, q_stratified_sample,
-# q_string_funcs, q_tumbling_window, q_unpivot, q_upsert_merge,
-# q_variant_json.
+# alphabetically-first of the 50 r10-aged rows fill to exactly 50
+# (29 after the session's four later additions took front slots).
+# The 21 r10 rows left for the r16 front: q_mmr_rerank,
+# q_partition_discovery, q_partition_prune, q_pii_redact, q_quantiles,
+# q_range_join, q_regex_parse, q_repeated_ngrams,
+# q_reservoir_per_source, q_rolling_range_window, q_scd2_merge,
+# q_semdedup, q_seq_len_buckets, q_session_window, q_sliding_window,
+# q_stratified_sample, q_string_funcs, q_tumbling_window, q_unpivot,
+# q_upsert_merge, q_variant_json.
 # --------------------------------------------------------------------------
 _R15_FRONT = [
     # (a) new this round — first driver rows
     "q_ivf_incremental",
     "q_rouge_n",
     "q_k_anonymity",
+    "q_bleu",
+    "q_chrf",
+    "q_label_propagation",
+    "q_cohen_kappa",
     # (b) the 14 r8-aged re-confirms (every row then ≤7 rounds old)
     "q_sql_udf",
     "q_substring_dedup",
@@ -78,7 +84,7 @@ _R15_FRONT = [
     "q_unigram_surprisal",
     "q_wholetext_ingest",
     "q_window_battery",
-    # (c) the 33 alphabetically-first r10-aged rows, filling to exactly 50
+    # (c) the 29 alphabetically-first r10-aged rows, filling to exactly 50
     "q_array_funcs",
     "q_asof_join",
     "q_audio_features",
@@ -105,10 +111,6 @@ _R15_FRONT = [
     "q_kmeans_maximin",
     "q_listing_accumulate",
     "q_mixture_plan",
-    "q_mmr_rerank",
-    "q_partition_discovery",
-    "q_partition_prune",
-    "q_pii_redact",
     "q_pivot_api",
     "q_posexplode",
     "q_pq_train",

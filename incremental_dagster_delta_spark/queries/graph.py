@@ -420,6 +420,112 @@ def q_pagerank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).cast("double").alias("rank"))
 
 
+# --- label propagation communities -------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE synchronous label propagation (the q_pagerank unroll
+    device). Every vote is an exact BIGINT weight sum and the winner is
+    picked by (weight DESC, label ASC) — no floats anywhere, so the
+    hash match is seamless."""
+    its = []
+    for k in range(1, LPA_ITERS + 1):
+        its.append(
+            f"it{k} AS (\n"
+            f"      SELECT node, lbl FROM (\n"
+            f"        SELECT e.dst AS node, p.lbl,\n"
+            f"               ROW_NUMBER() OVER (\n"
+            f"                 PARTITION BY e.dst\n"
+            f"                 ORDER BY SUM(e.w) DESC, p.lbl ASC) AS rk\n"
+            f"        FROM edges e JOIN it{k - 1} p ON p.node = e.src\n"
+            f"        GROUP BY e.dst, p.lbl\n"
+            f"      ) WHERE rk = 1)"
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH pairs AS (
+      SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT 'c' || c AS src, 's' || s AS dst, CAST(w AS BIGINT) AS w FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst, CAST(w AS BIGINT) AS w FROM pairs
+    ), edges AS (
+      SELECT src, dst, w FROM sym
+      UNION ALL
+      SELECT src, src, CAST(1 AS BIGINT) FROM (SELECT DISTINCT src FROM sym)
+    ),
+    it0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ),
+    {chain}
+    SELECT node, lbl AS community FROM it{LPA_ITERS}
+    """
+
+
+@query("q_label_propagation", tags=("graph", "llm"), oracle=_lpa_oracle())
+def q_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the customer<->supplier order graph — the cheap
+    clustering crawl-curation pipelines use to group sources before
+    per-community sampling caps. Each node starts as its own label;
+    each of LPA_ITERS=3 synchronized rounds every node adopts the label
+    with the largest incident edge weight (tie-break: smallest label).
+    A unit self-loop keeps a node's own label in the vote — the
+    semi-synchronous damping that prevents the bipartite 2-cycle
+    oscillation plain synchronous LPA exhibits, while staying fully
+    deterministic.
+
+    Scale shape: the symmetrized self-looped edge list is frozen once
+    with ``localCheckpoint``; each round is ONE shuffle join on src,
+    ONE (dst, lbl) weight aggregation, and ONE per-node window (keyed
+    by node — corpus-cardinality partitions, never global). All
+    arithmetic is exact BIGINT, so the DuckDB unrolled-CTE oracle
+    hash-matches with no rounding seam."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cs = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    sym = cs.unionByName(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    edges = sym.unionByName(
+        sym.select("src").distinct().select(
+            "src", F.col("src").alias("dst"), F.lit(1).cast("long").alias("w")
+        )
+    ).localCheckpoint(eager=True)  # frozen: every round re-reads it
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w_win = Window.partitionBy("node").orderBy(F.col("vw").desc(), F.col("lbl").asc())
+    for i in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("vw"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w_win))
+            .where(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)  # truncate lineage
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 # --- triangle counting (degree-ordered) --------------------------------------
 
 _TRIANGLE_ORACLE = """

@@ -406,3 +406,119 @@ def q_quality_holdout(spark, sf_dir):
         .crossJoin(F.broadcast(n_train))
         .select("n_train", "n_test", "tp", "fp", "fn", "tn")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-annotator agreement (r15). When a curation pipeline runs TWO
+# quality raters — a heuristic and a model, or two model versions — the
+# decision "do they agree beyond chance" is Cohen's kappa over their
+# joint label distribution. Here the two annotators are the engine's
+# own deterministic raters: A bins documents by character length, B by
+# token count (correlated but not identical — exactly the regime kappa
+# is for).
+#
+# Exactness: with n docs, agree = Σ_k conf[k,k], and chance mass
+# S = Σ_k a_k·b_k (row × column marginals),
+#   po = agree/n,  pe = S/n²,  κ = (po−pe)/(1−pe) = (n·agree − S)/(n² − S)
+# — every quantity an exact BIGINT ratio, emitted as the standard 4-dp
+# integer quotient. (κ can be negative; both engines' DIV truncates
+# toward zero identically, so the hash seam is still exact.)
+#
+# Scale shape: one map-side-combined groupBy over (a_lbl, b_lbl) — a
+# ≤9-row confusion matrix — then driver-free scalar algebra on the
+# broadcast 1-row aggregate. Nothing corpus-sized moves.
+
+KAPPA_CHAR_CUTS = (216, 380)  # character-length terciles at the gate SF
+KAPPA_TOK_CUTS = (39, 69)  # token-count terciles at the gate SF
+
+_KAPPA_ORACLE = f"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {KAPPA_CHAR_CUTS[0]} THEN 0
+                  WHEN length(text) < {KAPPA_CHAR_CUTS[1]} THEN 1
+                  ELSE 2 END AS a_lbl,
+             CASE WHEN len({_TOKS_SQL}) < {KAPPA_TOK_CUTS[0]} THEN 0
+                  WHEN len({_TOKS_SQL}) < {KAPPA_TOK_CUTS[1]} THEN 1
+                  ELSE 2 END AS b_lbl
+      FROM documents
+    ), conf AS (
+      SELECT a_lbl, b_lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lab GROUP BY a_lbl, b_lbl
+    ), marg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a_lbl = b_lbl THEN cnt ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST((SELECT SUM(a.ac * b.bc) FROM
+                    (SELECT a_lbl AS k, SUM(cnt) AS ac FROM conf GROUP BY a_lbl) a
+                    JOIN
+                    (SELECT b_lbl AS k, SUM(cnt) AS bc FROM conf GROUP BY b_lbl) b
+                    USING (k)) AS BIGINT) AS chance
+      FROM conf
+    )
+    SELECT n, agree, chance,
+           CAST((2 * agree * 10000 + n) // (2 * n) AS DOUBLE) / 10000 AS po,
+           CAST((2 * chance * 10000 + n * n) // (2 * n * n) AS DOUBLE) / 10000
+             AS pe,
+           CAST(CASE WHEN n * n > chance
+                THEN (2 * (n * agree - chance) * 10000 + (n * n - chance))
+                     // (2 * (n * n - chance)) END AS DOUBLE) / 10000 AS kappa
+    FROM marg
+    """
+
+
+@query("q_cohen_kappa", tags=("curation", "eval", "llm"), oracle=_KAPPA_ORACLE)
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between the two deterministic raters — see the
+    family note above. One ≤9-row aggregation, exact BIGINT algebra,
+    4-dp integer quotients."""
+    lab = t(spark, sf_dir, "documents").select(
+        F.when(F.length("text") < KAPPA_CHAR_CUTS[0], 0)
+        .when(F.length("text") < KAPPA_CHAR_CUTS[1], 1)
+        .otherwise(2)
+        .alias("a_lbl"),
+        F.when(
+            F.size(F.expr("filter(split(lower(text), ' '), x -> x != '')"))
+            < KAPPA_TOK_CUTS[0],
+            0,
+        )
+        .when(
+            F.size(F.expr("filter(split(lower(text), ' '), x -> x != '')"))
+            < KAPPA_TOK_CUTS[1],
+            1,
+        )
+        .otherwise(2)
+        .alias("b_lbl"),
+    )
+    conf = lab.groupBy("a_lbl", "b_lbl").agg(F.count("*").cast("long").alias("cnt"))
+    a_marg = conf.groupBy(F.col("a_lbl").alias("k")).agg(F.sum("cnt").alias("ac"))
+    b_marg = conf.groupBy(F.col("b_lbl").alias("k")).agg(F.sum("cnt").alias("bc"))
+    chance = (
+        a_marg.join(b_marg, "k")
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("long").alias("chance"))
+    )
+    totals = conf.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("a_lbl") == F.col("b_lbl"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    m = totals.crossJoin(F.broadcast(chance))  # 1-row × 1-row scalar join
+
+    def _q4(num: str, den: str, guard=None):
+        e = F.expr(f"(2 * ({num}) * 10000 + ({den})) DIV (2 * ({den}))")
+        if guard is not None:
+            e = F.when(guard, e)
+        return e.cast("double") / 10000
+
+    return m.select(
+        "n",
+        "agree",
+        "chance",
+        _q4("agree", "n").alias("po"),
+        _q4("chance", "n * n").alias("pe"),
+        _q4(
+            "n * agree - chance",
+            "n * n - chance",
+            F.col("n") * F.col("n") > F.col("chance"),
+        ).alias("kappa"),
+    )

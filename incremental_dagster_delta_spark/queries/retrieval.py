@@ -905,3 +905,316 @@ def q_rouge_n(spark, sf_dir):
             / 10000
         ).alias("rouge2_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# BLEU-2 generation eval (r15). Complements q_rouge_n: ROUGE is the
+# recall-oriented summarization gate; BLEU is the precision-oriented
+# translation/generation gate (Papineni 2002) — clipped n-gram
+# precisions geometrically averaged under a brevity penalty. Same
+# deterministic pairing (odd doc_id = candidate, predecessor = ref).
+#
+# Determinism: the clipped overlaps o1/o2 and gram totals are exact
+# BIGINTs; p1/p2 are emitted as round-half-up 4-dp integer divisions
+# (the ROUGE discipline). The headline bleu2 needs sqrt (IEEE
+# correctly-rounded, safe) and the brevity penalty needs exp — already
+# proven hash-stable across both engines by the ln-based oracles
+# (unigram_lm.py:239, selection.py:50); both run the same doubles and
+# round(4) at the end. Zero-gram candidates take explicit NULL branches.
+#
+# Scale shape: identical to ROUGE — per-doc gram aggregations and
+# (pair_id, gram) joins between the candidate and reference gram
+# tables only; never doc×doc, per-pair cost bounded by gram counts.
+
+_BLEU_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), uni AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(toks) AS g FROM toks
+      ) GROUP BY doc_id, g
+    ), bi AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM toks
+      ) GROUP BY doc_id, g
+    ), lens AS (
+      SELECT c1.pair_id, c1.len1_c, r1.len1_r,
+             COALESCE(c2.len2_c, 0) AS len2_c
+      FROM (SELECT doc_id AS pair_id, CAST(SUM(cnt) AS BIGINT) AS len1_c
+            FROM uni WHERE doc_id % 2 = 1 GROUP BY doc_id) c1
+      JOIN (SELECT doc_id + 1 AS pair_id, CAST(SUM(cnt) AS BIGINT) AS len1_r
+            FROM uni WHERE doc_id % 2 = 0 GROUP BY doc_id) r1 USING (pair_id)
+      LEFT JOIN (SELECT doc_id AS pair_id, CAST(SUM(cnt) AS BIGINT) AS len2_c
+                 FROM bi WHERE doc_id % 2 = 1 GROUP BY doc_id) c2 USING (pair_id)
+    ), ov1 AS (
+      SELECT c.doc_id AS pair_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS o1
+      FROM (SELECT * FROM uni WHERE doc_id % 2 = 1) c
+      JOIN (SELECT doc_id + 1 AS doc_id, g, cnt FROM uni WHERE doc_id % 2 = 0) r
+        USING (doc_id, g)
+      GROUP BY c.doc_id
+    ), ov2 AS (
+      SELECT c.doc_id AS pair_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS o2
+      FROM (SELECT * FROM bi WHERE doc_id % 2 = 1) c
+      JOIN (SELECT doc_id + 1 AS doc_id, g, cnt FROM bi WHERE doc_id % 2 = 0) r
+        USING (doc_id, g)
+      GROUP BY c.doc_id
+    ), m AS (
+      SELECT l.pair_id, l.len1_c, l.len2_c, l.len1_r,
+             COALESCE(ov1.o1, 0) AS o1, COALESCE(ov2.o2, 0) AS o2
+      FROM lens l LEFT JOIN ov1 USING (pair_id) LEFT JOIN ov2 USING (pair_id)
+    )
+    SELECT pair_id, pair_id - 1 AS ref_id, o1, o2, len1_c, len2_c, len1_r,
+           CAST(CASE WHEN len1_c > 0
+                THEN (2 * o1 * 10000 + len1_c) // (2 * len1_c) END AS DOUBLE)
+             / 10000 AS bleu_p1,
+           CAST(CASE WHEN len2_c > 0
+                THEN (2 * o2 * 10000 + len2_c) // (2 * len2_c) END AS DOUBLE)
+             / 10000 AS bleu_p2,
+           CAST(CASE WHEN len1_c >= len1_r THEN 1.0
+                WHEN len1_c > 0 THEN ROUND(exp(1.0 - len1_r / (1.0 * len1_c)), 4)
+                END AS DOUBLE) AS brevity,
+           CAST(CASE WHEN len1_c > 0 AND len2_c > 0 THEN
+                ROUND((CASE WHEN len1_c >= len1_r THEN 1.0
+                       ELSE exp(1.0 - len1_r / (1.0 * len1_c)) END)
+                      * sqrt((o1 / (1.0 * len1_c)) * (o2 / (1.0 * len2_c))), 4)
+                END AS DOUBLE) AS bleu2
+    FROM m
+    """
+
+
+@query("q_bleu", tags=("retrieval", "eval", "llm"), oracle=_BLEU_ORACLE)
+def q_bleu(spark, sf_dir):
+    """Sentence-level BLEU-2 per candidate-reference pair — clipped
+    unigram/bigram precisions, brevity penalty, and the geometric-mean
+    headline score. See the family note above for the determinism and
+    scale arguments."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("toks"),
+    )
+    uni = (
+        d.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bi = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def _cand(g):
+        return g.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("pair_id"), "g", F.col("cnt").alias("c_cnt")
+        )
+
+    def _ref(g):
+        return g.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1).alias("pair_id"), "g", F.col("cnt").alias("r_cnt")
+        )
+
+    def _overlap(g, name):
+        return (
+            _cand(g)
+            .join(_ref(g), ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("c_cnt", "r_cnt")).alias(name))
+        )
+
+    lens = (
+        _cand(uni).groupBy("pair_id").agg(F.sum("c_cnt").alias("len1_c"))
+        .join(_ref(uni).groupBy("pair_id").agg(F.sum("r_cnt").alias("len1_r")), "pair_id")
+        .join(
+            _cand(bi).groupBy("pair_id").agg(F.sum("c_cnt").alias("len2_c")),
+            "pair_id",
+            "left",
+        )
+        .withColumn("len2_c", F.coalesce("len2_c", F.lit(0)))
+    )
+    m = (
+        lens.join(_overlap(uni, "o1"), "pair_id", "left")
+        .join(_overlap(bi, "o2"), "pair_id", "left")
+        .withColumn("o1", F.coalesce("o1", F.lit(0)))
+        .withColumn("o2", F.coalesce("o2", F.lit(0)))
+    )
+
+    def _r4(num, den):
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.expr(f"(2 * {num} * 10000 + {den}) DIV (2 * {den})"),
+            ).cast("double")
+            / 10000
+        )
+
+    bp = F.when(F.col("len1_c") >= F.col("len1_r"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("len1_r") / (1.0 * F.col("len1_c")))
+    )
+    return m.select(
+        "pair_id",
+        (F.col("pair_id") - 1).alias("ref_id"),
+        "o1",
+        "o2",
+        "len1_c",
+        "len2_c",
+        "len1_r",
+        _r4("o1", "len1_c").alias("bleu_p1"),
+        _r4("o2", "len2_c").alias("bleu_p2"),
+        F.when(F.col("len1_c") > 0, F.round(bp, 4)).cast("double").alias("brevity"),
+        F.when(
+            (F.col("len1_c") > 0) & (F.col("len2_c") > 0),
+            F.round(
+                bp
+                * F.sqrt(
+                    (F.col("o1") / (1.0 * F.col("len1_c")))
+                    * (F.col("o2") / (1.0 * F.col("len2_c")))
+                ),
+                4,
+            ),
+        )
+        .cast("double")
+        .alias("bleu2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# chrF generation eval (r15). The third leg of the generation-eval
+# family: character-n-gram F-score (Popović 2015) — robust to
+# tokenization and morphology where BLEU/ROUGE are word-bound. chrF2
+# (β=2, recall-weighted) over space-stripped character 3-grams, same
+# deterministic pairing as q_rouge_n/q_bleu.
+#
+# Exactness: with clipped overlap o, candidate grams lc, reference
+# grams lr, the F-beta collapses algebraically —
+#   F2 = 5PR/(4P+R) = 5·o / (4·lr + lc)   (o ≥ 0, lc·lr > 0)
+# — ONE exact integer division; unlike BLEU no transcendental is
+# needed anywhere, so every emitted column is a round-half-up 4-dp
+# integer quotient. Zero-gram sides take explicit NULL branches.
+#
+# Scale shape: identical to the word-gram evals — per-doc char-gram
+# aggregation, one (pair_id, gram) join, per-pair bounded cost.
+
+CHRF_N = 3  # character trigram order
+
+
+def _chrf_grams_sql() -> str:
+    # space-stripped character 3-grams; range() is end-exclusive so
+    # i runs 1..len-2, empty below 3 chars
+    return (
+        "list_transform(range(1, greatest(length(s) - 1, 1)),"
+        " i -> substring(s, i, 3))"
+    )
+
+
+_CHRF_ORACLE = f"""
+    WITH stripped AS (
+      SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents
+    ), grams AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest({_chrf_grams_sql()}) AS g FROM stripped
+      ) GROUP BY doc_id, g
+    ), cand AS (
+      SELECT doc_id AS pair_id, g, cnt FROM grams WHERE doc_id % 2 = 1
+    ), ref AS (
+      SELECT doc_id + 1 AS pair_id, g, cnt FROM grams WHERE doc_id % 2 = 0
+    ), lens AS (
+      SELECT c.pair_id, c.len_c, r.len_r FROM
+        (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS len_c FROM cand GROUP BY pair_id) c
+        JOIN
+        (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS len_r FROM ref GROUP BY pair_id) r
+        USING (pair_id)
+    ), overlap AS (
+      SELECT c.pair_id, CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS o
+      FROM cand c JOIN ref r ON c.pair_id = r.pair_id AND c.g = r.g
+      GROUP BY c.pair_id
+    ), m AS (
+      SELECT l.pair_id, l.len_c, l.len_r, COALESCE(o.o, 0) AS o
+      FROM lens l LEFT JOIN overlap o USING (pair_id)
+    )
+    SELECT pair_id, pair_id - 1 AS ref_id, o AS clipped_overlap, len_c, len_r,
+           CAST(CASE WHEN len_c > 0
+                THEN (2 * o * 10000 + len_c) // (2 * len_c) END AS DOUBLE)
+             / 10000 AS chrf_p,
+           CAST(CASE WHEN len_r > 0
+                THEN (2 * o * 10000 + len_r) // (2 * len_r) END AS DOUBLE)
+             / 10000 AS chrf_r,
+           CAST(CASE WHEN len_c > 0 AND len_r > 0
+                THEN (2 * 5 * o * 10000 + (4 * len_r + len_c))
+                     // (2 * (4 * len_r + len_c)) END AS DOUBLE)
+             / 10000 AS chrf2
+    FROM m
+    """
+
+
+@query("q_chrf", tags=("retrieval", "eval", "llm"), oracle=_CHRF_ORACLE)
+def q_chrf(spark, sf_dir):
+    """chrF2 (character-trigram F-beta, β=2) per candidate-reference
+    pair — see the family note above. Every emitted score is an exact
+    integer quotient; no floats until the final 4-dp cast."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.lower("text"), F.lit(" "), F.lit("")).alias("s")
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(s) >= 3 THEN"
+                    " transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = grams.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("pair_id"), "g", F.col("cnt").alias("c_cnt")
+    )
+    ref = grams.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("pair_id"), "g", F.col("cnt").alias("r_cnt")
+    )
+    lens = (
+        cand.groupBy("pair_id")
+        .agg(F.sum("c_cnt").alias("len_c"))
+        .join(ref.groupBy("pair_id").agg(F.sum("r_cnt").alias("len_r")), "pair_id")
+    )
+    overlap = (
+        cand.join(ref, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("o"))
+    )
+    m = lens.join(overlap, "pair_id", "left").withColumn("o", F.coalesce("o", F.lit(0)))
+
+    def _r4(num, den_expr, den_guard):
+        return (
+            F.when(den_guard, F.expr(f"(2 * {num} * 10000 + {den_expr}) DIV (2 * ({den_expr}))"))
+            .cast("double")
+            / 10000
+        )
+
+    return m.select(
+        "pair_id",
+        (F.col("pair_id") - 1).alias("ref_id"),
+        F.col("o").alias("clipped_overlap"),
+        "len_c",
+        "len_r",
+        _r4("o", "len_c", F.col("len_c") > 0).alias("chrf_p"),
+        _r4("o", "len_r", F.col("len_r") > 0).alias("chrf_r"),
+        _r4(
+            "5 * o",
+            "4 * len_r + len_c",
+            (F.col("len_c") > 0) & (F.col("len_r") > 0),
+        ).alias("chrf2"),
+    )
