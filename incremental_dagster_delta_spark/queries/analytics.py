@@ -100,6 +100,32 @@ def q_pivot_api(spark, sf_dir):
     )
 
 
+def tfidf_scored(d):
+    """Per-(doc_id, tok) smoothed TF-IDF rows — the single definition of
+    the tf/df/score pipeline shared by q_tfidf (top-3 rank) and
+    q_rp_embed (random projection). The df join is UNHINTED (Heaps-law
+    sized at 100 TB; AQE decides) and the corpus size is a broadcast
+    1-row aggregate (the q_unigram_surprisal device) — NOT an eager
+    d.count(), which would run a full extra scan at plan-construction
+    time and bake the size in as a literal."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("tfidf"),
+        )
+    )
+
+
 @query(
     "q_tfidf",
     tags=("text", "llm"),
@@ -136,18 +162,7 @@ def q_tfidf(spark, sf_dir):
     when runtime stats justify it), score, per-doc window rank with
     token tie-break. All aggregations partial-combine before their
     shuffles."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = (
-        tf.join(df_t, "tok")
-        .withColumn("tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0))
-    )
+    scored = tfidf_scored(t(spark, sf_dir, "documents"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -345,17 +360,7 @@ def q_rp_embed(spark, sf_dir):
     token — Heaps-law-sized at 100 TB, so AQE decides the strategy) ->
     ONE shuffle on doc_id with 8 parallel conditional sums — identical
     cost to the TF-IDF query it extends."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(df_t, "tok").withColumn(
-        "tfidf", F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
-    )
+    scored = tfidf_scored(t(spark, sf_dir, "documents"))
     # ONE md5 per (doc, tok) row; dimension k's Rademacher sign is the
     # parity of the digest's k-th hex nibble (distinct independent-ish
     # bits of the same hash) — 8x fewer string hashes than hashing
@@ -914,22 +919,32 @@ def exact_order_statistic(df, col: str, rank: int) -> float:
     lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
     if not 1 <= rank <= n:
         raise ValueError(f"rank {rank} outside [1, {n}]")
+    # ONE binning expression shared by the histogram, the final collect,
+    # and the bracket refinement. Mixing floor-division binning with
+    # Python-float range predicates (v >= lo + b*width) lets a value
+    # within 1 ulp of a bin edge be counted into bin b by one expression
+    # and excluded by the other — an IndexError or an off-by-one rank
+    # (r15 review). Clamped to [0, BINS-1] so a member that lands 1 ulp
+    # outside the nominal bracket after refinement still bins at an edge.
+    def _bin(lo: float, width: float):
+        return F.greatest(
+            F.least(
+                F.floor((vals - F.lit(lo)) / F.lit(width)),
+                F.lit(ORDSTAT_BINS - 1),
+            ),
+            F.lit(0),
+        ).cast("int")
+
     r_rem = rank
+    # df is maintained as EXACTLY the bracket's member set (first pass:
+    # everything), so no separate range filter is needed or wanted.
     for _ in range(64):  # far above log_1024 of any double range
-        in_bracket = df.where((vals >= lo) & (vals <= hi))
         width = (hi - lo) / ORDSTAT_BINS
         if width <= 0:  # bracket collapsed to one double value
             return lo
         bins = {
             r["b"]: r["cnt"]
-            for r in in_bracket.select(
-                F.least(
-                    F.floor((vals - F.lit(lo)) / F.lit(width)),
-                    F.lit(ORDSTAT_BINS - 1),
-                )
-                .cast("int")
-                .alias("b")
-            )
+            for r in df.select(_bin(lo, width).alias("b"))
             .groupBy("b")
             .agg(F.count("*").alias("cnt"))
             .collect()
@@ -939,29 +954,33 @@ def exact_order_statistic(df, col: str, rank: int) -> float:
             cnt = bins.get(b, 0)
             if cum + cnt >= r_rem:
                 r_rem -= cum
-                blo = lo + b * width
-                bhi = hi if b == ORDSTAT_BINS - 1 else lo + (b + 1) * width
+                # the bin expression itself can't reach parquet stats —
+                # pair it with a redundant widened range that CAN push
+                # down and provably contains every bin member: one bin
+                # width plus a relative-magnitude term that dominates
+                # ulp-scale drift even when |lo| >> (hi - lo)
+                margin = width + (abs(lo) + abs(hi)) * 1e-12
+                sel = (
+                    (vals >= lo + b * width - margin)
+                    & (vals <= lo + (b + 1) * width + margin)
+                    & (_bin(lo, width) == b)
+                )
                 if cnt <= ORDSTAT_FINAL_LIMIT:
-                    # final: collect the bin's values (tie-safe — equal
-                    # values are interchangeable at a given rank)
-                    got = sorted(
-                        r[0]
-                        for r in df.where(
-                            (vals >= blo)
-                            & ((vals < bhi) if b < ORDSTAT_BINS - 1 else (vals <= bhi))
-                        )
-                        .select(col)
-                        .collect()
-                    )
+                    # final: collect the bin's values with the SAME
+                    # expression that counted them (tie-safe — equal
+                    # values are interchangeable at a given rank);
+                    # len(got) == cnt by construction.
+                    got = sorted(r[0] for r in df.where(sel).select(col).collect())
                     return float(got[r_rem - 1])
-                lo, hi = blo, bhi
+                # refine to the bin's members — same expression again —
+                # keeping the single column so the repeated scans stay
+                # column-pruned
+                df = df.where(sel).select(col)
+                lo, hi = lo + b * width, lo + (b + 1) * width
                 break
             cum += cnt
         else:  # pragma: no cover - bins always cover the bracket
             raise RuntimeError("rank walked past the bracket")
-        # refine candidate values only: select the single column early so
-        # the repeated scans stay column-pruned
-        df = df.where((vals >= lo) & (vals <= hi)).select(col)
     raise RuntimeError("bracket refinement did not converge")  # pragma: no cover
 
 

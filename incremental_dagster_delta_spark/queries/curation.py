@@ -260,10 +260,16 @@ def q_gopher_rules(spark, sf_dir):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     w = d.select("doc_id", "text", toks.alias("toks"))
     n_words = F.size("toks").cast("long")
-    mean_wl = F.round(
-        F.aggregate(F.transform("toks", lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, v: a + v)
-        / F.greatest(F.size("toks"), F.lit(1)),
-        4,
+    # 0-token docs: the oracle's list_aggregate over an empty list is
+    # NULL, not 0 — mirror that so mean_word_len stays NULL there (the
+    # keep conjunction is already FALSE via the n_words bound).
+    mean_wl = F.when(
+        F.size("toks") > 0,
+        F.round(
+            F.aggregate(F.transform("toks", lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, v: a + v)
+            / F.greatest(F.size("toks"), F.lit(1)),
+            4,
+        ),
     ).cast("double")
     symbol_ratio = F.round(
         F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
@@ -271,11 +277,17 @@ def q_gopher_rules(spark, sf_dir):
         4,
     ).cast("double")
     has_stop = F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS))) > 0
-    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    n3 = F.size("toks") - 2
     shingle = lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " ")  # noqa: E731
+    # sequence(1, n3) with n3 <= 0 runs DESCENDING into slice(toks, 0, 3)
+    # — a crash on any ≤2-token doc (the q_decontaminate guard, applied
+    # here too; DuckDB's range(1, n3+1) is just empty there).
+    shingles = F.when(
+        n3 >= 1, F.transform(F.sequence(F.lit(1), n3), shingle)
+    ).otherwise(F.array().cast("array<string>"))
     rep_frac = F.round(
         F.lit(1.0)
-        - F.size(F.array_distinct(F.transform(F.sequence(F.lit(1), n3), shingle))).cast("double")
+        - F.size(F.array_distinct(shingles)).cast("double")
         / F.greatest(F.size("toks") - 2, F.lit(1)),
         4,
     ).cast("double")
@@ -325,18 +337,10 @@ def q_reservoir_per_source(spark, sf_dir):
     two-phase form (per-partition top-k then global top-k per group,
     which is exactly what Spark's window + partial sort does under AQE).
     Inspection samples, eval slices, and per-domain caps all reduce to
-    this operator."""
-    from pyspark.sql.window import Window
-
-    d = t(spark, sf_dir, "documents")
-    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
-    w = Window.partitionBy("source").orderBy(draw, F.col("doc_id"))
-    return (
-        d.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= RESERVOIR_K)
-        .select("doc_id", "source")
-    )
+    this operator. Body: :func:`reservoir_partial` over the full corpus
+    — the single definition of the draw/tiebreak the incremental fold's
+    merge-equals-full proof depends on."""
+    return reservoir_partial(t(spark, sf_dir, "documents"))
 
 
 # --- per-group null imputation -----------------------------------------------
@@ -513,14 +517,10 @@ def q_reservoir_incremental(spark, sf_dir):
     for b in range(RES_BATCHES):
         p = reservoir_partial(d.where(F.col("doc_id") % RES_BATCHES == b))
         parts = p if parts is None else parts.unionByName(p)
-    draw = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
-    w = Window.partitionBy("source").orderBy(draw, F.col("doc_id"))
-    return (
-        parts.distinct()  # idempotent under batch re-insertion
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= RESERVOIR_K)
-        .select("doc_id", "source")
-    )
+    # the fold's re-selection is the SAME bounded selection, applied to
+    # the deduped union of local reservoirs (idempotent under batch
+    # re-insertion)
+    return reservoir_partial(parts.distinct())
 
 
 # --- Pareto-frontier (skyline) selection ----------------------------------------

@@ -60,16 +60,12 @@ _BM25_ORACLE = f"""
     """
 
 
-@query("q_bm25", tags=("retrieval", "llm"), bench=True, oracle=_BM25_ORACLE)
-def q_bm25(spark, sf_dir):
-    """Okapi BM25 for a fixed query-term set over every document.
-    Plan shape at 100 TB: token explode feeds two partial-aggregations
-    (per-doc length, per-(doc, term) tf); the per-term df table (|terms|
-    rows) and the 1-row corpus stats broadcast; the final score is one
-    groupBy doc_id. The fact side shuffles once — BM25 is aggregation,
-    not search, until you add an index; its inverted-index form is the
-    same tf table keyed by term."""
-    d = t(spark, sf_dir, "documents")
+def _bm25_term_scores(d: DataFrame) -> DataFrame:
+    """Per-(doc_id, tok) BM25 term scores for the fixed BM25_TERMS set:
+    columns (doc_id, tok, tf, term_score) with term_score the RAW
+    double. The single definition of the k1/b/0.5-smoothing formula —
+    q_bm25 sums it per doc, q_mrr_eval ranks its rounded form; a tweak
+    here moves both (and their shared oracle constants) together."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -79,13 +75,32 @@ def q_bm25(spark, sf_dir):
     df = matched.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
     return (
         tf.join(F.broadcast(df), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("term_score"),
+        )
+    )
+
+
+@query("q_bm25", tags=("retrieval", "llm"), bench=True, oracle=_BM25_ORACLE)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 for a fixed query-term set over every document.
+    Plan shape at 100 TB: token explode feeds two partial-aggregations
+    (per-doc length, per-(doc, term) tf); the per-term df table (|terms|
+    rows) and the 1-row corpus stats broadcast; the final score is one
+    groupBy doc_id. The fact side shuffles once — BM25 is aggregation,
+    not search, until you add an index; its inverted-index form is the
+    same tf table keyed by term."""
+    return (
+        _bm25_term_scores(t(spark, sf_dir, "documents"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
     )
 
 
@@ -605,26 +620,8 @@ def q_mrr_eval(spark, sf_dir):
     the scored rows are partial-aggregated map-side; nothing ever
     funnels one term through one task. Plan-pinned in
     tests/test_plans.py."""
-    d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    tok = d.select("doc_id", F.explode(toks).alias("tok"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    matched = tok.where(F.col("tok").isin(*BM25_TERMS))
-    tf = matched.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = matched.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tok",
-            "tf",
-            F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 4).alias("score"),
-        )
+    scored = _bm25_term_scores(t(spark, sf_dir, "documents")).select(
+        "doc_id", "tok", "tf", F.round("term_score", 4).alias("score")
     )
     # Best strongly-relevant hit per term under (score DESC, doc_id ASC):
     # min of the (-score, doc_id) struct. |terms| rows — broadcast back.
@@ -788,6 +785,21 @@ def q_rrf_fusion(spark, sf_dir):
 
 ROUGE_N = 2  # bigrams
 
+
+def _bigram_array():
+    """Word-bigram array over a ``toks`` column, guarded for <2-token
+    docs: sequence(0, size-2) runs DESCENDING when size < 2 and
+    toks[i + 1] indexes past the end — an ANSI crash (non-ANSI: phantom
+    NULL grams that diverge from the oracle, whose range() is simply
+    empty there). The q_decontaminate guard, applied to the eval
+    family."""
+    return F.expr(
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))"
+        " ELSE array() END"
+    )
+
 _ROUGE_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
@@ -844,15 +856,7 @@ def q_rouge_n(spark, sf_dir):
         F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("toks"),
     )
     grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> concat(toks[i], ' ', toks[i + 1]))"
-                )
-            ).alias("g"),
-        )
+        d.select("doc_id", F.explode(_bigram_array()).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1001,15 +1005,7 @@ def q_bleu(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     bi = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> concat(toks[i], ' ', toks[i + 1]))"
-                )
-            ).alias("g"),
-        )
+        d.select("doc_id", F.explode(_bigram_array()).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("cnt"))
     )

@@ -344,14 +344,20 @@ def q_skew_report(spark, sf_dir):
     for tbl, col in _SKEW_COLS:
         d = t(spark, sf_dir, tbl)
         per_key = d.groupBy(col).agg(F.count("*").alias("kn"))
+        # ndv counts NON-NULL group keys (F.count(col) over the group
+        # rows) — the oracle's COUNT(DISTINCT col) excludes NULLs, and a
+        # groupBy count("*") would silently count the NULL group as one
+        # extra "value" on any nullable join column (r15 review). The
+        # NULL group still participates in n_rows and top_key_*: NULL is
+        # often the hottest "key" and the diagnostic must surface it.
         rows.append(
             per_key.agg(
                 F.lit(f"{tbl}.{col}").alias("key_col"),
                 F.sum("kn").cast("long").alias("n_rows"),
-                F.count("*").cast("long").alias("ndv"),
+                F.count(F.col(col)).cast("long").alias("ndv"),
                 F.max("kn").cast("long").alias("top_key_rows"),
                 F.round(F.max("kn") / F.sum("kn"), 6).cast("double").alias("top_key_share"),
-                F.round(F.sum("kn") / F.count("*"), 4).cast("double").alias("avg_rows_per_key"),
+                F.round(F.sum("kn") / F.count(F.col(col)), 4).cast("double").alias("avg_rows_per_key"),
             )
         )
     out = rows[0]

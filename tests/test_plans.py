@@ -442,8 +442,9 @@ def test_tokenizer_seg_joins_shuffle(spark):
 @pytest.mark.parametrize(
     "qid,n_scalar",
     [
-        ("q_tfidf", 0),
-        ("q_rp_embed", 0),
+        ("q_tfidf", 1),  # the 1-row corpus-size scalar (r15: was an
+        # eager d.count() at plan-construction time)
+        ("q_rp_embed", 1),  # same 1-row corpus-size scalar
         ("q_topic_terms", 1),  # the 1-row source-count scalar
         ("q_unigram_surprisal", 1),  # the 1-row token-total scalar
         ("q_surprisal_buckets", 1),  # the 1-row token-total scalar

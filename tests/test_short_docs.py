@@ -1,0 +1,60 @@
+"""Short-document edge corpus (r15 review findings 1-3): the shipped
+testdata never produces a document under 10 tokens, so the gram-family
+queries' sequence() guards were latent. sequence(a, b) with b < a runs
+DESCENDING in Spark — unguarded, slice(toks, 0, k) / toks[i + 1] then
+crash under ANSI (or emit phantom NULL grams that diverge from the
+DuckDB oracle, whose range() is simply empty). This corpus has 0-, 1-,
+2- and 3-token docs and pins the full oracle hash-match for every
+query that builds word/char grams from the documents table."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from incremental_dagster_delta_spark.oracle import compare_query, duckdb_con
+from incremental_dagster_delta_spark.queries import QUERIES
+
+_TEXTS = [
+    "",  # 0 tokens
+    "one",  # 1 token
+    "two words",  # 2 tokens
+    "now three words",  # 3 tokens
+    "a b",
+    "the quick brown fox",
+    "",  # second empty doc (even doc_id -> reference side)
+    "of",
+    "x y z w",
+    "and one more pair here",
+]
+
+# Every oracle-backed qid that builds grams/shingles over documents and
+# is total over the corpus (no other-table dependencies).
+_GRAM_QIDS = ["q_gopher_rules", "q_rouge_n", "q_bleu", "q_chrf"]
+
+
+@pytest.fixture(scope="module")
+def short_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("shortdocs"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(_TEXTS)), pa.int64()),
+            "text": pa.array(_TEXTS),
+            "lang": pa.array(["en"] * len(_TEXTS)),
+            "source": pa.array(["src0"] * len(_TEXTS)),
+            "n_chars": pa.array([len(t) for t in _TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", _GRAM_QIDS)
+def test_gram_queries_survive_short_docs(spark, short_dir, name):
+    con = duckdb_con(short_dir)
+    r = compare_query(spark, con, name, QUERIES[name], short_dir)
+    assert r.rows_match, f"{name}: {r.spark_rows} vs {r.oracle_rows} rows"
+    assert r.hash_match, f"{name}: {r.detail}"
