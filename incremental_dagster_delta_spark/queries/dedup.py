@@ -154,24 +154,37 @@ def q_dedup_prefix_key(spark, sf_dir):
 DF_CAP = 256
 
 
-# Per-corpus heavy-hitter statistics, memoized by caller-supplied key
-# (e.g. the scale-factor dir — TESTDATA.md datasets are immutable).
-# Values are localCheckpointed DataFrames: tiny (hot shingles only),
-# lineage-free, and still distributed — never collected to the driver.
-_HOT_STATS_CACHE: dict[str, tuple["DataFrame", bool]] = {}
+# Per-corpus heavy-hitter statistics, memoized by (caller key, df_cap,
+# session) — the caller key names an immutable corpus (e.g. the
+# scale-factor dir; TESTDATA.md datasets are immutable), df_cap is part
+# of the statistic's definition (the same corpus under a different cap
+# has a DIFFERENT hot set — r15 review), and the session qualifier keeps
+# a cached localCheckpoint from outliving its SparkContext (a hit from a
+# later session would hand out a DataFrame whose checkpoint blocks died
+# with the stopped context). Values are localCheckpointed DataFrames:
+# tiny (hot shingles only), lineage-free, and still distributed — never
+# collected to the driver.
+_HOT_STATS_CACHE: dict[tuple, tuple["DataFrame", bool]] = {}
+
+
+def _session_key(df) -> str:
+    """Cache qualifier tying a checkpointed DataFrame to its owning
+    SparkContext (applicationId is unique per context)."""
+    return df.sparkSession.sparkContext.applicationId
 
 
 def _hot_shingles(inv, df_cap: int, cache_key: str | None):
     """(hot shingles DataFrame, is-non-empty) — shingles with document
     frequency > df_cap, EXACT (one hash aggregation over the index),
-    checkpointed, and memoized per corpus together with the emptiness
-    flag (so a cache hit issues no Spark job at all). Recompute-per-call
-    designs all serialized an index pass in front of the pair-finding
-    shuffle (see the plan-shape note in :func:`ngram_jaccard_pairs`); as
-    dataset-lifecycle statistics the cost is paid once, like ANALYZE
-    table stats."""
-    if cache_key is not None and cache_key in _HOT_STATS_CACHE:
-        return _HOT_STATS_CACHE[cache_key]
+    checkpointed, and memoized per (corpus, cap, session) together with
+    the emptiness flag (so a cache hit issues no Spark job at all).
+    Recompute-per-call designs all serialized an index pass in front of
+    the pair-finding shuffle (see the plan-shape note in
+    :func:`ngram_jaccard_pairs`); as dataset-lifecycle statistics the
+    cost is paid once, like ANALYZE table stats."""
+    key = None if cache_key is None else (cache_key, df_cap, _session_key(inv))
+    if key is not None and key in _HOT_STATS_CACHE:
+        return _HOT_STATS_CACHE[key]
     hot = (
         inv.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -180,8 +193,8 @@ def _hot_shingles(inv, df_cap: int, cache_key: str | None):
         .localCheckpoint(eager=True)
     )
     entry = (hot, hot.limit(1).count() > 0)
-    if cache_key is not None:
-        _HOT_STATS_CACHE[cache_key] = entry
+    if key is not None:
+        _HOT_STATS_CACHE[key] = entry
     return entry
 
 
@@ -335,17 +348,7 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    verified = verify_jaccard(cand, sh, sh, "doc_a", "doc_b")
     out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
     return materialize_release(out, sh, prefix)
 
@@ -382,6 +385,50 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return base.select("doc_id", F.array(*[min_hash(i) for i in range(n_hashes)]).alias("sig"))
 
 
+def band_table(sh):
+    """(doc_id, band, bucket) LSH band rows over a shingle-set frame —
+    the ONE definition of the N_HASHES/N_BANDS banding (band b's bucket
+    hashes signature rows b·r..b·r+r-1). q_dedup_minhash's self-join and
+    q_incremental_dedup's batch-probe MUST band identically or the
+    incremental probe stops being comparable with the one-shot path
+    (r15 review: previously two inline copies)."""
+    sig = minhash_signatures(sh)
+    r = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def verify_jaccard(cand, sh_left, sh_right, lkey: str, rkey: str, threshold: float = JACCARD_THRESHOLD):
+    """Exact-Jaccard verification of candidate pairs: join each side's
+    shingle set, |∩|/|∪| as ``jaccard``, keep ≥ threshold. The single
+    definition of the dedup family's verify stage (q_dedup_minhash,
+    q_ngram_jaccard_prefix, q_incremental_dedup) — candidates only,
+    never all-pairs."""
+    return (
+        cand.join(sh_left.withColumnsRenamed({"doc_id": lkey, "shingles": "_sh_l"}), lkey)
+        .join(sh_right.withColumnsRenamed({"doc_id": rkey, "shingles": "_sh_r"}), rkey)
+        .withColumn("n_shared", F.size(F.array_intersect("_sh_l", "_sh_r")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("_sh_l") + F.size("_sh_r") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 @query("q_dedup_minhash", tags=("dedup", "llm"), bench=True, oracle=_PAIRS_ORACLE)
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup detection, verified with exact Jaccard.
@@ -396,22 +443,7 @@ def q_dedup_minhash(spark, sf_dir):
 
     d = fan_out(t(spark, sf_dir, "documents"), spark)
     sh = doc_shingles(d).persist()
-    sig = minhash_signatures(sh)
-    r = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    bands = band_table(sh).persist()
     # ^ persisted: the self-join below references bands twice; without the
     # cache the 48-hash signature stage runs twice.
     cand = (
@@ -425,17 +457,7 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    verified = verify_jaccard(cand, sh, sh, "doc_a", "doc_b")
     out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
     return materialize_release(out, sh, bands)
 
@@ -846,25 +868,6 @@ def q_incremental_dedup(spark, sf_dir):
     )
     corpus_sh = doc_shingles(d).persist()
     batch_sh = doc_shingles(batch).persist()
-    r = N_HASHES // N_BANDS
-
-    def band_table(sh):
-        sig = minhash_signatures(sh)
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
-
     corpus_bands = band_table(corpus_sh)
     batch_bands = band_table(batch_sh)
     cand = (
@@ -876,17 +879,7 @@ def q_incremental_dedup(spark, sf_dir):
         .select(F.col("b.doc_id").alias("batch_id"), F.col("c.doc_id").alias("corpus_id"))
         .distinct()
     )
-    verified = (
-        cand.join(batch_sh.withColumnsRenamed({"doc_id": "batch_id", "shingles": "sh_b"}), "batch_id")
-        .join(corpus_sh.withColumnsRenamed({"doc_id": "corpus_id", "shingles": "sh_c"}), "corpus_id")
-        .withColumn("n_shared", F.size(F.array_intersect("sh_b", "sh_c")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.size("sh_b") + F.size("sh_c") - F.col("n_shared")),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    verified = verify_jaccard(cand, batch_sh, corpus_sh, "batch_id", "corpus_id")
     from pyspark.sql import Window
 
     w = Window.partitionBy("batch_id").orderBy(F.col("jaccard").desc(), F.col("corpus_id").asc())
@@ -1095,8 +1088,12 @@ SUBSTR_K = 5  # positional shingle width (tokens)
 SUBSTR_MIN_SPAN = 8  # minimum duplicated span length (tokens) to report
 SUBSTR_DF_CAP = 64  # drop shingles appearing in more docs (join bound)
 
-_SUBSTR_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# Shared CTE chain for the positional-shingle span detection — toks ->
+# pos -> df-capped cold -> diagonal match -> island grouping -> spans.
+# ONE definition (r15 review: previously inlined twice); q_substring_dedup
+# selects the spans directly, q_dup_span_fraction merges their per-doc
+# interval coverage on top.
+_SPANS_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     pos AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ') AS shingle
@@ -1121,14 +1118,21 @@ _SUBSTR_ORACLE = f"""
                PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
              ) AS island
       FROM m
-    )
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             count(*) + {SUBSTR_K} - 1 AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
+    )"""
+
+_SUBSTR_ORACLE = f"""
+    WITH {_SPANS_CTES}
     SELECT doc_a, doc_b,
-           CAST(min(pos_a) AS BIGINT) AS start_a,
-           CAST(min(pos_b) AS BIGINT) AS start_b,
-           CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS span_tokens
-    FROM isl
-    GROUP BY doc_a, doc_b, diag, island
-    HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
+           CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b,
+           CAST(span_tokens AS BIGINT) AS span_tokens
+    FROM spans
 """
 
 
@@ -1218,38 +1222,7 @@ def q_substring_dedup(spark, sf_dir):
 
 
 _DUP_FRACTION_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    pos AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ') AS shingle
-      FROM toks, unnest(range(1, len(toks) - {SUBSTR_K} + 2)) r(i)
-      WHERE len(toks) >= {SUBSTR_K}
-    ),
-    cold AS (
-      SELECT p.doc_id, p.pos, p.shingle
-      FROM pos p
-      JOIN (
-        SELECT shingle FROM pos GROUP BY shingle
-        HAVING count(DISTINCT doc_id) <= {SUBSTR_DF_CAP}
-      ) keep USING (shingle)
-    ),
-    m AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-      FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    ),
-    isl AS (
-      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-             pos_a - row_number() OVER (
-               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
-             ) AS island
-      FROM m
-    ),
-    spans AS (
-      SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
-             count(*) + {SUBSTR_K} - 1 AS span_tokens
-      FROM isl GROUP BY doc_a, doc_b, diag, island
-      HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_MIN_SPAN}
-    ),
+    WITH {_SPANS_CTES},
     iv AS (
       -- DISTINCT is load-bearing: it makes ORDER BY (s, e) a TOTAL
       -- order inside the two window ops below. With duplicate

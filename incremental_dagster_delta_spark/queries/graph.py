@@ -1119,15 +1119,20 @@ NJ_TOP = 20
 NJ_DEG_CAP = 256
 
 # Exact hub statistics per immutable corpus (the _hot_shingles
-# lifecycle: corpus-level metadata, computed once, localCheckpointed).
-_NJ_HUB_CACHE: dict[str, tuple[DataFrame, bool]] = {}
+# lifecycle: corpus-level metadata, computed once, localCheckpointed,
+# keyed by (corpus key, cap, session) — see dedup._HOT_STATS_CACHE's
+# note for why the cap and the owning SparkContext are part of the key).
+_NJ_HUB_CACHE: dict[tuple, tuple[DataFrame, bool]] = {}
 
 
 def _hub_customers(edges: DataFrame, deg_cap: int, cache_key: str | None):
     """(hub-customer DataFrame, is-non-empty) — customers with supplier
-    degree > deg_cap, exact, memoized per corpus key."""
-    if cache_key is not None and cache_key in _NJ_HUB_CACHE:
-        return _NJ_HUB_CACHE[cache_key]
+    degree > deg_cap, exact, memoized per (corpus key, cap, session)."""
+    from incremental_dagster_delta_spark.queries.dedup import _session_key
+
+    key = None if cache_key is None else (cache_key, deg_cap, _session_key(edges))
+    if key is not None and key in _NJ_HUB_CACHE:
+        return _NJ_HUB_CACHE[key]
     hubs = (
         edges.groupBy("c")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -1136,8 +1141,8 @@ def _hub_customers(edges: DataFrame, deg_cap: int, cache_key: str | None):
         .localCheckpoint(eager=True)
     )
     entry = (hubs, hubs.limit(1).count() > 0)
-    if cache_key is not None:
-        _NJ_HUB_CACHE[cache_key] = entry
+    if key is not None:
+        _NJ_HUB_CACHE[key] = entry
     return entry
 
 

@@ -137,7 +137,13 @@ def _pos_sums(assigned: DataFrame) -> DataFrame:
 def _update_centroids(assigned: DataFrame, old: DataFrame) -> DataFrame:
     """One Lloyd's update: per-(centroid, dim) integer sums (map-side
     combined), re-snap the mean to the grid, reassemble the K arrays;
-    empty clusters keep their previous centroid."""
+    empty clusters keep their previous centroid.
+
+    NOT on the hot path since the r14 one-job-per-round rework — the
+    live trainer collects :func:`_pos_sums` partials and updates in
+    numpy (see ``_train``). Kept as the all-DataFrame reference update:
+    tests/test_kmeans.py pins the numpy path bit-identical to this one,
+    which is what makes the rework's equivalence checkable at all."""
     return _reassemble(_pos_sums(assigned), old)
 
 

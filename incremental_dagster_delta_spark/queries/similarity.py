@@ -439,7 +439,15 @@ def _rp_table_sigs(vec: Column) -> Column:
     """Array of LSH_TABLES bucket signatures (LSH_BITS sign bits each)
     under deterministic pseudo-random hyperplanes: plane (t, j)'s i-th
     coefficient derives from murmur3((t*LSH_BITS+j)*1024 + i) mapped to
-    [-1, 1] — fully reproducible, no stored model."""
+    [-1, 1] — fully reproducible, no stored model.
+
+    The coefficients ARE per-row recomputed constants of (k, i), but
+    replacing them with precomputed literal coefficient arrays LOST an
+    interleaved A/B at sf0.1 (old 5.50 s vs literal-array 6.45 s median
+    of 4, same session — docs/PLANS.md r15): murmur3 of an int is a few
+    JIT'd instructions inside the codegen'd fold, while 96 × 64-element
+    CreateArray literals cost per-row allocation. Keep the inline
+    derivation."""
     sigs = []
     for tbl in range(LSH_TABLES):
         bits = []

@@ -97,7 +97,9 @@ def test_hot_stats_cache_memoizes_and_isolates(spark):
     inv_hot = spark.createDataFrame(
         [(i, "boiler") for i in range(30)], "doc_id long, shingle string"
     )
-    for k in ("t_cold", "t_hot"):
+    sess = spark.sparkContext.applicationId
+    keys = [(k, cap, sess) for k in ("t_cold", "t_hot") for cap in (5, 7)]
+    for k in keys:
         _HOT_STATS_CACHE.pop(k, None)
     try:
         cold_df, cold_flag = _hot_shingles(inv_cold, 5, "t_cold")
@@ -108,12 +110,16 @@ def test_hot_stats_cache_memoizes_and_isolates(spark):
         # memoized: same entry object, even if the input DF differs now
         again_df, again_flag = _hot_shingles(inv_cold.limit(0), 5, "t_cold")
         assert again_df is cold_df and again_flag is False
+        # a DIFFERENT cap is a different statistic — never a cache hit
+        # (r15 review: a cap-8 caller previously got the cap-256 entry)
+        other_df, _ = _hot_shingles(inv_cold, 7, "t_cold")
+        assert other_df is not cold_df
         # keyless: never enters the cache
         n_before = len(_HOT_STATS_CACHE)
         _hot_shingles(inv_hot, 5, None)
         assert len(_HOT_STATS_CACHE) == n_before
     finally:
-        for k in ("t_cold", "t_hot"):
+        for k in keys:
             _HOT_STATS_CACHE.pop(k, None)
 
 
