@@ -53,7 +53,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm vector: NULL, DuckDB's x/0 convention — unguarded, one
+    # all-zero embedding ABORTS every cosine consumer under ANSI Spark
+    # while the oracles keep serving rows (r15 review). NULLs sort last
+    # under DESC on both engines, so rankings are unaffected.
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 _EXACT_TOPK_ORACLE = f"""

@@ -479,7 +479,7 @@ def hll_estimate(registers, by=()):
     )
     s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))  # absent reg ⇒ 2^0
     v = (F.lit(HLL_M) - F.col("n_present")).cast("double")  # zero registers
-    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / s
+    raw = F.lit(_HLL_ALPHA_MM) / s  # the SAME literal the SQL oracles embed
     est = F.when((raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)).otherwise(
         raw
     )
@@ -695,6 +695,14 @@ def kmv_sketches(source_tok, k: int = KMV_K):
     that optimization.)"""
     from pyspark.sql.window import Window
 
+    # The distinct is LOAD-BEARING, not defensive: a KMV sketch is over
+    # the support of its input, and the sketch-merge path re-sketches
+    # the UNION of batch sketches whose token sets overlap — duplicate
+    # (source, tok) rows would double-count in the row_number and evict
+    # legitimate tokens from the top-K (pinned merge-equals-full,
+    # tests/test_sketches.py). Callers therefore pass RAW multiset rows;
+    # passing a pre-distincted frame pays a second identical shuffle
+    # (r15 review fixed that in q_kmv_source_overlap).
     u = source_tok.select("source", "tok", _kmv_hash(F.col("tok")).alias("u")).distinct()
     w1 = Window.partitionBy("source", F.pmod(F.col("u"), F.lit(64))).orderBy("u", "tok")
     local = u.withColumn("rk", F.row_number().over(w1)).where(F.col("rk") <= k).drop("rk")
@@ -773,8 +781,10 @@ def q_kmv_source_overlap(spark, sf_dir):
     fits inside K (k_eff denominators on both engines)."""
     d = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    st = d.select("source", F.explode(toks).alias("tok")).distinct()
-    sk = kmv_sketches(st)
+    raw_st = d.select("source", F.explode(toks).alias("tok"))
+    st = raw_st.distinct()  # the exact-audit side needs the support
+    sk = kmv_sketches(raw_st)  # kmv_sketches distincts internally —
+    # passing st would shuffle the vocabulary a second time (r15 review)
 
     srcs = d.select("source").distinct()
     pairs = (
@@ -943,7 +953,7 @@ def q_rolling_distinct(spark, sf_dir):
 # trending/abuse dashboards over arbitrary windows without re-touching
 # history. Probe keys here are the entity ids carried in events.props.
 
-ROLL_CMS_KEYS = tuple(str(k) for k in range(8))  # probed entity ids '0'..'7'
+ROLL_CMS_KEYS = tuple(str(k) for k in range(8))  # probed entity ids
 ROLL_CMS_WIN = 6  # window = day-6 .. day (7 days)
 
 
@@ -962,7 +972,7 @@ ROLL_CMS_WIN = 6  # window = day-6 .. day (7 days)
       FROM tok CROSS JOIN range({CMS_DEPTH}) i(i)
       GROUP BY 1, 2, 3
     ), keys AS (
-      SELECT CAST(unnest(range(0, {len(ROLL_CMS_KEYS)})) AS VARCHAR) AS tok
+      SELECT unnest([{", ".join("'" + k + "'" for k in ROLL_CMS_KEYS)}]) AS tok
     ), probe AS (
       SELECT d.day AS wday, k.tok, i.i AS row_i,
              {_md5_pos_sql("i.i", "k.tok", CMS_WIDTH)} AS pos
@@ -1018,7 +1028,9 @@ def q_rolling_cms(spark, sf_dir):
         .groupBy("wday", "row_i", "pos")
         .agg(F.sum("counter").alias("counter"))
     )
-    keys = spark.range(len(ROLL_CMS_KEYS)).select(F.col("id").cast("string").alias("tok"))
+    # built from the tuple VALUES (not its length) so the probed-id
+    # constant is live configuration, matching the oracle's list (r15)
+    keys = spark.createDataFrame([(k,) for k in ROLL_CMS_KEYS], "tok string")
     probe = (
         days.select(F.col("day").alias("wday"))
         .crossJoin(F.broadcast(keys))

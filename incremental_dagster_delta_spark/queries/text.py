@@ -87,14 +87,20 @@ def q_text_quality(spark, sf_dir):
     toks = _tokens(F.col("text"))
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
+    # n_tokens == 0 (empty / whitespace-only doc): the ratios are NULL —
+    # DuckDB's x/0 convention, and ANSI Spark would otherwise ABORT the
+    # whole query with DIVIDE_BY_ZERO on one bad row (r15 review; the
+    # shipped fixtures never produce such a doc, tests/test_short_docs.py
+    # does)
+    nz = F.when(n_tokens > 0, n_tokens)
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens, 4)
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nz, 4)
         .cast("double")
         .alias("avg_tok_len"),
-        F.round(F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double") / n_tokens, 4)
+        F.round(F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double") / nz, 4)
         .cast("double")
         .alias("stopword_ratio"),
         ((n_tokens >= 20) & (F.size(F.array_distinct(toks)) >= 10)).alias("quality_ok"),
@@ -171,12 +177,14 @@ def q_lang_id(spark, sf_dir):
     tags=("text", "llm"),
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS content_md5,
-           list_aggregate(
-             list_transform(
-               range(1, greatest(len(toks) - 3, 1) + 1),
-               i -> md5(array_to_string(toks[i:i+3], ' '))
-             ), 'min') AS min_shingle_hash
+           CASE WHEN len(toks) > 0
+                THEN md5(array_to_string(toks, ' ')) END AS content_md5,
+           CASE WHEN len(toks) > 0 THEN
+             list_aggregate(
+               list_transform(
+                 range(1, greatest(len(toks) - 3, 1) + 1),
+                 i -> md5(array_to_string(toks[i:i+3], ' '))
+               ), 'min') END AS min_shingle_hash
     FROM (
       SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       FROM documents
@@ -187,7 +195,10 @@ def q_doc_fingerprint(spark, sf_dir):
     """Two fingerprints per document: an exact content hash (md5 of the
     normalized token stream) and a MinHash-1 rolling fingerprint (minimum
     md5 over 4-token shingles) — the building block the near-dup operators
-    in dedup.py band into buckets."""
+    in dedup.py band into buckets. A zero-token document fingerprints as
+    NULL on BOTH engines (explicit branch — unguarded, DuckDB's
+    array_to_string([]) is NULL while Spark's array_join is '', a silent
+    hash divergence; r15 review, pinned by tests/test_short_docs.py)."""
     d = t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     with_toks = d.select("doc_id", toks.alias("toks"))
@@ -195,10 +206,14 @@ def q_doc_fingerprint(spark, sf_dir):
         F.array_join(F.slice(F.col("toks"), i, 4), " ").cast("binary")
     )
     n_shingles = F.greatest(F.size("toks") - 3, F.lit(1))
+    nonempty = F.size("toks") > 0
     return with_toks.select(
         "doc_id",
-        F.md5(F.array_join("toks", " ").cast("binary")).alias("content_md5"),
-        F.array_min(F.transform(F.sequence(F.lit(1), n_shingles), shingle)).alias("min_shingle_hash"),
+        F.when(nonempty, F.md5(F.array_join("toks", " ").cast("binary"))).alias("content_md5"),
+        F.when(
+            nonempty,
+            F.array_min(F.transform(F.sequence(F.lit(1), n_shingles), shingle)),
+        ).alias("min_shingle_hash"),
     )
 
 
@@ -215,16 +230,18 @@ _WIN_W = 4  # winnowing window (Schleimer et al.: min hash per window)
     bench=True,
     oracle=f"""
     SELECT doc_id,
-           CAST(len(ghashes) AS BIGINT) AS n_grams,
-           md5(array_to_string(
-             list_transform(
-               list_sort(list_distinct(
-                 list_transform(range(1, greatest(len(ghashes) - {_WIN_W - 1}, 1) + 1),
-                                j -> list_aggregate(ghashes[j:j+{_WIN_W - 1}], 'min'))
-               )),
-               h -> CAST(h AS VARCHAR)), ',')) AS fingerprint
+           CASE WHEN length(norm) > 0 THEN CAST(len(ghashes) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS n_grams,
+           CASE WHEN length(norm) > 0 THEN
+             md5(array_to_string(
+               list_transform(
+                 list_sort(list_distinct(
+                   list_transform(range(1, greatest(len(ghashes) - {_WIN_W - 1}, 1) + 1),
+                                  j -> list_aggregate(ghashes[j:j+{_WIN_W - 1}], 'min'))
+                 )),
+                 h -> CAST(h AS VARCHAR)), ',')) END AS fingerprint
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, norm,
              list_transform(
                list_transform(range(1, greatest(length(norm) - {_GRAM_K - 1}, 1) + 1),
                               i -> substring(norm, CAST(i AS INT), {_GRAM_K})),
@@ -232,8 +249,10 @@ _WIN_W = 4  # winnowing window (Schleimer et al.: min hash per window)
                                 (a, b) -> (a * 257 + b) % {_RK_MOD})
              ) AS ghashes
       FROM (
+        -- COALESCE: array_to_string([]) is NULL in DuckDB but '' in
+        -- Spark's array_join; the zero-gram branch must fire identically
         SELECT doc_id,
-               array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ') AS norm
+               COALESCE(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' '), '') AS norm
         FROM documents
       )
     )
@@ -254,6 +273,7 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
     ghashes = norm.select(
         "doc_id",
+        F.length("norm").alias("n_chars"),
         F.expr(
             f"""transform(
               transform(sequence(1, greatest(length(norm) - {_GRAM_K - 1}, 1)),
@@ -263,24 +283,32 @@ def q_winnow_fingerprint(spark, sf_dir):
             )"""
         ).alias("ghashes"),
     )
+    # zero-char norm (empty doc): 0 grams / NULL fingerprint, explicit on
+    # both engines (r15 review — the greatest(…, 1) floor otherwise
+    # fabricates one gram from the empty string, and DuckDB's NULL norm
+    # diverged from Spark's '')
+    nonempty = F.col("n_chars") > 0
     return ghashes.select(
         "doc_id",
-        F.size("ghashes").cast("long").alias("n_grams"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.array_distinct(
-                            F.expr(
-                                f"""transform(sequence(1, greatest(size(ghashes) - {_WIN_W - 1}, 1)),
-                                          j -> array_min(slice(ghashes, j, {_WIN_W})))"""
+        F.when(nonempty, F.size("ghashes")).otherwise(F.lit(0)).cast("long").alias("n_grams"),
+        F.when(
+            nonempty,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.array_distinct(
+                                F.expr(
+                                    f"""transform(sequence(1, greatest(size(ghashes) - {_WIN_W - 1}, 1)),
+                                              j -> array_min(slice(ghashes, j, {_WIN_W})))"""
+                                )
                             )
-                        )
+                        ),
+                        lambda h: h.cast("string"),
                     ),
-                    lambda h: h.cast("string"),
-                ),
-                ",",
-            ).cast("binary")
+                    ",",
+                ).cast("binary")
+            ),
         ).alias("fingerprint"),
     )
 

@@ -369,9 +369,12 @@ def ivf_pq_topk(raw, cent_row_fn=None):
             lambda a, v: a + v,
         )
     )
+    # zero-norm guard: NULL elements (DuckDB's x/0), not an ANSI abort —
+    # see similarity.cosine's note (r15 review)
+    nz_nrm = F.when(nrm != 0, nrm)
     e = raw.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("embedding"),
+        F.transform("embedding", lambda x: x.cast("double") / nz_nrm).alias("embedding"),
     )
     assigned = ivf_assign(e).persist()  # (vec_id, embedding, centroid_id)
     cent_row = cent_row_fn(e)
@@ -475,24 +478,29 @@ MAT_QUERIES = 8  # vec_id < 8 are the query vectors (similarity.py convention)
 MAT_K = 10  # overlap measured at this depth
 
 
-def _matryoshka_oracle() -> str:
-    def ranked(vec_expr_q: str, vec_expr_e: str, alias: str) -> str:
-        return f"""
-      SELECT query_id, neighbor_id FROM (
+def _ranked_sql(vq: str, ve: str) -> str:
+    """Shared oracle CTE body: per-query cosine top-MAT_K with (rk)
+    exposed — the ONE definition of the float-parity-critical ranking
+    SQL used by both _matryoshka_oracle and _rbo_oracle (r15 review:
+    previously two near-verbatim copies that had begun to drift)."""
+    return f"""
+      SELECT query_id, neighbor_id, rk FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_aggregate(list_transform(list_zip({vec_expr_q}, {vec_expr_e}),
+                 list_aggregate(list_transform(list_zip({vq}, {ve}),
                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
-                 (sqrt(list_aggregate(list_transform({vec_expr_q}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-                  sqrt(list_aggregate(list_transform({vec_expr_e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                 (sqrt(list_aggregate(list_transform({vq}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+                  sqrt(list_aggregate(list_transform({ve}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
                  DESC, e.vec_id) AS rk
         FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MAT_QUERIES}) q
         JOIN embeddings e ON e.vec_id <> q.vec_id
       ) WHERE rk <= {MAT_K}"""
 
+
+def _matryoshka_oracle() -> str:
     return f"""
-    WITH full_k AS ({ranked("q.embedding", "e.embedding", "full")}),
-    trunc_k AS ({ranked(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]", "trunc")})
+    WITH full_k AS ({_ranked_sql("q.embedding", "e.embedding")}),
+    trunc_k AS ({_ranked_sql(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]")})
     SELECT f.query_id,
            COUNT(t.neighbor_id) AS n_common,
            CAST(ROUND(COUNT(t.neighbor_id) / CAST({MAT_K} AS DOUBLE), 4) AS DOUBLE) AS overlap_at_k
@@ -594,23 +602,9 @@ def _rbo_oracle() -> str:
     cases = " ".join(
         f"WHEN {m} THEN {w[m - 1]!r}" for m in range(1, MAT_K + 1)
     )
-    def ranked(vq: str, ve: str) -> str:
-        return f"""
-      SELECT query_id, neighbor_id, rk FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_aggregate(list_transform(list_zip({vq}, {ve}),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') /
-                 (sqrt(list_aggregate(list_transform({vq}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-                  sqrt(list_aggregate(list_transform({ve}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
-                 DESC, e.vec_id) AS rk
-        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MAT_QUERIES}) q
-        JOIN embeddings e ON e.vec_id <> q.vec_id
-      ) WHERE rk <= {MAT_K}"""
-
     return f"""
-    WITH full_k AS ({ranked("q.embedding", "e.embedding")}),
-    trunc_k AS ({ranked(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]")}),
+    WITH full_k AS ({_ranked_sql("q.embedding", "e.embedding")}),
+    trunc_k AS ({_ranked_sql(f"q.embedding[1:{MAT_DIM}]", f"e.embedding[1:{MAT_DIM}]")}),
     joined AS (
       SELECT f.query_id,
              CASE GREATEST(f.rk, t.rk) {cases} END AS w

@@ -32,8 +32,19 @@ _TEXTS = [
 ]
 
 # Every oracle-backed qid that builds grams/shingles over documents and
-# is total over the corpus (no other-table dependencies).
-_GRAM_QIDS = ["q_gopher_rules", "q_rouge_n", "q_bleu", "q_chrf"]
+# is total over the corpus (no other-table dependencies). The second
+# batch (r15 review pass 3): q_text_quality ANSI-crashed on the zero
+# divisor, and both fingerprints silently diverged (DuckDB
+# array_to_string([]) is NULL, Spark array_join is '').
+_GRAM_QIDS = [
+    "q_gopher_rules",
+    "q_rouge_n",
+    "q_bleu",
+    "q_chrf",
+    "q_text_quality",
+    "q_doc_fingerprint",
+    "q_winnow_fingerprint",
+]
 
 
 @pytest.fixture(scope="module")
@@ -56,5 +67,39 @@ def short_dir(tmp_path_factory):
 def test_gram_queries_survive_short_docs(spark, short_dir, name):
     con = duckdb_con(short_dir)
     r = compare_query(spark, con, name, QUERIES[name], short_dir)
+    assert r.rows_match, f"{name}: {r.spark_rows} vs {r.oracle_rows} rows"
+    assert r.hash_match, f"{name}: {r.detail}"
+
+
+# --- zero-norm embedding edge corpus (r15 review findings, pass 3) ---------
+# One all-zero embedding ANSI-crashed every cosine consumer
+# (DIVIDE_BY_ZERO) while the DuckDB oracles kept serving rows (x/0 ->
+# NULL there). similarity.cosine and ivf_pq_topk's L2-normalize now take
+# the NULL branch; these pins run the cosine family over a corpus with
+# an injected zero vector.
+
+_VEC_QIDS = ["q_cosine_topk", "q_matryoshka_eval", "q_rbo_eval", "q_ann_ivf_pq"]
+
+
+@pytest.fixture(scope="module")
+def zero_vec_dir(tmp_path_factory):
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("zerovec"))
+    con = duckdb.connect()
+    con.sql(
+        "COPY (SELECT vec_id, CASE WHEN vec_id = 100 THEN "
+        "list_transform(embedding, x -> CAST(0.0 AS FLOAT)) ELSE embedding END AS embedding, "
+        "* EXCLUDE (vec_id, embedding) "
+        "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')) "
+        f"TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    return d
+
+
+@pytest.mark.parametrize("name", _VEC_QIDS)
+def test_cosine_queries_survive_zero_vector(spark, zero_vec_dir, name):
+    con = duckdb_con(zero_vec_dir)
+    r = compare_query(spark, con, name, QUERIES[name], zero_vec_dir)
     assert r.rows_match, f"{name}: {r.spark_rows} vs {r.oracle_rows} rows"
     assert r.hash_match, f"{name}: {r.detail}"
