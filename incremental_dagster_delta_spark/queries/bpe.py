@@ -99,38 +99,51 @@ def learn_bpe(spark, docs, n: int = N_MERGES):
         F.lit(SEP), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP), F.lit(EOW + SEP)
     )
     cur = words.select("word", seq0.alias("seq"), "freq").persist()
-    cur.count()  # materialize the one corpus pass before iterating
     merges: list[tuple] = []
-    for rank in range(1, n + 1):
-        syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
-        prs = F.zip_with(
-            F.slice(syms, 1, F.size(syms) - 1),
-            F.slice(syms, 2, F.size(syms) - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        )
-        best = (
-            cur.select(F.explode(prs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
-        merges.append((rank, left, right, left + right, c))
-        nxt = cur.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(SEP + left + SEP + right + SEP),
-                F.lit(SEP + left + right + SEP),
-            ),
-        ).persist()
-        nxt.count()  # materialize before releasing the parent revision
+    # the outer except releases the LIVE revision (cur is rebound each
+    # iteration): a mid-loop action failure (executor loss, OOM) must
+    # not leak a persisted revision into the long-lived session that
+    # runs 100+ queries (the materialize_release r15 discipline). On
+    # success `cur` stays persisted — callers release it.
+    try:
+        cur.count()  # materialize the one corpus pass before iterating
+        for rank in range(1, n + 1):
+            syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+            prs = F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+            best = (
+                cur.select(F.explode(prs).alias("p"), "freq")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
+            merges.append((rank, left, right, left + right, c))
+            nxt = cur.withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.lit(SEP + left + SEP + right + SEP),
+                    F.lit(SEP + left + right + SEP),
+                ),
+            ).persist()
+            try:
+                nxt.count()  # materialize before releasing the parent revision
+            except BaseException:
+                nxt.unpersist()
+                raise
+            cur.unpersist()
+            cur = nxt
+    except BaseException:
         cur.unpersist()
-        cur = nxt
+        raise
     return merges, cur
 
 

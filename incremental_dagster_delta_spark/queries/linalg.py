@@ -35,11 +35,14 @@ from incremental_dagster_delta_spark.queries.registry import query, t
 EMB_DIM = 64
 
 
-def _gram_partials(emb_df):
+def _gram_partials(emb_df, with_sums: bool = False):
     """Per-Arrow-batch partial Gram products: yields upper-triangle
     (i, j, g) cells, d*(d+1)/2 rows per batch, each the float64
-    ``X.T @ X`` of that batch's rows. Scale shape: map-side reduction to
-    a fixed-size summary before any shuffle."""
+    ``X.T @ X`` of that batch's rows. With ``with_sums``, each batch
+    additionally emits its column sums as (i, -1) cells and its row
+    count as a (-1, -1) cell, so ONE distributed pass produces
+    everything a covariance needs (the pca_topk contract). Scale shape:
+    map-side reduction to a fixed-size summary before any shuffle."""
 
     def run(batches):
         import numpy as np
@@ -48,17 +51,32 @@ def _gram_partials(emb_df):
         iu = np.triu_indices(EMB_DIM)
         for b in batches:
             col = b.column(b.schema.get_field_index("embedding"))
-            # float32 parquet values upcast to float64 BEFORE the product
-            # (oracle parity: DuckDB casts each component to DOUBLE).
-            x = np.asarray(col.to_pylist(), dtype=np.float64)
-            if x.size == 0:
+            # Vectorized list<float> -> (rows, d) matrix: flatten()
+            # honors list offsets; astype(float64) is the same exact
+            # float32->float64 widening DuckDB's DOUBLE cast performs.
+            # (to_pylist() boxed every component through Python objects
+            # — the dominant cost of this kernel; r15 review.)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
                 continue
+            assert flat.size % EMB_DIM == 0, "ragged embedding batch"
+            x = flat.astype(np.float64, copy=False).reshape(-1, EMB_DIM)
             g = x.T @ x
+            cells_i = [iu[0].astype("int32")]
+            cells_j = [iu[1].astype("int32")]
+            cells_g = [g[iu]]
+            if with_sums:
+                cells_i.append(np.arange(EMB_DIM, dtype="int32"))
+                cells_j.append(np.full(EMB_DIM, -1, dtype="int32"))
+                cells_g.append(x.sum(axis=0))
+                cells_i.append(np.array([-1], dtype="int32"))
+                cells_j.append(np.array([-1], dtype="int32"))
+                cells_g.append(np.array([float(x.shape[0])]))
             yield pa.RecordBatch.from_pydict(
                 {
-                    "i": pa.array(iu[0].astype("int32"), pa.int32()),
-                    "j": pa.array(iu[1].astype("int32"), pa.int32()),
-                    "g": pa.array(g[iu], pa.float64()),
+                    "i": pa.array(np.concatenate(cells_i), pa.int32()),
+                    "j": pa.array(np.concatenate(cells_j), pa.int32()),
+                    "g": pa.array(np.concatenate(cells_g), pa.float64()),
                 }
             )
 
@@ -105,28 +123,28 @@ def pca_topk(spark, emb, k: int = 8):
     intrinsic-dimension checks on embedding stores."""
     import numpy as np
     # One distributed pass for N, the component-sum vector, and the Gram
-    # upper triangle. The sum rides along as extra (i, -1) cells so a
-    # single job produces everything the driver needs.
+    # upper triangle: the sums ride along as (i, -1) cells and the row
+    # count as (-1, -1), so a single job produces everything the driver
+    # needs (r15: the previous code ran three separate corpus scans
+    # while this comment claimed one — now it IS one).
     rows = (
-        _gram_partials(emb)
+        _gram_partials(emb, with_sums=True)
         .groupBy("i", "j")
         .agg(F.sum("g").alias("g"))
-        .collect()  # d*(d+1)/2 fixed-size cells — NOT data-dependent
-    )
-    n = emb.count()
-    sums = (
-        emb.select(F.posexplode("embedding").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast("double")).alias("s"))
-        .collect()  # d cells
+        .collect()  # d*(d+1)/2 + d + 1 fixed-size cells — NOT data-dependent
     )
     gram = np.zeros((EMB_DIM, EMB_DIM))
+    sums_v = np.zeros(EMB_DIM)
+    n = 0
     for r in rows:
-        gram[r["i"], r["j"]] = r["g"]
-        gram[r["j"], r["i"]] = r["g"]
-    mu = np.zeros(EMB_DIM)
-    for r in sums:
-        mu[r["i"]] = r["s"] / n
+        if r["i"] == -1:
+            n = int(r["g"])  # row count: exact integer-valued double
+        elif r["j"] == -1:
+            sums_v[r["i"]] = r["g"]
+        else:
+            gram[r["i"], r["j"]] = r["g"]
+            gram[r["j"], r["i"]] = r["g"]
+    mu = sums_v / n
     cov = (gram - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:k]
@@ -215,6 +233,16 @@ def q_pca_topk(spark, sf_dir, k: int = 8):
 # matrix will flag later, available before any model exists).
 
 
+def _guarded_cos(a, b):
+    """Aggregate-form cosine between two component columns with the
+    zero-norm NULL branch — an all-zero label (or global) centroid
+    otherwise ANSI-aborts the whole report while the oracle's x/0
+    serves NULL (similarity.cosine's r15 note, applied to the
+    aggregate shape)."""
+    den = F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b))
+    return F.when(den != 0, F.sum(a * b) / den)
+
+
 @query(
     "q_centroid_separation",
     tags=("similarity", "analytics", "llm"),
@@ -275,12 +303,7 @@ def q_centroid_separation(spark, sf_dir):
     gcos = (
         cent.join(glob, "pos")
         .groupBy("label")
-        .agg(
-            (
-                F.sum(F.col("c") * F.col("g"))
-                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("g") * F.col("g"))))
-            ).alias("cos_g")
-        )
+        .agg(_guarded_cos(F.col("c"), F.col("g")).alias("cos_g"))
     )
     b = cent.select(
         F.col("label").alias("lb"), F.col("pos").alias("pos_b"), F.col("c").alias("cb")
@@ -288,12 +311,7 @@ def q_centroid_separation(spark, sf_dir):
     pair = (
         cent.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label") != F.col("lb")))
         .groupBy("label", "lb")
-        .agg(
-            (
-                F.sum(F.col("c") * F.col("cb"))
-                / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb"))))
-            ).alias("cos_ab")
-        )
+        .agg(_guarded_cos(F.col("c"), F.col("cb")).alias("cos_ab"))
     )
     pick = Window.partitionBy("label").orderBy(F.round("cos_ab", 4).desc(), F.col("lb"))
     nearest = (

@@ -83,11 +83,17 @@ def q_bigram_perplexity(spark, sf_dir):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
     w = Window.partitionBy("doc_id").orderBy("pos")
+    from incremental_dagster_delta_spark.tables import materialize_release
+
     big = (
         tok.withColumn("w2", F.lead("term", 1).over(w))
         .where(F.col("w2").isNotNull())
         .select("doc_id", F.col("term").alias("w1"), "w2")
+        .persist()
     )
+    # ^ persisted: big feeds scored + both count tables (and tok feeds
+    # big + v) — unpersisted, the tokenize + lead-window shuffle ran
+    # once per subtree (r15 review; see q_kn_perplexity's note)
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
     v = tok.agg(F.countDistinct("term").alias("v"))
@@ -102,10 +108,11 @@ def q_bigram_perplexity(spark, sf_dir):
             ).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(-F.avg("lp"), 4).cast("double").alias("cross_entropy"),
     )
+    return materialize_release(out, big)
 
 
 _VOCAB_ORACLE = f"""
@@ -233,11 +240,18 @@ def q_kn_perplexity(spark, sf_dir):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
     w = Window.partitionBy("doc_id").orderBy("pos")
+    from incremental_dagster_delta_spark.tables import materialize_release
+
     big = (
         tok.withColumn("w2", F.lead("term", 1).over(w))
         .where(F.col("w2").isNotNull())
         .select("doc_id", F.col("term").alias("w1"), "w2")
+        .persist()
     )
+    # ^ persisted: big feeds SIX subtrees (scored + the four model
+    # tables + nbt via c2); unpersisted, the corpus tokenize + per-doc
+    # lead-window shuffle ran six times (r15 review; the lines.py
+    # pattern, measured ~3x there)
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
     n1f = big.groupBy("w1").agg(F.countDistinct("w2").alias("n1f"))
@@ -261,7 +275,8 @@ def q_kn_perplexity(spark, sf_dir):
             ).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(-F.avg("lp"), 4).cast("double").alias("cross_entropy"),
     )
+    return materialize_release(out, big)

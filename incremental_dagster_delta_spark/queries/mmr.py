@@ -48,9 +48,19 @@ def mmr_rerank(cand, picks: int = MMR_PICKS, rel_w: int = MMR_REL_W, div_w: int 
     same zip_with fold as relevance, so the oracle's fold matches), and
     only the integer greedy runs in Python — per group the input is
     K·(K−1) pair rows, so Arrow batch size is bounded by K² regardless
-    of corpus size."""
+    of corpus size.
+
+    PRECONDITION: every cand row has non-NULL rel6 and a non-zero-norm
+    emb (q_mmr_rerank filters rel6 IS NOT NULL, which implies both) —
+    a NULL rel6/sim6 reaching the greedy becomes float64 NaN through
+    Arrow and int() raises, aborting the query (r15 review)."""
     import pandas as pd
 
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    cand = cand.persist()
+    # ^ referenced three times below (both self-join sides + carriers);
+    # unpersisted, the upstream scoring pass would run three times
     a, b = cand.alias("a"), cand.alias("b")
     pairs = a.join(
         b,
@@ -104,7 +114,8 @@ def mmr_rerank(cand, picks: int = MMR_PICKS, rel_w: int = MMR_REL_W, div_w: int 
             out, columns=["query_id", "pick_rank", "neighbor_id", "rel6", "mmr_obj"]
         )
 
-    return pairs.groupBy("query_id").applyInPandas(greedy, schema=_GREEDY_SCHEMA)
+    out = pairs.groupBy("query_id").applyInPandas(greedy, schema=_GREEDY_SCHEMA)
+    return materialize_release(out, cand)
 
 
 def _sql_cos(x: str, y: str) -> str:
@@ -125,9 +136,13 @@ def _mmr_oracle() -> str:
     ctes = [
         f"q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         f" WHERE vec_id < {N_QUERIES})",
-        "scored AS (SELECT q.query_id, e.vec_id AS nid,"
+        # rel6 IS NOT NULL drops zero-norm vectors (cosine x/0 -> NULL on
+        # both engines) — a zero QUERY drops its whole group; matches the
+        # Spark-side filter (r15 review, pinned in test_short_docs.py)
+        "scored AS (SELECT * FROM (SELECT q.query_id, e.vec_id AS nid,"
         f" CAST(ROUND({_sql_cos('q.qe', 'e.embedding')} * 1000000, 0) AS BIGINT) AS rel6,"
-        " e.embedding AS emb FROM q JOIN embeddings e ON e.vec_id <> q.query_id)",
+        " e.embedding AS emb FROM q JOIN embeddings e ON e.vec_id <> q.query_id)"
+        " WHERE rel6 IS NOT NULL)",
         "cand AS (SELECT query_id, nid, rel6, emb FROM (SELECT *,"
         " row_number() OVER (PARTITION BY query_id ORDER BY rel6 DESC, nid) AS rk"
         f" FROM scored) WHERE rk <= {MMR_CAND_K})",
@@ -184,11 +199,18 @@ def q_mmr_rerank(spark, sf_dir):
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
     )
-    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("nid"),
-        F.round(cosine(F.col("qe"), F.col("embedding")) * 1e6, 0).cast("long").alias("rel6"),
-        F.col("embedding").alias("emb"),
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine(F.col("qe"), F.col("embedding")) * 1e6, 0).cast("long").alias("rel6"),
+            F.col("embedding").alias("emb"),
+        )
+        # zero-norm vectors rank as NULL — exclude them (and a zero
+        # query's whole group) BEFORE the shortlist so no NULL reaches
+        # the integer greedy; the oracle filters identically
+        .where(F.col("rel6").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), F.col("nid"))
     cand = (

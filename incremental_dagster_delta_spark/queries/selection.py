@@ -72,7 +72,12 @@ def q_dsir_weights(spark, sf_dir):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select(
         "doc_id", "lang", F.explode(toks).alias("tok")
-    ).select("doc_id", "lang", F.substring(F.md5(F.col("tok").cast("binary")), 1, 3).alias("bucket"))
+    ).select(
+        "doc_id", "lang", F.substring(F.md5(F.col("tok").cast("binary")), 1, 3).alias("bucket")
+    ).persist()
+    # ^ persisted: tok feeds FOUR aggregations below — unpersisted, the
+    # corpus tokenize + md5 bucketing ran four times (r15 review; the
+    # lines.py pattern)
     doc_bucket = tok.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
     raw_counts = tok.groupBy("bucket").agg(F.count("*").alias("c_raw"))
     tgt_counts = (
@@ -95,7 +100,9 @@ def q_dsir_weights(spark, sf_dir):
             ).alias("log_ratio"),
         )
     )
-    return (
+    from incremental_dagster_delta_spark.tables import materialize_release
+
+    out = (
         doc_bucket.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -103,3 +110,4 @@ def q_dsir_weights(spark, sf_dir):
             F.sum("c").cast("long").alias("n_tokens"),
         )
     )
+    return materialize_release(out, tok)

@@ -184,26 +184,33 @@ def train_unigram(spark, docs: DataFrame):
     (≈ 100 rows) to inline the next score map — the same vocab-bounded
     driver scalar as ``learn_bpe``'s merge argmax."""
     words = word_table(docs).persist()
-    words.count()  # materialize the one corpus pass
-    seed = {r["piece"]: r["cnt"] for r in seed_counts(words).collect()}
-    scores = _scores(seed)
-    segs = None
-    counts = None
-    for it in range(EM_ITERS):
-        segs = words.select(
-            "word", "freq", viterbi_seg(F.col("word"), scores).alias("seg")
-        )
-        pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
-        counts = (
-            segs.select(F.explode(pieces).alias("piece"), "freq")
-            .groupBy("piece")
-            .agg(F.sum("freq").cast("long").alias("vcnt"))
-        )
-        if it < EM_ITERS - 1:
-            vcnt = {r["piece"]: r["vcnt"] for r in counts.collect()}
-            # +1 smoothing over the full seed keeps unused pieces scoreable
-            # (hard-EM revival) and every score finite.
-            scores = _scores({p: vcnt.get(p, 0) + 1 for p in seed})
+    # release on ANY mid-training failure — a dead EM run must not leak
+    # its persisted word table into the long-lived session (the
+    # materialize_release r15 discipline; learn_bpe has the same guard)
+    try:
+        words.count()  # materialize the one corpus pass
+        seed = {r["piece"]: r["cnt"] for r in seed_counts(words).collect()}
+        scores = _scores(seed)
+        segs = None
+        counts = None
+        for it in range(EM_ITERS):
+            segs = words.select(
+                "word", "freq", viterbi_seg(F.col("word"), scores).alias("seg")
+            )
+            pieces = F.filter(F.split("seg", SEP), lambda x: x != F.lit(""))
+            counts = (
+                segs.select(F.explode(pieces).alias("piece"), "freq")
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("vcnt"))
+            )
+            if it < EM_ITERS - 1:
+                vcnt = {r["piece"]: r["vcnt"] for r in counts.collect()}
+                # +1 smoothing over the full seed keeps unused pieces
+                # scoreable (hard-EM revival) and every score finite.
+                scores = _scores({p: vcnt.get(p, 0) + 1 for p in seed})
+    except BaseException:
+        words.unpersist()
+        raise
     return segs, counts, words
 
 

@@ -103,3 +103,27 @@ def test_cosine_queries_survive_zero_vector(spark, zero_vec_dir, name):
     r = compare_query(spark, con, name, QUERIES[name], zero_vec_dir)
     assert r.rows_match, f"{name}: {r.spark_rows} vs {r.oracle_rows} rows"
     assert r.hash_match, f"{name}: {r.detail}"
+
+
+@pytest.fixture(scope="module")
+def zero_query_dir(tmp_path_factory):
+    """Embeddings with a QUERY vector (vec_id 3 < N_QUERIES) zeroed —
+    the whole query group must drop identically on both engines."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("zeroquery"))
+    duckdb.connect().sql(
+        "COPY (SELECT vec_id, CASE WHEN vec_id IN (3, 100) THEN "
+        "list_transform(embedding, x -> CAST(0.0 AS FLOAT)) ELSE embedding END AS embedding, "
+        "* EXCLUDE (vec_id, embedding) "
+        "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')) "
+        f"TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_mmr_survives_zero_query_vector(spark, zero_query_dir):
+    con = duckdb_con(zero_query_dir)
+    r = compare_query(spark, con, "q_mmr_rerank", QUERIES["q_mmr_rerank"], zero_query_dir)
+    assert r.rows_match, f"{r.spark_rows} vs {r.oracle_rows} rows"
+    assert r.hash_match, r.detail
