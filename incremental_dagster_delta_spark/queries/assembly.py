@@ -29,9 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 
 
 # --- corpus accounting -------------------------------------------------------
@@ -88,6 +88,10 @@ def q_corpus_stats(spark, sf_dir):
 # corpus. Sources not listed share the remainder equally.
 _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2}
 _TOKEN_BUDGET = 1_000_000
+# The remainder share is THE SAME Python double on both engines — the
+# oracle previously hardcoded 0.1 while Spark computed
+# 1.0 - (0.4 + 0.3 + 0.2) = 0.10000000000000009 (r15 review).
+_MIX_REMAINDER = 1.0 - sum(_MIX_TARGETS.values())
 
 
 @query(
@@ -101,13 +105,16 @@ _TOKEN_BUDGET = 1_000_000
     t AS (
       SELECT source, avail_tokens,
              CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
-                  ELSE 0.1 / greatest((SELECT COUNT(*) FROM avail WHERE source NOT IN ('src0','src1','src2')), 1)
+                  ELSE {_MIX_REMAINDER!r} / greatest((SELECT COUNT(*) FROM avail WHERE source NOT IN ('src0','src1','src2')), 1)
              END AS target_share
       FROM avail
     )
     SELECT source, avail_tokens,
            CAST(ROUND(target_share, 4) AS DOUBLE) AS target_share,
-           CAST(CAST(target_share * {_TOKEN_BUDGET} AS DOUBLE) AS BIGINT) AS target_tokens,
+           -- floor(x + 0.5), not CAST: Spark's double->BIGINT cast
+           -- truncates while DuckDB's rounds-to-nearest (r15 review;
+           -- the q_mixture_temperature device)
+           CAST(floor(target_share * {_TOKEN_BUDGET} + 0.5) AS BIGINT) AS target_tokens,
            CAST(ROUND(target_share * {_TOKEN_BUDGET} / avail_tokens, 4) AS DOUBLE) AS epochs
     FROM t
     """,
@@ -127,14 +134,13 @@ def q_mixture_plan(spark, sf_dir):
         .agg(F.sum("n_toks").cast("long").alias("avail_tokens"))
     )
     listed = list(_MIX_TARGETS)
-    remainder = 1.0 - sum(_MIX_TARGETS.values())
     n_unlisted = avail.where(~F.col("source").isin(listed)).agg(
         F.greatest(F.count("*"), F.lit(1)).alias("n")
     )
     share = F.when(F.col("source") == listed[0], F.lit(_MIX_TARGETS[listed[0]]))
     for s in listed[1:]:
         share = share.when(F.col("source") == s, F.lit(_MIX_TARGETS[s]))
-    share = share.otherwise(F.lit(remainder) / F.col("n"))
+    share = share.otherwise(F.lit(_MIX_REMAINDER) / F.col("n"))
     return (
         avail.crossJoin(F.broadcast(n_unlisted))  # 1-row scalar — broadcast, not a real cross
         .withColumn("target_share_raw", share)
@@ -142,7 +148,9 @@ def q_mixture_plan(spark, sf_dir):
             "source",
             "avail_tokens",
             F.round("target_share_raw", 4).cast("double").alias("target_share"),
-            (F.col("target_share_raw") * _TOKEN_BUDGET).cast("bigint").alias("target_tokens"),
+            F.floor(F.col("target_share_raw") * _TOKEN_BUDGET + 0.5)
+            .cast("bigint")
+            .alias("target_tokens"),
             F.round(F.col("target_share_raw") * _TOKEN_BUDGET / F.col("avail_tokens"), 4)
             .cast("double")
             .alias("epochs"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
 # --- PII redaction -----------------------------------------------------------
 
@@ -115,7 +115,7 @@ def q_pii_redact(spark, sf_dir):
 
 DECONTAM_NGRAM = 8  # 31-token vocab → short shingles collide by chance; 8 is discriminative
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 _NGRAMS_SQL = f"""
   SELECT doc_id, source,
          list_distinct(list_transform(

@@ -28,11 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
 JACCARD_THRESHOLD = 0.5  # planted near-dups sit at ≥0.9 with a clean gap
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 # 3-token shingle list per document, distinct, as DuckDB SQL.
 _SHINGLES_SQL = f"""
   SELECT doc_id,

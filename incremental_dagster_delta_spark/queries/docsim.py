@@ -32,9 +32,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from incremental_dagster_delta_spark.functions import md5_uniform
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 
 TERM_DF_CAP = 256
 COSINE_THRESHOLD = 0.5

@@ -137,7 +137,7 @@ def q_sliding_window(spark, sf_dir):
     tags=("events", "window", "llm"),
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              -- >= (not >): Spark's session_window is end-EXCLUSIVE — an
              -- event at exactly lag(ts) + gap starts a NEW session
              -- (ADVICE r2: latent divergence if an exact-gap pair occurs)
@@ -148,7 +148,11 @@ def q_sliding_window(spark, sf_dir):
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak MUST match the flagged pass: two window
+             -- passes seeing different tie orders over duplicate
+             -- (user_id, ts) rows can split one session (r15 review;
+             -- the q_interval_merge unique-key rule)
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )

@@ -30,18 +30,58 @@ _DOCS_AGG_ORACLE = """
 """
 
 
+def _source_digest(sf_dir: str) -> str:
+    """Content key for the documents source: (path, mtime_ns, size) of
+    every file under documents.parquet, hashed. Regenerated testdata
+    gets a NEW dump directory instead of silently reusing a stale one
+    (the incremental_ops._build_oracle_fixture discipline, r15 review)."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _dump(spark, sf_dir: str, fmt: str) -> str:
-    """Deterministic one-time dump of documents as jsonl/csv under /tmp."""
-    target = os.path.join(_DUMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), fmt)
+    """Deterministic one-time dump of documents as jsonl/csv/orc under
+    /tmp — content-addressed by the source's stat digest and published
+    by atomic rename, so a regenerated corpus never reuses a stale dump
+    and concurrent processes never interleave writes into one target
+    (both r15 review; the same two failure modes
+    incremental_ops._build_oracle_fixture was rewritten to close)."""
+    target = os.path.join(
+        _DUMP_ROOT,
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"{fmt}-{_source_digest(sf_dir)}",
+    )
     if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        tmp = f"{target}.tmp.{os.getpid()}"
         d = t(spark, sf_dir, "documents").coalesce(1)
         writer = d.write.mode("overwrite")
         if fmt == "json":
-            writer.json(target)
+            writer.json(tmp)
+        elif fmt == "orc":
+            writer.orc(tmp)
         else:
             # documents.text contains no quotes/commas-in-quotes issues the
             # default csv dialect can't round-trip, but quote anyway
-            writer.option("header", "true").option("quoteAll", "true").csv(target)
+            writer.option("header", "true").option("quoteAll", "true").csv(tmp)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            # another process published first — use theirs, drop ours
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(target, "_SUCCESS")):
+                raise
     return target
 
 
@@ -77,10 +117,7 @@ def q_orc_source(spark, sf_dir):
     its own schema and, like parquet, supports predicate pushdown and
     column pruning, so it is a first-class 100 TB source. Same lossless
     round-trip check against the parquet-backed oracle."""
-    target = os.path.join(_DUMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), "orc")
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
-        t(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite").orc(target)
-    docs = spark.read.orc(target)
+    docs = spark.read.orc(_dump(spark, sf_dir, "orc"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),

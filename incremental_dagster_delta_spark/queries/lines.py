@@ -31,13 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
 LINE_TOKENS = 8  # tokens per pseudo-line
 BOILER_MIN_DOCS = 2  # line appearing in >= N distinct docs is boilerplate
 REP_MIN_DF = 25  # report bigrams appearing in >= N distinct docs
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 # ceil-split the token list into LINE_TOKENS-sized chunks (last may be short)
 _CHUNKS_SQL = f"""
   SELECT doc_id,

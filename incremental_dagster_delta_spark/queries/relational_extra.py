@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.relational import _dec
 
 
 @query(
@@ -169,7 +170,7 @@ def q_profit_by_nation_year(spark, sf_dir):
             .alias("ps_supplycost"),
         )
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec = _dec  # the shared exact-money cast (relational.py)
     profit = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")) - F.col(
         "ps_supplycost"
     ) * dec("l_quantity")
@@ -205,8 +206,13 @@ def q_funnel_conversion(spark, sf_dir):
     the last click forward) instead of the oracle's range self-join —
     one shuffle on user_id vs. a quadratic-in-events-per-user join."""
     e = t(spark, sf_dir, "events")
+    # clicks tag=2 > purchases tag=1: at EQUAL ts the click must sort
+    # AFTER the purchase, or it becomes last_click and the strict
+    # ts > last_click filter rejects a conversion the oracle's
+    # p.ts > c.ts join counts — the same equal-ts shadow fixed in
+    # q_funnel_multistep (r4), left unfixed in this sibling until r15.
     clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(0).alias("tag"), F.col("ts").alias("click_ts")
+        "user_id", "ts", F.lit(2).alias("tag"), F.col("ts").alias("click_ts")
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("tag"), F.lit(None).cast("timestamp").alias("click_ts")
@@ -406,7 +412,7 @@ def q_promo_ratio(spark, sf_dir):
     fact IO). part broadcasts; decimal until the final division."""
     li = t(spark, sf_dir, "lineitem")
     p = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_name"))
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec = _dec  # the shared exact-money cast (relational.py)
     rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
     promo = F.when(F.col("p_name").contains("green"), rev).otherwise(
         F.lit(0).cast("decimal(18,2)")

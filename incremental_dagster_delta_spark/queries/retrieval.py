@@ -19,13 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TERMS = ("dup", "join", "window")  # one rare + two common corpus terms
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 _TERMS_IN = "('" + "', '".join(BM25_TERMS) + "')"
 
 # Shared by q_bm25 and q_bm25_incremental: the incremental qid folds

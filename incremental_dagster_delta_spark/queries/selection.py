@@ -22,12 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
 N_BUCKETS = 4096  # 3 hex nibbles
 TARGET_LANG = "en"
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 
 _DSIR_ORACLE = f"""
     WITH tok AS (

@@ -21,9 +21,9 @@ Two steps every LLM training pipeline runs after dedup/filtering:
 import pandas as pd
 from pyspark.sql import functions as F
 
-from incremental_dagster_delta_spark.queries.registry import query, t
+from incremental_dagster_delta_spark.queries.registry import query, t, TOKS_SQL
 
-_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical tokenizer — registry.py
 
 PACK_BUDGET = 256  # tokens per training sequence bin
 

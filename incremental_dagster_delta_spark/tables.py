@@ -76,8 +76,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Either way the result is µs-truncated exactly like DuckDB's TIMESTAMP,
     so oracle comparisons agree to the microsecond.
     """
+    # Every table load (r15 review: previously events-only, but the
+    # date-rendering queries on orders/lineitem — date_format, o_year,
+    # datediff buckets — depend on the UTC session timezone just as the
+    # instant-based events ops do; a driver-owned non-UTC session would
+    # render every stored-at-UTC-midnight date as the previous day).
+    ensure_session_defaults(spark)
     if name == "events":
-        ensure_session_defaults(spark)
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_dtype = dict(df.dtypes)["ts"]
         if ts_dtype == "bigint":
