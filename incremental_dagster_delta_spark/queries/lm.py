@@ -280,3 +280,87 @@ def q_kn_perplexity(spark, sf_dir):
         F.round(-F.avg("lp"), 4).cast("double").alias("cross_entropy"),
     )
     return materialize_release(out, big)
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing (r15). THE signature CCNet operation
+# (Wenzek 2020): score every document under the corpus LM, cut the
+# cross-entropy distribution into terciles, and label documents
+# head / middle / tail — pretraining pipelines keep head+middle and
+# mine tail for diversity. Rides q_kn_perplexity's per-doc
+# cross-entropy (already hash-pinned) and the q_quantiles-proven
+# continuous-interpolation parity for the tercile cuts.
+#
+# Determinism: bucket borders are percentile_cont over the SAME
+# 4-dp-rounded doubles on both engines (identical interpolation
+# arithmetic); per-bucket means convert the 4-dp scores to exact
+# 1e-4-unit BIGINTs before summing (double sums of rounded values are
+# accumulation-order dependent; integer sums are not) and emit the
+# standard round-half-up 4-dp quotient.
+#
+# Scale shape: the LM scoring pass is q_kn_perplexity's (one corpus
+# tokenize, shuffle joins on token keys); the tercile cut is a 1-row
+# broadcast aggregate; the bucket label is a map-only comparison; the
+# report is a |sources|×3 aggregation. At 100 TB swap the exact
+# percentile for approx_percentile with a documented error bound — the
+# plan shape is unchanged.
+
+_CCNET_T1 = 1.0 / 3.0
+_CCNET_T2 = 2.0 / 3.0
+
+
+@query(
+    "q_ccnet_buckets",
+    tags=("curation", "llm", "trained"),
+    oracle=f"""
+    WITH ce AS ({_KN_ORACLE}),
+    terc AS (
+      SELECT quantile_cont(cross_entropy, {_CCNET_T1!r}) AS t1,
+             quantile_cont(cross_entropy, {_CCNET_T2!r}) AS t2
+      FROM ce
+    ),
+    labeled AS (
+      SELECT d.source,
+             CASE WHEN c.cross_entropy < t.t1 THEN 'head'
+                  WHEN c.cross_entropy < t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(floor(c.cross_entropy * 10000 + 0.5) AS BIGINT) AS ce4
+      FROM ce c JOIN documents d USING (doc_id) CROSS JOIN terc t
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((2 * SUM(ce4) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000
+             AS mean_ce
+    FROM labeled
+    GROUP BY source, bucket
+    """,
+)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets per source — see the
+    family note above. The tercile borders broadcast as a 1-row
+    aggregate; everything downstream of the (pinned) LM scoring pass is
+    map-only + a |sources|×3 aggregation."""
+    ce = q_kn_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    terc = ce.agg(
+        F.percentile("cross_entropy", F.lit(_CCNET_T1)).alias("t1"),
+        F.percentile("cross_entropy", F.lit(_CCNET_T2)).alias("t2"),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        ce.join(d, "doc_id")
+        .crossJoin(F.broadcast(terc))  # 1-row scalar — broadcast, not a real cross
+        .select(
+            "source",
+            F.when(F.col("cross_entropy") < F.col("t1"), "head")
+            .when(F.col("cross_entropy") < F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            F.floor(F.col("cross_entropy") * 10000 + 0.5).cast("long").alias("ce4"),
+        )
+    )
+    return labeled.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.expr("(2 * SUM(ce4) + COUNT(*)) DIV (2 * COUNT(*))").cast("double") / 10000
+        ).alias("mean_ce"),
+    )
