@@ -51,8 +51,9 @@ from incremental_dagster_delta_spark.queries import mmr  # noqa: E402,F401
 # sweep the stalest rows were the 14 r8-aged re-confirms (VERDICT r14
 # #1), which lead the r15 front after the round's new operator; the 35
 # alphabetically-first of the 50 r10-aged rows fill to exactly 50
-# (28 after the session's five later additions took front slots).
-# The 22 r10 rows left for the r16 front: q_mmr_rerank, q_pq_train,
+# (27 after the session's six later additions took front slots).
+# The 23 r10 rows left for the r16 front: q_mmr_rerank, q_pq_train,
+# q_posexplode,
 # q_partition_discovery, q_partition_prune, q_pii_redact, q_quantiles,
 # q_range_join, q_regex_parse, q_repeated_ngrams,
 # q_reservoir_per_source, q_rolling_range_window, q_scd2_merge,
@@ -70,6 +71,7 @@ _R15_FRONT = [
     "q_label_propagation",
     "q_cohen_kappa",
     "q_ccnet_buckets",
+    "q_dp_noisy_counts",
     # (b) the 14 r8-aged re-confirms (every row then ≤7 rounds old)
     "q_sql_udf",
     "q_substring_dedup",
@@ -85,7 +87,7 @@ _R15_FRONT = [
     "q_unigram_surprisal",
     "q_wholetext_ingest",
     "q_window_battery",
-    # (c) the 28 alphabetically-first r10-aged rows, filling to exactly 50
+    # (c) the 27 alphabetically-first r10-aged rows, filling to exactly 50
     "q_array_funcs",
     "q_asof_join",
     "q_audio_features",
@@ -113,7 +115,6 @@ _R15_FRONT = [
     "q_listing_accumulate",
     "q_mixture_plan",
     "q_pivot_api",
-    "q_posexplode",
 ]
 
 

@@ -830,3 +830,72 @@ def q_k_anonymity(spark, sf_dir):
         (F.col("class_size") < K_ANON_K).alias("at_risk"),
         F.expr("(2 * class_size * 10000 + n) DIV (2 * n)").alias("share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private noisy counts (r15) — the release twin of
+# q_k_anonymity: instead of suppressing small classes, publish every
+# per-(nation, segment) count under ε-DP Laplace noise (sensitivity 1,
+# b = 1/ε). The noise is DETERMINISTIC here: the Laplace draw comes
+# from the md5-uniform device (functions.md5_uniform — the engine's
+# standard hash-deterministic sampler) through the inverse CDF
+#   noise = -b · sign(u - 0.5) · ln(1 - 2·|u - 0.5|)
+# so both engines add bit-identical noise and the driver hash check
+# pins the whole mechanism. (A production release would swap the seed
+# for a secret drawn once per release; the operator shape — groupBy +
+# map-only noise + rounding — is unchanged.)
+#
+# Determinism: u is the exact 32-bit md5 fraction; ln is the
+# established hash-stable surface (unigram_lm/selection oracles);
+# the final value rounds to 4 dp. u = 0.5 exactly would make the ln
+# argument 1 (noise 0) — no singularity; u can never be so close to 0
+# or 1 that the ln argument is 0 (min |1-2|u-.5|| = 2^-31 > 0).
+#
+# Scale shape: one map-side-combined groupBy over the class tuple +
+# one noise projection. The class table is domain-bounded; nothing
+# corpus-sized moves.
+
+DP_EPSILON = 1.0  # per-release budget; b = 1/ε
+
+
+@query(
+    "q_dp_noisy_counts",
+    tags=("curation", "privacy", "llm"),
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), drawn AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(
+               CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment || ':dp'
+             ), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+      FROM cls
+    )
+    SELECT c_nationkey, c_mktsegment, true_count,
+           CAST(ROUND(true_count
+             - (1.0 / {DP_EPSILON}) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS DOUBLE) AS noisy_count
+    FROM drawn
+    """,
+)
+def q_dp_noisy_counts(spark, sf_dir):
+    """ε-DP Laplace noisy release of the per-(nation, segment) customer
+    counts — see the family note above. The deterministic md5 draw
+    makes the full mechanism (grouping, inverse-CDF noise, rounding)
+    hash-checkable across engines."""
+    from incremental_dagster_delta_spark.functions import md5_uniform
+
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    u = md5_uniform(F.col("c_nationkey"), F.col("c_mktsegment"), F.lit("dp"))
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -(1.0 / DP_EPSILON) * sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 4).cast("double").alias("noisy_count"),
+    )
