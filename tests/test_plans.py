@@ -268,10 +268,14 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 def test_dsir_ratio_join_broadcast(spark, sf_dir):
     """q_dsir_weights' per-doc scoring join must broadcast the 4096-row
     log-ratio table — shuffling the exploded corpus side against it
-    would be the scale killer."""
+    would be the scale killer. lazy_plans: the qid materializes its
+    result (checkpoint truncates the inspectable plan)."""
     from incremental_dagster_delta_spark.queries.selection import q_dsir_weights
+    from incremental_dagster_delta_spark.tables import lazy_plans
 
-    plan = _plan(q_dsir_weights(spark, sf_dir))
+    with lazy_plans():
+        plan = _plan(q_dsir_weights(spark, sf_dir))
+    spark.catalog.clearCache()
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastExchange") >= 1
 
 
@@ -362,12 +366,16 @@ def test_bigram_scoring_joins_shuffle(spark, sf_dir):
     With auto-broadcast disabled, the only broadcast left must be the
     vocabulary-size scalar `v` — if an F.broadcast hint ever creeps onto
     c2/c1 this test sees a second broadcast join survive."""
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan(QUERIES["q_bigram_perplexity"].fn(spark, sf_dir))
+        with lazy_plans():
+            plan = _plan(QUERIES["q_bigram_perplexity"].fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.catalog.clearCache()
     phys = plan.split("== Physical Plan ==")[1]
     # the two count-table joins shuffle (sort-merge under disabled
     # auto-broadcast); the scalar v crossJoin is the one broadcast
@@ -381,12 +389,16 @@ def test_kn_scoring_joins_shuffle(spark, sf_dir):
     FOUR model tables (c2, c1, the two continuation-count tables) grow
     with the observed bigram set, so every scoring join must shuffle;
     only the 1-row bigram-type total broadcasts."""
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan(QUERIES["q_kn_perplexity"].fn(spark, sf_dir))
+        with lazy_plans():
+            plan = _plan(QUERIES["q_kn_perplexity"].fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.catalog.clearCache()
     phys = plan.split("== Physical Plan ==")[1]
     assert phys.count("SortMergeJoin") >= 4, phys
     n_b = phys.count("BroadcastNestedLoopJoin") + phys.count("BroadcastHashJoin")
@@ -395,13 +407,19 @@ def test_kn_scoring_joins_shuffle(spark, sf_dir):
 
 def _physical_no_autobroadcast(spark, build) -> str:
     """Physical plan with auto-broadcast disabled: any surviving
-    broadcast join must come from an explicit F.broadcast hint."""
+    broadcast join must come from an explicit F.broadcast hint.
+    lazy_plans so queries that materialize their result (checkpoint)
+    keep the full plan inspectable."""
+    from incremental_dagster_delta_spark.tables import lazy_plans
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan(build())
+        with lazy_plans():
+            plan = _plan(build())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.catalog.clearCache()
     return plan.split("== Physical Plan ==")[1]
 
 
