@@ -91,9 +91,11 @@ def q_range_join(spark, sf_dir):
     |bins| per row — the right plan when the dim is a handful of bands;
     for large range dims the IVF-style bucket-prejoin in similarity.py
     is the scale pattern."""
+    from incremental_dagster_delta_spark.tables import literal_df
+
     e = t(spark, sf_dir, "events")
     bins = F.broadcast(
-        spark.createDataFrame(_BINS, "lo double, hi double, label string")
+        literal_df(spark, _BINS, "lo double, hi double, label string")
     )
     return (
         e.join(bins, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))

@@ -154,10 +154,12 @@ def q_bpe_merges(spark, sf_dir):
     Returns one row per merge: (merge_rank, left_sym, right_sym, merged,
     freq) in learned order. See the module docstring for the scale and
     determinism story."""
+    from incremental_dagster_delta_spark.tables import literal_df
+
     merges, vocab = learn_bpe(spark, t(spark, sf_dir, "documents"))
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank long, left_sym string, right_sym string, merged string, freq long"
+    return literal_df(
+        spark, merges, "merge_rank long, left_sym string, right_sym string, merged string, freq long"
     )
 
 

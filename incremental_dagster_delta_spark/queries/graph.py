@@ -694,8 +694,12 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     closure = wedges.join(ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi")))
     n_t = closure.count()
     n_e = ec.count()
-    return e.sparkSession.createDataFrame(
-        [(n_e, n_w, n_t)], "n_edges long, n_wedges long, n_triangles long"
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    # literal_df, not createDataFrame: one literal row must not cost a
+    # defaultParallelism-wide python round-trip (tables.literal_df)
+    return literal_df(
+        e.sparkSession, [(n_e, n_w, n_t)], "n_edges long, n_wedges long, n_triangles long"
     )
 
 

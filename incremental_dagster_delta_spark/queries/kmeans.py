@@ -220,7 +220,12 @@ def _train(vec: DataFrame, rounds: int) -> DataFrame:
         C[touched] = np.floor(
             sums[touched] / counts[touched, None] + 0.5
         ).astype(np.int64)
-    return spark.createDataFrame(
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    # literal_df: the K-row result must not cost a defaultParallelism-
+    # wide python round-trip per materialization (tables.literal_df)
+    return literal_df(
+        spark,
         [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
         "centroid_id long, cq array<long>",
     )
@@ -921,8 +926,14 @@ def maximin_seeds(e: DataFrame, k: int = KMM_K) -> DataFrame:
     try:
         seed = vec.orderBy("vec_id").limit(1).collect()[0]
         chosen = [(int(seed["vec_id"]), list(seed["xq"]), 0)]
+        from incremental_dagster_delta_spark.tables import literal_df
+
         for step in range(1, k):
-            chosen_df = spark.createDataFrame(
+            # literal_df: k driver-held rows per Gonzalez step — a
+            # 32-slice createDataFrame would pay k × parallelism python
+            # round-trips across the loop (tables.literal_df)
+            chosen_df = literal_df(
+                spark,
                 [(cid, cq) for cid, cq, _ in chosen],
                 "centroid_id long, cq array<bigint>",
             )
@@ -940,7 +951,8 @@ def maximin_seeds(e: DataFrame, k: int = KMM_K) -> DataFrame:
                 .collect()[0]["b"]
             )
             chosen.append((int(-best["negid"]), list(best["xq"]), int(best["d"])))
-        return spark.createDataFrame(
+        return literal_df(
+            spark,
             [(s, cid, r) for s, (cid, _, r) in enumerate(chosen)],
             "step long, centroid_id long, radius long",
         )

@@ -164,8 +164,10 @@ def pca_topk(spark, emb, k: int = 8):
         loadings = np.abs(evecs[:, idx])
         top_feat = int(np.flatnonzero(loadings >= loadings.max() - 1e-6).min())
         out.append((rank, round(ev, 4), round(ratio, 4), round(cum, 4), top_feat))
-    return spark.createDataFrame(
-        out, "component int, eigenvalue double, evr double, cum_evr double, top_feature int"
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    return literal_df(
+        spark, out, "component int, eigenvalue double, evr double, cum_evr double, top_feature int"
     )
 
 

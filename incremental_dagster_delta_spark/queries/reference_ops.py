@@ -289,8 +289,12 @@ def q_row_construction(spark, sf_dir):
     schema = StructType(
         [StructField("r_regionkey", IntegerType()), StructField("tier", StringType())]
     )
-    tiers = spark.createDataFrame(
-        [(0, "core"), (1, "growth"), (2, "growth"), (3, "frontier"), (4, "frontier")], schema
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    tiers = literal_df(
+        spark,
+        [(0, "core"), (1, "growth"), (2, "growth"), (3, "frontier"), (4, "frontier")],
+        schema,
     )
     region = t(spark, sf_dir, "region")
     return region.join(F.broadcast(tiers), "r_regionkey").select("r_regionkey", "r_name", "tier")

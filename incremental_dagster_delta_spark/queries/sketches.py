@@ -599,8 +599,10 @@ def hist_quantiles(cells, qs=QUANTILE_QS):
         "bin", "cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before")
     )
     tot = folded.agg(F.sum("cnt").alias("n_total"))
+    from incremental_dagster_delta_spark.tables import literal_df
+
     spark = cells.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = literal_df(spark, [(float(q),) for q in qs], "q double")
     target = F.col("q") * F.col("n_total")
     est = (
         F.col("bin") * HIST_BIN_W
@@ -1030,7 +1032,9 @@ def q_rolling_cms(spark, sf_dir):
     )
     # built from the tuple VALUES (not its length) so the probed-id
     # constant is live configuration, matching the oracle's list (r15)
-    keys = spark.createDataFrame([(k,) for k in ROLL_CMS_KEYS], "tok string")
+    from incremental_dagster_delta_spark.tables import literal_df
+
+    keys = literal_df(spark, [(k,) for k in ROLL_CMS_KEYS], "tok string")
     probe = (
         days.select(F.col("day").alias("wday"))
         .crossJoin(F.broadcast(keys))
