@@ -164,6 +164,16 @@ _SIZED_SHUFFLE = {
     # round 15: the incremental-index qid runs the corpus-side trainer
     # inside, same profile as the trained-IVF qid.
     "q_ivf_incremental": "embeddings",
+    # r15 optimization: the unigram-LM EM loop persists its word table
+    # with the session-default partition count (cached plans keep their
+    # shuffle partitioning — AQE does not re-coalesce InMemoryRelations),
+    # so every EM-round driver job paid 64 near-empty tasks at sf0.1
+    # (profiled: 5 stages × 64 tasks ≈ 33 s executor time of per-task
+    # constants). Sizing from the documents bytes gives the same
+    # thousands-of-partitions shape at 100 TB and ~8 here.
+    "q_unigram_lm": "documents",
+    "q_unigram_encode": "documents",
+    "q_unigram_fertility": "documents",
 }
 
 

@@ -89,7 +89,13 @@ def tfidf_cosine_pairs(
 def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, materialize_release):
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = fan_out(docs, spark).select("doc_id", F.explode(toks).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf persisted: it feeds idf, w (twice — via nrm and via u), and the
+    # differing pushed filters under each consumer defeat exchange reuse,
+    # so unpersisted the corpus tokenize+count pass ran 4× per execution
+    # (r15 profile: 26.5 of 28.5 s executor time in the duplicated map
+    # stages; the pair join itself cost 0.5 s). At 100 TB this is the
+    # inverted-index build — one corpus pass, cached postings.
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     idf = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -133,7 +139,7 @@ def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, mat
     out = pairs.where(F.round("cosine", 6) >= threshold).select(
         "doc_a", "doc_b", F.round("cosine", 4).cast("double").alias("cosine")
     )
-    return materialize_release(out, u)
+    return materialize_release(out, u, tf)
 
 
 @query("q_doc_similarity", tags=("dedup", "similarity", "llm"), bench=True, oracle=_ORACLE)
