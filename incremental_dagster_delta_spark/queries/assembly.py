@@ -302,10 +302,10 @@ def q_semdedup(spark, sf_dir):
     never N² — and the higher vec_id of each pair is dropped. Oracle is
     the global exact decision, which matches because identical vectors
     always share a cell (see module docstring for the recall caveat on
-    boundary-straddling near-dups)."""
-    from incremental_dagster_delta_spark.tables import fan_out
-
-    e = fan_out(t(spark, sf_dir, "embeddings"), spark).select("vec_id", "embedding")
+    boundary-straddling near-dups). The kernel fans the unioned corpus
+    out itself (r15 — fanning the input here doubled the partition
+    count through the union)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return semdedup_kept(e)
 
 
@@ -318,21 +318,37 @@ def semdedup_kept(e, centroids=None):
     both the stride and the trained centroid tables."""
     from incremental_dagster_delta_spark.queries.similarity import (
         IVF_CENTROID_STRIDE,
+        _dot,
+        _norm,
         assign_nearest_centroid,
-        cosine,
     )
-    from incremental_dagster_delta_spark.tables import materialize_release
+    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
 
     dupes = (
         e.where(F.col("vec_id") % 8 == 0)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    corpus = e.unionByName(dupes)
+    # fan_out AFTER the union: fanning the input out first doubles the
+    # partition count through the union (64 + 64 = 128 near-empty
+    # partitions at sf0.1 — r15 profile: every downstream stage paid
+    # 128 tasks of per-task constants), and the cached assignment
+    # inherits whatever width the union has.
+    corpus = fan_out(e.unionByName(dupes), e.sparkSession)
     if centroids is None:
         centroids = e.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
         )
-    assigned = assign_nearest_centroid(corpus, centroids).persist()
+    # The cached assignment carries each vector's norm so the Σ|cell|²
+    # pair predicate runs ONE O(d) fold (the dot) per candidate pair
+    # instead of three — same sqrt-of-sum expression as cosine(), so
+    # the compared values are bit-identical (r15).
+    assigned = (
+        assign_nearest_centroid(corpus, centroids)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .persist()
+    )
+    den = F.col("a.nrm") * F.col("b.nrm")
+    pair_cos = F.when(den != 0, _dot(F.col("a.embedding"), F.col("b.embedding")) / den)
     dropped = (
         assigned.alias("a")
         .join(
@@ -340,7 +356,7 @@ def semdedup_kept(e, centroids=None):
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) >= SEMDEDUP_COS)
+        .where(pair_cos >= SEMDEDUP_COS)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -404,8 +420,9 @@ def q_semdedup_incremental(spark, sf_dir):
     never re-embedded or re-assigned."""
     from incremental_dagster_delta_spark.queries.similarity import (
         IVF_CENTROID_STRIDE,
+        _dot,
+        _norm,
         assign_nearest_centroid,
-        cosine,
     )
     from incremental_dagster_delta_spark.tables import materialize_release
 
@@ -419,25 +436,34 @@ def q_semdedup_incremental(spark, sf_dir):
     centroids = corpus.where(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    a_corpus = assign_nearest_centroid(corpus, centroids).withColumn(
-        "in_corpus", F.lit(True)
+    # assignments carry each vector's norm so the cell probe runs one
+    # O(d) fold per candidate pair (the q_semdedup device, r15)
+    a_corpus = (
+        assign_nearest_centroid(corpus, centroids)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("in_corpus", F.lit(True))
     )
-    a_batch = assign_nearest_centroid(batch, centroids).withColumn(
-        "in_corpus", F.lit(False)
+    a_batch = (
+        assign_nearest_centroid(batch, centroids)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("in_corpus", F.lit(False))
     )
     pool = a_corpus.unionByName(a_batch).persist()
     probe = a_batch.select(
         F.col("vec_id").alias("x_id"),
         F.col("embedding").alias("x_emb"),
+        F.col("nrm").alias("x_nrm"),
         F.col("centroid_id").alias("x_cell"),
     )
+    den = F.col("x_nrm") * F.col("nrm")
+    probe_cos = F.when(den != 0, _dot(F.col("x_emb"), F.col("embedding")) / den)
     dropped = (
         probe.join(
             pool,
             (F.col("x_cell") == F.col("centroid_id"))
             & (F.col("in_corpus") | (F.col("vec_id") < F.col("x_id"))),
         )
-        .where(cosine(F.col("x_emb"), F.col("embedding")) >= SEMDEDUP_COS)
+        .where(probe_cos >= SEMDEDUP_COS)
         .select(F.col("x_id").alias("vec_id"))
         .distinct()
     )

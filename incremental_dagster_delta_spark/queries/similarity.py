@@ -137,14 +137,26 @@ def assign_nearest_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFra
     ``vectors``: (vec_id, embedding); ``centroids``: (centroid_id, ce).
     Returns (vec_id, embedding, centroid_id).
     """
+    # Norms are hoisted out of the per-(row, centroid) fold: each
+    # centroid's norm is computed once into the broadcast struct and the
+    # row's norm once into a projection column, so the argmin fold runs
+    # ONE O(d) fold (the dot product) per centroid instead of three
+    # (r15; same sqrt-of-sum expressions → bit-identical cosines).
     cent_row = F.broadcast(
-        centroids.agg(F.collect_list(F.struct("centroid_id", "ce")).alias("cents"))
+        centroids.agg(
+            F.collect_list(
+                F.struct("centroid_id", "ce", _norm(F.col("ce")).alias("cn"))
+            ).alias("cents")
+        )
     )
+
+    def _cos(c):
+        den = c["cn"] * F.col("_ne")
+        return F.when(den != 0, _dot(c["ce"], F.col("embedding")) / den)
+
     scored = F.transform(
         F.col("cents"),
-        lambda c: F.struct(
-            cosine(c["ce"], F.col("embedding")).alias("cos"), c["centroid_id"].alias("cid")
-        ),
+        lambda c: F.struct(_cos(c).alias("cos"), c["centroid_id"].alias("cid")),
     )
     init = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid"))
     best = F.aggregate(
@@ -154,8 +166,10 @@ def assign_nearest_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFra
             (s["cos"] > acc["cos"]) | ((s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])), s
         ).otherwise(acc),
     )
-    return vectors.crossJoin(cent_row).select(
-        "vec_id", "embedding", best["cid"].alias("centroid_id")
+    return (
+        vectors.withColumn("_ne", _norm(F.col("embedding")))
+        .crossJoin(cent_row)
+        .select("vec_id", "embedding", best["cid"].alias("centroid_id"))
     )
 
 
