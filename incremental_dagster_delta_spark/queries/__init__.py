@@ -174,6 +174,16 @@ _SIZED_SHUFFLE = {
     "q_unigram_lm": "documents",
     "q_unigram_encode": "documents",
     "q_unigram_fertility": "documents",
+    # r15 optimization: same cached-plan partitioning disease for the
+    # LM perplexity pair's persisted bigram stream — their consumers
+    # each paid session-default-width near-empty task waves over the
+    # cache, and both materialize inside fn() (materialize_release), so
+    # the scoped conf covers the whole execution. A/B at sf0.1, canary
+    # 22: bigram 2.19→1.03 s, KN 4.62→1.14 s. q_dsir_weights was tried
+    # and LOST slightly (1.19→1.25 — its persisted explode is scan-
+    # partitioned, not shuffle-partitioned, so the scope buys nothing).
+    "q_bigram_perplexity": "documents",
+    "q_kn_perplexity": "documents",
 }
 
 

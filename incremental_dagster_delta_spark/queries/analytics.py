@@ -366,12 +366,19 @@ def q_rp_embed(spark, sf_dir):
     # bits of the same hash) — 8x fewer string hashes than hashing
     # tok||'#k' per dimension, measured ~1.4x faster end-to-end.
     signed = scored.withColumn("_h", F.md5(F.col("tok")))
-    for k in range(RP_DIM):
+
+    def _t(k: int):
         sign = F.when(
             F.substring(F.col("_h"), k + 1, 1).isin(*_ODD_HEX), F.lit(-1.0)
         ).otherwise(F.lit(1.0))
-        signed = signed.withColumn(f"_t{k}", F.col("tfidf") * sign)
-    return signed.groupBy("doc_id").agg(
+        return F.col("tfidf") * sign
+
+    # one select, not a withColumn chain: each withColumn re-analyzes a
+    # fresh plan, so building k dims chained costs O(k²) driver-side
+    # analysis per construction (r15; expressions unchanged)
+    return signed.select(
+        "doc_id", *[_t(k).alias(f"_t{k}") for k in range(RP_DIM)]
+    ).groupBy("doc_id").agg(
         *[F.round(F.sum(f"_t{k}"), 4).cast("double").alias(f"e{k}") for k in range(RP_DIM)]
     )
 

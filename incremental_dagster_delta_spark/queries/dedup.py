@@ -359,7 +359,7 @@ N_HASHES = 48
 N_BANDS = 16  # rows per band r = 3: P[miss | jaccard 0.9] = (1-0.9³)¹⁶ ≈ 8e-10
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES, carry: tuple = ()) -> DataFrame:
     """(doc_id, sig array<long>): deterministic min-hash per seed.
 
     Each shingle STRING is hashed exactly once (xxhash64 over variable-
@@ -376,38 +376,53 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     round samples q_dedup_minhash. Candidates are exact-Jaccard
     verified downstream either way. Deterministic: fixed seeds, no
     RNG."""
-    base = sh.select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+    base = sh.select(
+        "doc_id", *carry, F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
 
     def min_hash(seed: int):
         seed_lit = F.lit(seed)
         return F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(seed_lit, h)))
 
-    return base.select("doc_id", F.array(*[min_hash(i) for i in range(n_hashes)]).alias("sig"))
+    return base.select(
+        "doc_id", *carry, F.array(*[min_hash(i) for i in range(n_hashes)]).alias("sig")
+    )
 
 
-def band_table(sh):
-    """(doc_id, band, bucket) LSH band rows over a shingle-set frame —
-    the ONE definition of the N_HASHES/N_BANDS banding (band b's bucket
-    hashes signature rows b·r..b·r+r-1). q_dedup_minhash's self-join and
-    q_incremental_dedup's batch-probe MUST band identically or the
-    incremental probe stops being comparable with the one-shot path
-    (r15 review: previously two inline copies)."""
-    sig = minhash_signatures(sh)
+def band_struct_frame(sh):
+    """(doc_id, shingles, bb array<struct<band,bucket>>) — the ONE
+    definition of the N_HASHES/N_BANDS banding (band b's bucket hashes
+    signature rows b·r..b·r+r-1), carried NEXT TO the shingle sets so
+    q_dedup_minhash can cache a single frame serving both the band
+    self-join and the exact-Jaccard verify (r15: two separate caches
+    cost two materialization passes over the corpus). q_dedup_minhash's
+    self-join and q_incremental_dedup's batch-probe MUST band
+    identically or the incremental probe stops being comparable with
+    the one-shot path (r15 review: previously two inline copies)."""
+    sig = minhash_signatures(sh, carry=("shingles",))
     r = N_HASHES // N_BANDS
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
+        "shingles",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+                )
+                for b in range(N_BANDS)
+            ]
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
+def band_table(sh):
+    """(doc_id, band, bucket) LSH band rows — the exploded view of
+    :func:`band_struct_frame` (see there for the single-definition
+    contract)."""
+    return band_struct_frame(sh).select(
+        "doc_id", F.explode("bb").alias("b2")
+    ).select("doc_id", "b2.band", "b2.bucket")
 
 
 def verify_jaccard(cand, sh_left, sh_right, lkey: str, rkey: str, threshold: float = JACCARD_THRESHOLD):
@@ -442,10 +457,15 @@ def q_dedup_minhash(spark, sf_dir):
     from incremental_dagster_delta_spark.tables import fan_out, materialize_release
 
     d = fan_out(t(spark, sf_dir, "documents"), spark)
-    sh = doc_shingles(d).persist()
-    bands = band_table(sh).persist()
-    # ^ persisted: the self-join below references bands twice; without the
-    # cache the 48-hash signature stage runs twice.
+    # ONE cached frame carries shingles AND band buckets (r15: separate
+    # sh/bands caches cost two 64-task materialization passes over the
+    # corpus; the signature stage runs once either way, but the second
+    # cache write and its task wave are pure overhead).
+    combo = band_struct_frame(doc_shingles(d)).persist()
+    sh = combo.select("doc_id", "shingles")
+    bands = combo.select("doc_id", F.explode("bb").alias("b2")).select(
+        "doc_id", "b2.band", "b2.bucket"
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -459,7 +479,7 @@ def q_dedup_minhash(spark, sf_dir):
     )
     verified = verify_jaccard(cand, sh, sh, "doc_a", "doc_b")
     out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).cast("double").alias("jaccard"))
-    return materialize_release(out, sh, bands)
+    return materialize_release(out, combo)
 
 
 @query(
