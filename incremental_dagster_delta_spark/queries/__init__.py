@@ -184,6 +184,14 @@ _SIZED_SHUFFLE = {
     # partitioned, not shuffle-partitioned, so the scope buys nothing).
     "q_bigram_perplexity": "documents",
     "q_kn_perplexity": "documents",
+    # r15: q_ccnet_buckets runs the KN scoring pass inside (it calls the
+    # raw module function, not the sized registry entry), and the BPE
+    # merge loop iterates driver jobs over its persisted word-sequence
+    # revisions the same way the unigram EM does — all materialize
+    # inside fn, so the scoped width covers execution.
+    "q_ccnet_buckets": "documents",
+    "q_bpe_merges": "documents",
+    "q_tokenizer_fertility": "documents",
 }
 
 

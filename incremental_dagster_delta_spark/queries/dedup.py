@@ -530,7 +530,13 @@ def q_ngram_novelty(spark, sf_dir):
     back (rows are linear in total shingle occurrences — no pair
     blowup), one per-doc aggregation. All-integer counts; the rate
     division is the only float, rounded to 4 dp."""
-    d = t(spark, sf_dir, "documents")
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    # fan_out: shingling a single-split scan serialized onto one core
+    # (r15 profile: two ~3 s single-task stages — ex feeds both the df
+    # count and the join back, so the shingle pass runs per branch);
+    # at scale the scan is already split and this is a no-op.
+    d = fan_out(t(spark, sf_dir, "documents"), spark)
     ex = doc_shingles(d).select("doc_id", F.explode("shingles").alias("s"))
     df = ex.groupBy("s").agg(F.count("*").alias("df"))
     return (
