@@ -1050,7 +1050,13 @@ def q_dedup_fuzzy(spark, sf_dir):
     texts can be). The verify filter runs inside the join's codegen —
     JVM-side, no UDF. Same (doc_a, doc_b) surface as the other dedup
     qids, so survivors/clusters compose downstream."""
-    d = t(spark, sf_dir, "documents")
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    # fan_out: the block self-join broadcasts the build side, so the
+    # probe side's partitioning is the scan's — one split at sf0.1 put
+    # every Levenshtein verify on a single core (r15 profile: one 6.2 s
+    # task); a no-op on an already-split scan at scale.
+    d = fan_out(t(spark, sf_dir, "documents"), spark)
     b = d.select(
         "doc_id",
         "text",

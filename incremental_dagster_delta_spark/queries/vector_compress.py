@@ -372,7 +372,12 @@ def ivf_pq_topk(raw, cent_row_fn=None):
     # zero-norm guard: NULL elements (DuckDB's x/0), not an ANSI abort —
     # see similarity.cosine's note (r15 review)
     nz_nrm = F.when(nrm != 0, nrm)
-    e = raw.select(
+    from incremental_dagster_delta_spark.tables import fan_out
+
+    # fan_out: the assign + PQ-encode passes are map-only over the scan's
+    # partitioning — a single-split input serialized them onto one core
+    # (r15 profile: three ~2.5 s single-task stages); no-op at scale.
+    e = fan_out(raw, raw.sparkSession).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / nz_nrm).alias("embedding"),
     )
