@@ -466,25 +466,44 @@ def _rp_table_sigs(vec: Column) -> Column:
     of 4, same session — docs/PLANS.md r15): murmur3 of an int is a few
     JIT'd instructions inside the codegen'd fold, while 96 × 64-element
     CreateArray literals cost per-row allocation. Keep the inline
-    derivation."""
-    sigs = []
-    for tbl in range(LSH_TABLES):
-        bits = []
-        for j in range(LSH_BITS):
-            k = tbl * LSH_BITS + j
-            coef = lambda i, k=k: (  # noqa: E731
-                (F.pmod(F.hash(F.lit(k * 1024) + i), F.lit(2001)) - 1000) / 1000.0
-            )
+    derivation.
+
+    r15 optimization session: the 96 planes fold over RUNTIME table/bit
+    indices (transform over sequence) instead of 96 unrolled fold
+    expressions — the per-element arithmetic is unchanged (same murmur3
+    of k·1024+i, same ascending-i double fold, integer bit sum), so the
+    signatures are bit-identical (asserted in-session over the sf0.1
+    corpus), but the expression TREE shrinks ~100×, which is where the
+    wall time lived: Catalyst analysis + codegen of the unrolled tree
+    dominated the qid (0.9 s executor vs 6.7 s wall). Interleaved A/B:
+    unrolled 10.3-34 s vs HOF 5.4-9.8 s across a capacity swing, HOF
+    ahead in every pair. (shiftleft goes through call_function — the
+    python wrapper insists on a literal bit count.)"""
+
+    def table_sig(tbl):
+        def bit(acc, j):
+            k = tbl * F.lit(LSH_BITS) + j
+
+            def term(x, i):
+                coef = (
+                    F.pmod(F.hash(k * F.lit(1024) + i), F.lit(2001)) - F.lit(1000)
+                ) / F.lit(1000.0)
+                return x.cast("double") * coef
+
             dot_k = F.aggregate(
-                F.zip_with(
-                    vec, F.sequence(F.lit(0), F.size(vec) - 1), lambda x, i: x.cast("double") * coef(i)
-                ),
+                F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), term),
                 F.lit(0.0),
                 lambda a, v: a + v,
             )
-            bits.append(F.when(dot_k > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        sigs.append(sum(bits[1:], bits[0]))
-    return F.array(*sigs).alias("sigs")
+            return acc + F.when(
+                dot_k > 0, F.call_function("shiftleft", F.lit(1), j)
+            ).otherwise(F.lit(0))
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(LSH_BITS - 1)), F.lit(0), bit)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)), table_sig
+    ).alias("sigs")
 
 
 def rp_lsh_topk(e, n_queries: int = N_QUERIES, top_k: int = TOP_K):
