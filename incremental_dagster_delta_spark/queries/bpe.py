@@ -100,28 +100,36 @@ def learn_bpe(spark, docs, n: int = N_MERGES):
     )
     cur = words.select("word", seq0.alias("seq"), "freq").persist()
     merges: list[tuple] = []
+
+    def best_pair(rev):
+        """Argmax adjacent pair of one revision — the SAME job also
+        materializes the revision's cache (the aggregation consumes every
+        partition), so the loop pays ONE driver job per merge instead of
+        a count() + argmax pair (r16, guide §5 — driver orchestration
+        round-trips; A/B'd in OPTIMIZATION_r16.md)."""
+        syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+        prs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        return (
+            rev.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+
     # the outer except releases the LIVE revision (cur is rebound each
     # iteration): a mid-loop action failure (executor loss, OOM) must
     # not leak a persisted revision into the long-lived session that
     # runs 100+ queries (the materialize_release r15 discipline). On
     # success `cur` stays persisted — callers release it.
     try:
-        cur.count()  # materialize the one corpus pass before iterating
+        best = best_pair(cur)  # one job: corpus pass + first argmax
         for rank in range(1, n + 1):
-            syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
-            prs = F.zip_with(
-                F.slice(syms, 1, F.size(syms) - 1),
-                F.slice(syms, 2, F.size(syms) - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            )
-            best = (
-                cur.select(F.explode(prs).alias("p"), "freq")
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("freq").alias("c"))
-                .orderBy(F.col("c").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
             if not best:
                 break
             left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
@@ -135,7 +143,11 @@ def learn_bpe(spark, docs, n: int = N_MERGES):
                 ),
             ).persist()
             try:
-                nxt.count()  # materialize before releasing the parent revision
+                if rank < n:
+                    # materializes nxt AND finds the next merge in one job
+                    best = best_pair(nxt)
+                else:
+                    nxt.count()  # materialize before releasing the parent
             except BaseException:
                 nxt.unpersist()
                 raise

@@ -578,11 +578,11 @@ def q_triangle_count(spark, sf_dir):
 
     Scale shape: every edge is ORIENTED from its lower-(degree, id)
     endpoint to the higher one, so each node's out-degree is bounded by
-    O(sqrt(m)) — wedge generation, the quadratic step, becomes
-    Σ out_deg² = O(m^1.5) instead of Σ deg² (which a single celebrity
-    node would blow up quadratically). Three shuffles total: the
-    distinct edge build, the wedge self-join on the shared source, and
-    the wedge-closure semi-join against the oriented edge set. Integer
+    O(sqrt(m)) — the quadratic closure step stays Σ out_deg² = O(m^1.5)
+    instead of Σ deg² (which a single celebrity node would blow up
+    quadratically), and runs as per-edge out-list intersections instead
+    of a materialized wedge shuffle (see triangle_stats). Two shuffles
+    total: the distinct edge build and the out-list aggregation. Integer
     counts — exact on both engines.
 
     Cost honesty: bipartite projections DENSIFY — at sf0.1 the 1000
@@ -667,33 +667,50 @@ def triangle_stats(e: DataFrame) -> DataFrame:
         (F.col("dv") < F.col("du")) | ((F.col("dv") == F.col("du")) & (F.col("v") < F.col("u")))
     ).select(F.col("v").alias("u"), F.col("u").alias("v"))
     oriented = fwd.unionAll(rev).localCheckpoint()
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    # each unordered out-neighbor pair once; canonicalize to (lo, hi) so
-    # the closure check is an EQUI-join against the u<v edge set (an OR
-    # of direction cases would degrade to a nested-loop join)
-    wedges = e1.join(
-        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v"))
-    ).select(
-        F.least(F.col("e1.v"), F.col("e2.v")).alias("lo"),
-        F.greatest(F.col("e1.v"), F.col("e2.v")).alias("hi"),
-    )
-    ec = e  # checkpointed above; reused by the closure join and edge count
+    # Adjacency-intersection closure (r16, guide §2.3/§2.4 — shuffle
+    # keys+metadata, not the expansion): the previous shape MATERIALIZED
+    # every wedge (Σ C(outdeg,2) rows ≈ 1.7×10⁸ at sf0.1) through a
+    # self-join and shuffled it into a second join against the edge set.
+    # Every triangle has a unique (deg,id)-ordered source→middle edge
+    # a→b with the sink in outN(a) ∩ outN(b), so
+    #     n_triangles = Σ_{(a,b) ∈ oriented} |outN(a) ∩ outN(b)|
+    # — each out-list is degree-ordering-bounded at O(√m), the total
+    # element work keeps the O(m^1.5) bound, and the intersections run
+    # inside codegen per edge row instead of as 10⁸ shuffled rows. The
+    # count is EXACTLY the closed-wedge count (each closed wedge
+    # (u; lo, hi) is |{u ∈ outN(lo̲)∩…}| seen once at its source pair);
+    # list order never matters (array_intersect is a set intersection,
+    # and edges are distinct so the lists are duplicate-free).
+    outs = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs")).persist()
+    ec = e  # checkpointed above; reused by the edge count
     # n_wedges comes ANALYTICALLY from the oriented out-degrees —
-    # Σ C(outdeg, 2) is exactly the count the wedge self-join would
-    # produce, computed from the (checkpointed) oriented edge set with
-    # one cheap aggregation: no second wedge-generation pass, and no
-    # Observation accumulator (whose shuffle-map retry semantics could
-    # double-count on a real cluster — n_wedges is an oracle-hash-checked
-    # output column, so it must be deterministic under retries).
+    # Σ C(outdeg, 2) is exactly the count the wedge expansion would
+    # produce, from one cheap aggregation over the out-lists: no wedge
+    # materialization, and no Observation accumulator (whose shuffle-map
+    # retry semantics could double-count on a real cluster — n_wedges is
+    # an oracle-hash-checked output column, so it must be deterministic
+    # under retries).
     n_w = int(
-        oriented.groupBy("u")
-        .agg(F.count("*").alias("d"))
+        outs.select(F.size("nbrs").alias("d"))
         .agg(F.coalesce(F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0)).alias("w"))
         .first()["w"]
     )
-    closure = wedges.join(ec, (ec.u == F.col("lo")) & (ec.v == F.col("hi")))
-    n_t = closure.count()
+    closed = (
+        oriented.join(
+            outs.select(F.col("u").alias("_a"), F.col("nbrs").alias("na")),
+            F.col("u") == F.col("_a"),
+        )
+        # inner: a middle node with no out-list closes nothing (its term
+        # is |outN(a) ∩ ∅| = 0), so dropping the row is exact
+        .join(
+            outs.select(F.col("u").alias("_b"), F.col("nbrs").alias("nb")),
+            F.col("v") == F.col("_b"),
+        )
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+    )
+    n_t = int(closed.agg(F.coalesce(F.sum("k"), F.lit(0)).alias("t")).first()["t"])
     n_e = ec.count()
+    outs.unpersist()
     from incremental_dagster_delta_spark.tables import literal_df
 
     # literal_df, not createDataFrame: one literal row must not cost a

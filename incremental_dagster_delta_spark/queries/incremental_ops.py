@@ -813,8 +813,11 @@ def q_compaction_stats(spark, sf_dir):
         days = ["2024-06-01", "2024-06-02", "2024-06-03"]
         for d in days:
             for i in range(4):  # one record per append = one file per record
+                # literal_df, not createDataFrame: each of the 12
+                # single-row appends otherwise pays a defaultParallelism-
+                # wide python round-trip per write job (tables.literal_df)
                 tbl.append(
-                    spark.createDataFrame([(d, i, f"rec-{d}-{i}")], "day string, seq long, payload string")
+                    literal_df(spark, [(d, i, f"rec-{d}-{i}")], "day string, seq long, payload string")
                 )
         before = {d: leaf_files(d) for d in days}
         tbl.compact(target_files_per_partition=1)
@@ -823,8 +826,8 @@ def q_compaction_stats(spark, sf_dir):
             for r in tbl.read().groupBy("day").agg(F.count("*").alias("n")).collect()
         }
         out = [(d, before[d], leaf_files(d), rows[d]) for d in days]
-        return spark.createDataFrame(
-            out, "day string, files_before long, files_after long, n_rows long"
+        return literal_df(
+            spark, out, "day string, files_before long, files_after long, n_rows long"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

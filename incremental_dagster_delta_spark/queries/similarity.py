@@ -167,7 +167,12 @@ def assign_nearest_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFra
         ).otherwise(acc),
     )
     return (
-        vectors.withColumn("_ne", _norm(F.col("embedding")))
+        # project to exactly the two consumed columns first (ADVICE r15):
+        # collision-proofs the internal _ne name against a caller frame
+        # that already carries it, and drops unused columns before the
+        # broadcast cross-join (guide §2.3 — project early)
+        vectors.select("vec_id", "embedding")
+        .withColumn("_ne", _norm(F.col("embedding")))
         .crossJoin(cent_row)
         .select("vec_id", "embedding", best["cid"].alias("centroid_id"))
     )

@@ -93,7 +93,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
+def _input_bytes(df: DataFrame) -> int | None:
+    """Best-effort input size of ``df``'s scan: sum of local input file
+    sizes, falling back to the optimizer's file-index statistics; None
+    when unknown (remote files without stats, checkpointed sources).
+    Shared by :func:`sized_shuffle` and :func:`fan_out` — never stats
+    remote files per-path from the driver (100k files = 100k serial RPCs
+    before the query)."""
+    from urllib.parse import urlparse
+
+    byts = 0
+    # Zero input files (a localCheckpoint()ed intermediate, a
+    # createDataFrame source) is an UNKNOWN size, not a known 0-byte
+    # input (r15 review).
+    unsized = not df.inputFiles()
+    for p in df.inputFiles():
+        parsed = urlparse(p)
+        if parsed.scheme in ("", "file"):
+            # urlparse handles both file:///x and single-slash file:/x URIs.
+            if os.path.exists(parsed.path):
+                byts += os.path.getsize(parsed.path)
+            else:
+                unsized = True
+        else:
+            unsized = True
+    if unsized:
+        # Fall back to the optimizer's file-index statistics — the scan's
+        # total bytes, already cached by the FileIndex with zero extra
+        # RPCs. If even that is unknown (the ~8 EB "unknown" default or
+        # zero), report unknown rather than an under-count.
+        try:
+            stat = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            stat = 0
+        if 0 < stat < (1 << 50):
+            return stat
+        return None
+    return byts
+
+
+def fan_out(
+    df: DataFrame,
+    spark: SparkSession,
+    factor: int = 2,
+    per_task_bytes: int | None = None,
+) -> DataFrame:
     """Ensure at least ``factor × defaultParallelism`` partitions before a
     map-heavy stage (shingling, hashing, vector math).
 
@@ -101,16 +145,33 @@ def fan_out(df: DataFrame, spark: SparkSession, factor: int = 2) -> DataFrame:
     the whole map side onto one core. On a real cluster the scan already
     has thousands of splits and this is a no-op — the repartition only
     fires when the input is under-split for the machine.
-    """
+
+    ``per_task_bytes`` (opt-in, r16) additionally floors the width at
+    ``max(2, input_bytes / per_task_bytes)`` so a sub-MB input stops
+    paying ``factor × parallelism`` near-empty tasks per downstream map
+    wave; at real scale ``bytes/per_task_bytes`` dwarfs the machine
+    width, so the cap never binds and the behavior is identical. Only
+    use it for LINEAR per-byte map stages — a stage whose work EXPANDS
+    superlinearly past the fan-out point (pair self-joins, Levenshtein
+    blocks) wants full machine width regardless of input bytes."""
     target = factor * spark.sparkContext.defaultParallelism
+    if per_task_bytes:
+        byts = _input_bytes(df)
+        if byts is not None:
+            target = min(target, max(2, byts // per_task_bytes + 1))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
-def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+def literal_df(spark: SparkSession, rows, schema) -> DataFrame:
     """Single-partition DataFrame from a small literal row list — the
-    fan_out inverse, for pinned oracle scenarios.
+    fan_out inverse, for pinned oracle scenarios. ``schema`` is a DDL
+    string or a StructType (q_row_construction passes the latter).
+
+    Implementation note: goes through ``sparkContext.parallelize`` (an
+    RDD), so it is NOT Spark Connect-compatible — on a Connect session,
+    fall back to plain ``createDataFrame(rows, schema)``.
 
     ``spark.createDataFrame(list)`` parallelizes the pickled rows over
     defaultParallelism slices, and each slice's iterator is produced by
@@ -147,43 +208,16 @@ def sized_shuffle(
     toward the machine's parallelism floor (``parallelismFirst``), so it
     never reaches the size-optimal count for sub-GB shuffles, and
     disabling ``parallelismFirst`` over-coalesces to one serial task.
-    """
-    from urllib.parse import urlparse
 
-    byts = 0
-    # Zero input files (a localCheckpoint()ed intermediate, a
-    # createDataFrame source) is an UNKNOWN size, not a known 0-byte
-    # input — pinning the floor there would force a possibly-multi-GB
-    # shuffle into a handful of partitions (r15 review). Fall through to
-    # the stats probe / leave-default path below.
-    unsized = not df.inputFiles()
-    for p in df.inputFiles():
-        parsed = urlparse(p)
-        if parsed.scheme in ("", "file"):
-            # urlparse handles both file:///x and single-slash file:/x URIs.
-            if os.path.exists(parsed.path):
-                byts += os.path.getsize(parsed.path)
-            else:
-                unsized = True
-        else:
-            # Remote scheme (s3a://, hdfs://, …): never stat per file from
-            # the driver (100k files = 100k serial RPCs before the query).
-            unsized = True
-    if unsized:
-        # Fall back to the optimizer's file-index statistics — the scan's
-        # total bytes, already cached by the FileIndex with zero extra
-        # RPCs. If even that is unknown (the ~8 EB "unknown" default or
-        # zero), leave the session default alone rather than override
-        # with an under-count.
-        try:
-            stat = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        except Exception:
-            stat = 0
-        if 0 < stat < (1 << 50):
-            byts = stat
-        else:
-            yield
-            return
+    An UNKNOWN input size (see :func:`_input_bytes`) leaves the session
+    default alone rather than override with an under-count — pinning the
+    floor there would force a possibly-multi-GB shuffle into a handful
+    of partitions (r15 review).
+    """
+    byts = _input_bytes(df)
+    if byts is None:
+        yield
+        return
     floor = max(2, spark.sparkContext.defaultParallelism // 4)
     n = max(floor, min(100_000, int(byts * expansion / per_partition_bytes) + 1))
     key = "spark.sql.shuffle.partitions"

@@ -70,6 +70,10 @@ def main() -> int:
         cmd = [
             sys.executable, "-m", "pytest", "-q",
             *(os.path.join(TESTS, f) for f in group),
+            # partest is the CANONICAL FULL run: override the pyproject
+            # addopts' -m "not slow" (the default `pytest tests/` keeps a
+            # fast selection to fit the driver's verify budget)
+            "-m", "slow or not slow",
             "--durations=0", "-p", "no:cacheprovider", *extra,
         ]
         # Spark's Python WORKER subprocesses import the package by name
@@ -117,7 +121,7 @@ def main() -> int:
     if rc == 0:
         out = subprocess.run(
             [sys.executable, "-m", "pytest", "--collect-only", "-q", TESTS,
-             "-p", "no:cacheprovider"],
+             "-m", "slow or not slow", "-p", "no:cacheprovider"],
             capture_output=True, text=True, cwd=REPO,
         )
         tail = [ln for ln in out.stdout.splitlines() if "collected" in ln][-1:]

@@ -31,7 +31,10 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
 
     def stages() -> list[dict]:
-        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete") as r:
+        # ALL statuses (ADVICE r15): complete-only with a fixed settle
+        # sleep silently dropped stages still active/failed at poll time,
+        # skewing the attribution this script exists for.
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
             return json.load(r)
 
     def run(spec) -> float:
@@ -48,11 +51,20 @@ def main() -> None:
         spark.sparkContext.setJobDescription(name)
         wall = run(spec)
         spark.sparkContext.setJobDescription(None)
-        time.sleep(0.5)
+        # poll until the stage set is stable instead of one fixed sleep
+        prev_ids: set[int] = set()
+        for _ in range(20):
+            time.sleep(0.25)
+            cur = {s["stageId"] for s in stages()}
+            if cur == prev_ids:
+                break
+            prev_ids = cur
         new = [s for s in stages() if s["stageId"] not in before]
+        incomplete = [s for s in new if s.get("status") != "COMPLETE"]
         new.sort(key=lambda s: -s["executorRunTime"])
         tot_run = sum(s["executorRunTime"] for s in new)
-        print(f"\n== {name}: wall {wall:.2f}s, {len(new)} stages, "
+        print(f"\n== {name}: wall {wall:.2f}s, {len(new)} stages "
+              f"({len(incomplete)} not COMPLETE at poll), "
               f"executorRunTime total {tot_run/1e3:.2f}s")
         for s in new[:14]:
             nm = s["name"].split("\n")[0][:80]

@@ -26,6 +26,14 @@ CACHING_QIDS = [
 
 @pytest.mark.parametrize("qid", CACHING_QIDS)
 def test_no_persisted_intermediates_after_query(spark, sf_dir, qid):
+    # Warm once first: a query's FIRST run per session may additionally
+    # materialize memoized per-corpus statistics (the _hot_shingles
+    # ANALYZE-stats checkpoint), which is a deliberate one-time
+    # session-lifetime block, not a per-call leak (ADVICE r15). What
+    # this test pins is that a 100-query driver session does not
+    # ACCUMULATE blocks call over call — i.e. steady-state growth ≤ 1
+    # (the query's own localCheckpoint result).
+    QUERIES[qid].fn(spark, sf_dir).count()
     spark.catalog.clearCache()
     before = _persistent_rdd_count(spark)
     df = QUERIES[qid].fn(spark, sf_dir)

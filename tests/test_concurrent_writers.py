@@ -22,6 +22,12 @@ import threading
 
 from incremental_dagster_delta_spark.tableio import PartitionedTable
 
+import pytest
+
+# Excluded from the default run so `pytest tests/` fits the driver's
+# verify budget (pyproject addopts); scripts/partest.py runs it.
+pytestmark = pytest.mark.slow
+
 
 def _df(spark, day: str, n: int, base: int):
     return spark.createDataFrame(

