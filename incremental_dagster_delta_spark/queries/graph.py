@@ -625,12 +625,35 @@ def _part_supplier_wide(spark, sf_dir):
 def _cosupplier_pairs(spark, sf_dir):
     """PRE-distinct canonical u<v pair occurrences from the bipartite
     projection (one row per shared part) — shared by the exact and
-    Doulion edge builds so their canonicalization can never diverge."""
+    Doulion edge builds so their canonicalization can never diverge.
+
+    r16 shape: per-part sorted supplier arrays + in-row pair generation
+    replace the p-keyed self-join. The generated multiset is identical
+    (each part contributes every u<v supplier pair once — sort_array
+    gives the same u<v canonicalization the old a.s < b.s predicate
+    did), but one ObjectHashAggregate over the SAME exchange the join
+    needed replaces the sort-merge self-join: no second sort, no join
+    machinery per output row, and the Σ df² expansion runs in codegen
+    over the agg output stage — still at full repartition width, and
+    the Doulion md5 filter still evaluates right at generation, below
+    the dedup shuffle (plan-pinned in tests/test_plans.py). Scale
+    hazard unchanged: a hub part lands in one task under either shape
+    (hash-partitioned by p); degree-capping the projection remains the
+    documented mitigation."""
     ps = _part_supplier_wide(spark, sf_dir)
-    a, b = ps.alias("a"), ps.alias("b")
-    return a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s"))).select(
-        F.col("a.s").alias("u"), F.col("b.s").alias("v")
+    lists = ps.groupBy("p").agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        )
     )
+    return lists.select(pair.alias("pr")).select("pr.u", "pr.v")
 
 
 def cosupplier_edges(spark, sf_dir):
