@@ -150,13 +150,13 @@ def q_decontaminate(spark, sf_dir):
     training side's exploded shingles — one shuffle-free map + semi-join,
     never doc×doc. Shingles are compared by value here (exactness for the
     oracle); at scale hash them to 8-byte keys first."""
-    from incremental_dagster_delta_spark.tables import fan_out
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out
 
     # fan_out: the 8-gram shingling is CPU-heavy per byte and the single-
     # file scan arrives as ONE split — profiled 4.5 s + 2.2 s single-task
     # stages here (r15); at scale the scan is already thousands of splits
     # and this is a no-op.
-    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     with_toks = d.select("doc_id", "source", toks.alias("toks"))
     n = F.size("toks") - (DECONTAM_NGRAM - 1)

@@ -212,7 +212,7 @@ def ngram_jaccard_pairs(
     immutable corpus into memoized heavy-hitter statistics; the cache has
     no invalidation — if the keyed table can be mutated in-session, pass
     ``cache_key=None`` (or a version-qualified key) instead."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release, sized_shuffle
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release, sized_shuffle
 
     with sized_shuffle(spark, docs):
         return _ngram_jaccard_pairs_impl(
@@ -221,7 +221,9 @@ def ngram_jaccard_pairs(
 
 
 def _ngram_jaccard_pairs_impl(spark, docs, threshold, df_cap, cache_key, fan_out, materialize_release):
-    sh = doc_shingles(fan_out(docs, spark)).persist()
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES
+
+    sh = doc_shingles(fan_out(docs, spark, per_task_bytes=SHINGLE_TASK_BYTES)).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
     # EXACT, CACHED heavy-hitter statistics (r5 rework of the sampled
@@ -322,9 +324,9 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     at sf0.1, the right trade at 10⁹ documents."""
     from pyspark.sql.window import Window
 
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release
 
-    sh = doc_shingles(fan_out(t(spark, sf_dir, "documents"), spark)).persist()
+    sh = doc_shingles(fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)).persist()
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     # global rare-first order: ascending document frequency, shingle text
     # as the tiebreak — the SAME total order for every document
@@ -454,9 +456,9 @@ def q_dedup_minhash(spark, sf_dir):
     band-bucket groupBy and the candidate join — cost scales with bucket
     collisions, not n². Returns the same (doc_a, doc_b, jaccard) surface
     as q_ngram_jaccard and is checked against the same exact oracle."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release
 
-    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)
     # ONE cached frame carries shingles AND band buckets (r15: separate
     # sh/bands caches cost two 64-task materialization passes over the
     # corpus; the signature stage runs once either way, but the second
@@ -530,13 +532,13 @@ def q_ngram_novelty(spark, sf_dir):
     back (rows are linear in total shingle occurrences — no pair
     blowup), one per-doc aggregation. All-integer counts; the rate
     division is the only float, rounded to 4 dp."""
-    from incremental_dagster_delta_spark.tables import fan_out
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out
 
     # fan_out: shingling a single-split scan serialized onto one core
     # (r15 profile: two ~3 s single-task stages — ex feeds both the df
     # count and the join back, so the shingle pass runs per branch);
     # at scale the scan is already split and this is a no-op.
-    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)
     ex = doc_shingles(d).select("doc_id", F.explode("shingles").alias("s"))
     df = ex.groupBy("s").agg(F.count("*").alias("df"))
     return (
@@ -878,9 +880,9 @@ def q_incremental_dedup(spark, sf_dir):
     O(batch) map work + one bucket-keyed shuffle, independent of corpus
     size growth except via bucket occupancy. The oracle is exact
     all-pairs batch×corpus (oracle-scale only)."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release
 
-    d = fan_out(t(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES).select("doc_id", "text")
     toks = _tokens(F.col("text"))
     batch = (
         d.where(F.col("doc_id") % 10 == 0)
@@ -971,9 +973,9 @@ def q_containment(spark, sf_dir):
     DF_CAP cold/hot split q_ngram_jaccard uses before the self-join —
     omitted here so the exact oracle stays unconditional.) The corpus
     plants first-half truncations of every 13th document."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release
 
-    d = fan_out(t(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES).select("doc_id", "text")
     toks = _tokens(F.col("text"))
     half = F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(3)))
     planted = d.where(F.col("doc_id") % 13 == 0).select(

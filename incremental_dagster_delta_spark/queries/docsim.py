@@ -78,7 +78,7 @@ def tfidf_cosine_pairs(
 
     ``gamma=None`` → exact; otherwise the DIMSUM estimator described in
     the module docstring."""
-    from incremental_dagster_delta_spark.tables import fan_out, materialize_release, sized_shuffle
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out, materialize_release, sized_shuffle
 
     with sized_shuffle(spark, docs):
         return _tfidf_cosine_pairs_impl(
@@ -87,8 +87,10 @@ def tfidf_cosine_pairs(
 
 
 def _tfidf_cosine_pairs_impl(spark, docs, threshold, df_cap, gamma, fan_out, materialize_release):
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES
+
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    tok = fan_out(docs, spark).select("doc_id", F.explode(toks).alias("term"))
+    tok = fan_out(docs, spark, per_task_bytes=SHINGLE_TASK_BYTES).select("doc_id", F.explode(toks).alias("term"))
     # tf persisted: it feeds idf, w (twice — via nrm and via u), and the
     # differing pushed filters under each consumer defeat exchange reuse,
     # so unpersisted the corpus tokenize+count pass ran 4× per execution

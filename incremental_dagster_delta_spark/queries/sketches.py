@@ -260,9 +260,9 @@ def q_cms_heavy_hitters(spark, sf_dir):
     oracle replays the sketch and the qid is hash-checked end to end,
     overestimates included (CMS never underestimates; the driver row
     proves that property on real data)."""
-    from incremental_dagster_delta_spark.tables import fan_out
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
     tok = d.select(F.explode(toks).alias("tok"))
 

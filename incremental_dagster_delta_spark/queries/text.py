@@ -265,9 +265,9 @@ def q_winnow_fingerprint(spark, sf_dir):
     near-dup/plagiarism fingerprint — pure codegen'd array expressions,
     identical arithmetic on both engines (verified: same polynomial mod
     fold, same gram lists)."""
-    from incremental_dagster_delta_spark.tables import fan_out
+    from incremental_dagster_delta_spark.tables import SHINGLE_TASK_BYTES, fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"), spark)
+    d = fan_out(t(spark, sf_dir, "documents"), spark, per_task_bytes=SHINGLE_TASK_BYTES)
     norm = d.select(
         "doc_id", F.array_join(_tokens(F.col("text")), " ").alias("norm")
     )

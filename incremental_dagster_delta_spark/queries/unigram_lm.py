@@ -188,7 +188,9 @@ def train_unigram(spark, docs: DataFrame):
     # its persisted word table into the long-lived session (the
     # materialize_release r15 discipline; learn_bpe has the same guard)
     try:
-        words.count()  # materialize the one corpus pass
+        # the seed aggregation consumes every partition, so its collect
+        # also materializes the words cache — no separate count() job
+        # (r16, guide §5 — one driver round-trip instead of two)
         seed = {r["piece"]: r["cnt"] for r in seed_counts(words).collect()}
         scores = _scores(seed)
         segs = None

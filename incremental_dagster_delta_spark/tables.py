@@ -132,6 +132,19 @@ def _input_bytes(df: DataFrame) -> int | None:
     return byts
 
 
+# fan_out width floor for LINEAR per-byte corpus map stages (tokenize /
+# shingle / sketch): ~32 KB of on-disk input per task ≈ 100-250 ms of
+# shingle work at the measured rates — enough to amortize per-task
+# constants without starving a healthy host. Adopted r16 after a
+# 6-qid interleaved family A/B at canary 13.9-16.3 (OPTIMIZATION_r16.md:
+# minhash 0.79×, ngram_jaccard 0.68×, cms 0.52×, doc_similarity 0.70×,
+# decontaminate 0.82×); the embeddings-input class (pq_codes 0.94× with
+# losing pairs) stays at full width. At real scale bytes/32 KB dwarfs
+# 2×parallelism, so the floor never binds and fan_out stays a no-op on
+# an already-split scan.
+SHINGLE_TASK_BYTES = 32 << 10
+
+
 def fan_out(
     df: DataFrame,
     spark: SparkSession,
