@@ -164,6 +164,12 @@ _SIZED_SHUFFLE = {
     # round 15: the incremental-index qid runs the corpus-side trainer
     # inside, same profile as the trained-IVF qid.
     "q_ivf_incremental": "embeddings",
+    # r16 sweep: q_ann_ivf_pq (PQ/IVF loops inside, 30 s executor across
+    # 64-task waves) was TRIED here and LOST (3.16→3.29 s median,
+    # interleaved at canary 13.6-16.5): its per-wave vector math is
+    # CPU-heavy enough that the 8-partition sized width starves the
+    # machine — the q_dsir_weights class, not the near-empty-task class.
+    # Left unwrapped.
     # r15 optimization: the unigram-LM EM loop persists its word table
     # with the session-default partition count (cached plans keep their
     # shuffle partitioning — AQE does not re-coalesce InMemoryRelations),
