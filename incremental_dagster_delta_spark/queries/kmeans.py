@@ -120,6 +120,53 @@ def _assign_with_arrays(vectors: DataFrame, cids, C) -> DataFrame:
     )
 
 
+def _partials_with_arrays(vectors: DataFrame, cids, C) -> DataFrame:
+    """Lloyd's per-(centroid, dim) partial sums FUSED into the
+    assignment pass (r16, guide §4.2 — hand whole batches to numpy):
+    each task assigns its rows with the same exact int64 matmul as
+    :func:`_assign_with_arrays` and emits its K·d partial rows
+    directly, so the per-round job skips the B×d posexplode + map-side
+    hash-aggregate entirely — the only shuffled bytes are K·d rows per
+    task. The partials are integer sums over disjoint row sets, so
+    reducing them with sum() reproduces :func:`_pos_sums` over the full
+    assignment bit-exactly (same argmin expression, same first-minimum
+    = lowest-centroid_id tiebreak via the sorted cids)."""
+    import numpy as np
+    import pandas as pd
+
+    c_sq = (C * C).sum(axis=1)  # K
+    K, d = C.shape
+
+    def partials(batches):
+        S = np.zeros((K, d), dtype=np.int64)
+        N = np.zeros(K, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)  # B×d
+            dist = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c_sq[None, :]
+            j = np.argmin(dist, axis=1)
+            np.add.at(S, j, X)
+            N += np.bincount(j, minlength=K)
+        ks = np.nonzero(N)[0]
+        if len(ks):
+            yield pd.DataFrame(
+                {
+                    "centroid_id": np.repeat(cids[ks], d),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), len(ks)),
+                    "s": S[ks].ravel(),
+                    "n": np.repeat(N[ks], d),
+                }
+            )
+
+    per_task = vectors.select("xq").mapInPandas(
+        partials, "centroid_id long, pos int, s long, n long"
+    )
+    return per_task.groupBy("centroid_id", "pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+
+
 def _pos_sums(assigned: DataFrame) -> DataFrame:
     """(centroid_id, pos, s, n): per-(centroid, dim) integer sums and
     member counts from an assignment — map-side combined, K·d rows out.
@@ -207,8 +254,9 @@ def _train(vec: DataFrame, rounds: int) -> DataFrame:
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     C = np.array([r["cq"] for r in rows], dtype=np.int64)
     for _ in range(rounds):
-        assigned = _assign_with_arrays(vec, cids, C)
-        partials = _pos_sums(assigned).collect()  # K·d rows
+        # fused assignment+partials (r16): one python pass per round,
+        # K·d rows shuffled per task instead of the B×d posexplode
+        partials = _partials_with_arrays(vec, cids, C).collect()  # K·d rows
         sums = np.zeros_like(C, dtype=np.float64)
         counts = np.zeros(len(cids), dtype=np.float64)
         touched = np.zeros(len(cids), dtype=bool)
